@@ -1,0 +1,94 @@
+"""The reference engine's entire declarative surface: grouped word
+count (reference: /root/reference/mpi_mapreduce.c — SURVEY.md §2.4 A4)
+plus the trivially-implied variants (distinct vocabulary, top-k).
+
+Spark restatement of the reference's whole 866-line MPI pipeline:
+read -> filter blank lines -> split/explode -> normalize -> filter ->
+``groupBy('word').count()``. Map-side partial aggregation (the
+reference's hand-built combiner, mpi_mapreduce.c:314-338) and hash
+partitioning of the key space (mpi_mapreduce.c:108-117,325) are what
+``HashAggregateExec`` + ``HashPartitioning`` do natively — at 100 TB
+a word seen 10^9 times still crosses the shuffle as one partial row
+per map task.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokenize_lines, words_cte_sql
+from ..sources.catalog import load_table
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """word -> total count over documents.text (reference A1-A4)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = tokenize_lines(docs)
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def wordcount_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped word count with a second grouping key — exercises the
+    same plan shape with a compound shuffle key."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    lines = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    tokens = lines.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    from ..functions.text import MAX_WORD_LEN, normalize_word
+
+    words = tokens.select("lang", normalize_word(F.col("token")).alias("word"))
+    words = words.filter((F.col("word") != "") & (F.length("word") <= MAX_WORD_LEN))
+    return words.groupBy("lang", "word").agg(F.count("*").alias("cnt"))
+
+
+def distinct_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct normalized vocabulary (SURVEY.md §2.4: implied op)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return tokenize_lines(docs).distinct()
+
+
+def topk_words(spark: SparkSession, sf_dir: str, k: int = 100) -> DataFrame:
+    """Top-k words by count; count-ties broken by word so the result
+    is deterministic (SURVEY.md §7 risk register). TakeOrderedAndProject
+    in the physical plan: no global sort materialized, each partition
+    keeps k rows and the driver merges — safe at any scale."""
+    counts = wordcount(spark, sf_dir)
+    return counts.orderBy(F.desc("cnt"), F.asc("word")).limit(k)
+
+
+def wordcount_text_sink(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Reference sink S4: space-separated `word cnt` lines, one file
+    per partition, unsorted (reference writes per-reducer files
+    mpi_mapreduce.c:278-289; concatenation S5 is the consumer's job)."""
+    counts = wordcount(spark, sf_dir)
+    counts.select(
+        F.concat_ws(" ", F.col("word"), F.col("cnt").cast("string"))
+    ).write.mode("overwrite").text(out_dir)
+
+
+# --- DuckDB oracles ---------------------------------------------------
+
+WORDCOUNT_SQL = f"""
+WITH {words_cte_sql()}
+SELECT word, count(*) AS cnt FROM words_f GROUP BY word
+"""
+
+WORDCOUNT_BY_LANG_SQL = f"""
+WITH {words_cte_sql(extra_cols="lang")}
+SELECT lang, word, count(*) AS cnt FROM words_f GROUP BY lang, word
+"""
+
+DISTINCT_VOCAB_SQL = f"""
+WITH {words_cte_sql()}
+SELECT DISTINCT word FROM words_f
+"""
+
+TOPK_WORDS_SQL = f"""
+WITH {words_cte_sql()}
+SELECT word, count(*) AS cnt FROM words_f GROUP BY word
+ORDER BY cnt DESC, word ASC LIMIT 100
+"""
