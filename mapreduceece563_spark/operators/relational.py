@@ -1,0 +1,456 @@
+"""Relational operator coverage: scans, filters, joins (broadcast /
+shuffle / semi / anti), hash + sort aggregations, windows, rollup,
+pivot, set ops — the operator classes the reference lacks entirely
+(SURVEY.md §2.5: "None implemented") that Spark provides natively.
+These queries exercise each one TPC-H-style over the driver tables.
+
+Scale discipline (100 TB posture):
+* Small dimensions (region 5, nation 25, supplier ~1e2) are joined
+  with explicit ``F.broadcast`` — no shuffle of the fact table for
+  dim enrichment; AQE would also auto-convert, the hint makes it
+  unconditional.
+* Fact-fact joins (orders ⋈ lineitem) shuffle on the join key once;
+  grouping that follows reuses the exchange where keys align.
+* Window functions partition by a key (never a global window without
+  PARTITION BY, which would serialize on one task).
+* Top-k uses orderBy().limit(k) → TakeOrderedAndProject: per-partition
+  k + driver merge, no global sort.
+
+Float determinism (oracle contract): every money/measure aggregate is
+converted to integer cents per row BEFORE summing (``round(x*100)``
+→ long). Integer sums are exact and associative, so Spark's partial
+aggregation order can never diverge from DuckDB's sequential fold —
+results are bit-identical, not approximately equal. Division back to
+doubles happens once, after aggregation, identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+
+def _cents(col: Column) -> Column:
+    return F.round(col * 100, 0).cast("long")
+
+
+def _cents_sql(expr: str) -> str:
+    return f"CAST(round(({expr}) * 100, 0) AS BIGINT)"
+
+
+# --- Q1: single-table hash aggregation (TPC-H Q1 shape) ---------------
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_shipdate",
+    )
+    li = li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    agg = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_sq"),
+        F.sum(_cents(F.col("l_extendedprice"))).alias("_sbp"),
+        F.sum(_cents(disc_price)).alias("_sdp"),
+        F.sum(_cents(charge)).alias("_sc"),
+        F.sum(_cents(F.col("l_discount"))).alias("_sd"),
+        F.count("*").alias("count_order"),
+    )
+    n = F.col("count_order")
+    return agg.select(
+        "l_returnflag", "l_linestatus",
+        F.col("_sq").cast("double").alias("sum_qty"),
+        (F.col("_sbp") / 100.0).alias("sum_base_price"),
+        (F.col("_sdp") / 100.0).alias("sum_disc_price"),
+        (F.col("_sc") / 100.0).alias("sum_charge"),
+        (F.col("_sq") / n).alias("avg_qty"),
+        (F.col("_sbp") / 100.0 / n).alias("avg_price"),
+        (F.col("_sd") / 100.0 / n).alias("avg_disc"),
+        "count_order",
+    )
+
+
+Q1_SQL = f"""
+WITH agg AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(CAST(l_quantity AS BIGINT)) AS _sq,
+         sum({_cents_sql('l_extendedprice')}) AS _sbp,
+         sum({_cents_sql('l_extendedprice * (1 - l_discount)')}) AS _sdp,
+         sum({_cents_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}) AS _sc,
+         sum({_cents_sql('l_discount')}) AS _sd,
+         count(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus,
+       CAST(_sq AS DOUBLE) AS sum_qty,
+       _sbp / 100.0 AS sum_base_price,
+       _sdp / 100.0 AS sum_disc_price,
+       _sc / 100.0 AS sum_charge,
+       _sq / CAST(count_order AS DOUBLE) AS avg_qty,
+       _sbp / 100.0 / count_order AS avg_price,
+       _sd / 100.0 / count_order AS avg_disc,
+       count_order
+FROM agg
+"""
+
+
+# --- Q3: 3-way join + agg + deterministic top-k -----------------------
+
+def q3_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"
+    )
+    cutoff = F.lit("1998-01-01").cast("timestamp")
+    joined = (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rev = joined.groupBy("o_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rc")
+    )
+    return (
+        rev.select("o_orderkey", (F.col("_rc") / 100.0).alias("revenue"),
+                   "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q3_SQL = f"""
+SELECT o_orderkey,
+       sum({_cents_sql('l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- Q5: 6-way join with broadcast dims -------------------------------
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    lo = F.lit("1996-01-01").cast("timestamp")
+    hi = F.lit("1997-01-01").cast("timestamp")
+    joined = (
+        li.join(orders.filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi)),
+                F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rc"))
+        .select("n_name", (F.col("_rc") / 100.0).alias("revenue"))
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       sum({_cents_sql('l_extendedprice * (1 - l_discount)')}) / 100.0 AS revenue
+FROM region
+JOIN nation ON n_regionkey = r_regionkey
+JOIN supplier ON s_nationkey = n_nationkey
+JOIN customer ON c_nationkey = s_nationkey
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+"""
+
+
+# --- windows ----------------------------------------------------------
+
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 customers by order revenue within each nation.
+
+    row_number (not rank) with a full tie-break (revenue desc,
+    custkey asc) keeps the result deterministic; revenue is exact
+    integer cents so ordering is stable across engines."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.groupBy("o_custkey").agg(F.sum(_cents(F.col("o_totalprice"))).alias("_rc"))
+    )
+    joined = (
+        cust.join(rev, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("_rc"), F.asc("c_custkey"))
+    return (
+        joined.withColumn("rank_in_nation", F.row_number().over(w))
+        .filter(F.col("rank_in_nation") <= 3)
+        .select("n_name", "c_custkey", "c_name",
+                (F.col("_rc") / 100.0).alias("revenue"), "rank_in_nation")
+    )
+
+
+TOP_CUSTOMERS_SQL = f"""
+WITH rev AS (
+  SELECT o_custkey, sum({_cents_sql('o_totalprice')}) AS _rc
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT n_name, c_custkey, c_name, _rc,
+         row_number() OVER (PARTITION BY n_name ORDER BY _rc DESC, c_custkey ASC)
+           AS rank_in_nation
+  FROM customer
+  JOIN rev ON c_custkey = o_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT n_name, c_custkey, c_name, _rc / 100.0 AS revenue, rank_in_nation
+FROM ranked WHERE rank_in_nation <= 3
+"""
+
+
+def orders_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running revenue (ordered cumulative window sum).
+    Integer-cents accumulation keeps the running value exact at any
+    prefix, so both engines agree at every row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    ).filter(F.col("o_custkey") <= 200)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey", "o_orderkey", "o_orderdate",
+        (F.sum(_cents(F.col("o_totalprice"))).over(w) / 100.0).alias("running_total"),
+    )
+
+
+RUNNING_TOTAL_SQL = f"""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       sum({_cents_sql('o_totalprice')}) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) / 100.0 AS running_total
+FROM orders WHERE o_custkey <= 200
+"""
+
+
+# --- semi / anti joins ------------------------------------------------
+
+def customers_inactive_1995(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order in 1995 — left_anti join (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    o95 = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    )
+    return cust.join(o95, cust.c_custkey == o95.o_custkey, "left_anti")
+
+
+CUSTOMERS_INACTIVE_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o.o_orderdate < TIMESTAMP '1996-01-01'
+)
+"""
+
+
+def suppliers_with_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join (EXISTS)."""
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+
+
+SUPPLIERS_WITH_SALES_SQL = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+"""
+
+
+# --- set operations ---------------------------------------------------
+
+def parts_never_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct set difference)."""
+    part = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("partkey"))
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("partkey"))
+    return part.exceptAll(li.distinct()).distinct()
+
+
+PARTS_NEVER_ORDERED_SQL = """
+SELECT p_partkey AS partkey FROM part
+EXCEPT
+SELECT l_partkey AS partkey FROM lineitem
+"""
+
+
+def nation_presence_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL of per-side aggregates (customer vs supplier counts
+    per nation)."""
+    cust = load_table(spark, sf_dir, "customer").groupBy("c_nationkey").agg(
+        F.count("*").alias("n_members")
+    ).select(F.lit("customer").alias("side"),
+             F.col("c_nationkey").alias("nationkey"), "n_members")
+    supp = load_table(spark, sf_dir, "supplier").groupBy("s_nationkey").agg(
+        F.count("*").alias("n_members")
+    ).select(F.lit("supplier").alias("side"),
+             F.col("s_nationkey").alias("nationkey"), "n_members")
+    return cust.unionAll(supp)
+
+
+NATION_PRESENCE_SQL = """
+SELECT 'customer' AS side, c_nationkey AS nationkey, count(*) AS n_members
+FROM customer GROUP BY c_nationkey
+UNION ALL
+SELECT 'supplier' AS side, s_nationkey AS nationkey, count(*) AS n_members
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+# --- rollup / pivot ---------------------------------------------------
+
+def nation_customer_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(region, nation): hierarchical subtotals + grand total."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey", "c_acctbal")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("n_customers"),
+             F.sum(_cents(F.col("c_acctbal"))).alias("_bc"))
+        .select("r_name", "n_name", "n_customers",
+                (F.col("_bc") / 100.0).alias("total_acctbal"))
+    )
+
+
+NATION_ROLLUP_SQL = f"""
+SELECT r_name, n_name, count(*) AS n_customers,
+       sum({_cents_sql('c_acctbal')}) / 100.0 AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+"""
+
+
+def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order counts by status — expressed as conditional
+    aggregation (portable to ANSI SQL; Spark's .pivot() produces the
+    same plan)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    return orders.groupBy("o_orderpriority").agg(
+        F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("cnt_open"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("cnt_finished"),
+        F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("cnt_partial"),
+    )
+
+
+ORDERS_PIVOT_SQL = """
+SELECT o_orderpriority,
+       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_open,
+       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_finished,
+       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_partial
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --- events: time + JSON ----------------------------------------------
+
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-hour aggregation over the event stream table (batch
+    form of the Structured Streaming window query)."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    return (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type")
+        .agg(F.count("*").alias("n_events"),
+             F.sum(_cents(F.col("value"))).alias("_vc"))
+        .select("hour", "event_type", "n_events",
+                (F.col("_vc") / 100.0).alias("value_sum"))
+    )
+
+
+EVENTS_HOURLY_SQL = f"""
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events,
+       sum({_cents_sql('value')}) / 100.0 AS value_sum
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (semi-structured path)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "props")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, count(*) AS n_events,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
+FROM events GROUP BY event_type
+"""
+
+
+def segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-aggregate with count distinct."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey", "c_acctbal"
+    )
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"),
+             F.countDistinct("c_nationkey").alias("n_nations"),
+             F.sum(_cents(F.col("c_acctbal"))).alias("_bc"),
+             F.max(_cents(F.col("c_acctbal"))).alias("_mx"))
+        .select("c_mktsegment", "n_customers", "n_nations",
+                (F.col("_bc") / 100.0).alias("total_acctbal"),
+                (F.col("_mx") / 100.0).alias("max_acctbal"))
+    )
+
+
+SEGMENT_STATS_SQL = f"""
+SELECT c_mktsegment, count(*) AS n_customers,
+       count(DISTINCT c_nationkey) AS n_nations,
+       sum({_cents_sql('c_acctbal')}) / 100.0 AS total_acctbal,
+       max({_cents_sql('c_acctbal')}) / 100.0 AS max_acctbal
+FROM customer GROUP BY c_mktsegment
+"""

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import relational as rel
 from .operators import wordcount as wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -42,3 +43,19 @@ register("wordcount", wc.wordcount, wc.WORDCOUNT_SQL)
 register("wordcount_by_lang", wc.wordcount_by_lang, wc.WORDCOUNT_BY_LANG_SQL)
 register("distinct_vocab", wc.distinct_vocab, wc.DISTINCT_VOCAB_SQL)
 register("topk_words", wc.topk_words, wc.TOPK_WORDS_SQL)
+
+# --- relational operator coverage (joins/windows/aggs/set ops) -------
+register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL)
+register("q3_top_unshipped", rel.q3_top_unshipped, rel.Q3_SQL)
+register("q5_region_revenue", rel.q5_region_revenue, rel.Q5_SQL)
+register("top_customers_per_nation", rel.top_customers_per_nation, rel.TOP_CUSTOMERS_SQL)
+register("orders_running_total", rel.orders_running_total, rel.RUNNING_TOTAL_SQL)
+register("customers_inactive_1995", rel.customers_inactive_1995, rel.CUSTOMERS_INACTIVE_SQL)
+register("suppliers_with_sales", rel.suppliers_with_sales, rel.SUPPLIERS_WITH_SALES_SQL)
+register("parts_never_ordered", rel.parts_never_ordered, rel.PARTS_NEVER_ORDERED_SQL)
+register("nation_presence_union", rel.nation_presence_union, rel.NATION_PRESENCE_SQL)
+register("nation_customer_rollup", rel.nation_customer_rollup, rel.NATION_ROLLUP_SQL)
+register("orders_priority_pivot", rel.orders_priority_pivot, rel.ORDERS_PIVOT_SQL)
+register("events_hourly", rel.events_hourly, rel.EVENTS_HOURLY_SQL)
+register("events_json_stats", rel.events_json_stats, rel.EVENTS_JSON_SQL)
+register("segment_stats", rel.segment_stats, rel.SEGMENT_STATS_SQL)
