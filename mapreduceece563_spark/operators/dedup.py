@@ -1,0 +1,384 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, all expressed as declarative DataFrame plans:
+
+* exact dedup — hash groupBy on content (one shuffle on the text key);
+* MinHash + LSH near-dup — word 3-shingles -> 16-permutation MinHash
+  signature -> 4 bands -> band-bucket self-join (the classic
+  banding scheme: only documents sharing a band hash are compared);
+* n-gram (3-shingle) Jaccard — exact set similarity via a shingle
+  self-join with a document-frequency cap on join keys;
+* SimHash — 30-bit fingerprint from per-bit majority votes over
+  shingle hashes.
+
+Scale posture (100 TB): signatures are computed with a SINGLE
+groupBy(doc_id) carrying 16 min-aggregates — no 16x row explosion
+through the shuffle. The LSH self-join joins on (band, band_hash),
+i.e. only within buckets; the Jaccard join caps shingle document
+frequency (df <= DF_CAP) so no quadratic blowup on common shingles —
+the same pruning the MinHash/LSH literature uses. All hashes are the
+engine-portable polynomial hash (functions/hashing.py), pure int64
+arithmetic, so the DuckDB oracle reproduces results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    HASH_MOD,
+    LSH_BANDS,
+    LSH_ROWS_PER_BAND,
+    MINHASH_PERMS,
+    poly_hash,
+    poly_hash_sql,
+)
+from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL, normalize_word
+from ..sources.catalog import load_table
+
+DF_CAP = 1000  # max shingle document-frequency admitted to the join
+JACCARD_THRESHOLD = 0.2
+
+
+# --- shared shingle machinery ----------------------------------------
+
+def words_array(text_col: Column) -> Column:
+    """Normalized-word array for one line (array-valued, map-only)."""
+    normed = F.transform(F.split(text_col, " "), normalize_word)
+    return F.filter(
+        normed, lambda w: (w != "") & (F.length(w) <= MAX_WORD_LEN)
+    )
+
+
+def shingles_expr(words: Column) -> Column:
+    """Distinct word 3-shingles of a word array."""
+    n = F.size(words)
+    sh = F.transform(
+        F.sequence(F.lit(1), n - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i),
+            F.element_at(words, i + 1),
+            F.element_at(words, i + 2),
+        ),
+    )
+    return F.when(n >= 3, F.array_distinct(sh)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) — one row per distinct 3-shingle per doc."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return docs.select(
+        "doc_id",
+        F.explode(shingles_expr(words_array(F.col("text")))).alias("shingle"),
+    )
+
+
+def shingles_cte_sql() -> str:
+    """DuckDB CTEs producing the identical (doc_id, shingle) rows."""
+    norm = NORMALIZE_SQL.format(t="t")
+    return f"""
+docs AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '), t -> {norm}),
+                     w -> w <> '' AND length(w) <= {MAX_WORD_LEN}) AS words
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+),
+sh AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(words) - 1),
+                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
+                ELSE CAST([] AS VARCHAR[]) END) AS shingle
+  FROM docs
+)"""
+
+
+def _fold_col(cols: list[Column]) -> Column:
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = (acc * 31 + c) % HASH_MOD
+    return acc
+
+
+def _fold_sql(cols: list[str]) -> str:
+    acc = cols[0]
+    for c in cols[1:]:
+        acc = f"((({acc}) * 31 + {c}) % {HASH_MOD})"
+    return acc
+
+
+# --- exact dedup ------------------------------------------------------
+
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact-duplicate summary (one shuffle on text)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_text = docs.groupBy("text").agg(F.count("*").alias("n_copies"))
+    return per_text.agg(
+        F.sum("n_copies").alias("n_docs"),
+        F.count("*").alias("n_distinct_texts"),
+        F.sum(F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(0)).alias(
+            "n_docs_in_dup_groups"
+        ),
+    )
+
+
+DEDUP_EXACT_STATS_SQL = """
+WITH per_text AS (
+  SELECT text, count(*) AS n_copies FROM documents GROUP BY text
+)
+SELECT sum(n_copies) AS n_docs,
+       count(*) AS n_distinct_texts,
+       sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END) AS n_docs_in_dup_groups
+FROM per_text
+"""
+
+
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-first exact dedup: lowest doc_id survives per text group."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id")
+    )
+
+
+DEDUP_EXACT_SURVIVORS_SQL = """
+SELECT doc_id FROM (
+  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS _rn
+  FROM documents
+) WHERE _rn = 1
+"""
+
+
+# --- MinHash + LSH ----------------------------------------------------
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc with 16 minhash columns mh0..mh15 — a single
+    groupBy(doc_id), 16 min-aggs, no row explosion."""
+    sh = doc_shingles(spark, sf_dir)
+    h = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h0"))
+    aggs = [
+        F.min((F.col("h0") * a + b) % HASH_MOD).alias(f"mh{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return h.groupBy("doc_id").agg(*aggs)
+
+
+def _band_hashes(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, band_hash) from a signature frame."""
+    structs = []
+    for band in range(LSH_BANDS):
+        cols = [
+            F.col(f"mh{band * LSH_ROWS_PER_BAND + r}")
+            for r in range(LSH_ROWS_PER_BAND)
+        ]
+        structs.append(
+            F.struct(
+                F.lit(band).alias("band"), _fold_col(cols).alias("band_hash")
+            )
+        )
+    return sig.select(
+        "doc_id", F.explode(F.array(*structs)).alias("b")
+    ).select("doc_id", F.col("b.band").alias("band"), F.col("b.band_hash").alias("band_hash"))
+
+
+def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: docs sharing >=1 of 4 band hashes.
+
+    The self-join key is (band, band_hash) — only same-bucket docs
+    meet, which is what keeps this sub-quadratic at corpus scale."""
+    bands = _band_hashes(minhash_signatures(spark, sf_dir))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+
+
+def _minhash_sig_sql() -> str:
+    mins = ", ".join(
+        f"min((h0 * {a} + {b}) % {HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return f"""
+{shingles_cte_sql()},
+hashes AS (
+  SELECT doc_id, {poly_hash_sql('shingle')} AS h0 FROM sh
+),
+sig AS (
+  SELECT doc_id, {mins} FROM hashes GROUP BY doc_id
+)"""
+
+
+def _bands_sql() -> str:
+    selects = []
+    for band in range(LSH_BANDS):
+        cols = [
+            f"mh{band * LSH_ROWS_PER_BAND + r}"
+            for r in range(LSH_ROWS_PER_BAND)
+        ]
+        selects.append(
+            f"SELECT doc_id, {band} AS band, {_fold_sql(cols)} AS band_hash FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+DEDUP_MINHASH_SQL = f"""
+WITH {_minhash_sig_sql().lstrip()},
+bands AS ({_bands_sql()})
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_bands
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+            AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+# --- exact n-gram Jaccard --------------------------------------------
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard similarity for pairs sharing a shingle.
+
+    Shingles with document frequency > DF_CAP are excluded from the
+    join (standard common-feature pruning — a stopword-like shingle
+    would otherwise create df^2 pairs). Sizes still count all
+    shingles, so Jaccard stays exact w.r.t. the full sets for the
+    pairs that survive."""
+    sh = doc_shingles(spark, sf_dir).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    df_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    pruned = sh.join(df_ok, "shingle")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("n_common")
+                / (F.col("_sa") + F.col("_sb") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out.select(
+        "doc_a", "doc_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+NGRAM_JACCARD_SQL = f"""
+WITH {shingles_cte_sql().lstrip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+df_ok AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {DF_CAP}
+),
+pruned AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN df_ok USING (shingle)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a
+  JOIN pruned b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       round(n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+# --- SimHash ----------------------------------------------------------
+
+SIMHASH_BITS = 30  # poly hash values are < 2^30
+
+
+def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-bit SimHash per doc: per-bit majority vote over shingle
+    hashes, computed as 30 conditional sums inside ONE aggregation
+    (no per-bit row explosion through the shuffle)."""
+    sh = doc_shingles(spark, sf_dir)
+    h = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h0"))
+    aggs = [
+        F.sum(
+            F.when((F.col("h0") % (1 << (j + 1))) >= (1 << j), 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    votes = h.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1 << j)).otherwise(0)
+        fp = term if fp is None else fp + term
+    return votes.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def _simhash_sql() -> str:
+    votes = ", ".join(
+        f"sum(CASE WHEN (h0 % {1 << (j + 1)}) >= {1 << j} THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH {shingles_cte_sql().lstrip()},
+hashes AS (SELECT doc_id, {poly_hash_sql('shingle')} AS h0 FROM sh),
+votes AS (SELECT doc_id, {votes} FROM hashes GROUP BY doc_id)
+SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+"""
+
+
+SIMHASH_SQL = _simhash_sql()
+
+
+def simhash_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs whose SimHash collides exactly (hamming distance 0) —
+    the cheap first tier of SimHash dedup."""
+    fp = simhash_fingerprint(spark, sf_dir)
+    return (
+        fp.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("first_doc"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+SIMHASH_COLLISIONS_SQL = f"""
+WITH fp AS ({SIMHASH_SQL})
+SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
+FROM fp GROUP BY simhash HAVING count(*) > 1
+"""

@@ -1,0 +1,208 @@
+"""Similarity search over the embeddings table (array<float>, dim 64).
+
+* brute-force cosine top-k — the exactness baseline: broadcast the
+  (small) query set against all candidates; dot products via native
+  ``zip_with``/``aggregate`` higher-order functions (JVM-side, no
+  Python round-trip);
+* sign-LSH bucketed pair search — the scale path: bucket vectors by
+  the sign pattern of a fixed dimension subset, self-join only within
+  buckets (1/256 of the cross product for 8 bits), then score. At
+  100 TB you'd add multiple hash tables for recall; the plan shape
+  (bucket -> co-partitioned self-join) is the part that matters;
+* per-label centroids — vector unnest + exact fixed-point mean.
+
+Float determinism: all arithmetic is double-precision with an
+explicit left-fold (``F.aggregate`` / DuckDB ``list_reduce``), so
+Spark and the oracle compute bit-identical cosines — ordering and
+thresholding can't diverge. Centroid sums use scaled int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+N_QUERIES = 10          # vec_id < 10 are the kNN query vectors
+TOP_K = 5
+SIM_THRESHOLD = 0.4     # pair-search cosine cutoff (max observed ~0.51)
+LSH_SIGN_DIMS = (1, 9, 17, 25, 33, 41, 49, 57)  # 1-based dims for sign bits
+
+
+def _to_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def _dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_SQL = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    v = _to_double(F.col("embedding"))
+    return emb.select(
+        "vec_id", v.alias("v")
+    ).withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+
+
+_NORMS_SQL = f"""
+e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, v, sqrt({_DOT_SQL.format(a='v', b='v')}) AS nrm FROM e
+)"""
+
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is tiny and broadcast; the candidate scan streams.
+    Ranking happens per-query (window partitioned by query_id) on the
+    raw double cosine, ties broken by neighbor_id."""
+    n = _norms(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        pairs.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"), "knn_rank",
+        )
+    )
+
+
+KNN_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS _cos
+  FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, _cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY _cos DESC, neighbor_id ASC) AS knn_rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, round(_cos, 6) AS cosine, knn_rank
+FROM ranked WHERE knn_rank <= {TOP_K}
+"""
+
+
+def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate similar-pair search via sign-bit LSH buckets.
+
+    Bucket key = sign pattern of 8 fixed dimensions; the self-join
+    runs within buckets only (expected 1/2^8 of all pairs meet), then
+    exact cosine filters. This is the 100 TB plan shape for near-dup
+    detection over embeddings: shuffle once on the bucket key, never
+    materialize the cross product."""
+    n = _norms(spark, sf_dir)
+    bucket = F.concat_ws(
+        "",
+        *[
+            F.when(F.element_at(F.col("v"), d) >= 0, F.lit("1")).otherwise("0")
+            for d in LSH_SIGN_DIMS
+        ],
+    )
+    nb = n.withColumn("bucket", bucket)
+    a, b = nb.alias("a"), nb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("vec_a"),
+        F.col("b.vec_id").alias("vec_b"),
+        (
+            _dot(F.col("a.v"), F.col("b.v"))
+            / (F.col("a.nrm") * F.col("b.nrm"))
+        ).alias("_cos"),
+    )
+    return pairs.filter(F.col("_cos") >= SIM_THRESHOLD).select(
+        "vec_a", "vec_b", F.round(F.col("_cos"), 6).alias("cosine")
+    )
+
+
+_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN v[{d}] >= 0 THEN '1' ELSE '0' END)" for d in LSH_SIGN_DIMS
+)
+
+SIMILAR_PAIRS_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+nb AS (SELECT vec_id, v, nrm, {_BUCKET_SQL} AS bucket FROM n),
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {_DOT_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm) AS _cos
+  FROM nb a JOIN nb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, round(_cos, 6) AS cosine
+FROM pairs WHERE _cos >= {SIM_THRESHOLD}
+"""
+
+
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid, one row per (label, dim).
+
+    Sums use scaled int64 (x * 1e6 rounded) so the distributed sum is
+    exact and order-independent; the mean divides once at the end."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x").cast("double") * 1_000_000, 0).cast("long").alias("_xs"),
+    )
+    return (
+        exploded.groupBy("label", "dim")
+        .agg(F.sum("_xs").alias("_s"), F.count("*").alias("n_vectors"))
+        .select(
+            "label", "dim",
+            ((F.col("_s") / 1_000_000.0) / F.col("n_vectors")).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
+CENTROIDS_SQL = """
+WITH exploded AS (
+  SELECT label, d.dim AS dim,
+         CAST(round(CAST(embedding[d.dim] AS DOUBLE) * 1000000, 0) AS BIGINT) AS _xs
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+)
+SELECT label, dim, (sum(_xs) / 1000000.0) / count(*) AS centroid,
+       count(*) AS n_vectors
+FROM exploded GROUP BY label, dim
+"""

@@ -1,0 +1,228 @@
+"""Text analysis operators: token statistics, language-ID heuristic,
+quality scoring, document fingerprinting.
+
+Everything here is map-only or a single aggregation — token stats and
+quality scores are computed with array higher-order functions on the
+words array of each document (no explode, no shuffle at all), which
+is the shape you want when scoring 10^11 documents: one pass over the
+scan, whole-stage codegen end to end.
+
+Determinism: ratios are int/int double divisions in a fixed
+expression order, mirrored exactly in the oracle SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import poly_hash, poly_hash_sql
+from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL
+from ..sources.catalog import load_table
+from .dedup import words_array
+
+# Marker stopwords per language for the language-ID heuristic.
+# Tiny on purpose: the operator shape (token -> marker join -> argmax)
+# is the point; swap in real lists for production.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "es"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"]
+
+
+def _words_sql() -> str:
+    norm = NORMALIZE_SQL.format(t="t")
+    return (
+        f"list_filter(list_transform(string_split(text, ' '), t -> {norm}), "
+        f"w -> w <> '' AND length(w) <= {MAX_WORD_LEN})"
+    )
+
+
+# --- token statistics (map-only) -------------------------------------
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = words_array(F.col("text"))
+    lens = F.transform(words, lambda w: F.length(w).cast("long"))
+    total_len = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
+    n = F.size(words)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_tokens"),
+        F.when(n > 0, total_len / n.cast("double")).otherwise(0.0).alias("avg_token_len"),
+        F.coalesce(
+            F.array_max(F.transform(words, lambda w: F.length(w))), F.lit(0)
+        ).cast("long").alias("max_token_len"),
+    )
+
+
+TOKEN_STATS_SQL = f"""
+WITH w AS (SELECT doc_id, {_words_sql()} AS words FROM documents)
+SELECT doc_id,
+       CAST(len(words) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_tokens,
+       CASE WHEN len(words) > 0 THEN
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(words, w -> CAST(length(w) AS BIGINT))),
+           (a, x) -> a + x) / CAST(len(words) AS DOUBLE)
+       ELSE 0.0 END AS avg_token_len,
+       CAST(coalesce(list_max(list_transform(words, w -> length(w))), 0) AS BIGINT)
+         AS max_token_len
+FROM w
+"""
+
+
+# --- language ID heuristic -------------------------------------------
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicted language = argmax of marker-stopword hits (ties ->
+    lexicographically first language; zero hits -> 'und').
+
+    The marker table is a broadcast join against exploded tokens —
+    at corpus scale the fact side streams, the dim side is bytes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.explode(words_array(F.col("text"))).alias("word")
+    )
+    markers = spark.createDataFrame(
+        [(lang, w) for lang, ws in LANG_MARKERS.items() for w in ws],
+        ["cand_lang", "word"],
+    )
+    hits = (
+        words.join(F.broadcast(markers), "word")
+        .groupBy("doc_id", "cand_lang")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_hits"), F.asc("cand_lang")
+    )
+    best = (
+        hits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", F.col("cand_lang").alias("_best"), "n_hits")
+    )
+    return (
+        docs.select("doc_id")
+        .join(best, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_best"), F.lit("und")).alias("predicted_lang"),
+            F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_marker_hits"),
+        )
+    )
+
+
+def _markers_values_sql() -> str:
+    rows = ", ".join(
+        f"('{lang}', '{w}')"
+        for lang, ws in sorted(LANG_MARKERS.items())
+        for w in ws
+    )
+    return f"(VALUES {rows}) AS markers(cand_lang, word)"
+
+
+LANG_ID_SQL = f"""
+WITH w AS (SELECT doc_id, {_words_sql()} AS words FROM documents),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+hits AS (
+  SELECT doc_id, cand_lang, count(*) AS n_hits
+  FROM tok JOIN {_markers_values_sql()} USING (word)
+  GROUP BY doc_id, cand_lang
+),
+best AS (
+  SELECT doc_id, cand_lang AS _best, n_hits,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, cand_lang ASC) AS _rn
+  FROM hits
+)
+SELECT d.doc_id,
+       coalesce(b._best, 'und') AS predicted_lang,
+       coalesce(b.n_hits, 0) AS n_marker_hits
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE _rn = 1) b ON d.doc_id = b.doc_id
+"""
+
+
+# --- quality scoring (map-only) --------------------------------------
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/alpha-ratio quality heuristic in one map pass.
+
+    score = 0.4*stopword_ratio + 0.4*alpha_char_ratio
+          + 0.2*min(n_tokens,100)/100 — fixed expression order so the
+    oracle reproduces the exact double."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    words = words_array(F.col("text"))
+    n = F.size(words).cast("long")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    ).cast("long")
+    stop_ratio = F.when(n > 0, stop_hits / n.cast("double")).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars.cast("double")).otherwise(0.0)
+    len_score = F.least(n, F.lit(100)) / 100.0
+    score = F.round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score, 6)
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        stop_hits.alias("n_stopwords"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        score.alias("quality"),
+    )
+
+
+_STOP_IN = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+
+QUALITY_SQL = f"""
+WITH w AS (SELECT doc_id, text, {_words_sql()} AS words FROM documents),
+m AS (
+  SELECT doc_id,
+         CAST(len(words) AS BIGINT) AS n,
+         CAST(len(list_filter(words, x -> x IN ({_STOP_IN}))) AS BIGINT) AS stop_hits,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+           AS alpha_chars
+  FROM w
+),
+r AS (
+  SELECT doc_id, n, stop_hits,
+         CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END AS stop_ratio,
+         CASE WHEN n_chars > 0 THEN alpha_chars / CAST(n_chars AS DOUBLE) ELSE 0.0 END
+           AS alpha_ratio,
+         least(n, 100) / 100.0 AS len_score
+  FROM m
+)
+SELECT doc_id, n AS n_tokens, stop_hits AS n_stopwords,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(alpha_ratio, 6) AS alpha_ratio,
+       round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score, 6) AS quality
+FROM r
+"""
+
+
+# --- document fingerprinting (map-only) ------------------------------
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two content fingerprints per doc: MD5 (cryptographic) and the
+    engine's rolling polynomial hash (cheap, order-sensitive)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_md5"),
+        poly_hash(F.col("text")).alias("fp_roll"),
+    )
+
+
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, md5(text) AS fp_md5, {poly_hash_sql('text')} AS fp_roll
+FROM documents
+"""

@@ -15,7 +15,10 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import dedup as dd
 from .operators import relational as rel
+from .operators import similarity as sim
+from .operators import textstats as ts
 from .operators import wordcount as wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -59,3 +62,22 @@ register("orders_priority_pivot", rel.orders_priority_pivot, rel.ORDERS_PIVOT_SQ
 register("events_hourly", rel.events_hourly, rel.EVENTS_HOURLY_SQL)
 register("events_json_stats", rel.events_json_stats, rel.EVENTS_JSON_SQL)
 register("segment_stats", rel.segment_stats, rel.SEGMENT_STATS_SQL)
+
+# --- deduplication (exact / MinHash-LSH / Jaccard / SimHash) ---------
+register("dedup_exact_stats", dd.dedup_exact_stats, dd.DEDUP_EXACT_STATS_SQL)
+register("dedup_exact_survivors", dd.dedup_exact_survivors, dd.DEDUP_EXACT_SURVIVORS_SQL)
+register("dedup_minhash", dd.dedup_minhash, dd.DEDUP_MINHASH_SQL)
+register("ngram_jaccard_pairs", dd.ngram_jaccard_pairs, dd.NGRAM_JACCARD_SQL)
+register("simhash_fingerprint", dd.simhash_fingerprint, dd.SIMHASH_SQL)
+register("simhash_collisions", dd.simhash_collisions, dd.SIMHASH_COLLISIONS_SQL)
+
+# --- similarity search over embeddings -------------------------------
+register("knn_brute_force", sim.knn_brute_force, sim.KNN_SQL)
+register("embedding_similar_pairs", sim.embedding_similar_pairs, sim.SIMILAR_PAIRS_SQL)
+register("embedding_centroids", sim.embedding_centroids, sim.CENTROIDS_SQL)
+
+# --- text analysis ---------------------------------------------------
+register("token_stats", ts.token_stats, ts.TOKEN_STATS_SQL)
+register("lang_id", ts.lang_id, ts.LANG_ID_SQL)
+register("quality_score", ts.quality_score, ts.QUALITY_SQL)
+register("doc_fingerprint", ts.doc_fingerprint, ts.DOC_FINGERPRINT_SQL)
