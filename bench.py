@@ -1,0 +1,69 @@
+#!/usr/bin/env python
+"""Benchmark harness: run the engine's query registry at a scale
+factor and print ONE JSON line with per-query and total wall times.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 python bench.py
+
+Methodology mirrors the reference's own timing (BASELINE.md): the
+clock starts after session/JVM startup (the reference starts after
+MPI_Init, /root/reference/mpi_mapreduce.c:534-535), and each query is
+fully materialized to a noop sink (all compute, no result transfer).
+A small warmup query JIT-compiles codegen paths first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mapreduceece563_spark.registry import queries
+from mapreduceece563_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    spark = get_spark("mapreduceece563_spark-bench", cpus=CPUS)
+
+    # Warmup: JIT-compile the hot codegen paths (parquet scan, regex
+    # tokenize, hash agg, joins) on the tiny sf before timing — the
+    # reference's clock also starts after engine init (BASELINE.md).
+    qs_all = queries()
+    for warm in ("wordcount", "q3_top_unshipped", "dedup_minhash"):
+        materialize(qs_all[warm](spark, "/root/testdata/sf0.001"))
+
+    qs = queries()
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        materialize(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+    total = round(time.perf_counter() - t_all, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,7 @@ _DOT_SQL = (
 
 
 def _norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("vec_id", "embedding")
     v = _to_double(F.col("embedding"))
     return emb.select(
         "vec_id", v.alias("v")
@@ -176,7 +176,7 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sums use scaled int64 (x * 1e6 rounded) so the distributed sum is
     exact and order-independent; the mean divides once at the end."""
-    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding")
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select("label", "embedding")
     exploded = emb.select(
         "label", F.posexplode("embedding").alias("pos", "x")
     ).select(

@@ -45,8 +45,13 @@ def _words_sql() -> str:
 # --- token statistics (map-only) -------------------------------------
 
 def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = words_array(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    # stage the words array as its own projection: referencing it as a
+    # column keeps the normalize chain evaluated once per row instead
+    # of once per use (CollapseProject guards multi-referenced
+    # expensive expressions)
+    docs = docs.select("doc_id", words_array(F.col("text")).alias("_words"))
+    words = F.col("_words")
     lens = F.transform(words, lambda w: F.length(w).cast("long"))
     total_len = F.aggregate(lens, F.lit(0).cast("long"), lambda a, x: a + x)
     n = F.size(words)
@@ -85,7 +90,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The marker table is a broadcast join against exploded tokens —
     at corpus scale the fact side streams, the dim side is bytes."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     words = docs.select(
         "doc_id", F.explode(words_array(F.col("text"))).alias("word")
     )
@@ -156,8 +161,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = 0.4*stopword_ratio + 0.4*alpha_char_ratio
           + 0.2*min(n_tokens,100)/100 — fixed expression order so the
     oracle reproduces the exact double."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    words = words_array(F.col("text"))
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
+    docs = docs.select(
+        "doc_id", "text", words_array(F.col("text")).alias("_words")
+    )
+    words = F.col("_words")
     n = F.size(words).cast("long")
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
@@ -214,7 +222,7 @@ FROM r
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two content fingerprints per doc: MD5 (cryptographic) and the
     engine's rolling polynomial hash (cheap, order-sensitive)."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     return docs.select(
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_md5"),

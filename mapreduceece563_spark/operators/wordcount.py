@@ -23,7 +23,7 @@ from ..sources.catalog import load_table
 
 def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """word -> total count over documents.text (reference A1-A4)."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("text")
     words = tokenize_lines(docs)
     return words.groupBy("word").agg(F.count("*").alias("cnt"))
 
@@ -31,7 +31,7 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 def wordcount_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped word count with a second grouping key — exercises the
     same plan shape with a compound shuffle key."""
-    docs = load_table(spark, sf_dir, "documents").select("lang", "text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("lang", "text")
     lines = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
     tokens = lines.select(
         "lang", F.explode(F.split("text", " ")).alias("token")
@@ -45,7 +45,7 @@ def wordcount_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def distinct_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct normalized vocabulary (SURVEY.md §2.4: implied op)."""
-    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("text")
     return tokenize_lines(docs).distinct()
 
 

@@ -16,6 +16,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as dd
+from .operators import multimodal as mm
 from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import textstats as ts
@@ -81,3 +82,6 @@ register("token_stats", ts.token_stats, ts.TOKEN_STATS_SQL)
 register("lang_id", ts.lang_id, ts.LANG_ID_SQL)
 register("quality_score", ts.quality_score, ts.QUALITY_SQL)
 register("doc_fingerprint", ts.doc_fingerprint, ts.DOC_FINGERPRINT_SQL)
+
+# --- multimodal plumbing (Arrow-batched mapInPandas) -----------------
+register("multimodal_features", mm.multimodal_features, mm.MULTIMODAL_FEATURES_SQL)

@@ -25,12 +25,30 @@ TABLES = (
 )
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = False
+) -> DataFrame:
+    """Read one catalog table.
+
+    ``spread=True`` repartitions to the session's default parallelism
+    right after the scan. Use it for CPU-heavy downstream pipelines
+    (regex tokenization, per-row vector math) reading SMALL inputs:
+    the test parquet files are single row-group, so without it the
+    whole pipeline runs on one core. At real scale the scan has
+    thousands of row-groups and natural parallelism — callers there
+    should pass spread=False (the shuffle would be pure cost); the
+    flag exists precisely because "cheap scan, expensive map" is the
+    one case where an early repartition pays for itself.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _load_events(spark, sf_dir)
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if spread:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
