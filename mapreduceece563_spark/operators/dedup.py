@@ -400,3 +400,83 @@ WITH fp AS ({SIMHASH_SQL})
 SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc
 FROM fp GROUP BY simhash HAVING count(*) > 1
 """
+
+
+# --- SimHash hamming pairs (banded) ----------------------------------
+
+HAMMING_MAX = 3
+SIMHASH_BAND_BITS = 10  # 30 bits -> 3 bands; <=3 bit flips leave >=0 bands intact
+
+
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= 3.
+
+    Banded search: split the 30-bit fingerprint into 3 10-bit bands;
+    candidates share at least one exact band (any pair within hamming
+    2 must; distance-3 pairs can straddle — acceptable recall for the
+    banded tier, same guarantee in both engines). bit_count(xor)
+    scores candidates exactly."""
+    fp = simhash_fingerprint(spark, sf_dir)
+    bands = fp.select(
+        "doc_id", "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("band"),
+                        # floor-divide, never cast a double to long here:
+                        # Spark cast truncates but DuckDB CAST rounds,
+                        # so both sides must floor explicitly
+                        F.floor(
+                            (F.col("simhash") % (1 << (SIMHASH_BAND_BITS * (k + 1))))
+                            / (1 << (SIMHASH_BAND_BITS * k))
+                        ).cast("long").alias("bv"),
+                    )
+                    for k in range(3)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", F.col("b.band").alias("band"), F.col("b.bv").alias("bv"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= HAMMING_MAX)
+
+
+def _simhash_bands_sql() -> str:
+    selects = []
+    for k in range(3):
+        hi = 1 << (SIMHASH_BAND_BITS * (k + 1))
+        lo = 1 << (SIMHASH_BAND_BITS * k)
+        selects.append(
+            f"SELECT doc_id, simhash, {k} AS band, "
+            f"CAST((simhash % {hi}) // {lo} AS BIGINT) AS bv FROM fp"
+        )
+    return " UNION ALL ".join(selects)
+
+
+SIMHASH_HAMMING_SQL = f"""
+WITH fp AS ({SIMHASH_SQL}),
+bands AS ({_simhash_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAMMING_MAX}
+"""

@@ -1,0 +1,181 @@
+"""N-gram frequency, TF-IDF, and tokenizer-comparison operators.
+
+All native expressions. The n-gram construction reuses the staged
+words-array pattern (expensive normalize chain evaluated once, gram
+assembly from the column reference). TF-IDF is two aggregations and
+a broadcast of the tiny docs-count — at corpus scale the only wide
+exchange is the (word) document-frequency groupBy, which is the same
+shuffle the wordcount already does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL
+from ..sources.catalog import load_table
+from .dedup import words_array
+
+TOP_BIGRAMS = 50
+TFIDF_TOP_TERMS = 3
+# ASCII BPE-ish pre-tokenizer: alnum runs or single non-alnum marks
+BPE_PATTERN = "[a-z0-9]+|[^a-z0-9 ]"
+
+
+def _words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return docs.select("doc_id", words_array(F.col("text")).alias("words"))
+
+
+def _words_cte() -> str:
+    norm = NORMALIZE_SQL.format(t="t")
+    return f"""
+w AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '), t -> {norm}),
+                     w -> w <> '' AND length(w) <= {MAX_WORD_LEN}) AS words
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+)"""
+
+
+def word_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 word bigrams by corpus frequency (deterministic
+    tie-break on the bigram text)."""
+    w = _words_per_doc(spark, sf_dir)
+    n = F.size(F.col("words"))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("words"), i),
+                F.element_at(F.col("words"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        w.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(TOP_BIGRAMS)
+    )
+
+
+WORD_BIGRAMS_SQL = f"""
+WITH {_words_cte().lstrip()},
+grams AS (
+  SELECT unnest(CASE WHEN len(words) >= 2 THEN
+           list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i+1])
+         ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM w
+)
+SELECT bigram, count(*) AS cnt FROM grams GROUP BY bigram
+ORDER BY cnt DESC, bigram ASC LIMIT {TOP_BIGRAMS}
+"""
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document.
+
+    idf = ln((N+1)/(df+1)) + 1 (smoothed); N broadcast as a 1-row
+    aggregate, df from one (word) groupBy. Ranking breaks ties on the
+    term so the per-doc top-k is deterministic."""
+    w = _words_per_doc(spark, sf_dir)
+    tokens = w.select("doc_id", F.explode("words").alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = (
+        tokens.select("doc_id", "word")
+        .distinct()
+        .groupBy("word")
+        .agg(F.count("*").alias("df"))
+    )
+    n_docs = w.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "_tfidf",
+            F.col("tf")
+            * (
+                F.log(
+                    (F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")
+                )
+                + 1.0
+            ),
+        )
+    )
+    rank_w = Window.partitionBy("doc_id").orderBy(
+        F.desc("_tfidf"), F.asc("word")
+    )
+    return (
+        scored.withColumn("term_rank", F.row_number().over(rank_w))
+        .filter(F.col("term_rank") <= TFIDF_TOP_TERMS)
+        .select(
+            "doc_id", "word", "tf", "df",
+            F.round(F.col("_tfidf"), 6).alias("tfidf"), "term_rank",
+        )
+    )
+
+
+TFIDF_SQL = f"""
+WITH {_words_cte().lstrip()},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+df AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word
+),
+nd AS (SELECT count(*) AS n_docs FROM w),
+scored AS (
+  SELECT doc_id, word, tf, df,
+         tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0) AS _tfidf
+  FROM tf JOIN df USING (word) CROSS JOIN nd
+),
+ranked AS (
+  SELECT doc_id, word, tf, df, _tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY _tfidf DESC, word ASC) AS term_rank
+  FROM scored
+)
+SELECT doc_id, word, tf, df, round(_tfidf, 6) AS tfidf, term_rank
+FROM ranked WHERE term_rank <= {TFIDF_TOP_TERMS}
+"""
+
+
+def bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish-regex token counts per document — the
+    token-budget accounting a training pipeline runs over every doc.
+    Pure regexp_extract_all, map-only."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    lowered = F.lower(F.col("text"))
+    ws_tokens = F.size(
+        F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    )
+    bpe_tokens = F.size(
+        F.regexp_extract_all(lowered, F.lit(BPE_PATTERN), 0)
+    )
+    return docs.select(
+        "doc_id",
+        ws_tokens.cast("long").alias("n_ws_tokens"),
+        bpe_tokens.cast("long").alias("n_bpe_tokens"),
+    )
+
+
+BPE_TOKEN_COUNT_SQL = f"""
+SELECT doc_id,
+       CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)
+         AS n_ws_tokens,
+       CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""

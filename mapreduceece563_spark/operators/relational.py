@@ -454,3 +454,89 @@ SELECT c_mktsegment, count(*) AS n_customers,
        max({_cents_sql('c_acctbal')}) / 100.0 AS max_acctbal
 FROM customer GROUP BY c_mktsegment
 """
+
+
+# --- date/time breakdown ----------------------------------------------
+
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar breakdown with date part extraction."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    return (
+        orders.groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(F.count("*").alias("n_orders"),
+             F.sum(_cents(F.col("o_totalprice"))).alias("_tc"))
+        .select("order_year", "order_month", "n_orders",
+                (F.col("_tc") / 100.0).alias("total_price"))
+    )
+
+
+ORDERS_BY_MONTH_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       count(*) AS n_orders,
+       sum({_cents_sql('o_totalprice')}) / 100.0 AS total_price
+FROM orders GROUP BY 1, 2
+"""
+
+
+# --- CUBE --------------------------------------------------------------
+
+def lineitem_flags_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all grouping-set combos."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    )
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_items"),
+             F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+    )
+
+
+LINEITEM_CUBE_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_items,
+       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+# --- percentiles -------------------------------------------------------
+
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles over integer cents per order
+    priority. Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition; inputs are exact int64 cents so
+    the interpolation arithmetic is identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    cents = _cents(F.col("o_totalprice"))
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "percentile(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.5)"
+        ).alias("_p50"),
+        F.expr(
+            "percentile(CAST(round(o_totalprice * 100, 0) AS BIGINT), 0.95)"
+        ).alias("_p95"),
+        F.count("*").alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("_p50") / 100.0, 4).alias("p50_price"),
+        F.round(F.col("_p95") / 100.0, 4).alias("p95_price"),
+        "n_orders",
+    )
+
+
+PRICE_PERCENTILES_SQL = f"""
+SELECT o_orderpriority,
+       round(quantile_cont({_cents_sql('o_totalprice')}, 0.5) / 100.0, 4)
+         AS p50_price,
+       round(quantile_cont({_cents_sql('o_totalprice')}, 0.95) / 100.0, 4)
+         AS p95_price,
+       count(*) AS n_orders
+FROM orders GROUP BY o_orderpriority
+"""

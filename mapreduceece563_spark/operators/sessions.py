@@ -1,0 +1,79 @@
+"""Event sessionization: gap-based session assignment with window
+functions — lag to detect gaps, cumulative sum to number sessions.
+
+One shuffle on user_id; within a partition everything is a sorted
+window pass. Gap arithmetic uses integer microseconds end-to-end
+(never float seconds) so Spark and the oracle agree exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions: a new session starts when the gap from the
+    previous event exceeds 30 minutes. Returns one row per session
+    with exact-cents value totals."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    order_w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order_w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        with_sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("_vc"),
+        )
+        .select(
+            "user_id", "session_id", "n_events", "session_start",
+            "session_end", (F.col("_vc") / 100.0).alias("value_sum"),
+        )
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH ordered AS (
+  SELECT event_id, user_id, ts, value,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev_us,
+         epoch_us(ts) AS us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
+FROM sess GROUP BY user_id, session_id
+"""

@@ -206,3 +206,142 @@ SELECT label, dim, (sum(_xs) / 1000000.0) / count(*) AS centroid,
        count(*) AS n_vectors
 FROM exploded GROUP BY label, dim
 """
+
+
+# --- IVF-style ANN ----------------------------------------------------
+
+IVF_NPROBE = 2
+
+
+def ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-file ANN: coarse-quantize the corpus by label centroid
+    (the label column stands in for a k-means cell assignment), probe
+    the IVF_NPROBE nearest cells per query, exact-search only those.
+
+    This is the scale path for similarity search: the expensive exact
+    scoring touches ~nprobe/ncells of the corpus instead of all of it,
+    and every stage is a join/groupBy on small keys. Centroids are
+    exact fixed-point means so both engines build identical cells."""
+    n = _norms(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label"
+    )
+    nl = n.join(emb, "vec_id")
+
+    # centroid per label as an ordered double array (exact cents-style
+    # fixed-point means, assembled in dim order)
+    cent_rows = (
+        nl.select("label", F.posexplode("v").alias("pos", "x"))
+        .select(
+            "label", "pos",
+            F.round(F.col("x") * 1_000_000, 0).cast("long").alias("_xs"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("_xs").alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "label", "pos",
+            ((F.col("_s") / 1_000_000.0) / F.col("_n")).alias("cval"),
+        )
+    )
+    centroids = (
+        cent_rows.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+        .withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_ccos"), F.asc("label")
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id", "qv", "qn", "label",
+            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm"))).alias("_ccos"),
+        )
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .filter(F.col("_pr") <= IVF_NPROBE)
+        .select("query_id", "qv", "qn", "label")
+    )
+
+    cand = nl.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn"), "label",
+    )
+    scored = probes.join(cand, "label").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    ).select(
+        "query_id", "neighbor_id",
+        (_dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn"))).alias("_cos"),
+    )
+    rank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("ann_rank", F.row_number().over(rank_w))
+        .filter(F.col("ann_rank") <= TOP_K)
+        .select(
+            "query_id", "neighbor_id",
+            F.round(F.col("_cos"), 6).alias("cosine"), "ann_rank",
+        )
+    )
+
+
+IVF_ANN_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+nl AS (
+  SELECT n.vec_id, n.v, n.nrm, e.label
+  FROM n JOIN embeddings e ON n.vec_id = e.vec_id
+),
+cent_rows AS (
+  SELECT label, d.pos AS pos,
+         (sum(CAST(round(v[d.pos] * 1000000, 0) AS BIGINT)) / 1000000.0)
+           / count(*) AS cval
+  FROM nl CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+  GROUP BY label, d.pos
+),
+centroids AS (
+  SELECT label, list(cval ORDER BY pos) AS cv FROM cent_rows GROUP BY label
+),
+centroids_n AS (
+  SELECT label, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cnrm
+  FROM centroids
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+  WHERE vec_id < {N_QUERIES}
+),
+probes AS (
+  SELECT query_id, qv, qn, label FROM (
+    SELECT q.query_id, q.qv, q.qn, c.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DOT_SQL.format(a='q.qv', b='c.cv')} / (q.qn * c.cnrm) DESC,
+                      c.label ASC) AS _pr
+    FROM q CROSS JOIN centroids_n c
+  ) WHERE _pr <= {IVF_NPROBE}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='p.qv', b='c.v')} / (p.qn * c.nrm) AS _cos
+  FROM probes p JOIN nl c ON p.label = c.label
+  WHERE c.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, _cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY _cos DESC, neighbor_id ASC) AS ann_rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(_cos, 6) AS cosine, ann_rank
+FROM ranked WHERE ann_rank <= {TOP_K}
+"""

@@ -17,6 +17,8 @@ from pyspark.sql import DataFrame, SparkSession
 
 from .operators import dedup as dd
 from .operators import multimodal as mm
+from .operators import ngrams as ng
+from .operators import sessions as ss
 from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import textstats as ts
@@ -85,3 +87,22 @@ register("doc_fingerprint", ts.doc_fingerprint, ts.DOC_FINGERPRINT_SQL)
 
 # --- multimodal plumbing (Arrow-batched mapInPandas) -----------------
 register("multimodal_features", mm.multimodal_features, mm.MULTIMODAL_FEATURES_SQL)
+
+# --- n-grams / TF-IDF / tokenizer accounting -------------------------
+register("word_bigrams", ng.word_bigrams, ng.WORD_BIGRAMS_SQL)
+register("tfidf_top_terms", ng.tfidf_top_terms, ng.TFIDF_SQL)
+register("bpe_token_count", ng.bpe_token_count, ng.BPE_TOKEN_COUNT_SQL)
+
+# --- sessionization --------------------------------------------------
+register("sessionize", ss.sessionize, ss.SESSIONIZE_SQL)
+
+# --- relational extensions (dates / cube / percentiles) --------------
+register("orders_by_month", rel.orders_by_month, rel.ORDERS_BY_MONTH_SQL)
+register("lineitem_flags_cube", rel.lineitem_flags_cube, rel.LINEITEM_CUBE_SQL)
+register("price_percentiles", rel.price_percentiles, rel.PRICE_PERCENTILES_SQL)
+
+# --- simhash banded hamming pairs ------------------------------------
+register("simhash_hamming_pairs", dd.simhash_hamming_pairs, dd.SIMHASH_HAMMING_SQL)
+
+# --- IVF-style ANN ----------------------------------------------------
+register("ivf_ann", sim.ivf_ann, sim.IVF_ANN_SQL)

@@ -33,19 +33,22 @@ def duck():
 
 
 def _canon(v):
-    """Canonicalize a cell for order-insensitive compare."""
+    """Canonicalize a cell to a sortable string (NULLs from rollup/
+    cube group keys must sort against strings without TypeError)."""
     import datetime
     import math
 
+    if v is None:
+        return "\x00null"
     if isinstance(v, float):
         if math.isnan(v):
-            return "nan"
-        return repr(round(v, 9))
+            return "f:nan"
+        return f"f:{round(v, 9)!r}"
     if isinstance(v, datetime.datetime):
-        return v.isoformat()
+        return f"t:{v.isoformat()}"
     if isinstance(v, (list, tuple)):
-        return tuple(_canon(x) for x in v)
-    return v
+        return "l:" + ",".join(str(_canon(x)) for x in v)
+    return f"{type(v).__name__[0]}:{v!r}"
 
 
 def assert_frames_match(spark_df, duck_rel, ctx=""):
