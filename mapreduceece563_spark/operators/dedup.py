@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import (
+    HASH_BASE,
     HASH_MOD,
     LSH_BANDS,
     LSH_ROWS_PER_BAND,
@@ -51,46 +52,64 @@ def words_array(text_col: Column) -> Column:
     )
 
 
-def shingles_expr(words: Column) -> Column:
-    """Distinct word 3-shingles of a word array."""
-    n = F.size(words)
-    sh = F.transform(
+def shingle_hashes_expr(hws: Column) -> Column:
+    """Distinct 3-shingle hashes from an array of per-word hashes.
+
+    A shingle's identity is the poly-fold of its three word hashes —
+    words are hashed ONCE each (not re-hashed per shingle through a
+    concatenated string), so the per-doc hashing work is O(chars),
+    not O(3 x chars), and shingles become fixed-width int64 from
+    birth. The oracle folds identically, so hash collisions (rare at
+    mod ~2^30) can never disagree between engines."""
+    n = F.size(hws)
+    fold = F.transform(
         F.sequence(F.lit(1), n - 2),
-        lambda i: F.concat_ws(
-            " ",
-            F.element_at(words, i),
-            F.element_at(words, i + 1),
-            F.element_at(words, i + 2),
+        lambda i: (
+            (
+                (F.element_at(hws, i) * HASH_BASE + F.element_at(hws, i + 1))
+                % HASH_MOD
+                * HASH_BASE
+                + F.element_at(hws, i + 2)
+            )
+            % HASH_MOD
         ),
     )
-    return F.when(n >= 3, F.array_distinct(sh)).otherwise(
-        F.array().cast("array<string>")
+    return F.when(n >= 3, F.array_distinct(fold)).otherwise(
+        F.array().cast("array<long>")
     )
 
 
-def doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, shingle) — one row per distinct 3-shingle per doc.
+def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, h0) — one row per distinct 3-shingle hash per doc.
 
-    The words array is materialized as its OWN projection before the
-    shingle expression references it. Inlining ``words_array`` into
-    ``shingles_expr`` would duplicate the whole normalize chain once
-    per element_at reference (~6x the regex work per row — measured
-    31s -> 0.8s at sf0.1); with a column reference, Catalyst's
-    CollapseProject keeps the multi-referenced expensive expression
-    staged and it evaluates once."""
+    The words array and the word-hash array are each materialized as
+    their OWN projection before being referenced multiple times.
+    Inlining ``words_array`` into the shingle expression would
+    duplicate the whole normalize chain once per element_at reference
+    (~6x the regex work per row — measured 31s -> 0.8s at sf0.1);
+    with a column reference, Catalyst's CollapseProject keeps the
+    multi-referenced expensive expression staged and it evaluates
+    once."""
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text"
     )
     docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
     words = docs.select("doc_id", words_array(F.col("text")).alias("words"))
-    return words.select(
-        "doc_id", F.explode(shingles_expr(F.col("words"))).alias("shingle")
+    hws = words.select(
+        "doc_id", F.transform(F.col("words"), poly_hash).alias("hws")
+    )
+    return hws.select(
+        "doc_id", F.explode(shingle_hashes_expr(F.col("hws"))).alias("h0")
     )
 
 
-def shingles_cte_sql() -> str:
-    """DuckDB CTEs producing the identical (doc_id, shingle) rows."""
+def shingle_hashes_cte_sql() -> str:
+    """DuckDB CTEs producing the identical (doc_id, h0) rows."""
     norm = NORMALIZE_SQL.format(t="t")
+    fold = (
+        f"((hws[i] * {HASH_BASE} + hws[i+1]) % {HASH_MOD} * {HASH_BASE}"
+        f" + hws[i+2]) % {HASH_MOD}"
+    )
     return f"""
 docs AS (
   SELECT doc_id,
@@ -99,13 +118,18 @@ docs AS (
   FROM documents
   WHERE text IS NOT NULL AND text <> ''
 ),
+hw AS (
+  SELECT doc_id,
+         list_transform(words, w -> {poly_hash_sql('w')}) AS hws
+  FROM docs
+),
 sh AS (
   SELECT doc_id,
-         unnest(CASE WHEN len(words) >= 3 THEN
-                  list_distinct(list_transform(range(1, len(words) - 1),
-                    i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2]))
-                ELSE CAST([] AS VARCHAR[]) END) AS shingle
-  FROM docs
+         unnest(CASE WHEN len(hws) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(hws) - 1),
+                    i -> {fold}))
+                ELSE CAST([] AS BIGINT[]) END) AS h0
+  FROM hw
 )"""
 
 
@@ -173,8 +197,7 @@ SELECT doc_id FROM (
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc with 16 minhash columns mh0..mh15 — a single
     groupBy(doc_id), 16 min-aggs, no row explosion."""
-    sh = doc_shingles(spark, sf_dir)
-    h = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h0"))
+    h = doc_shingle_hashes(spark, sf_dir)
     aggs = [
         F.min((F.col("h0") * a + b) % HASH_MOD).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
@@ -227,12 +250,9 @@ def _minhash_sig_sql() -> str:
         for i, (a, b) in enumerate(MINHASH_PERMS)
     )
     return f"""
-{shingles_cte_sql()},
-hashes AS (
-  SELECT doc_id, {poly_hash_sql('shingle')} AS h0 FROM sh
-),
+{shingle_hashes_cte_sql()},
 sig AS (
-  SELECT doc_id, {mins} FROM hashes GROUP BY doc_id
+  SELECT doc_id, {mins} FROM sh GROUP BY doc_id
 )"""
 
 
@@ -273,11 +293,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join on the int64 shingle hash, not the shingle string: fixed
     # 8-byte shuffle keys instead of ~20-byte strings. Hash collisions
     # are possible but the oracle hashes identically, so results agree.
-    sh = (
-        doc_shingles(spark, sf_dir)
-        .select("doc_id", poly_hash(F.col("shingle")).alias("h0"))
-        .cache()
-    )
+    sh = doc_shingle_hashes(spark, sf_dir).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_ok = (
         sh.groupBy("h0")
@@ -317,13 +333,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH {shingles_cte_sql().lstrip()},
-shh AS (SELECT doc_id, {poly_hash_sql('shingle')} AS h0 FROM sh),
-sizes AS (SELECT doc_id, count(*) AS sz FROM shh GROUP BY doc_id),
+WITH {shingle_hashes_cte_sql().lstrip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 df_ok AS (
-  SELECT h0 FROM shh GROUP BY h0 HAVING count(*) <= {DF_CAP}
+  SELECT h0 FROM sh GROUP BY h0 HAVING count(*) <= {DF_CAP}
 ),
-pruned AS (SELECT shh.doc_id, shh.h0 FROM shh JOIN df_ok USING (h0)),
+pruned AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN df_ok USING (h0)),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
   FROM pruned a
@@ -348,8 +363,7 @@ def simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-bit SimHash per doc: per-bit majority vote over shingle
     hashes, computed as 30 conditional sums inside ONE aggregation
     (no per-bit row explosion through the shuffle)."""
-    sh = doc_shingles(spark, sf_dir)
-    h = sh.select("doc_id", poly_hash(F.col("shingle")).alias("h0"))
+    h = doc_shingle_hashes(spark, sf_dir)
     aggs = [
         F.sum(
             F.when((F.col("h0") % (1 << (j + 1))) >= (1 << j), 1).otherwise(-1)
@@ -374,9 +388,8 @@ def _simhash_sql() -> str:
         for j in range(SIMHASH_BITS)
     )
     return f"""
-WITH {shingles_cte_sql().lstrip()},
-hashes AS (SELECT doc_id, {poly_hash_sql('shingle')} AS h0 FROM sh),
-votes AS (SELECT doc_id, {votes} FROM hashes GROUP BY doc_id)
+WITH {shingle_hashes_cte_sql().lstrip()},
+votes AS (SELECT doc_id, {votes} FROM sh GROUP BY doc_id)
 SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
 """
 
