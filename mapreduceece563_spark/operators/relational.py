@@ -540,3 +540,173 @@ SELECT o_orderpriority,
        count(*) AS n_orders
 FROM orders GROUP BY o_orderpriority
 """
+
+
+# --- TPC-H derived: q6 / q10 / q14 / q18 ------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight scan-side filters, single global sum.
+    Every predicate pushes to the parquet scan; the aggregate is one
+    partial+final sum of int64 cents."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice"
+    )
+    filtered = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rc = F.round(F.col("l_extendedprice") * F.col("l_discount") * 100, 0).cast("long")
+    return filtered.agg(
+        F.count("*").alias("n_items"),
+        (F.sum(rc) / 100.0).alias("revenue"),
+    )
+
+
+Q6_SQL = """
+SELECT count(*) AS n_items,
+       sum(CAST(round(l_extendedprice * l_discount * 100, 0) AS BIGINT)) / 100.0
+         AS revenue
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: fact-fact join on orderkey, then broadcast
+    dims (customer at real scale is big — it shuffles; nation
+    broadcasts). Top 20 by lost revenue, keyed tie-break."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    ).filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(
+        (F.col("o_orderdate") >= "1995-10-01")
+        & (F.col("o_orderdate") < "1996-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(rc).alias("_rc"))
+        .select(
+            "c_custkey", "c_name", "n_name",
+            (F.col("_rc") / 100.0).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT))
+         / 100.0 AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= '1995-10-01' AND o_orderdate < '1996-01-01'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: one-month lineitem slice joined to part,
+    conditional aggregation for the promo revenue share."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_shipdate", "l_extendedprice", "l_discount"
+    ).filter(
+        (F.col("l_shipdate") >= "1996-09-01")
+        & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    joined = li.join(part, li.l_partkey == part.p_partkey).select(
+        F.col("p_type"), rc.alias("_rc")
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", F.col("_rc")).otherwise(0)).alias("_promo"),
+        F.sum("_rc").alias("_total"),
+    )
+    return agg.select(
+        F.round(100.0 * F.col("_promo") / F.col("_total"), 6).alias("promo_share_pct"),
+        (F.col("_promo") / 100.0).alias("promo_revenue"),
+        (F.col("_total") / 100.0).alias("total_revenue"),
+    )
+
+
+Q14_SQL = """
+WITH j AS (
+  SELECT p_type,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS _rc
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1996-09-01' AND l_shipdate < '1996-10-01'
+),
+agg AS (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN _rc ELSE 0 END) AS _promo,
+         sum(_rc) AS _total
+  FROM j
+)
+SELECT round(100.0 * _promo / _total, 6) AS promo_share_pct,
+       _promo / 100.0 AS promo_revenue,
+       _total / 100.0 AS total_revenue
+FROM agg
+"""
+
+Q18_MIN_QTY = 300
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: groupBy-HAVING on the fact table picks the
+    few large orders, then joins pull in order/customer detail — the
+    having-filter runs BEFORE the joins, so only qualifying orderkeys
+    shuffle into them."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            F.round(F.col("o_totalprice"), 2).alias("o_totalprice"),
+            "sum_qty",
+        )
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > {Q18_MIN_QTY}
+) big
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""

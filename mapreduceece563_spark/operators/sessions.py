@@ -77,3 +77,52 @@ SELECT user_id, session_id, count(*) AS n_events,
        sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
 FROM sess GROUP BY user_id, session_id
 """
+
+
+def session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessionization expressed with Spark's NATIVE session
+    window (`F.session_window`): sessions merge while the gap is
+    strictly under 30 minutes; the window end is last-event-ts + gap.
+
+    Checking this against the hand-rolled lag/cumsum oracle pins the
+    boundary semantics of the built-in operator (a gap of exactly 30
+    minutes starts a NEW session). In Structured Streaming the
+    identical expression runs incrementally with watermark-bounded
+    state — one definition serves batch and stream."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+SESSION_WINDOW_SQL = f"""
+WITH ordered AS (
+  SELECT user_id, ts,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC)
+           AS prev_us,
+         epoch_us(ts) AS us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us >= {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS sid
+  FROM flagged
+)
+SELECT user_id, min(ts) AS session_start,
+       max(ts) + INTERVAL 30 MINUTE AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""

@@ -345,3 +345,39 @@ ranked AS (
 SELECT query_id, neighbor_id, round(_cos, 6) AS cosine, ann_rank
 FROM ranked WHERE ann_rank <= {TOP_K}
 """
+
+
+# --- embedding-cosine near-dup dedup ---------------------------------
+
+def dedup_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup summary: a vector is DROPPED
+    when some smaller-id vector in its LSH sign bucket has cosine >=
+    the threshold (greedy keep-lowest-id, the standard near-dup
+    policy). One row: totals.
+
+    Scale shape: identical to embedding_similar_pairs (bucketed
+    self-join, never the cross product) plus a tiny distinct on the
+    victim side."""
+    pairs = embedding_similar_pairs(spark, sf_dir)
+    victims = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    total = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    n_total = total.agg(F.count("*").alias("n_total"))
+    n_dropped = victims.agg(F.count("*").alias("n_dropped"))
+    return (
+        n_total.crossJoin(n_dropped)
+        .select(
+            "n_total",
+            "n_dropped",
+            (F.col("n_total") - F.col("n_dropped")).alias("n_survivors"),
+        )
+    )
+
+
+DEDUP_EMBEDDING_SQL = f"""
+WITH pairs AS ({SIMILAR_PAIRS_SQL}),
+victims AS (SELECT DISTINCT vec_b AS vec_id FROM pairs),
+t AS (SELECT count(*) AS n_total FROM embeddings),
+d AS (SELECT count(*) AS n_dropped FROM victims)
+SELECT n_total, n_dropped, n_total - n_dropped AS n_survivors
+FROM t CROSS JOIN d
+"""

@@ -1,0 +1,199 @@
+"""Temporal join operators: as-of join, time-range join, band join.
+
+Spark has no ASOF JOIN operator (DuckDB does), so the as-of join is
+re-expressed as the classic union-tag plan: union the build side and
+the probe side, sort once per key partition, and carry the latest
+build row forward with ``last(..., ignorenulls=True)``. That is ONE
+shuffle on the join key and a single window pass — at 100 TB this is
+the textbook scalable shape (a per-key sort-merge), with no
+inequality-join blowup and no per-row subquery.
+
+The time-range join buckets both sides by hour so the join is an
+EQUI-join on (user_id, hour_bucket) with the exact range predicate
+applied after — candidate pairs are bounded by bucket co-residency
+instead of a full per-user cross product. The band join broadcasts
+the tiny band table (BroadcastNestedLoopJoin over 4 rows ~ free).
+
+All gap arithmetic is integer microseconds end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+FOLLOWUP_WINDOW_US = 3_600_000_000  # 1 hour
+
+# (band_name, lo, hi) — o_totalprice in [lo, hi)
+PRICE_BANDS = (
+    ("budget", 0, 50_000),
+    ("mid", 50_000, 150_000),
+    ("premium", 150_000, 300_000),
+    ("luxury", 300_000, 10_000_000),
+)
+
+
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each purchase event, the user's most recent click event
+    at-or-before the purchase (an as-of join events->events).
+
+    Union-tag plan: clicks (build) and purchases (probe) are unioned,
+    then per user, ordered by (ts, tag) with builds sorting before
+    probes at equal ts, each probe picks up the last non-null build
+    id seen so far. Purchases with no prior click keep NULLs."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("_tag"),
+        F.col("event_id").alias("_build_id"),
+        F.lit(None).cast("long").alias("_probe_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("_tag"),
+        F.lit(None).cast("long").alias("_build_id"),
+        F.col("event_id").alias("_probe_id"),
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("_tag"), F.asc("_build_id")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ts",
+        "_tag",
+        "_probe_id",
+        F.last("_build_id", ignorenulls=True).over(w).alias("_last_click"),
+        F.last(
+            F.when(F.col("_tag") == 0, F.unix_micros(F.col("ts"))),
+            ignorenulls=True,
+        ).over(w).alias("_last_click_us"),
+    )
+    return merged.filter(F.col("_tag") == 1).select(
+        F.col("_probe_id").alias("purchase_id"),
+        "user_id",
+        F.col("_last_click").alias("last_click_id"),
+        (F.unix_micros(F.col("ts")) - F.col("_last_click_us")).alias("gap_us"),
+    )
+
+
+# Oracle uses DuckDB's native ASOF JOIN. (user_id, ts) is unique in
+# the events table, so the as-of match is deterministic on both sides.
+ASOF_JOIN_SQL = """
+SELECT p.event_id AS purchase_id, p.user_id,
+       c.event_id AS last_click_id,
+       CASE WHEN c.event_id IS NULL THEN NULL
+            ELSE epoch_us(p.ts) - epoch_us(c.ts) END AS gap_us
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
+def purchase_followup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per purchase event: how many same-user events land in the hour
+    right after it (ts, ts + 1h].
+
+    Range join done scalably: both sides get an hour-bucket key; a
+    purchase probes its own bucket and the next one, so the join is an
+    equi-join on (user_id, bucket) and the exact interval predicate
+    only filters bucket-local candidates."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    us = F.unix_micros(F.col("ts"))
+    purchases = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            us.alias("p_us"),
+        )
+        .withColumn(
+            "bucket",
+            F.explode(
+                F.array(
+                    F.floor(F.col("p_us") / FOLLOWUP_WINDOW_US),
+                    F.floor(F.col("p_us") / FOLLOWUP_WINDOW_US) + 1,
+                )
+            ),
+        )
+    )
+    cand = ev.select(
+        "user_id",
+        us.alias("e_us"),
+        F.floor(us / FOLLOWUP_WINDOW_US).alias("bucket"),
+    )
+    hits = (
+        purchases.join(cand, ["user_id", "bucket"])
+        .filter(
+            (F.col("e_us") > F.col("p_us"))
+            & (F.col("e_us") <= F.col("p_us") + FOLLOWUP_WINDOW_US)
+        )
+        .groupBy("purchase_id", "user_id")
+        .agg(F.count("*").alias("n_followups"))
+    )
+    all_p = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), "user_id")
+    )
+    return all_p.join(hits, ["purchase_id", "user_id"], "left").select(
+        "purchase_id",
+        "user_id",
+        F.coalesce(F.col("n_followups"), F.lit(0)).alias("n_followups"),
+    )
+
+
+FOLLOWUP_SQL = f"""
+SELECT p.event_id AS purchase_id, p.user_id,
+       count(e.event_id) AS n_followups
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+LEFT JOIN events e
+  ON e.user_id = p.user_id
+ AND epoch_us(e.ts) > epoch_us(p.ts)
+ AND epoch_us(e.ts) <= epoch_us(p.ts) + {FOLLOWUP_WINDOW_US}
+GROUP BY p.event_id, p.user_id
+"""
+
+
+def orders_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band (range) join: classify each order into a price tier via an
+    inequality join against a tiny broadcast band table, then roll up
+    per band. The band table is 4 rows — broadcast nested-loop is the
+    right physical plan and AQE keeps it that way at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(
+        list(PRICE_BANDS), "band_name string, lo long, hi long"
+    )
+    joined = orders.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo"))
+        & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return (
+        joined.groupBy("band_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias("_tc"),
+        )
+        .select("band_name", "n_orders", (F.col("_tc") / 100.0).alias("total_price"))
+    )
+
+
+_BANDS_VALUES = ", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)
+
+ORDERS_PRICE_BAND_SQL = f"""
+SELECT band_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0 AS total_price
+FROM orders
+JOIN (VALUES {_BANDS_VALUES}) AS bands(band_name, lo, hi)
+  ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band_name
+"""

@@ -21,6 +21,8 @@ from .operators import ngrams as ng
 from .operators import sessions as ss
 from .operators import relational as rel
 from .operators import similarity as sim
+from .operators import skew as sk
+from .operators import temporal as tp
 from .operators import textstats as ts
 from .operators import wordcount as wc
 
@@ -106,3 +108,23 @@ register("simhash_hamming_pairs", dd.simhash_hamming_pairs, dd.SIMHASH_HAMMING_S
 
 # --- IVF-style ANN ----------------------------------------------------
 register("ivf_ann", sim.ivf_ann, sim.IVF_ANN_SQL)
+
+# --- temporal joins (as-of / time-range / band) ----------------------
+register("asof_join_events", tp.asof_join_events, tp.ASOF_JOIN_SQL)
+register("purchase_followup_counts", tp.purchase_followup_counts, tp.FOLLOWUP_SQL)
+register("orders_price_band", tp.orders_price_band, tp.ORDERS_PRICE_BAND_SQL)
+
+# --- native session windows ------------------------------------------
+register("session_window_counts", ss.session_window_counts, ss.SESSION_WINDOW_SQL)
+
+# --- embedding-cosine near-dup dedup ---------------------------------
+register("dedup_embedding_stats", sim.dedup_embedding_stats, sim.DEDUP_EMBEDDING_SQL)
+
+# --- skew-safe two-phase aggregation ---------------------------------
+register("events_type_profile", sk.events_type_profile, sk.EVENTS_TYPE_PROFILE_SQL)
+
+# --- TPC-H derived q6 / q10 / q14 / q18 ------------------------------
+register("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_SQL)
+register("q10_returned_items", rel.q10_returned_items, rel.Q10_SQL)
+register("q14_promo_share", rel.q14_promo_share, rel.Q14_SQL)
+register("q18_large_orders", rel.q18_large_orders, rel.Q18_SQL)
