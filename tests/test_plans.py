@@ -46,3 +46,48 @@ def test_wordcount_partial_aggregation(spark):
     plan = plan_string(Q["wordcount"](spark, SF_DIR), "simple")
     assert plan.count("HashAggregate") >= 2
     assert "Exchange hashpartitioning(word" in plan
+
+
+def test_q6_filters_pushed(spark):
+    rep = plan_report(Q["q6_forecast_revenue"](spark, SF_DIR))
+    assert rep.pushed_filters, "q6 predicates must reach the parquet scan"
+    assert set(rep.read_schema_cols) == {
+        "l_shipdate", "l_discount", "l_quantity", "l_extendedprice",
+    }
+
+
+def test_q10_nation_broadcast(spark):
+    rep = plan_report(Q["q10_returned_items"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 1
+
+
+def test_price_band_broadcast_nested_loop(spark):
+    plan = plan_string(Q["orders_price_band"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan, (
+        "the 4-row band table must broadcast, never shuffle the facts"
+    )
+
+
+def test_asof_single_exchange_on_user(spark):
+    """The union-tag as-of join must cost exactly ONE shuffle of the
+    event rows (the window partition on user_id)."""
+    plan = plan_string(Q["asof_join_events"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_lang_id_no_shuffle_after_spread(spark):
+    """lang_id is map-only: no exchange besides the deliberate
+    post-scan repartition (spread=True for the tiny test files)."""
+    plan = plan_string(Q["lang_id"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_q18_agg_before_join(spark):
+    """The HAVING filter on sum_qty must apply before orders/customer
+    join (only qualifying orderkeys reach the joins)."""
+    plan = plan_string(Q["q18_large_orders"](spark, SF_DIR), "formatted")
+    agg_pos = plan.find("(sum_qty")
+    join_pos = plan.find("SortMergeJoin")
+    if join_pos == -1:
+        join_pos = plan.find("ShuffledHashJoin")
+    assert agg_pos != -1

@@ -93,3 +93,51 @@ def test_sliding_window_runs(spark):
         assert total == 2 * events.count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_stateful_running_profile_matches_batch(spark):
+    """applyInPandasWithState across multiple micro-batches must end
+    at the same totals as the batch aggregate (final state parity)."""
+    from mapreduceece563_spark.streaming.stateful import running_user_profile
+
+    events = load_table(spark, SF_DIR, "events")
+    tmp = tempfile.mkdtemp(prefix="ev_state_")
+    try:
+        # 4 files -> maxFilesPerTrigger=1 forces 4 micro-batches, so
+        # state genuinely carries across batches
+        events.repartition(4).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(tmp)
+        q = (
+            running_user_profile(stream)
+            .writeStream.format("memory")
+            .queryName("user_profile")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # update mode emits one row per key per touching batch; the
+        # LAST emission per key is the final state
+        got_df = spark.sql(
+            """
+            SELECT user_id, n_events, value_sum FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY user_id ORDER BY n_events DESC) AS rn
+              FROM user_profile
+            ) WHERE rn = 1
+            """
+        )
+        expected = events.groupBy("user_id").agg(
+            F.count("*").alias("n_events"),
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0
+            ).alias("value_sum"),
+        )
+        g = {(r[0], r[1], r[2]) for r in got_df.collect()}
+        e = {(r[0], r[1], r[2]) for r in expected.collect()}
+        assert g == e and len(g) == events.select("user_id").distinct().count()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
