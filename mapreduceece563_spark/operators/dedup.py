@@ -493,3 +493,86 @@ cand AS (
 )
 SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAMMING_MAX}
 """
+
+
+# --- connected-component dup groups ----------------------------------
+
+CC_MAX_ITERS = 20
+
+
+def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH candidate-pair graph:
+    every doc in a near-dup cluster gets the cluster's min doc_id as
+    its group leader (the set you'd keep = the leaders).
+
+    Iterative min-label propagation — labels shrink monotonically to
+    the component minimum in O(graph diameter) rounds. Each round is
+    one join + one groupBy (both on int64 keys); this is the standard
+    scalable CC shape (cf. large-star/small-star) and one of the few
+    genuinely iterative plans in the engine. The loop materializes
+    only (node, label) pairs, never paths; the driver checks only a
+    changed-row COUNT per round (no row data collected)."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    edges = edges.select(
+        F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
+    ).cache()
+    labels = labels.cache()
+    for _ in range(CC_MAX_ITERS):
+        nbr_min = (
+            edges.join(labels, "node")
+            .groupBy("nbr")
+            .agg(F.min("label").alias("_nl"))
+            .select(F.col("nbr").alias("node"), "_nl")
+        )
+        new_labels = (
+            labels.join(nbr_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"),
+            )
+            .cache()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("group_leader")
+    )
+
+
+DEDUP_GROUPS_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SQL}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach AS (
+  -- transitive closure of reachable labels; UNION dedups so it
+  -- terminates; min per node = the component leader
+  WITH RECURSIVE r(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label FROM r JOIN edges e ON r.node = e.src
+  )
+  SELECT * FROM r
+)
+SELECT node AS doc_id, min(label) AS group_leader
+FROM reach GROUP BY node
+"""

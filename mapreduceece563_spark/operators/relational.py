@@ -710,3 +710,33 @@ FROM (
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
+
+
+# --- GROUPING SETS -----------------------------------------------------
+
+def orders_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (finer than cube/rollup): per-priority
+    totals, per-status totals, and the grand total in one pass."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_orderstatus", "o_totalprice"
+    )
+    gs = orders.groupingSets(
+        [["o_orderpriority"], ["o_orderstatus"], []],
+        "o_orderpriority",
+        "o_orderstatus",
+    )
+    return gs.agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("_tc"),
+    ).select(
+        "o_orderpriority", "o_orderstatus", "n_orders",
+        (F.col("_tc") / 100.0).alias("total_price"),
+    )
+
+
+ORDERS_GROUPING_SETS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       sum({_cents_sql('o_totalprice')}) / 100.0 AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""

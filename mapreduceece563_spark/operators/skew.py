@@ -55,3 +55,36 @@ SELECT event_type, count(*) AS n_events,
        sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0 AS value_sum
 FROM events GROUP BY event_type
 """
+
+
+APPROX_TOL = 0.10
+
+
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact vs sketched distinct counts per event_type.
+
+    At 100 TB the exact count(DISTINCT) is the expensive path (full
+    shuffle of the composite key); approx_count_distinct is one pass
+    with fixed-size HLL sketches that merge map-side. The engines'
+    sketch internals differ, so the oracle-checked columns are the
+    exact count plus a BOOLEAN 'sketch landed within 10%' — pinning
+    that the approximate path is wired and sane in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    agg = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact"),
+        F.approx_count_distinct("user_id").alias("_n_approx"),
+    )
+    ok = (
+        F.abs(F.col("_n_approx") - F.col("n_exact"))
+        <= F.col("n_exact") * APPROX_TOL
+    )
+    return agg.select("event_type", "n_exact", ok.alias("approx_within_tol"))
+
+
+APPROX_DISTINCT_SQL = f"""
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
+         <= count(DISTINCT user_id) * {APPROX_TOL} AS approx_within_tol
+FROM events GROUP BY event_type
+"""

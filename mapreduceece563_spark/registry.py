@@ -123,6 +123,12 @@ register("dedup_embedding_stats", sim.dedup_embedding_stats, sim.DEDUP_EMBEDDING
 # --- skew-safe two-phase aggregation ---------------------------------
 register("events_type_profile", sk.events_type_profile, sk.EVENTS_TYPE_PROFILE_SQL)
 
+# --- grouping sets / approx sketches / Arrow path / CC dedup ---------
+register("orders_grouping_sets", rel.orders_grouping_sets, rel.ORDERS_GROUPING_SETS_SQL)
+register("approx_distinct_users", sk.approx_distinct_users, sk.APPROX_DISTINCT_SQL)
+register("knn_pandas_udf", sim.knn_pandas_udf, sim.KNN_PANDAS_SQL)
+register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
+
 # --- TPC-H derived q6 / q10 / q14 / q18 ------------------------------
 register("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_SQL)
 register("q10_returned_items", rel.q10_returned_items, rel.Q10_SQL)
