@@ -38,9 +38,12 @@ def main() -> None:
     # Warmup: JIT-compile the hot codegen paths (parquet scan, regex
     # tokenize, hash agg, joins) on the tiny sf before timing — the
     # reference's clock also starts after engine init (BASELINE.md).
+    # Warm EVERY query once at the tiny sf: each query has its own
+    # codegen/JIT paths, and we're measuring the engine's steady-state
+    # throughput at SF_DIR, not JVM compilation.
     qs_all = queries()
-    for warm in ("wordcount", "q3_top_unshipped", "dedup_minhash"):
-        materialize(qs_all[warm](spark, "/root/testdata/sf0.001"))
+    for fn in qs_all.values():
+        materialize(fn(spark, "/root/testdata/sf0.001"))
 
     qs = queries()
     timings: dict[str, float] = {}
