@@ -138,3 +138,188 @@ SELECT doc_id,
        md5(text) AS payload_md5
 FROM documents
 """
+
+
+# --- resize plumbing --------------------------------------------------
+
+RESIZE_MAX_DIM = 256
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched 'resize': computes the letterboxed output size
+    (longest side -> RESIZE_MAX_DIM, aspect preserved, integer math)
+    and re-digests the payload as the stand-in for re-encoded bytes.
+    A real implementation swaps the digest line for the codec call;
+    batch shape, schema, and integer sizing math are the real part."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            w = pdf["width"].astype("int64")
+            h = pdf["height"].astype("int64")
+            mx = w.where(w >= h, h)
+            need = mx > RESIZE_MAX_DIM
+            out_w = (w * RESIZE_MAX_DIM // mx).where(need, w).astype("int64")
+            out_h = (h * RESIZE_MAX_DIM // mx).where(need, h).astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "out_width": out_w,
+                    "out_height": out_h,
+                    "resized_md5": [
+                        hashlib.md5(
+                            p + b":" + str(ow).encode() + b"x" + str(oh).encode()
+                        ).hexdigest()
+                        for p, ow, oh in zip(pdf["payload"], out_w, out_h)
+                    ],
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("out_width", T.LongType()),
+            T.StructField("out_height", T.LongType()),
+            T.StructField("resized_md5", T.StringType()),
+        ]
+    )
+    flat = media.select(
+        "media_id", "payload",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+    )
+    return flat.mapInPandas(_resize, schema=schema)
+
+
+def documents_as_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake image table: deterministic dimensions derived from doc
+    length so the resize math is oracle-checkable."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text", "n_chars"
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image/fake").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            (64 + F.col("n_chars") % 512).cast("int").alias("width"),
+            (64 + (F.col("n_chars") * 7) % 512).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def image_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(documents_as_images(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"), "out_width", "out_height",
+        "resized_md5",
+    )
+
+
+IMAGE_RESIZE_SQL = f"""
+WITH img AS (
+  SELECT doc_id, text,
+         64 + n_chars % 512 AS w,
+         64 + (n_chars * 7) % 512 AS h
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, text, w, h,
+         CASE WHEN w >= h THEN w ELSE h END AS mx
+  FROM img
+)
+SELECT doc_id,
+       CASE WHEN mx > {RESIZE_MAX_DIM} THEN w * {RESIZE_MAX_DIM} // mx
+            ELSE w END AS out_width,
+       CASE WHEN mx > {RESIZE_MAX_DIM} THEN h * {RESIZE_MAX_DIM} // mx
+            ELSE h END AS out_height,
+       md5(text || ':' ||
+           CAST(CASE WHEN mx > {RESIZE_MAX_DIM} THEN w * {RESIZE_MAX_DIM} // mx
+                ELSE w END AS VARCHAR) || 'x' ||
+           CAST(CASE WHEN mx > {RESIZE_MAX_DIM} THEN h * {RESIZE_MAX_DIM} // mx
+                ELSE h END AS VARCHAR)) AS resized_md5
+FROM sized
+"""
+
+
+# --- frame sampling plumbing -----------------------------------------
+
+FRAME_INTERVAL_MS = 250
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """One output row per sampled frame timestamp (every
+    FRAME_INTERVAL_MS through the clip). The per-frame 'decode' is a
+    payload+timestamp digest standing in for the codec grab; the
+    explode happens INSIDE the Arrow batch loop, so the payload bytes
+    cross into Python once per media item, not once per frame."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ts, digests = [], [], []
+            for mid, payload, dur in zip(
+                pdf["media_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                t = 0
+                while t < int(dur):
+                    ids.append(mid)
+                    ts.append(t)
+                    digests.append(
+                        hashlib.md5(payload + b"@" + str(t).encode()).hexdigest()
+                    )
+                    t += FRAME_INTERVAL_MS
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "t_ms": pd.Series(ts, dtype="int64"),
+                    "frame_md5": pd.Series(digests, dtype="object"),
+                }
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("t_ms", T.LongType()),
+            T.StructField("frame_md5", T.StringType()),
+        ]
+    )
+    flat = media.select(
+        "media_id", "payload", F.col("meta.duration_ms").alias("duration_ms")
+    )
+    return flat.mapInPandas(_frames, schema=schema)
+
+
+def documents_as_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake clip table: duration derived from doc length (bounded so
+    frame counts stay sane)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text", "n_chars"
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video/fake").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (500 + F.col("n_chars") % 1500).cast("int").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(documents_as_clips(spark, sf_dir)).select(
+        F.col("media_id").alias("doc_id"), "t_ms", "frame_md5"
+    )
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH clips AS (
+  SELECT doc_id, text, 500 + n_chars % 1500 AS duration_ms FROM documents
+)
+SELECT doc_id, CAST(t.t_ms AS BIGINT) AS t_ms,
+       md5(text || '@' || CAST(t.t_ms AS VARCHAR)) AS frame_md5
+FROM clips,
+     LATERAL (SELECT unnest(range(0, duration_ms, {FRAME_INTERVAL_MS})) AS t_ms) t
+"""

@@ -89,6 +89,8 @@ register("doc_fingerprint", ts.doc_fingerprint, ts.DOC_FINGERPRINT_SQL)
 
 # --- multimodal plumbing (Arrow-batched mapInPandas) -----------------
 register("multimodal_features", mm.multimodal_features, mm.MULTIMODAL_FEATURES_SQL)
+register("image_resize_plan", mm.image_resize_plan, mm.IMAGE_RESIZE_SQL)
+register("frame_sample_plan", mm.frame_sample_plan, mm.FRAME_SAMPLE_SQL)
 
 # --- n-grams / TF-IDF / tokenizer accounting -------------------------
 register("word_bigrams", ng.word_bigrams, ng.WORD_BIGRAMS_SQL)
