@@ -576,3 +576,56 @@ reach AS (
 SELECT node AS doc_id, min(label) AS group_leader
 FROM reach GROUP BY node
 """
+
+
+# --- MinHash Jaccard estimation --------------------------------------
+
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each LSH candidate pair: estimated Jaccard = fraction of
+    the 16 minhash slots that agree. This is the cheap second tier of
+    the MinHash pipeline (verify candidates WITHOUT touching shingle
+    sets — signatures are 16 int64s per doc, so the verify join moves
+    constant-width rows no matter how long the documents are)."""
+    sig = minhash_signatures(spark, sf_dir)
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_PERMS))],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_PERMS))],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(len(MINHASH_PERMS))
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            (matches / float(len(MINHASH_PERMS))).alias("jaccard_est"),
+        )
+    )
+
+
+_MATCH_SQL = " + ".join(
+    f"(CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END)"
+    for i in range(len(MINHASH_PERMS))
+)
+
+MINHASH_ESTIMATE_SQL = f"""
+WITH {_minhash_sig_sql().lstrip()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       ({_MATCH_SQL}) / {float(len(MINHASH_PERMS))} AS jaccard_est
+FROM cand c
+JOIN sig a ON a.doc_id = c.doc_a
+JOIN sig b ON b.doc_id = c.doc_b
+"""

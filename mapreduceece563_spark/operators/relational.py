@@ -740,3 +740,51 @@ SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
 FROM orders
 GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
 """
+
+
+# --- ntile deciles -----------------------------------------------------
+
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles (ntile over a deterministic total
+    order), rolled up to per-decile stats.
+
+    Scale caveat, stated on purpose: an unpartitioned ntile funnels
+    every row through ONE task — exact global ranking fundamentally
+    serializes. At 100 TB you'd compute approximate decile boundaries
+    (percentile_approx, one pass, mergeable sketches) and band-join
+    rows to them; this exact form exists because the oracle needs the
+    exact answer and customer-scale dims fit one partition easily."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = Window.orderBy(F.asc(_cents(F.col("c_acctbal"))), F.asc("c_custkey"))
+    tiles = cust.select(
+        "c_custkey",
+        _cents(F.col("c_acctbal")).alias("_bc"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return (
+        tiles.groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min(F.col("_bc")).alias("_lo"),
+            F.max(F.col("_bc")).alias("_hi"),
+        )
+        .select(
+            "decile", "n_customers",
+            (F.col("_lo") / 100.0).alias("min_acctbal"),
+            (F.col("_hi") / 100.0).alias("max_acctbal"),
+        )
+    )
+
+
+CUSTOMER_DECILES_SQL = f"""
+WITH tiles AS (
+  SELECT c_custkey, {_cents_sql('c_acctbal')} AS _bc,
+         ntile(10) OVER (ORDER BY {_cents_sql('c_acctbal')} ASC,
+                         c_custkey ASC) AS decile
+  FROM customer
+)
+SELECT decile, count(*) AS n_customers,
+       min(_bc) / 100.0 AS min_acctbal,
+       max(_bc) / 100.0 AS max_acctbal
+FROM tiles GROUP BY decile
+"""

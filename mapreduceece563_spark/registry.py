@@ -131,6 +131,10 @@ register("approx_distinct_users", sk.approx_distinct_users, sk.APPROX_DISTINCT_S
 register("knn_pandas_udf", sim.knn_pandas_udf, sim.KNN_PANDAS_SQL)
 register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
 
+# --- minhash estimate tier / deciles ---------------------------------
+register("minhash_jaccard_estimate", dd.minhash_jaccard_estimate, dd.MINHASH_ESTIMATE_SQL)
+register("customer_balance_deciles", rel.customer_balance_deciles, rel.CUSTOMER_DECILES_SQL)
+
 # --- TPC-H derived q6 / q10 / q14 / q18 ------------------------------
 register("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_SQL)
 register("q10_returned_items", rel.q10_returned_items, rel.Q10_SQL)

@@ -141,3 +141,85 @@ def test_stateful_running_profile_matches_batch(spark):
         assert g == e and len(g) == events.select("user_id").distinct().count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_session_window_matches_batch(spark):
+    """Native session_window running INCREMENTALLY over a stream must
+    produce the same closed sessions as the batch expression."""
+    from mapreduceece563_spark.operators.sessions import session_window_counts
+    from tests.conftest import SF_DIR as _SF
+
+    events = load_table(spark, _SF, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="ev_sess_stream_")
+    try:
+        events.repartition(4).write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+        stream = spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", 1
+        ).parquet(tmp)
+        # files arrive in arbitrary order, so the watermark must cover
+        # the full data span or "late" events get dropped and split
+        # sessions appear; real pipelines have in-order arrival and a
+        # tight watermark
+        agg = (
+            stream.withWatermark("ts", "35 days")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("sess_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.table("sess_stream").collect()}
+        want = {tuple(r) for r in session_window_counts(spark, _SF).collect()}
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_foreach_batch_idempotent_upsert(spark):
+    """Update-mode wordcount through a foreachBatch parquet upsert —
+    the production sink shape for unbounded running state (never
+    'complete' mode at scale). The sink keyed by word overwrites
+    per-batch deltas; final table must equal the batch answer."""
+    docs = load_table(spark, SF_DIR, "documents").select("text")
+    src = tempfile.mkdtemp(prefix="wc_fb_src_")
+    out = tempfile.mkdtemp(prefix="wc_fb_out_")
+    state: dict[str, int] = {}
+    try:
+        docs.repartition(4).write.mode("overwrite").text(src)
+        counts = streaming_wordcount(spark, src)
+
+        def upsert(batch_df, batch_id):
+            for r in batch_df.collect():  # test-sized; real sinks write per-partition
+                state[r["word"]] = r["cnt"]
+
+        q = (
+            counts.writeStream.outputMode("update")
+            .foreachBatch(upsert)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batch = (
+            tokenize_lines(
+                spark.read.text(src).withColumnRenamed("value", "text")
+            )
+            .groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+        )
+        want = {(r["word"], r["cnt"]) for r in batch.collect()}
+        assert set(state.items()) == want and len(want) > 0
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(out, ignore_errors=True)
