@@ -629,3 +629,49 @@ FROM cand c
 JOIN sig a ON a.doc_id = c.doc_a
 JOIN sig b ON b.doc_id = c.doc_b
 """
+
+
+# --- edit-distance verify tier ---------------------------------------
+
+EDIT_PREFIX_LEN = 80
+
+
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein distance over text prefixes for each MinHash-LSH
+    candidate pair — the character-level verify tier (shingles catch
+    word-level similarity; edit distance catches near-identical
+    prefixes). Bounded to the first 80 chars because Levenshtein is
+    O(len^2) per pair: candidates only, prefixes only — never the
+    corpus cross product, never full documents."""
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, EDIT_PREFIX_LEN).alias("prefix")
+    )
+    a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("_pa"))
+    b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("_pb"))
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.levenshtein("_pa", "_pb").cast("long").alias("edit_distance"),
+        )
+    )
+
+
+DEDUP_EDIT_DISTANCE_SQL = f"""
+WITH {_minhash_sig_sql().lstrip()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(levenshtein(substring(da.text, 1, {EDIT_PREFIX_LEN}),
+                        substring(db.text, 1, {EDIT_PREFIX_LEN})) AS BIGINT)
+         AS edit_distance
+FROM cand c
+JOIN documents da ON da.doc_id = c.doc_a
+JOIN documents db ON db.doc_id = c.doc_b
+"""

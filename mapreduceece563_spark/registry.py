@@ -131,6 +131,10 @@ register("approx_distinct_users", sk.approx_distinct_users, sk.APPROX_DISTINCT_S
 register("knn_pandas_udf", sim.knn_pandas_udf, sim.KNN_PANDAS_SQL)
 register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
 
+# --- edit-distance verify tier / sorted array agg --------------------
+register("dedup_edit_distance", dd.dedup_edit_distance, dd.DEDUP_EDIT_DISTANCE_SQL)
+register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
+
 # --- minhash estimate tier / deciles ---------------------------------
 register("minhash_jaccard_estimate", dd.minhash_jaccard_estimate, dd.MINHASH_ESTIMATE_SQL)
 register("customer_balance_deciles", rel.customer_balance_deciles, rel.CUSTOMER_DECILES_SQL)
