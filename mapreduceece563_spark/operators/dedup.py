@@ -532,13 +532,16 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("label").alias("_nl"))
             .select(F.col("nbr").alias("node"), "_nl")
         )
+        # localCheckpoint (eager) truncates the plan lineage — without
+        # it each round's plan nests the previous rounds' and analysis
+        # time grows superlinearly with iterations
         new_labels = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce(F.col("_nl"), F.col("label"))).alias("label"),
             )
-            .cache()
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
