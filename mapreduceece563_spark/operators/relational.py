@@ -813,3 +813,21 @@ SELECT r_name, list(n_name ORDER BY n_name) AS nations,
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name
 """
+
+
+# --- INTERSECT ---------------------------------------------------------
+
+def brands_all_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brands appearing in BOTH small-part and large-part catalogs
+    (set INTERSECT — dedup + co-partitioned merge in one operator)."""
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_size")
+    small = part.filter(F.col("p_size") < 25).select("p_brand")
+    large = part.filter(F.col("p_size") >= 25).select("p_brand")
+    return small.intersect(large)
+
+
+BRANDS_ALL_SIZES_SQL = """
+SELECT p_brand FROM part WHERE p_size < 25
+INTERSECT
+SELECT p_brand FROM part WHERE p_size >= 25
+"""

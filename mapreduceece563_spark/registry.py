@@ -135,6 +135,9 @@ register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
 register("dedup_edit_distance", dd.dedup_edit_distance, dd.DEDUP_EDIT_DISTANCE_SQL)
 register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
 
+# --- set intersect ---------------------------------------------------
+register("brands_all_sizes", rel.brands_all_sizes, rel.BRANDS_ALL_SIZES_SQL)
+
 # --- minhash estimate tier / deciles ---------------------------------
 register("minhash_jaccard_estimate", dd.minhash_jaccard_estimate, dd.MINHASH_ESTIMATE_SQL)
 register("customer_balance_deciles", rel.customer_balance_deciles, rel.CUSTOMER_DECILES_SQL)

@@ -223,3 +223,70 @@ def test_foreach_batch_idempotent_upsert(spark):
     finally:
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_stream_interval_join(spark):
+    """Stream-stream inner join with an event-time interval condition
+    (purchase -> same-user events within the following hour), checked
+    against the batch range join. Both sides carry watermarks so the
+    join state is bounded — the streaming form of the hour-bucket
+    range join in operators/temporal.py."""
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="ev_ssj_")
+    try:
+        events.write.mode("overwrite").parquet(tmp)
+        schema = spark.read.parquet(tmp).schema
+
+        def src():
+            return spark.readStream.schema(schema).parquet(tmp)
+
+        purchases = src().filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        ).withWatermark("p_ts", "35 days")
+        others = src().select(
+            F.col("event_id").alias("other_id"),
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+        ).withWatermark("o_ts", "35 days")
+        joined = purchases.join(
+            others,
+            (F.col("p_user") == F.col("o_user"))
+            & (F.col("o_ts") > F.col("p_ts"))
+            & (F.col("o_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+        ).select("purchase_id", "other_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("ssj")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {tuple(r) for r in spark.table("ssj").collect()}
+
+        p = events.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        o = events.select(
+            F.col("event_id").alias("other_id"),
+            F.col("user_id").alias("o_user"),
+            F.col("ts").alias("o_ts"),
+        )
+        want = {
+            tuple(r)
+            for r in p.join(
+                o,
+                (F.col("p_user") == F.col("o_user"))
+                & (F.col("o_ts") > F.col("p_ts"))
+                & (F.col("o_ts") <= F.col("p_ts") + F.expr("INTERVAL 1 HOUR")),
+            ).select("purchase_id", "other_id").collect()
+        }
+        assert got == want and len(got) > 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
