@@ -179,3 +179,104 @@ SELECT doc_id,
          AS n_bpe_tokens
 FROM documents
 """
+
+
+# --- TF-IDF cosine over candidate pairs ------------------------------
+
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF cosine similarity for MinHash-LSH candidate pairs —
+    sparse-vector similarity as a word-level join (no dense vectors
+    materialized anywhere).
+
+    Scale shape: weights live as (doc, word, w) rows; the numerator
+    is a join on (word) RESTRICTED to candidate pairs, the norms are
+    one groupBy(doc). Exactness: idf is quantized once to int
+    thousandths, weights are int64 (tf * idf3), so every sum is exact
+    integer math in both engines; floats appear only in the final
+    sqrt/divide, identically ordered."""
+    from .dedup import dedup_minhash
+
+    w = _words_per_doc(spark, sf_dir)
+    tokens = w.select("doc_id", F.explode("words").alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    df = (
+        tokens.select("doc_id", "word").distinct()
+        .groupBy("word").agg(F.count("*").alias("df"))
+    )
+    n_docs = w.agg(F.count("*").alias("n_docs"))
+    idf3 = F.round(
+        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")) + 1.0)
+        * 1000, 0
+    ).cast("long")
+    weights = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select("doc_id", "word", (F.col("tf") * idf3).alias("w"))
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("_n2")
+    )
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    wa = weights.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("_wa")
+    )
+    wb = weights.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("_wb")
+    )
+    num = (
+        pairs.join(wa, "doc_a")
+        .join(wb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("_n2").alias("_nb"))
+    return (
+        pairs.join(num, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.coalesce(F.col("_num"), F.lit(0))
+                / (F.sqrt(F.col("_na")) * F.sqrt(F.col("_nb"))),
+                6,
+            ).alias("tfidf_cosine"),
+        )
+    )
+
+
+from .dedup import DEDUP_MINHASH_SQL as _MINHASH_PAIRS_SQL
+
+TFIDF_COSINE_SQL = f"""
+WITH {_words_cte().lstrip()},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+df AS (
+  SELECT word, count(*) AS df
+  FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word
+),
+nd AS (SELECT count(*) AS n_docs FROM w),
+weights AS (
+  SELECT doc_id, word,
+         tf * CAST(round((ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0)
+                         * 1000, 0) AS BIGINT) AS w
+  FROM tf JOIN df USING (word) CROSS JOIN nd
+),
+norms AS (SELECT doc_id, sum(w * w) AS _n2 FROM weights GROUP BY doc_id),
+pairs AS (SELECT doc_a, doc_b FROM ({_MINHASH_PAIRS_SQL}) mh),
+num AS (
+  SELECT p.doc_a, p.doc_b, sum(a.w * b.w) AS _num
+  FROM pairs p
+  JOIN weights a ON a.doc_id = p.doc_a
+  JOIN weights b ON b.doc_id = p.doc_b AND b.word = a.word
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(coalesce(n._num, 0) / (sqrt(na._n2) * sqrt(nb._n2)), 6)
+         AS tfidf_cosine
+FROM pairs p
+LEFT JOIN num n ON n.doc_a = p.doc_a AND n.doc_b = p.doc_b
+JOIN norms na ON na.doc_id = p.doc_a
+JOIN norms nb ON nb.doc_id = p.doc_b
+"""

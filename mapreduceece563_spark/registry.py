@@ -135,6 +135,9 @@ register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
 register("dedup_edit_distance", dd.dedup_edit_distance, dd.DEDUP_EDIT_DISTANCE_SQL)
 register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
 
+# --- tf-idf cosine verify tier ---------------------------------------
+register("tfidf_cosine_pairs", ng.tfidf_cosine_pairs, ng.TFIDF_COSINE_SQL)
+
 # --- set intersect ---------------------------------------------------
 register("brands_all_sizes", rel.brands_all_sizes, rel.BRANDS_ALL_SIZES_SQL)
 
