@@ -54,6 +54,8 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
     total = round(time.perf_counter() - t_all, 3)
 
+    wc13 = baseline_comparable_wordcount(spark)
+
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
         json.dumps(
@@ -63,9 +65,55 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                **wc13,
             }
         )
     )
+
+
+def baseline_comparable_wordcount(spark) -> dict:
+    """Apples-to-apples vs BASELINE.md: the reference's best number is
+    word count over 130 chunk files / ~13 MB of text in 0.7 s (16
+    ranks x 10 threads). Replicate the documents text to ~13 MB,
+    write 130 chunk files like the reference's file_chunks_130/, and
+    time the same read->tokenize->normalize->count pipeline (data
+    prep excluded from the clock, as is the reference's MPI_Init)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from mapreduceece563_spark.functions.text import tokenize_lines
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("text")
+    n_bytes = docs.select(
+        F.sum(F.length("text")).alias("b")
+    ).collect()[0]["b"] or 1
+    reps = max(1, round(13_000_000 / n_bytes))
+    tmp = tempfile.mkdtemp(prefix="bench_wc13_")
+    try:
+        big = spark.range(reps).crossJoin(docs).select("text")
+        big.repartition(130).write.mode("overwrite").text(tmp)
+        # best of 3, mirroring the reference's best-of-config-sweep
+        elapsed = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            materialize(
+                tokenize_lines(
+                    spark.read.text(tmp).withColumnRenamed("value", "text")
+                )
+                .groupBy("word")
+                .agg(F.count("*").alias("cnt"))
+            )
+            elapsed = min(elapsed, time.perf_counter() - t0)
+        mb = n_bytes * reps / 1e6
+        return {
+            "wordcount_13mb_sec": round(elapsed, 3),
+            "wordcount_13mb_mb_per_sec": round(mb / elapsed, 1),
+            "baseline_best_sec": 0.7,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 if __name__ == "__main__":
