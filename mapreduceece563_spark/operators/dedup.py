@@ -227,8 +227,11 @@ def dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs: docs sharing >=1 of 4 band hashes.
 
     The self-join key is (band, band_hash) — only same-bucket docs
-    meet, which is what keeps this sub-quadratic at corpus scale."""
-    bands = _band_hashes(minhash_signatures(spark, sf_dir))
+    meet, which is what keeps this sub-quadratic at corpus scale.
+    The bands frame is cached: the self-join references it twice and
+    each reference would otherwise recompute the whole shingle ->
+    signature chain."""
+    bands = _band_hashes(minhash_signatures(spark, sf_dir)).cache()
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -428,8 +431,9 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates share at least one exact band (any pair within hamming
     2 must; distance-3 pairs can straddle — acceptable recall for the
     banded tier, same guarantee in both engines). bit_count(xor)
-    scores candidates exactly."""
-    fp = simhash_fingerprint(spark, sf_dir)
+    scores candidates exactly. The fingerprint frame is cached — the
+    banded self-join references it twice."""
+    fp = simhash_fingerprint(spark, sf_dir).cache()
     bands = fp.select(
         "doc_id", "simhash",
         F.explode(
@@ -588,9 +592,27 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 16 minhash slots that agree. This is the cheap second tier of
     the MinHash pipeline (verify candidates WITHOUT touching shingle
     sets — signatures are 16 int64s per doc, so the verify join moves
-    constant-width rows no matter how long the documents are)."""
-    sig = minhash_signatures(spark, sf_dir)
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    constant-width rows no matter how long the documents are).
+
+    The signature frame is computed ONCE (cached) and reused for the
+    banding, the candidate join, and both sides of the slot compare —
+    naively composing dedup_minhash here would recompute the shingle
+    chain three times."""
+    sig = minhash_signatures(spark, sf_dir).cache()
+    bands = _band_hashes(sig)
+    ba, bb = bands.alias("a"), bands.alias("b")
+    pairs = (
+        ba.join(
+            bb,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_PERMS))],

@@ -208,15 +208,17 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")) + 1.0)
         * 1000, 0
     ).cast("long")
+    # cached: referenced by the numerator join (twice) and the norms
     weights = (
         tf.join(df, "word")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "word", (F.col("tf") * idf3).alias("w"))
+        .cache()
     )
     norms = weights.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("_n2")
     )
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").cache()
     wa = weights.select(
         F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("_wa")
     )

@@ -135,7 +135,8 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for d in LSH_SIGN_DIMS
         ],
     )
-    nb = n.withColumn("bucket", bucket)
+    # cached: both sides of the bucket self-join reference this frame
+    nb = n.withColumn("bucket", bucket).cache()
     a, b = nb.alias("a"), nb.alias("b")
     pairs = a.join(
         b,
