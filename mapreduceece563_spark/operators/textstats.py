@@ -13,7 +13,7 @@ expression order, mirrored exactly in the oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import poly_hash, poly_hash_sql
@@ -233,4 +233,129 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id, md5(text) AS fp_md5, {poly_hash_sql('text')} AS fp_roll
 FROM documents
+"""
+
+
+# --- end-to-end training-data filter ---------------------------------
+
+MIN_QUALITY = 0.5
+MIN_TOKENS = 10
+
+
+def training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pipeline a pretraining corpus actually runs:
+    exact-dedup (keep lowest doc_id per identical text), then gate on
+    quality score, token count, and detected language. One pass
+    computes every per-doc signal (all map-only expressions), one
+    window handles the dedup — the whole filter is two shuffles
+    (dedup partition + nothing else) regardless of corpus size."""
+    from .dedup import words_array as _wa
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text", "lang"
+    )
+    staged = docs.select(
+        "doc_id", "text", "lang", _wa(F.col("text")).alias("_words")
+    )
+    words = F.col("_words")
+    n = F.size(words).cast("long")
+    stop_hits = F.size(F.filter(words, lambda w: w.isin(*EN_STOPWORDS))).cast("long")
+    n_chars = F.length("text").cast("long")
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    ).cast("long")
+    stop_ratio = F.when(n > 0, stop_hits / n.cast("double")).otherwise(0.0)
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars.cast("double")).otherwise(0.0)
+    len_score = F.least(n, F.lit(100)) / 100.0
+    quality = F.round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score, 6)
+
+    scored = staged.select(
+        "doc_id", "text", "lang", n.alias("n_tokens"), quality.alias("quality")
+    )
+    dedup_w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    surviving = (
+        scored.withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+    )
+    return surviving.filter(
+        (F.col("quality") >= MIN_QUALITY)
+        & (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("lang") == "en")
+    ).select("doc_id", "n_tokens", "quality")
+
+
+TRAINING_FILTER_SQL = f"""
+WITH w AS (SELECT doc_id, text, lang, {_words_sql()} AS words FROM documents),
+m AS (
+  SELECT doc_id, text, lang,
+         CAST(len(words) AS BIGINT) AS n,
+         CAST(len(list_filter(words, x -> x IN ({_STOP_IN}))) AS BIGINT) AS stop_hits,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS BIGINT)
+           AS alpha_chars
+  FROM w
+),
+scored AS (
+  SELECT doc_id, text, lang, n AS n_tokens,
+         round(0.4 * (CASE WHEN n > 0 THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END)
+             + 0.4 * (CASE WHEN n_chars > 0 THEN alpha_chars / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+             + 0.2 * (least(n, 100) / 100.0), 6) AS quality
+  FROM m
+),
+surviving AS (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS _rn
+  FROM scored
+)
+SELECT doc_id, n_tokens, quality
+FROM surviving
+WHERE _rn = 1 AND quality >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}
+  AND lang = 'en'
+"""
+
+
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus summary: doc/token/char totals, vocabulary
+    size, duplicate rate — the dataset card numbers. Token totals are
+    map-side array lengths (no explode); only the vocabulary count
+    needs a distinct shuffle."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    staged = docs.select(
+        "text",
+        F.length("text").cast("long").alias("_nc"),
+        F.size(words_array(F.col("text"))).cast("long").alias("_nt"),
+    )
+    base = staged.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_nc").alias("n_chars"),
+        F.sum("_nt").alias("n_tokens"),
+        F.countDistinct("text").alias("n_distinct_texts"),
+    )
+    vocab = (
+        docs.select(F.explode(words_array(F.col("text"))).alias("w"))
+        .agg(F.countDistinct("w").alias("vocab_size"))
+    )
+    return base.crossJoin(vocab).select(
+        "n_docs", "n_chars", "n_tokens", "vocab_size",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("n_exact_dups"),
+    )
+
+
+CORPUS_STATS_SQL = f"""
+WITH w AS (SELECT doc_id, text, {_words_sql()} AS words FROM documents),
+base AS (
+  SELECT count(*) AS n_docs,
+         sum(CAST(length(text) AS BIGINT)) AS n_chars,
+         sum(CAST(len(words) AS BIGINT)) AS n_tokens,
+         count(DISTINCT text) AS n_distinct_texts
+  FROM w
+),
+vocab AS (
+  SELECT count(DISTINCT word) AS vocab_size
+  FROM (SELECT unnest(words) AS word FROM w)
+)
+SELECT n_docs, n_chars, n_tokens, vocab_size,
+       n_docs - n_distinct_texts AS n_exact_dups
+FROM base CROSS JOIN vocab
 """

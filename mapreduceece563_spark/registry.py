@@ -135,6 +135,10 @@ register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
 register("dedup_edit_distance", dd.dedup_edit_distance, dd.DEDUP_EDIT_DISTANCE_SQL)
 register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
 
+# --- composed training-data pipeline ---------------------------------
+register("training_data_filter", ts.training_data_filter, ts.TRAINING_FILTER_SQL)
+register("corpus_stats", ts.corpus_stats, ts.CORPUS_STATS_SQL)
+
 # --- tf-idf cosine verify tier ---------------------------------------
 register("tfidf_cosine_pairs", ng.tfidf_cosine_pairs, ng.TFIDF_COSINE_SQL)
 
