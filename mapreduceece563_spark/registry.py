@@ -154,3 +154,4 @@ register("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_SQL)
 register("q10_returned_items", rel.q10_returned_items, rel.Q10_SQL)
 register("q14_promo_share", rel.q14_promo_share, rel.Q14_SQL)
 register("q18_large_orders", rel.q18_large_orders, rel.Q18_SQL)
+register("q7_nation_volume", rel.q7_nation_volume, rel.Q7_SQL)
