@@ -896,3 +896,76 @@ WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
 GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
 """
+
+
+# --- correlated scalar subquery via the SQL surface -------------------
+
+def sql_supplier_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Richest supplier per nation, written as a correlated scalar
+    subquery through ``spark.sql`` over registered views — the SQL
+    entrance to the engine. Catalyst decorrelates this into the same
+    aggregate+join plan the DataFrame argmax (window) form produces;
+    ties broken by taking the lowest suppkey among maxima."""
+    from ..sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT s_nationkey, min(s_suppkey) AS richest_suppkey,
+               round(max(s_acctbal), 2) AS max_acctbal
+        FROM supplier s
+        WHERE s_acctbal = (
+          SELECT max(s2.s_acctbal) FROM supplier s2
+          WHERE s2.s_nationkey = s.s_nationkey
+        )
+        GROUP BY s_nationkey
+        """
+    )
+
+
+SQL_SUPPLIER_ARGMAX_SQL = """
+SELECT s_nationkey, min(s_suppkey) AS richest_suppkey,
+       round(max(s_acctbal), 2) AS max_acctbal
+FROM supplier s
+WHERE s_acctbal = (
+  SELECT max(s2.s_acctbal) FROM supplier s2
+  WHERE s2.s_nationkey = s.s_nationkey
+)
+GROUP BY s_nationkey
+"""
+
+
+# --- RANGE-frame window (time-based trailing aggregate) ---------------
+
+TRAILING_WINDOW_S = 3600
+
+
+def user_trailing_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: the user's exact trailing-1-hour value sum — a
+    RANGE frame over event-time seconds (every row whose timestamp is
+    within the preceding hour contributes, however many rows that
+    is). One shuffle on user_id; integer-cents sums."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    secs = F.unix_micros(F.col("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-TRAILING_WINDOW_S * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w) / 100.0
+        ).alias("trailing_1h_value"),
+    )
+
+
+USER_TRAILING_SQL = f"""
+SELECT event_id, user_id,
+       sum(CAST(round(value * 100, 0) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN {TRAILING_WINDOW_S * 1_000_000} PRECEDING AND CURRENT ROW
+       ) / 100.0 AS trailing_1h_value
+FROM events
+"""

@@ -155,3 +155,7 @@ register("q10_returned_items", rel.q10_returned_items, rel.Q10_SQL)
 register("q14_promo_share", rel.q14_promo_share, rel.Q14_SQL)
 register("q18_large_orders", rel.q18_large_orders, rel.Q18_SQL)
 register("q7_nation_volume", rel.q7_nation_volume, rel.Q7_SQL)
+
+# --- SQL surface (correlated subquery) / RANGE-frame windows ---------
+register("sql_supplier_argmax", rel.sql_supplier_argmax, rel.SQL_SUPPLIER_ARGMAX_SQL)
+register("user_trailing_value", rel.user_trailing_value, rel.USER_TRAILING_SQL)
