@@ -700,3 +700,103 @@ FROM cand c
 JOIN documents da ON da.doc_id = c.doc_a
 JOIN documents db ON db.doc_id = c.doc_b
 """
+
+
+# --- winnowing fingerprints (MOSS) -----------------------------------
+
+WINNOW_W = 4
+
+
+def winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (the MOSS plagiarism-detector scheme): slide a
+    w-window over the ORDERED shingle-hash sequence, keep each
+    window's minimum, dedup — guarantees any shared run of >= w+2
+    shingles between two docs shares a fingerprint, with ~2/(w+1)
+    selection density. Entirely native array ops (slice/array_min
+    inside one transform), map-only until the final compact summary.
+
+    Output is a per-doc summary (count + modular checksum of the
+    selected set) so the row count stays bounded while still pinning
+    the full fingerprint content."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    words = docs.select("doc_id", words_array(F.col("text")).alias("words"))
+    hws = words.select(
+        "doc_id", F.transform(F.col("words"), poly_hash).alias("hws")
+    )
+    n_w = F.size(F.col("hws"))
+    ordered = F.transform(
+        F.sequence(F.lit(1), n_w - 2),
+        lambda i: (
+            (
+                (F.element_at(F.col("hws"), i) * HASH_BASE
+                 + F.element_at(F.col("hws"), i + 1)) % HASH_MOD
+                * HASH_BASE
+                + F.element_at(F.col("hws"), i + 2)
+            ) % HASH_MOD
+        ),
+    )
+    staged = hws.filter(n_w >= 3).select("doc_id", ordered.alias("hs"))
+    n = F.size(F.col("hs"))
+    wins = F.when(
+        n >= WINNOW_W,
+        F.transform(
+            F.sequence(F.lit(1), n - WINNOW_W + 1),
+            lambda i: F.array_min(F.slice(F.col("hs"), i, WINNOW_W)),
+        ),
+    ).otherwise(F.array(F.array_min(F.col("hs"))))
+    fps = staged.select(
+        "doc_id", F.array_distinct(wins).alias("fps")
+    )
+    return fps.select(
+        "doc_id",
+        F.size("fps").cast("long").alias("n_fingerprints"),
+        F.aggregate(
+            F.col("fps"), F.lit(0).cast("long"),
+            lambda acc, x: (acc + x) % HASH_MOD,
+        ).alias("fp_checksum"),
+    )
+
+
+def _winnow_sql() -> str:
+    fold = (
+        f"((hws[i] * {HASH_BASE} + hws[i+1]) % {HASH_MOD} * {HASH_BASE}"
+        f" + hws[i+2]) % {HASH_MOD}"
+    )
+    norm = NORMALIZE_SQL.format(t="t")
+    return f"""
+WITH docs AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, ' '), t -> {norm}),
+                     w -> w <> '' AND length(w) <= {MAX_WORD_LEN}) AS words
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+),
+hw AS (
+  SELECT doc_id, list_transform(words, w -> {poly_hash_sql('w')}) AS hws
+  FROM docs
+),
+ordered AS (
+  SELECT doc_id,
+         list_transform(range(1, len(hws) - 1), i -> {fold}) AS hs
+  FROM hw WHERE len(hws) >= 3
+),
+wins AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(hs) >= {WINNOW_W} THEN
+             list_transform(range(1, len(hs) - {WINNOW_W} + 2),
+                            i -> list_min(hs[i:i+{WINNOW_W}-1]))
+           ELSE [list_min(hs)] END) AS fps
+  FROM ordered
+)
+SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fingerprints,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                   (acc, x) -> (acc + x) % {HASH_MOD}) AS fp_checksum
+FROM wins
+"""
+
+
+WINNOW_SQL = _winnow_sql()

@@ -969,3 +969,64 @@ SELECT event_id, user_id,
        ) / 100.0 AS trailing_1h_value
 FROM events
 """
+
+
+# --- z-score anomaly over hourly counts -------------------------------
+
+ZSCORE_THRESHOLD = 2.0
+
+
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose event count deviates >= 2 sigma from that type's
+    mean hourly count. Two aggregations (hourly rollup, then per-type
+    moments from integer sums) + a broadcast-size join back; variance
+    is computed explicitly from (sum, sumsq, n) in a fixed expression
+    order so both engines produce the identical double."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("n_events"))
+    )
+    moments = hourly.groupBy("event_type").agg(
+        F.sum("n_events").alias("_s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("_sq"),
+        F.count("*").alias("_n"),
+    )
+    mean = F.col("_s") / F.col("_n").cast("double")
+    var = F.col("_sq") / F.col("_n").cast("double") - mean * mean
+    stats = moments.select(
+        "event_type", mean.alias("_mean"), F.sqrt(var).alias("_std")
+    )
+    z = (F.col("n_events") - F.col("_mean")) / F.col("_std")
+    return (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(F.col("_std") > 0)
+        .select(
+            "event_type", "hour", "n_events", F.round(z, 4).alias("zscore")
+        )
+        .filter(F.abs(F.col("zscore")) >= ZSCORE_THRESHOLD)
+    )
+
+
+EVENTS_ANOMALY_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+),
+moments AS (
+  SELECT event_type, sum(n_events) AS _s,
+         sum(n_events * n_events) AS _sq, count(*) AS _n
+  FROM hourly GROUP BY event_type
+),
+stats AS (
+  SELECT event_type, _s / CAST(_n AS DOUBLE) AS _mean,
+         sqrt(_sq / CAST(_n AS DOUBLE)
+              - (_s / CAST(_n AS DOUBLE)) * (_s / CAST(_n AS DOUBLE))) AS _std
+  FROM moments
+)
+SELECT event_type, hour, n_events,
+       round((n_events - _mean) / _std, 4) AS zscore
+FROM hourly JOIN stats USING (event_type)
+WHERE _std > 0
+  AND abs(round((n_events - _mean) / _std, 4)) >= {ZSCORE_THRESHOLD}
+"""

@@ -156,6 +156,10 @@ register("q14_promo_share", rel.q14_promo_share, rel.Q14_SQL)
 register("q18_large_orders", rel.q18_large_orders, rel.Q18_SQL)
 register("q7_nation_volume", rel.q7_nation_volume, rel.Q7_SQL)
 
+# --- winnowing fingerprints / hourly anomaly -------------------------
+register("winnow_fingerprints", dd.winnow_fingerprints, dd.WINNOW_SQL)
+register("events_hourly_anomalies", rel.events_hourly_anomalies, rel.EVENTS_ANOMALY_SQL)
+
 # --- SQL surface (correlated subquery) / RANGE-frame windows ---------
 register("sql_supplier_argmax", rel.sql_supplier_argmax, rel.SQL_SUPPLIER_ARGMAX_SQL)
 register("user_trailing_value", rel.user_trailing_value, rel.USER_TRAILING_SQL)
