@@ -126,3 +126,60 @@ SELECT user_id, min(ts) AS session_start,
        count(*) AS n_events
 FROM sess GROUP BY user_id, sid
 """
+
+
+def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via grouped-map
+    ``applyInPandas`` — the Arrow path for per-group logic that needs
+    the WHOLE group in memory at once (here: sorted gap sequence for
+    an exact median). Groups are users, so memory per task is one
+    user's events; median interpolation on integer microsecond gaps
+    matches DuckDB's definition exactly.
+
+    Built-ins can express this too (percentile over a lag column) —
+    the operator exists to pin the applyInPandas harness: grouping
+    key handling, Arrow batch shape, output schema contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+
+    def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        us = np.sort(pdf["ts"].astype("int64").to_numpy())
+        gaps = np.diff(us)
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(us)],
+                "median_gap_us": [
+                    float(np.median(gaps)) if len(gaps) else None
+                ],
+                "max_gap_us": [int(gaps.max()) if len(gaps) else None],
+            }
+        )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("median_gap_us", T.DoubleType()),
+            T.StructField("max_gap_us", T.LongType()),
+        ]
+    )
+    staged = ev.select("user_id", F.unix_micros("ts").alias("ts"))
+    return staged.groupBy("user_id").applyInPandas(_stats, schema=schema)
+
+
+USER_GAP_STATS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(median(gap) AS DOUBLE) AS median_gap_us,
+       max(gap) AS max_gap_us
+FROM gaps GROUP BY user_id
+"""

@@ -116,6 +116,9 @@ register("asof_join_events", tp.asof_join_events, tp.ASOF_JOIN_SQL)
 register("purchase_followup_counts", tp.purchase_followup_counts, tp.FOLLOWUP_SQL)
 register("orders_price_band", tp.orders_price_band, tp.ORDERS_PRICE_BAND_SQL)
 
+# --- grouped-map applyInPandas ---------------------------------------
+register("user_gap_stats", ss.user_gap_stats, ss.USER_GAP_STATS_SQL)
+
 # --- native session windows ------------------------------------------
 register("session_window_counts", ss.session_window_counts, ss.SESSION_WINDOW_SQL)
 
