@@ -91,3 +91,20 @@ def test_q18_agg_before_join(spark):
     if join_pos == -1:
         join_pos = plan.find("ShuffledHashJoin")
     assert agg_pos != -1
+
+
+def test_q7_nation_dims_broadcast(spark):
+    rep = plan_report(Q["q7_nation_volume"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 3  # supplier + both nation aliases
+
+
+def test_winnow_no_shuffle_after_spread(spark):
+    """Winnowing is map-only end to end (array transforms, no agg)."""
+    plan = plan_string(Q["winnow_fingerprints"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 0
+
+
+def test_training_filter_two_shuffles_max(spark):
+    """The composed filter claims two shuffles max; count exchanges."""
+    plan = plan_string(Q["training_data_filter"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") <= 2
