@@ -150,9 +150,18 @@ def _fold_sql(cols: list[str]) -> str:
 # --- exact dedup ------------------------------------------------------
 
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-level exact-duplicate summary (one shuffle on text)."""
+    """Corpus-level exact-duplicate summary.
+
+    Groups on the MD5 digest, not the text: at corpus scale documents
+    are KB-MB each and shuffling payloads is the single worst exchange
+    an exact dedup can plan — digests shuffle 32 bytes per row. The
+    digest is computed map-side; the oracle digests identically."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    per_text = docs.groupBy("text").agg(F.count("*").alias("n_copies"))
+    per_text = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("_k"))
+        .groupBy("_k")
+        .agg(F.count("*").alias("n_copies"))
+    )
     return per_text.agg(
         F.sum("n_copies").alias("n_docs"),
         F.count("*").alias("n_distinct_texts"),
@@ -164,7 +173,7 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_STATS_SQL = """
 WITH per_text AS (
-  SELECT text, count(*) AS n_copies FROM documents GROUP BY text
+  SELECT md5(text) AS _k, count(*) AS n_copies FROM documents GROUP BY md5(text)
 )
 SELECT sum(n_copies) AS n_docs,
        count(*) AS n_distinct_texts,
@@ -174,9 +183,13 @@ FROM per_text
 
 
 def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Keep-first exact dedup: lowest doc_id survives per text group."""
+    """Keep-first exact dedup: lowest doc_id survives per text group.
+    Partitions the window on the digest (32 bytes through the
+    exchange), never the payload — see dedup_exact_stats."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    w = Window.partitionBy(
+        F.md5(F.col("text").cast("binary"))
+    ).orderBy(F.asc("doc_id"))
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -186,7 +199,7 @@ def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_EXACT_SURVIVORS_SQL = """
 SELECT doc_id FROM (
-  SELECT doc_id, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS _rn
+  SELECT doc_id, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS _rn
   FROM documents
 ) WHERE _rn = 1
 """

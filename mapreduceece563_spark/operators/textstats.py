@@ -272,7 +272,10 @@ def training_data_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = staged.select(
         "doc_id", "text", "lang", n.alias("n_tokens"), quality.alias("quality")
     )
-    dedup_w = Window.partitionBy("text").orderBy(F.asc("doc_id"))
+    # dedup partitions on the digest — payload bytes never shuffle
+    dedup_w = Window.partitionBy(
+        F.md5(F.col("text").cast("binary"))
+    ).orderBy(F.asc("doc_id"))
     surviving = (
         scored.withColumn("_rn", F.row_number().over(dedup_w))
         .filter(F.col("_rn") == 1)
@@ -303,7 +306,7 @@ scored AS (
   FROM m
 ),
 surviving AS (
-  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id ASC) AS _rn
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id ASC) AS _rn
   FROM scored
 )
 SELECT doc_id, n_tokens, quality
@@ -322,7 +325,7 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text"
     )
     staged = docs.select(
-        "text",
+        F.md5(F.col("text").cast("binary")).alias("_k"),
         F.length("text").cast("long").alias("_nc"),
         F.size(words_array(F.col("text"))).cast("long").alias("_nt"),
     )
@@ -330,7 +333,8 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("_nc").alias("n_chars"),
         F.sum("_nt").alias("n_tokens"),
-        F.countDistinct("text").alias("n_distinct_texts"),
+        # distinct over digests: payloads never enter the exchange
+        F.countDistinct("_k").alias("n_distinct_texts"),
     )
     vocab = (
         docs.select(F.explode(words_array(F.col("text"))).alias("w"))
@@ -348,7 +352,7 @@ base AS (
   SELECT count(*) AS n_docs,
          sum(CAST(length(text) AS BIGINT)) AS n_chars,
          sum(CAST(len(words) AS BIGINT)) AS n_tokens,
-         count(DISTINCT text) AS n_distinct_texts
+         count(DISTINCT md5(text)) AS n_distinct_texts
   FROM w
 ),
 vocab AS (
