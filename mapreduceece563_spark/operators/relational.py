@@ -1030,3 +1030,82 @@ FROM hourly JOIN stats USING (event_type)
 WHERE _std > 0
   AND abs(round((n_events - _mean) / _std, 4)) >= {ZSCORE_THRESHOLD}
 """
+
+
+# --- TPC-H Q8: national market share ----------------------------------
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: the deepest join tree in the registry (7-way —
+    fact x part x orders x customer x supplier, nation twice, region),
+    then a conditional-share aggregate by year. Dims broadcast; the
+    only big exchanges are lineitem-orders and orders-customer."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    ).filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    cn = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_regionkey").alias("_crk")
+    )
+    sn = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    rc = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    joined = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")),
+                li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("_cnk"))
+        .join(F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+              F.col("_crk") == F.col("r_regionkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("_snk"))
+    )
+    agg = joined.groupBy(
+        F.year("o_orderdate").cast("int").alias("order_year")
+    ).agg(
+        F.sum(F.when(F.col("supp_nation") == "NATION_1", rc).otherwise(0)).alias("_nat"),
+        F.sum(rc).alias("_tot"),
+    )
+    return agg.select(
+        "order_year",
+        F.round(F.col("_nat") / F.col("_tot").cast("double"), 6).alias("mkt_share"),
+        (F.col("_tot") / 100.0).alias("total_volume"),
+    )
+
+
+Q8_SQL = """
+WITH j AS (
+  SELECT year(o_orderdate) AS order_year, n2.n_name AS supp_nation,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT) AS _rc
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+    AND o_orderdate >= '1995-01-01' AND o_orderdate < '1997-01-01'
+)
+SELECT CAST(order_year AS INT) AS order_year,
+       round(sum(CASE WHEN supp_nation = 'NATION_1' THEN _rc ELSE 0 END)
+             / CAST(sum(_rc) AS DOUBLE), 6) AS mkt_share,
+       sum(_rc) / 100.0 AS total_volume
+FROM j GROUP BY order_year
+"""

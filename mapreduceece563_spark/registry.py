@@ -158,6 +158,7 @@ register("q10_returned_items", rel.q10_returned_items, rel.Q10_SQL)
 register("q14_promo_share", rel.q14_promo_share, rel.Q14_SQL)
 register("q18_large_orders", rel.q18_large_orders, rel.Q18_SQL)
 register("q7_nation_volume", rel.q7_nation_volume, rel.Q7_SQL)
+register("q8_market_share", rel.q8_market_share, rel.Q8_SQL)
 
 # --- winnowing fingerprints / hourly anomaly -------------------------
 register("winnow_fingerprints", dd.winnow_fingerprints, dd.WINNOW_SQL)
