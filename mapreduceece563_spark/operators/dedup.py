@@ -175,9 +175,10 @@ DEDUP_EXACT_STATS_SQL = """
 WITH per_text AS (
   SELECT md5(text) AS _k, count(*) AS n_copies FROM documents GROUP BY md5(text)
 )
-SELECT sum(n_copies) AS n_docs,
+SELECT CAST(sum(n_copies) AS BIGINT) AS n_docs,
        count(*) AS n_distinct_texts,
-       sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END) AS n_docs_in_dup_groups
+       CAST(sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END) AS BIGINT)
+         AS n_docs_in_dup_groups
 FROM per_text
 """
 
@@ -514,7 +515,11 @@ SELECT doc_a, doc_b, hamming FROM cand WHERE hamming <= {HAMMING_MAX}
 
 # --- connected-component dup groups ----------------------------------
 
-CC_MAX_ITERS = 20
+# Safety valve only: label propagation converges in O(component
+# diameter) rounds and the loop exits on changed == 0; hitting the cap
+# without converging raises rather than silently returning labels that
+# diverge from the oracle's full transitive closure.
+CC_MAX_ITERS = 50
 
 
 def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -542,6 +547,7 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_a").alias("node"), F.col("doc_b").alias("nbr")
     ).cache()
     labels = labels.cache()
+    converged = False
     for _ in range(CC_MAX_ITERS):
         nbr_min = (
             edges.join(labels, "node")
@@ -569,7 +575,13 @@ def dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"dedup_groups: label propagation did not converge within "
+            f"{CC_MAX_ITERS} rounds (component diameter > cap)"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_leader")
     )

@@ -379,9 +379,9 @@ def orders_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORDERS_PIVOT_SQL = """
 SELECT o_orderpriority,
-       sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS cnt_open,
-       sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS cnt_finished,
-       sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS cnt_partial
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_open,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_finished,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS cnt_partial
 FROM orders GROUP BY o_orderpriority
 """
 
@@ -423,7 +423,7 @@ def events_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type, count(*) AS n_events,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_min,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_max
 FROM events GROUP BY event_type
@@ -498,7 +498,7 @@ def lineitem_flags_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LINEITEM_CUBE_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_items,
-       sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -704,7 +704,7 @@ Q18_SQL = f"""
 SELECT c_custkey, c_name, o_orderkey, o_orderdate,
        round(o_totalprice, 2) AS o_totalprice, sum_qty
 FROM (
-  SELECT l_orderkey, sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
   FROM lineitem GROUP BY l_orderkey HAVING sum_qty > {Q18_MIN_QTY}
 ) big
 JOIN orders ON l_orderkey = o_orderkey
@@ -908,7 +908,7 @@ def sql_supplier_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties broken by taking the lowest suppkey among maxima."""
     from ..sources.catalog import register_views
 
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, only=("supplier",))
     return spark.sql(
         """
         SELECT s_nationkey, min(s_suppkey) AS richest_suppkey,

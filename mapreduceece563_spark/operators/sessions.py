@@ -66,10 +66,10 @@ flagged AS (
   FROM ordered
 ),
 sess AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+  SELECT *, CAST(sum(is_new) OVER (PARTITION BY user_id
                               ORDER BY ts ASC, event_id ASC
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-              AS session_id
+              AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, count(*) AS n_events,

@@ -350,8 +350,8 @@ CORPUS_STATS_SQL = f"""
 WITH w AS (SELECT doc_id, text, {_words_sql()} AS words FROM documents),
 base AS (
   SELECT count(*) AS n_docs,
-         sum(CAST(length(text) AS BIGINT)) AS n_chars,
-         sum(CAST(len(words) AS BIGINT)) AS n_tokens,
+         CAST(sum(CAST(length(text) AS BIGINT)) AS BIGINT) AS n_chars,
+         CAST(sum(CAST(len(words) AS BIGINT)) AS BIGINT) AS n_tokens,
          count(DISTINCT md5(text)) AS n_distinct_texts
   FROM w
 ),

@@ -67,7 +67,15 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every table as a temp view for spark.sql queries."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, only: tuple[str, ...] | None = None
+) -> None:
+    """Register tables as temp views for spark.sql queries.
+
+    ``only`` restricts registration to the named tables — queries
+    should register exactly what they read (registering all 10,
+    including the nanos-timestamp events special path, on every
+    invocation was the whole cost of sql_supplier_argmax in r1:
+    11.4 s for a one-table query)."""
+    for name in only if only is not None else TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
