@@ -55,6 +55,7 @@ def main() -> None:
     total = round(time.perf_counter() - t_all, 3)
 
     wc13 = baseline_comparable_wordcount(spark)
+    sweep = conf_sweep(spark, qs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(
@@ -66,9 +67,44 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 **wc13,
+                "conf_sweep": sweep,
             }
         )
     )
+
+
+# The reference's own harness is a config sweep — run_MapReduce.py:28-70
+# times every (mappers, reducers) combination and its source comments
+# record the per-config table (mpi_mapreduce.c:8-14). The Spark
+# analogue: shuffle partitions x AQE over the headline queries.
+SWEEP_PARTITIONS = (16, 32, 64)
+SWEEP_QUERIES = ("wordcount", "q1_pricing_summary", "q5_region_revenue",
+                 "dedup_minhash")
+
+
+def conf_sweep(spark, qs) -> dict:
+    orig_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    orig_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    out: dict[str, dict[str, float]] = {}
+    try:
+        for name in SWEEP_QUERIES:
+            per: dict[str, float] = {}
+            for sp in SWEEP_PARTITIONS:
+                for aqe in (True, False):
+                    spark.conf.set("spark.sql.shuffle.partitions", str(sp))
+                    spark.conf.set(
+                        "spark.sql.adaptive.enabled", str(aqe).lower()
+                    )
+                    t0 = time.perf_counter()
+                    materialize(qs[name](spark, SF_DIR))
+                    per[f"sp{sp}_aqe_{'on' if aqe else 'off'}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+            out[name] = per
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig_sp)
+        spark.conf.set("spark.sql.adaptive.enabled", orig_aqe)
+    return out
 
 
 def baseline_comparable_wordcount(spark) -> dict:
@@ -94,10 +130,14 @@ def baseline_comparable_wordcount(spark) -> dict:
     try:
         big = spark.range(reps).crossJoin(docs).select("text")
         big.repartition(130).write.mode("overwrite").text(tmp)
-        # best of 3, mirroring the reference's best-of-config-sweep
-        elapsed = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
+        # The 130 chunk files are ~100 KB each; at the default 4 MB
+        # openCostInBytes Spark schedules one task per file (130 tiny
+        # tasks, ~40% scheduling overhead at this size). 64 KB packs
+        # them into ~core-count partitions. Scoped to this measurement
+        # and restored after.
+        open_cost = spark.conf.get("spark.sql.files.openCostInBytes")
+        spark.conf.set("spark.sql.files.openCostInBytes", "65536")
+        def run_once() -> None:
             materialize(
                 tokenize_lines(
                     spark.read.text(tmp).withColumnRenamed("value", "text")
@@ -105,7 +145,21 @@ def baseline_comparable_wordcount(spark) -> dict:
                 .groupBy("word")
                 .agg(F.count("*").alias("cnt"))
             )
-            elapsed = min(elapsed, time.perf_counter() - t0)
+
+        # best of 3 after one untimed warm pass, mirroring the
+        # reference's best-of-config-sweep (its clock also excludes
+        # startup): the pass right after the chunk-file write absorbs
+        # codegen for this exact plan plus data-prep GC/page-cache
+        # churn and measures 2-3x slower than steady state.
+        elapsed = float("inf")
+        try:
+            run_once()
+            for _ in range(3):
+                t0 = time.perf_counter()
+                run_once()
+                elapsed = min(elapsed, time.perf_counter() - t0)
+        finally:
+            spark.conf.set("spark.sql.files.openCostInBytes", open_cost)
         mb = n_bytes * reps / 1e6
         return {
             "wordcount_13mb_sec": round(elapsed, 3),

@@ -35,10 +35,16 @@ _STRIP_RE = r"^[^a-z]+|[^a-z]+$"
 
 
 def normalize_word(token: Column) -> Column:
-    """Exact ``normalizeWord`` semantics as a native expression."""
+    """Exact ``normalizeWord`` semantics as a native expression.
+
+    One regex per token: a token contains a letter iff the end-strip
+    leaves it non-empty, so ``stripped == '' ? lowered : stripped`` is
+    exactly the reference's rule-3 passthrough without a second
+    ``rlike`` scan (pinned by tests/test_normalize.py + the
+    hypothesis property test)."""
     lowered = F.lower(token)
     stripped = F.regexp_replace(lowered, _STRIP_RE, "")
-    return F.when(lowered.rlike("[a-z]"), stripped).otherwise(lowered)
+    return F.when(stripped == "", lowered).otherwise(stripped)
 
 
 def tokenize_lines(df: DataFrame, text_col: str = "text") -> DataFrame:

@@ -79,6 +79,15 @@ def shingle_hashes_expr(hws: Column) -> Column:
     )
 
 
+# (app_id, sf_dir) -> persisted (doc_id, h0) frame. Five dedup-family
+# queries (minhash signatures/pairs/estimate, n-gram jaccard, edit-
+# distance, CC groups) all start from the same shingle stage; within
+# one session (bench run, driver correctness pass) recomputing it per
+# query was ~25 s of the r1 bench. At cluster scale the equivalent is
+# writing the shingle table once and reading it per consumer.
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, h0) — one row per distinct 3-shingle hash per doc.
 
@@ -89,7 +98,11 @@ def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     (~6x the regex work per row — measured 31s -> 0.8s at sf0.1);
     with a column reference, Catalyst's CollapseProject keeps the
     multi-referenced expensive expression staged and it evaluates
-    once."""
+    once. The result is persisted once per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text"
     )
@@ -98,9 +111,11 @@ def doc_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     hws = words.select(
         "doc_id", F.transform(F.col("words"), poly_hash).alias("hws")
     )
-    return hws.select(
+    out = hws.select(
         "doc_id", F.explode(shingle_hashes_expr(F.col("hws"))).alias("h0")
-    )
+    ).persist()
+    _SHINGLE_CACHE[key] = out
+    return out
 
 
 def shingle_hashes_cte_sql() -> str:
@@ -310,7 +325,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Join on the int64 shingle hash, not the shingle string: fixed
     # 8-byte shuffle keys instead of ~20-byte strings. Hash collisions
     # are possible but the oracle hashes identically, so results agree.
-    sh = doc_shingle_hashes(spark, sf_dir).cache()
+    sh = doc_shingle_hashes(spark, sf_dir)  # persisted by the shared stage
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     df_ok = (
         sh.groupBy("h0")

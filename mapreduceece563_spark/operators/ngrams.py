@@ -86,7 +86,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document.
 
     idf = ln((N+1)/(df+1)) + 1 (smoothed); N broadcast as a 1-row
-    aggregate, df from one (word) groupBy. Ranking breaks ties on the
+    aggregate, df from one (word) groupBy. The ranking key is the
+    QUANTIZED int64 weight tf * idf3 (idf in integer thousandths, as
+    tfidf_cosine_pairs uses) — ranking on the raw double would make
+    cross-engine row_number order depend on JVM Math.log vs libm log
+    bit-identity. The reported tfidf is derived from the same int64
+    weight, so both engines emit identical values. Ties break on the
     term so the per-doc top-k is deterministic."""
     w = _words_per_doc(spark, sf_dir)
     tokens = w.select("doc_id", F.explode("words").alias("word"))
@@ -98,29 +103,24 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("df"))
     )
     n_docs = w.agg(F.count("*").alias("n_docs"))
+    idf3 = F.round(
+        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")) + 1.0)
+        * 1000, 0
+    ).cast("long")
     scored = (
         tf.join(df, "word")
         .crossJoin(F.broadcast(n_docs))
-        .withColumn(
-            "_tfidf",
-            F.col("tf")
-            * (
-                F.log(
-                    (F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")
-                )
-                + 1.0
-            ),
-        )
+        .withColumn("_w", F.col("tf") * idf3)
     )
     rank_w = Window.partitionBy("doc_id").orderBy(
-        F.desc("_tfidf"), F.asc("word")
+        F.desc("_w"), F.asc("word")
     )
     return (
         scored.withColumn("term_rank", F.row_number().over(rank_w))
         .filter(F.col("term_rank") <= TFIDF_TOP_TERMS)
         .select(
             "doc_id", "word", "tf", "df",
-            F.round(F.col("_tfidf"), 6).alias("tfidf"), "term_rank",
+            (F.col("_w") / 1000.0).alias("tfidf"), "term_rank",
         )
     )
 
@@ -136,16 +136,17 @@ df AS (
 nd AS (SELECT count(*) AS n_docs FROM w),
 scored AS (
   SELECT doc_id, word, tf, df,
-         tf * (ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0) AS _tfidf
+         tf * CAST(round((ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0)
+                         * 1000, 0) AS BIGINT) AS _w
   FROM tf JOIN df USING (word) CROSS JOIN nd
 ),
 ranked AS (
-  SELECT doc_id, word, tf, df, _tfidf,
+  SELECT doc_id, word, tf, df, _w,
          row_number() OVER (PARTITION BY doc_id
-                            ORDER BY _tfidf DESC, word ASC) AS term_rank
+                            ORDER BY _w DESC, word ASC) AS term_rank
   FROM scored
 )
-SELECT doc_id, word, tf, df, round(_tfidf, 6) AS tfidf, term_rank
+SELECT doc_id, word, tf, df, _w / 1000.0 AS tfidf, term_rank
 FROM ranked WHERE term_rank <= {TFIDF_TOP_TERMS}
 """
 

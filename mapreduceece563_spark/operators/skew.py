@@ -61,30 +61,38 @@ APPROX_TOL = 0.10
 
 
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact vs sketched distinct counts per event_type.
+    """Exact distinct users per event_type (the oracle-checked half of
+    the approximate-distinct surface).
 
-    At 100 TB the exact count(DISTINCT) is the expensive path (full
-    shuffle of the composite key); approx_count_distinct is one pass
-    with fixed-size HLL sketches that merge map-side. The engines'
-    sketch internals differ, so the oracle-checked columns are the
-    exact count plus a BOOLEAN 'sketch landed within 10%' — pinning
-    that the approximate path is wired and sane in both engines."""
+    The sketch half lives in `approx_distinct_sketch` + a Spark-side
+    pytest tolerance assertion: Spark's HLL++ and DuckDB's sketch are
+    different algorithms, so cross-engine-comparing any sketch-derived
+    column (even a 'within 10%' boolean) only holds while BOTH
+    independent sketches land on the same side of the tolerance — a
+    fixture or engine-version change could break the hash spuriously
+    (ADVICE r1)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    agg = ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_exact"),
-        F.approx_count_distinct("user_id").alias("_n_approx"),
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
     )
-    ok = (
-        F.abs(F.col("_n_approx") - F.col("n_exact"))
-        <= F.col("n_exact") * APPROX_TOL
-    )
-    return agg.select("event_type", "n_exact", ok.alias("approx_within_tol"))
 
 
-APPROX_DISTINCT_SQL = f"""
+APPROX_DISTINCT_SQL = """
 SELECT event_type,
-       count(DISTINCT user_id) AS n_exact,
-       abs(approx_count_distinct(user_id) - count(DISTINCT user_id))
-         <= count(DISTINCT user_id) * {APPROX_TOL} AS approx_within_tol
+       count(DISTINCT user_id) AS n_exact
 FROM events GROUP BY event_type
 """
+
+
+def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched distinct users per event_type — the 100 TB path.
+
+    Exact count(DISTINCT) shuffles the full composite key; HLL++
+    sketches are fixed-size and merge map-side, one pass. No DuckDB
+    oracle (sketch internals are engine-specific); the driver records
+    the weaker rows-only check, and tests/test_partitioning.py asserts
+    the sketch lands within APPROX_TOL of the exact count."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("n_approx")
+    )

@@ -346,6 +346,127 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- repetition metrics (Gopher-style quality filters) ----------------
+
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics — the classic training-data
+    quality filters (cf. the Gopher/MassiveText rules): distinct-word
+    ratio, top-word fraction, and the fraction of bigram occurrences
+    whose bigram repeats within the document.
+
+    Plan shape: tokens explode once; word counts and bigram counts are
+    two high-cardinality (doc_id, key) groupBys — no skew (keys are
+    per-doc), partial aggregation map-side, then one groupBy(doc_id)
+    each and a 1:1 join on doc_id. Bigram identity is the int64 fold
+    of adjacent word hashes (8-byte shuffle keys, never strings).
+    Docs whose tokens all filter out produce no row (so n_words >= 1
+    and the ratios never divide by zero). All ratios are int/int
+    double divisions of identical operands in both engines."""
+    from ..functions.hashing import HASH_BASE, HASH_MOD
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    words = docs.select("doc_id", words_array(F.col("text")).alias("words"))
+    hws = words.select(
+        "doc_id",
+        F.col("words"),
+        F.transform(F.col("words"), poly_hash).alias("hws"),
+    )
+
+    tok = hws.select("doc_id", F.explode("words").alias("word"))
+    wc = tok.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_c"),
+    )
+
+    n = F.size("hws")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: (
+            F.element_at(F.col("hws"), i) * HASH_BASE
+            + F.element_at(F.col("hws"), i + 1)
+        )
+        % HASH_MOD,
+    )
+    bg = hws.filter(n >= 2).select(
+        "doc_id", F.explode(bigrams).alias("bh")
+    )
+    bc = bg.groupBy("doc_id", "bh").agg(F.count("*").alias("c"))
+    bstats = bc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+            "dup_bi"
+        ),
+    )
+
+    joined = wstats.join(bstats, "doc_id", "left")
+    return joined.select(
+        "doc_id",
+        "n_words",
+        "n_distinct",
+        F.round(F.col("n_distinct") / F.col("n_words"), 6).alias(
+            "distinct_ratio"
+        ),
+        F.round(F.col("top_c") / F.col("n_words"), 6).alias("top_word_frac"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_bigrams"), F.lit(0)) > 0,
+                F.col("dup_bi") / F.col("n_bigrams"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("dup_bigram_frac"),
+    )
+
+
+def _repetition_sql() -> str:
+    from ..functions.hashing import HASH_BASE, HASH_MOD
+
+    return f"""
+WITH w AS (
+  SELECT doc_id, {_words_sql()} AS words
+  FROM documents WHERE text IS NOT NULL AND text <> ''
+),
+hw AS (
+  SELECT doc_id, words,
+         list_transform(words, t -> {poly_hash_sql('t')}) AS hws
+  FROM w
+),
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY doc_id, word),
+wstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         count(*) AS n_distinct, CAST(max(c) AS BIGINT) AS top_c
+  FROM wc GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(hws)),
+                i -> (hws[i] * {HASH_BASE} + hws[i+1]) % {HASH_MOD})) AS bh
+  FROM hw WHERE len(hws) >= 2
+),
+bc AS (SELECT doc_id, bh, count(*) AS c FROM bg GROUP BY doc_id, bh),
+bstats AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup_bi
+  FROM bc GROUP BY doc_id
+)
+SELECT ws.doc_id, ws.n_words, ws.n_distinct,
+       round(ws.n_distinct / ws.n_words, 6) AS distinct_ratio,
+       round(ws.top_c / ws.n_words, 6) AS top_word_frac,
+       round(CASE WHEN coalesce(bs.n_bigrams, 0) > 0
+                  THEN bs.dup_bi / bs.n_bigrams ELSE 0.0 END, 6)
+         AS dup_bigram_frac
+FROM wstats ws LEFT JOIN bstats bs ON ws.doc_id = bs.doc_id
+"""
+
+
+REPETITION_SQL = _repetition_sql()
+
+
 CORPUS_STATS_SQL = f"""
 WITH w AS (SELECT doc_id, text, {_words_sql()} AS words FROM documents),
 base AS (

@@ -131,6 +131,9 @@ register("events_type_profile", sk.events_type_profile, sk.EVENTS_TYPE_PROFILE_S
 # --- grouping sets / approx sketches / Arrow path / CC dedup ---------
 register("orders_grouping_sets", rel.orders_grouping_sets, rel.ORDERS_GROUPING_SETS_SQL)
 register("approx_distinct_users", sk.approx_distinct_users, sk.APPROX_DISTINCT_SQL)
+# sketch internals are engine-specific: no cross-engine oracle; the
+# tolerance vs the exact count is asserted Spark-side in pytest
+register("approx_distinct_sketch", sk.approx_distinct_sketch, None)
 register("knn_pandas_udf", sim.knn_pandas_udf, sim.KNN_PANDAS_SQL)
 register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
 
@@ -141,6 +144,7 @@ register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
 # --- composed training-data pipeline ---------------------------------
 register("training_data_filter", ts.training_data_filter, ts.TRAINING_FILTER_SQL)
 register("corpus_stats", ts.corpus_stats, ts.CORPUS_STATS_SQL)
+register("doc_repetition_stats", ts.doc_repetition_stats, ts.REPETITION_SQL)
 
 # --- tf-idf cosine verify tier ---------------------------------------
 register("tfidf_cosine_pairs", ng.tfidf_cosine_pairs, ng.TFIDF_COSINE_SQL)

@@ -70,3 +70,29 @@ def test_bucketed_join_has_no_exchange(spark):
     finally:
         for t in db_tables:
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_approx_distinct_sketch_within_tol(spark):
+    """The HLL++ sketch path must land within APPROX_TOL of the exact
+    distinct count per group — asserted Spark-side only, because sketch
+    internals are engine-specific and a cross-engine-compared
+    sketch-derived column can break spuriously (ADVICE r1)."""
+    from mapreduceece563_spark.operators.skew import (
+        APPROX_TOL,
+        approx_distinct_sketch,
+        approx_distinct_users,
+    )
+
+    exact = {
+        r["event_type"]: r["n_exact"]
+        for r in approx_distinct_users(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["event_type"]: r["n_approx"]
+        for r in approx_distinct_sketch(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= n * APPROX_TOL, (
+            f"{et}: sketch {approx[et]} outside {APPROX_TOL:.0%} of exact {n}"
+        )
