@@ -1109,3 +1109,343 @@ SELECT CAST(order_year AS INT) AS order_year,
        sum(_rc) / 100.0 AS total_volume
 FROM j GROUP BY order_year
 """
+
+
+# --- TPC-H-style q4: priority counts via EXISTS semi join -------------
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (semi join): orders in a quarter that have at
+    least one lineitem shipped after the order date, counted per
+    priority. The schema has no commit/receipt dates, so 'late line'
+    is l_shipdate > o_orderdate (same EXISTS structure as the
+    original). Spark plans a LEFT SEMI hash join — each order emits at
+    most once regardless of how many lineitems match; the date filter
+    on orders is pushed to the scan before the join."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    orders = orders.filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1996-04-01")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "leftsemi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+"""
+
+
+# --- TPC-H q13: customer order-count distribution ---------------------
+
+def q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: LEFT join customers to orders, count orders per
+    customer (zero-order customers kept), then the distribution of
+    those counts. Two aggregations; the first keys on c_custkey (high
+    cardinality, no skew), the second on the tiny count domain —
+    fine because its input is already one row per customer."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+    )
+
+
+Q13_SQL = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+
+# --- TPC-H q15: top supplier over a revenue view ----------------------
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: per-supplier revenue over one quarter (the 'revenue
+    view'), then the supplier(s) achieving the max. Revenue sums are
+    int64 cents so the max-equality join is exact. The 1-row max
+    aggregate is broadcast; ties would all be returned (as in the
+    spec) deterministically."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1996-04-01")
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("_rc")
+    )
+    mx = rev.agg(F.max("_rc").alias("_mx"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev._rc == mx._mx)
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select(
+            "s_suppkey", "s_name",
+            (F.col("_rc") / 100.0).alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = f"""
+WITH rev AS (
+  SELECT l_suppkey,
+         sum({_cents_sql('l_extendedprice * (1 - l_discount)')}) AS _rc
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, _rc / 100.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE _rc = (SELECT max(_rc) FROM rev)
+"""
+
+
+# --- TPC-H q17: small-quantity-order revenue (correlated avg) ---------
+
+def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems of one brand whose
+    quantity is below 20% of that part's average quantity. The
+    correlated scalar avg decorrelates to a per-part aggregate that is
+    BROADCAST back onto the fact scan (part and the 1-row-per-part
+    aggregate are both dimension-sized). avg is computed as
+    exact-int sum / count so the threshold is bit-identical across
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avgq = li.groupBy("l_partkey").agg(
+        (
+            F.sum(F.col("l_quantity").cast("long"))
+            / F.count("*")
+        ).alias("_avg_qty")
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    part = part.filter(F.col("p_brand") == "Brand#12")
+    joined = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(avgq), "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("_avg_qty"))
+    )
+    return joined.agg(
+        (F.sum(_cents(F.col("l_extendedprice"))) / 100.0 / 7.0)
+        .alias("avg_yearly")
+    )
+
+
+Q17_SQL = f"""
+SELECT sum({_cents_sql('l_extendedprice')}) / 100.0 / 7.0 AS avg_yearly
+FROM lineitem l
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#12'
+  AND l_quantity < (
+    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+                  / count(*))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+
+# --- TPC-H q19: disjunctive predicate pushdown ------------------------
+
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR of three (brand, size,
+    quantity-band) conjunctions. The point of the operator is that the
+    disjunction SPLITS across the join: the part-only conjuncts
+    (brand, size) filter the broadcast dimension and the lineitem-only
+    conjuncts (quantity bands) filter the fact scan, with the full OR
+    re-checked after the join — Catalyst derives both partial filters
+    from the disjunction automatically (CNF extraction)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        (
+            F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            / 100.0
+        ).alias("revenue")
+    )
+
+
+Q19_SQL = f"""
+SELECT sum({_cents_sql('l_extendedprice * (1 - l_discount)')}) / 100.0
+         AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 35
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# --- TPC-H q22: rich inactive customers (anti join + scalar avg) ------
+
+Q22_RECENT_CUTOFF = "1999-01-01"
+
+
+def q22_inactive_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers with above-average (positive)
+    balance and no RECENT orders (none since 1999 — this dataset's
+    customers nearly all have SOME order, so the original's
+    no-orders-ever predicate selects nothing), grouped by market
+    segment. Anti join on custkey against the date-filtered orders
+    scan (filter pushed below the anti join); the global average is a
+    broadcast 1-row aggregate. The threshold compare is long-cents vs
+    (exact-int sum / count) — both engines evaluate the identical
+    expression."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(
+            (F.sum(_cents(F.col("c_acctbal"))) / F.count("*"))
+            .alias("_avg_cents")
+        )
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate"
+    )
+    orders = orders.filter(F.col("o_orderdate") >= Q22_RECENT_CUTOFF).select(
+        "o_custkey"
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        _cents(F.col("c_acctbal")) > F.col("_avg_cents")
+    )
+    inactive = rich.join(
+        orders, rich.c_custkey == orders.o_custkey, "left_anti"
+    )
+    return inactive.groupBy("c_mktsegment").agg(
+        F.count("*").alias("numcust"),
+        (F.sum(_cents(F.col("c_acctbal"))) / 100.0).alias("totacctbal"),
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, count(*) AS numcust,
+       sum({_cents_sql('c_acctbal')}) / 100.0 AS totacctbal
+FROM customer c
+WHERE {_cents_sql('c_acctbal')} > (
+    SELECT CAST(sum({_cents_sql('c_acctbal')}) AS BIGINT) / count(*)
+    FROM customer WHERE c_acctbal > 0.0
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c.c_custkey AND o_orderdate >= '{Q22_RECENT_CUTOFF}'
+  )
+GROUP BY c_mktsegment
+"""
+
+
+# --- TPC-H q9 (adapted): profit by supplier nation and year -----------
+
+def q9_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit grouped by supplier nation and order
+    year. This schema has no partsupp, so unit cost is the part's
+    retail price (profit = revenue - p_retailprice * qty); the join
+    tree and aggregation match the original. lineitem-orders shuffle
+    once on orderkey; part, supplier, and nation broadcast. Profit is
+    int64 cents end to end."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    )
+    profit = _cents(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) - _cents(F.col("p_retailprice") * F.col("l_quantity"))
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+    )
+    return (
+        j.select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+            profit.alias("_pc"),
+        )
+        .groupBy("nation", "o_year")
+        .agg((F.sum("_pc") / 100.0).alias("profit"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       sum({_cents_sql('l_extendedprice * (1 - l_discount)')}
+           - {_cents_sql('p_retailprice * l_quantity')}) / 100.0 AS profit
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name, year(o_orderdate)
+"""

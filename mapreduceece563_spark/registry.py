@@ -163,6 +163,13 @@ register("q14_promo_share", rel.q14_promo_share, rel.Q14_SQL)
 register("q18_large_orders", rel.q18_large_orders, rel.Q18_SQL)
 register("q7_nation_volume", rel.q7_nation_volume, rel.Q7_SQL)
 register("q8_market_share", rel.q8_market_share, rel.Q8_SQL)
+register("q4_order_priority", rel.q4_order_priority, rel.Q4_SQL)
+register("q9_profit_by_nation", rel.q9_profit_by_nation, rel.Q9_SQL)
+register("q13_order_distribution", rel.q13_order_distribution, rel.Q13_SQL)
+register("q15_top_supplier", rel.q15_top_supplier, rel.Q15_SQL)
+register("q17_small_qty_revenue", rel.q17_small_qty_revenue, rel.Q17_SQL)
+register("q19_disjunctive_revenue", rel.q19_disjunctive_revenue, rel.Q19_SQL)
+register("q22_inactive_rich", rel.q22_inactive_rich, rel.Q22_SQL)
 
 # --- winnowing fingerprints / hourly anomaly -------------------------
 register("winnow_fingerprints", dd.winnow_fingerprints, dd.WINNOW_SQL)

@@ -121,3 +121,44 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in plan:
             offenders.append(name)
     assert not offenders, f"CartesianProduct in: {offenders}"
+
+
+def test_q4_semi_join(spark):
+    """EXISTS must plan as a semi join (each order emits at most once,
+    never multiplied by matching lineitems), with the quarter filter
+    pushed to the orders scan."""
+    plan = plan_string(Q["q4_order_priority"](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+    rep = plan_report(Q["q4_order_priority"](spark, SF_DIR))
+    assert rep.pushed_filters
+
+
+def test_q17_q19_part_broadcast(spark):
+    """part (and q17's per-part avg aggregate) are dimension-sized:
+    both must broadcast, never shuffle the lineitem scan."""
+    for q in ("q17_small_qty_revenue", "q19_disjunctive_revenue"):
+        rep = plan_report(Q[q](spark, SF_DIR))
+        assert rep.n_broadcast_joins >= 1, q
+        assert rep.n_sortmerge_joins == 0, q
+
+
+def test_q19_disjunction_splits_to_scans(spark):
+    """Catalyst must derive the lineitem-only quantity bands from the
+    OR and push them into the fact scan (partial-filter extraction) —
+    without it the scan reads every row for a <1% predicate."""
+    rep = plan_report(Q["q19_disjunctive_revenue"](spark, SF_DIR))
+    assert rep.pushed_filters, "derived l_quantity bands must reach the scan"
+
+
+def test_q22_anti_join_with_pushed_date(spark):
+    """NOT EXISTS on recent orders = anti join; the date filter must
+    apply below the join so only recent orders build the hash side."""
+    plan = plan_string(Q["q22_inactive_rich"](spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan
+    rep = plan_report(Q["q22_inactive_rich"](spark, SF_DIR))
+    assert rep.pushed_filters
+
+
+def test_q9_dims_broadcast(spark):
+    rep = plan_report(Q["q9_profit_by_nation"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 3  # part, supplier, nation
