@@ -31,6 +31,41 @@ def _words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", words_array(F.col("text")).alias("words"))
 
 
+# (app_id, sf_dir) -> persisted (doc_id, word, tf) term frequencies.
+# Both TF-IDF consumers (top-terms ranking and the cosine verify tier)
+# start from the same tokenize -> per-doc term-count stage; document
+# frequency derives from it with one more groupBy (tf is already one
+# row per (doc, word)). Persisting it once per session mirrors the
+# shingle-stage cache in operators/dedup.py; the cluster equivalent is
+# a materialized term-frequency table.
+_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _tf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _TF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tokens = _words_per_doc(spark, sf_dir).select(
+        "doc_id", F.explode("words").alias("word")
+    )
+    tf = tokens.groupBy("doc_id", "word").agg(
+        F.count("*").alias("tf")
+    ).persist()
+    _TF_CACHE[key] = tf
+    return tf
+
+
+def _n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row count of documents with non-empty text (the TF-IDF 'N' —
+    note: counts docs whose every token filtered out too, matching the
+    oracle's count over the words CTE). No tokenization needed."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    return docs.filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    ).agg(F.count("*").alias("n_docs"))
+
+
 def _words_cte() -> str:
     norm = NORMALIZE_SQL.format(t="t")
     return f"""
@@ -93,16 +128,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identity. The reported tfidf is derived from the same int64
     weight, so both engines emit identical values. Ties break on the
     term so the per-doc top-k is deterministic."""
-    w = _words_per_doc(spark, sf_dir)
-    tokens = w.select("doc_id", F.explode("words").alias("word"))
-    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = (
-        tokens.select("doc_id", "word")
-        .distinct()
-        .groupBy("word")
-        .agg(F.count("*").alias("df"))
-    )
-    n_docs = w.agg(F.count("*").alias("n_docs"))
+    tf = _tf_stage(spark, sf_dir)
+    # df derives from tf (already one row per (doc, word)) — cheaper
+    # than a distinct over the raw token stream.
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = _n_docs(spark, sf_dir)
     idf3 = F.round(
         (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")) + 1.0)
         * 1000, 0
@@ -197,14 +227,9 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt/divide, identically ordered."""
     from .dedup import dedup_minhash
 
-    w = _words_per_doc(spark, sf_dir)
-    tokens = w.select("doc_id", F.explode("words").alias("word"))
-    tf = tokens.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    df = (
-        tokens.select("doc_id", "word").distinct()
-        .groupBy("word").agg(F.count("*").alias("df"))
-    )
-    n_docs = w.agg(F.count("*").alias("n_docs"))
+    tf = _tf_stage(spark, sf_dir)
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = _n_docs(spark, sf_dir)
     idf3 = F.round(
         (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")) + 1.0)
         * 1000, 0
