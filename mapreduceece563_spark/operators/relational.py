@@ -1449,3 +1449,416 @@ JOIN supplier ON l_suppkey = s_suppkey
 JOIN nation ON s_nationkey = n_nationkey
 GROUP BY n_name, year(o_orderdate)
 """
+
+
+# --- TPC-H q2 (adapted): cheapest supplier per part (argmin join-back)
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each part in a (size, type) slice, the
+    supplier(s) from one region offering the minimum cost, with the
+    original's ordering and top-100 cut. No partsupp table in this
+    schema, so unit cost derives from the lineitem association:
+    min(extendedprice / quantity) per (part, supplier), quantized to
+    int64 cents so the min-equality join-back is exact.
+
+    Scale shape: the correlated min subquery decorrelates to a
+    per-part aggregate joined back on equality (two aggregations, one
+    shuffle each on partkey-family keys); part/supplier/nation/region
+    are all broadcast dims. The top-100 is TakeOrderedAndProject with
+    a full deterministic tie-break chain."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    unit_cents = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
+    ).cast("long")
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_size", "p_type"
+    )
+    part = part.filter(
+        F.col("p_size").between(10, 20) & (F.col("p_type") == "STANDARD")
+    ).select("p_partkey")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name"
+    ).filter(F.col("r_name") == "EUROPE")
+    sn = (
+        supp.join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    cost = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(unit_cents).alias("_cost"))
+    )
+    min_cost = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("_cost").alias("_min_cost"))
+        .withColumnRenamed("l_partkey", "_mk")
+    )
+    best = cost.join(
+        F.broadcast(min_cost),
+        (F.col("l_partkey") == F.col("_mk"))
+        & (F.col("_cost") == F.col("_min_cost")),
+    ).select(F.col("l_partkey").alias("p_partkey"), "l_suppkey", "_cost")
+    return (
+        best.join(F.broadcast(sn), best.l_suppkey == sn.s_suppkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey",
+            (F.col("_cost") / 100.0).alias("min_cost"),
+        )
+        .orderBy(
+            F.desc("s_acctbal"), F.asc("n_name"), F.asc("s_name"),
+            F.asc("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+Q2_SQL = """
+WITH sn AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cost AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT))
+           AS _cost
+  FROM lineitem
+  JOIN (SELECT p_partkey FROM part
+        WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD') p
+    ON l_partkey = p_partkey
+  JOIN sn ON l_suppkey = s_suppkey
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, c.l_partkey AS p_partkey,
+       _cost / 100.0 AS min_cost
+FROM cost c
+JOIN sn ON c.l_suppkey = sn.s_suppkey
+WHERE _cost = (SELECT min(_cost) FROM cost c2
+               WHERE c2.l_partkey = c.l_partkey)
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+
+# --- TPC-H q11 (adapted): important parts by one nation's volume ------
+
+Q11_NATION = "NATION_7"
+Q11_FRACTION = 0.001
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value restricted to one nation's
+    suppliers, keeping parts whose value exceeds a fixed fraction of
+    the nation's TOTAL value — a group-by filtered against a global
+    scalar subquery. The scalar total is a 1-row broadcast; the
+    group-by shuffles once on partkey. Values are int64 cents so the
+    threshold compare (long > double) is bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).filter(F.col("n_name") == Q11_NATION)
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey")
+    filtered = li.join(F.broadcast(sn), li.l_suppkey == sn.s_suppkey)
+    per_part = filtered.groupBy("l_partkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+        .alias("_vc")
+    )
+    total = per_part.agg(F.sum("_vc").alias("_tc"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("_vc") > Q11_FRACTION * F.col("_tc"))
+        .select("l_partkey", (F.col("_vc") / 100.0).alias("part_value"))
+    )
+
+
+Q11_SQL = f"""
+WITH filtered AS (
+  SELECT l_partkey,
+         {_cents_sql('l_extendedprice * (1 - l_discount)')} AS _c
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = '{Q11_NATION}'
+),
+per_part AS (
+  SELECT l_partkey, CAST(sum(_c) AS BIGINT) AS _vc
+  FROM filtered GROUP BY l_partkey
+)
+SELECT l_partkey, _vc / 100.0 AS part_value
+FROM per_part
+WHERE _vc > {Q11_FRACTION} * (SELECT CAST(sum(_vc) AS BIGINT) FROM per_part)
+"""
+
+
+# --- TPC-H q12 (adapted): shipping-delay buckets x order priority -----
+
+def q12_shipping_delay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional aggregation of order priorities
+    per shipping class. No l_shipmode/commitdate in this schema, so
+    the class is the ship delay bucket (days between order and ship
+    date — timestamps are midnight-aligned, so datediff equals
+    DuckDB's day-boundary date_diff). One orderkey-join shuffle, one
+    tiny group-by; the CASE sums are the same map-side-combinable
+    conditional counts as the original."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    bucket = (
+        F.when(delay <= 30, "1-fast")
+        .when(delay <= 365, "2-normal")
+        .otherwise("3-slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(
+            bucket.alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).alias("_h"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("_h").alias("high_line_count"),
+            F.sum(1 - F.col("_h")).alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+            THEN '1-fast'
+            WHEN date_diff('day', o_orderdate, l_shipdate) <= 365
+            THEN '2-normal'
+            ELSE '3-slow' END AS delay_bucket,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1
+"""
+
+
+# --- TPC-H q16 (adapted): supplier counts by part attribute ----------
+
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def q16_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) over the part-supplier association, excluding one brand, a
+    NOT-LIKE type slice, and 'complaint' suppliers (negative balance
+    stands in for the original's comment-text predicate) via anti
+    join. The association is distinct (l_partkey, l_suppkey) — at
+    scale that dedup is the only wide shuffle; part is a broadcast
+    dim and the excluded-supplier list is a broadcast anti join.
+    count(DISTINCT) expands to Spark's standard two-phase distinct
+    aggregate."""
+    assoc = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_type", "p_size"
+    )
+    part = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(*Q16_SIZES)
+    )
+    bad_supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_acctbal"
+    ).filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    return (
+        assoc.join(F.broadcast(part), assoc.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_supp),
+            assoc.l_suppkey == bad_supp.s_suppkey,
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = f"""
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) assoc
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN {Q16_SIZES}
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+# --- TPC-H q20 (adapted): dominant suppliers of a part slice ---------
+
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: a semi-join chain — suppliers selected by an
+    IN subquery that itself nests a part-name IN subquery and a
+    correlated quantity threshold. Adapted to this schema: suppliers
+    who shipped more than half of a 'red%' part's total 1995 volume
+    (no partsupp/availqty here). The correlated scalar decorrelates
+    to a per-part total joined back (broadcast — the part slice is
+    dim-sized); the supplier filter is a LEFT SEMI join, so supplier
+    rows are emitted once regardless of how many parts qualify."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity", "l_shipdate"
+    )
+    li95 = li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+    )
+    red_parts = (
+        load_table(spark, sf_dir, "part")
+        .select("p_partkey", "p_name")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    li_red = li95.join(
+        F.broadcast(red_parts), li95.l_partkey == red_parts.p_partkey
+    )
+    per_ps = li_red.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("_q")
+    )
+    per_part = per_ps.groupBy("l_partkey").agg(F.sum("_q").alias("_tq"))
+    dominant = (
+        per_ps.join(F.broadcast(per_part), "l_partkey")
+        .filter(F.col("_q") > 0.5 * F.col("_tq"))
+        .select("l_suppkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    return (
+        supp.join(dominant, supp.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+Q20_SQL = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS _q
+  FROM lineitem
+  WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_ps p
+  WHERE _q > 0.5 * (SELECT CAST(sum(_q) AS BIGINT) FROM per_ps p2
+                    WHERE p2.l_partkey = p.l_partkey)
+)
+"""
+
+
+# --- TPC-H q21 (adapted): suppliers who alone shipped late -----------
+
+Q21_NATION = "NATION_3"
+Q21_LATE_DAYS = 90
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per-supplier count of finished multi-supplier
+    orders where that supplier was the ONLY late one — EXISTS (another
+    supplier's line in the order) plus NOT EXISTS (another supplier's
+    LATE line). 'Late' adapts to ship > 90 days after order date
+    (no receipt/commit dates in this schema).
+
+    Spark plan: the two correlated predicates collapse into ONE
+    per-order aggregate (distinct suppliers, distinct late suppliers
+    — EXISTS ⇔ n_supp ≥ 2, NOT EXISTS ⇔ n_late = 1), computed in a
+    single shuffle on orderkey that the late-line join then reuses;
+    the count preserves one row per qualifying late line, exactly the
+    EXISTS semantics of the oracle's correlated form."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_orderstatus")
+        .filter(F.col("o_orderstatus") == "F")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        f"INTERVAL {Q21_LATE_DAYS} DAYS"
+    )
+    order_prof = lo.groupBy("o_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("_n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("_n_late"),
+    )
+    late_lines = lo.filter(late).select("o_orderkey", "l_suppkey")
+    qualifying = (
+        late_lines.join(order_prof, "o_orderkey")
+        .filter((F.col("_n_supp") >= 2) & (F.col("_n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).filter(F.col("n_name") == Q21_NATION)
+    sn = supp.join(
+        F.broadcast(nation), supp.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", "s_name")
+    return (
+        qualifying.join(F.broadcast(sn), qualifying.l_suppkey == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+Q21_SQL = f"""
+SELECT s_name, count(*) AS numwait
+FROM lineitem l1
+JOIN orders ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name = '{Q21_NATION}'
+  AND l1.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL {Q21_LATE_DAYS} DAY
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""

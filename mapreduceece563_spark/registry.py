@@ -170,6 +170,14 @@ register("q15_top_supplier", rel.q15_top_supplier, rel.Q15_SQL)
 register("q17_small_qty_revenue", rel.q17_small_qty_revenue, rel.Q17_SQL)
 register("q19_disjunctive_revenue", rel.q19_disjunctive_revenue, rel.Q19_SQL)
 register("q22_inactive_rich", rel.q22_inactive_rich, rel.Q22_SQL)
+# full TPC-H 22: the remaining six, adapted to this schema (no
+# partsupp / shipmode / commit+receipt dates — see each docstring)
+register("q2_min_cost_supplier", rel.q2_min_cost_supplier, rel.Q2_SQL)
+register("q11_important_parts", rel.q11_important_parts, rel.Q11_SQL)
+register("q12_shipping_delay", rel.q12_shipping_delay, rel.Q12_SQL)
+register("q16_supplier_counts", rel.q16_supplier_counts, rel.Q16_SQL)
+register("q20_dominant_suppliers", rel.q20_dominant_suppliers, rel.Q20_SQL)
+register("q21_waiting_suppliers", rel.q21_waiting_suppliers, rel.Q21_SQL)
 
 # --- winnowing fingerprints / hourly anomaly -------------------------
 register("winnow_fingerprints", dd.winnow_fingerprints, dd.WINNOW_SQL)
