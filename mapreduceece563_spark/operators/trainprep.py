@@ -1,0 +1,361 @@
+"""Training-data preparation operators: deterministic splits, token
+packing, embedding quantization, domain mixing, decontamination, and
+PII redaction — the corpus-assembly steps a large-scale LLM data
+pipeline runs after dedup/quality filtering (the reference repo stops
+at word count; this is the north-star extension surface).
+
+Scale discipline:
+* The split/mixture/packing operators are map-only or one-shuffle
+  aggregations; nothing materializes per-token rows.
+* Token packing computes its running sum per SHARD (a global ordered
+  cumsum would serialize on one task at 100 TB); shard assignment is
+  deterministic so re-runs produce identical shards.
+* Decontamination broadcasts the (small) benchmark shingle set and
+  semi-joins — the corpus-side scan never shuffles its payloads.
+* All cross-engine math is exact-integer or a single identically-
+  ordered double expression, per the oracle contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .dedup import doc_shingle_hashes, shingle_hashes_cte_sql
+
+# Deterministic split: h = ((doc_id % P1) * KNUTH) % 1000. The inner
+# mod keeps the product < 2^63 for any int64 doc_id — DuckDB raises on
+# BIGINT overflow while Spark wraps, so the expression must never
+# overflow rather than "both engines wrap the same way".
+SPLIT_P1 = 100_003
+SPLIT_KNUTH = 2_654_435_761
+TRAIN_PCT, VAL_PCT = 800, 900  # of 1000
+
+PACK_BUDGET_TOKENS = 512
+PACK_SHARDS = 32
+
+# int8 quantization range
+QUANT_LEVELS = 127
+
+# Benchmark/eval holdout for decontamination: two of the 20 sources.
+EVAL_SOURCES = ("src0", "src1")
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace token count, same definition as bpe_token_count's
+    n_ws_tokens (single-space split, empty tokens dropped)."""
+    return F.size(F.filter(F.split(text, " "), lambda t: t != "")).cast(
+        "long"
+    )
+
+
+_WS_TOKENS_SQL = (
+    "CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT)"
+)
+
+
+def _split_col() -> Column:
+    h = (F.col("doc_id") % SPLIT_P1) * SPLIT_KNUTH % 1000
+    return (
+        F.when(h < TRAIN_PCT, "train")
+        .when(h < VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+_SPLIT_SQL = f"""CASE
+  WHEN (doc_id % {SPLIT_P1}) * {SPLIT_KNUTH} % 1000 < {TRAIN_PCT} THEN 'train'
+  WHEN (doc_id % {SPLIT_P1}) * {SPLIT_KNUTH} % 1000 < {VAL_PCT} THEN 'val'
+  ELSE 'test' END"""
+
+
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test assignment with
+    per-split document and token accounting. The assignment is a pure
+    function of doc_id (stable across runs, engines, and cluster
+    sizes — no sampling RNG), the aggregation is one tiny groupBy,
+    and the share division happens once on exact integer sums."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per = (
+        docs.select(_split_col().alias("split"),
+                    _ws_tokens(F.col("text")).alias("_t"))
+        .groupBy("split")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    total = per.agg(F.sum("n_tokens").alias("_tot"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "split", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("tok_share"),
+        )
+    )
+
+
+TRAIN_TEST_SPLIT_SQL = f"""
+WITH per AS (
+  SELECT {_SPLIT_SQL} AS split, count(*) AS n_docs,
+         CAST(sum({_WS_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY 1
+)
+SELECT split, n_docs, n_tokens,
+       round(n_tokens / CAST((SELECT CAST(sum(n_tokens) AS BIGINT) FROM per)
+                             AS DOUBLE), 6) AS tok_share
+FROM per
+"""
+
+
+def token_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into fixed-token-budget shards (context-window
+    assembly): docs are assigned to {PACK_SHARDS} deterministic
+    shards, ordered by doc_id within each, and a running token sum
+    places each doc in bin floor(preceding_tokens / budget) — the
+    streaming next-fit packing a sequence-builder runs per worker.
+
+    The window partitions on shard, so the sort and cumsum are
+    per-shard (parallel, spill-safe) rather than one global ordered
+    window, which is the scale-correct shape; bin ids are exact
+    integer math."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        _ws_tokens(F.col("text")).alias("_t"),
+    )
+    binned = staged.select(
+        "shard", "doc_id", "_t",
+        F.expr(f"(sum(_t) OVER (PARTITION BY shard ORDER BY doc_id ASC "
+               f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - _t) "
+               f"div {PACK_BUDGET_TOKENS}").alias("bin"),
+    )
+    return (
+        binned.groupBy("shard", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("_t").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+TOKEN_PACK_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         {_WS_TOKENS_SQL} AS _t
+  FROM documents
+),
+binned AS (
+  SELECT shard, doc_id, _t,
+         (CAST(sum(_t) OVER (PARTITION BY shard ORDER BY doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          - _t) // {PACK_BUDGET_TOKENS} AS bin
+  FROM staged
+)
+SELECT shard, bin, count(*) AS n_docs,
+       CAST(sum(_t) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM binned GROUP BY shard, bin
+"""
+
+
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage/serving
+    format for ANN at scale): scale = max|x|, q_i = round(x_i / scale
+    * 127). Map-only over the embeddings table, array-native (no
+    per-dim row explosion); the checksum columns (q_sum/q_min/q_max)
+    are exact integer folds so the oracle compare is bit-strict.
+    The double expression `x / scale * 127` is written identically in
+    both engines (one division, one multiply, one round)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    maxabs = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x)))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x / F.col("_scale") * QUANT_LEVELS, 0).cast("long"),
+    )
+    staged = emb.withColumn("_scale", maxabs).withColumn(
+        "_q", F.when(F.col("_scale") > 0, q).otherwise(
+            F.transform(F.col("embedding"), lambda x: F.lit(0).cast("long"))
+        )
+    )
+    return staged.select(
+        "vec_id", "label",
+        F.col("_scale").alias("scale"),
+        F.aggregate(
+            "_q", F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("q_sum"),
+        F.array_min("_q").alias("q_min"),
+        F.array_max("_q").alias("q_max"),
+        F.size("_q").alias("n_dims"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = f"""
+WITH staged AS (
+  SELECT vec_id, label,
+         list_max(list_transform(embedding, x -> abs(x))) AS _scale,
+         embedding
+  FROM embeddings
+),
+quant AS (
+  SELECT vec_id, label, _scale,
+         CASE WHEN _scale > 0 THEN
+           list_transform(embedding,
+                          x -> CAST(round(x / _scale * {QUANT_LEVELS}, 0)
+                                    AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS _q
+  FROM staged
+)
+SELECT vec_id, label, _scale AS scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), _q),
+                   (acc, x) -> acc + x) AS q_sum,
+       list_min(_q) AS q_min, list_max(_q) AS q_max,
+       CAST(len(_q) AS INT) AS n_dims
+FROM quant
+"""
+
+
+def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source token share and the sampling
+    weight that would equalize the mixture (target = uniform across
+    sources). One small groupBy plus a broadcast 1-row total; weights
+    derive from exact integer sums with one identically-ordered
+    double expression, so the oracle compare is exact."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.select("source", _ws_tokens(F.col("text")).alias("_t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    total = per.agg(
+        F.count("*").alias("_ns"), F.sum("n_tokens").alias("_tot")
+    )
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("tok_share"),
+            F.round(
+                F.col("_tot") / F.col("_ns") / F.col("n_tokens"), 6
+            ).alias("mix_weight"),
+        )
+    )
+
+
+SOURCE_MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({ws}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT count(*) AS _ns, CAST(sum(n_tokens) AS BIGINT) AS _tot FROM per
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens / CAST(_tot AS DOUBLE), 6) AS tok_share,
+       round(CAST(_tot AS DOUBLE) / _ns / n_tokens, 6) AS mix_weight
+FROM per CROSS JOIN tot
+""".format(ws=_WS_TOKENS_SQL)
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination audit: which training documents share
+    any 3-shingle with the eval holdout ({EVAL_SOURCES})? Reuses the
+    session-cached (doc_id, shingle-hash) stage from the dedup family.
+
+    Scale shape: the eval side of the semi join is tiny (a benchmark
+    set) and BROADCAST; the corpus side streams through map-side —
+    no shuffle of corpus shingles. Counts are distinct-aggregated
+    1-row output."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    marks = docs.select("doc_id", is_eval.alias("_eval"))
+    sh = doc_shingle_hashes(spark, sf_dir).join(marks, "doc_id")
+    eval_sh = (
+        sh.filter(F.col("_eval")).select("h0").distinct()
+    )
+    train_sh = sh.filter(~F.col("_eval"))
+    contaminated = train_sh.join(
+        F.broadcast(eval_sh), "h0", "left_semi"
+    )
+    shared = train_sh.select("h0").distinct().join(
+        F.broadcast(eval_sh), "h0", "left_semi"
+    )
+    doc_counts = marks.agg(
+        F.sum(F.when(F.col("_eval"), 1).otherwise(0))
+        .cast("long").alias("n_eval_docs"),
+        F.sum(F.when(F.col("_eval"), 0).otherwise(1))
+        .cast("long").alias("n_train_docs"),
+    )
+    return (
+        doc_counts.crossJoin(
+            F.broadcast(
+                contaminated.agg(
+                    F.count_distinct("doc_id")
+                    .cast("long").alias("n_contaminated_train_docs")
+                )
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                shared.agg(
+                    F.count("*").cast("long").alias("n_shared_shingles")
+                )
+            )
+        )
+    )
+
+
+_EVAL_IN = ", ".join(f"'{s}'" for s in EVAL_SOURCES)
+
+CONTAMINATION_SQL = f"""
+WITH {shingle_hashes_cte_sql().lstrip()},
+marks AS (
+  SELECT doc_id, source IN ({_EVAL_IN}) AS _eval FROM documents
+),
+msh AS (SELECT s.doc_id, h0, _eval FROM sh s JOIN marks USING (doc_id)),
+eval_sh AS (SELECT DISTINCT h0 FROM msh WHERE _eval),
+train_sh AS (SELECT doc_id, h0 FROM msh WHERE NOT _eval)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE _eval) AS n_eval_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM marks WHERE NOT _eval)
+    AS n_train_docs,
+  (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) FROM train_sh
+   WHERE h0 IN (SELECT h0 FROM eval_sh)) AS n_contaminated_train_docs,
+  (SELECT CAST(count(DISTINCT h0) AS BIGINT) FROM train_sh
+   WHERE h0 IN (SELECT h0 FROM eval_sh)) AS n_shared_shingles
+"""
+
+
+# --- PII redaction (tested on an injected fixture; the driver tables
+# --- contain no PII-shaped strings, so this is not a registry entry)
+
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+IPV4_RE = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+LONG_DIGITS_RE = "\\b[0-9]{9,}\\b"
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails, IPv4 addresses, and long digit runs (phone/SSN/
+    card shapes) from a text column, keeping per-row redaction counts.
+    Native regexp chain — map-only, codegen'd, no UDF; patterns are
+    RE2-compatible so the same strings work in a DuckDB cross-check
+    (see tests/test_trainprep.py)."""
+    t = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), 0))
+    n_ips = F.size(F.regexp_extract_all(t, F.lit(IPV4_RE), 0))
+    n_digits = F.size(F.regexp_extract_all(t, F.lit(LONG_DIGITS_RE), 0))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+            IPV4_RE, "<IP>",
+        ),
+        LONG_DIGITS_RE, "<NUM>",
+    )
+    return df.withColumn("n_emails", n_emails.cast("long")) \
+        .withColumn("n_ips", n_ips.cast("long")) \
+        .withColumn("n_long_digits", n_digits.cast("long")) \
+        .withColumn(text_col, redacted)

@@ -24,6 +24,7 @@ from .operators import similarity as sim
 from .operators import skew as sk
 from .operators import temporal as tp
 from .operators import textstats as ts
+from .operators import trainprep as tr
 from .operators import wordcount as wc
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -178,6 +179,13 @@ register("q12_shipping_delay", rel.q12_shipping_delay, rel.Q12_SQL)
 register("q16_supplier_counts", rel.q16_supplier_counts, rel.Q16_SQL)
 register("q20_dominant_suppliers", rel.q20_dominant_suppliers, rel.Q20_SQL)
 register("q21_waiting_suppliers", rel.q21_waiting_suppliers, rel.Q21_SQL)
+
+# --- training-corpus assembly (splits / packing / mixing / decontam) -
+register("train_test_split", tr.train_test_split, tr.TRAIN_TEST_SPLIT_SQL)
+register("token_pack", tr.token_pack, tr.TOKEN_PACK_SQL)
+register("embedding_quantize", tr.embedding_quantize, tr.EMBEDDING_QUANTIZE_SQL)
+register("source_mixture_weights", tr.source_mixture_weights, tr.SOURCE_MIXTURE_SQL)
+register("contamination_check", tr.contamination_check, tr.CONTAMINATION_SQL)
 
 # --- winnowing fingerprints / hourly anomaly -------------------------
 register("winnow_fingerprints", dd.winnow_fingerprints, dd.WINNOW_SQL)
