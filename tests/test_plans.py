@@ -162,3 +162,46 @@ def test_q22_anti_join_with_pushed_date(spark):
 def test_q9_dims_broadcast(spark):
     rep = plan_report(Q["q9_profit_by_nation"](spark, SF_DIR))
     assert rep.n_broadcast_joins >= 3  # part, supplier, nation
+
+
+def test_q2_argmin_broadcasts_and_topk(spark):
+    """All three small sides (part slice, supplier-nation-region dim,
+    per-part min aggregate) must broadcast; the top-100 must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = plan_string(Q["q2_min_cost_supplier"](spark, SF_DIR), "simple")
+    rep = plan_report(Q["q2_min_cost_supplier"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 3
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_scalar_total_broadcast(spark):
+    """The global-total scalar subquery must be a broadcast nested
+    loop against the 1-row aggregate, never a shuffle."""
+    plan = plan_string(Q["q11_important_parts"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_anti_join_and_distinct(spark):
+    """Complaint suppliers exclude via broadcast anti join; the
+    part-supplier association dedups before the count-distinct agg."""
+    plan = plan_string(Q["q16_supplier_counts"](spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q20_semi_join_emits_suppliers_once(spark):
+    plan = plan_string(Q["q20_dominant_suppliers"](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
+
+
+def test_q21_single_lineitem_order_shuffle_family(spark):
+    """The EXISTS/NOT-EXISTS pair collapses into one per-order
+    aggregate: the plan must not contain more than the
+    lineitem-orders join exchanges plus the order profile aggregate —
+    and the supplier-nation dim must broadcast."""
+    plan = plan_string(Q["q21_waiting_suppliers"](spark, SF_DIR), "simple")
+    rep = plan_report(Q["q21_waiting_suppliers"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 1
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("Exchange hashpartitioning") <= 5
