@@ -4,11 +4,12 @@ Images/audio/video ride through the engine as opaque ``binary``
 columns plus a typed metadata struct; decode / feature-extraction
 steps are Arrow-batched ``mapInPandas`` stages (the one place Python
 is the right tool — per-payload work that built-in expressions can't
-express). The codec libraries (Pillow/ffmpeg/...) are NOT in this
-container, so the decode step is stubbed behind
-``NotImplementedError`` with a deterministic fake for tests — the
-Spark-side plumbing (schema, batch iteration, partitioning) is real
-and is what this module actually provides.
+express). Compressed-codec libraries (Pillow/ffmpeg/...) are NOT in
+this container, so the REAL decode path uses binary PPM (P6) — a
+header-parse + raw-pixel format that needs no codec, decoded with
+numpy (`decode_ppm`). Swapping ``decode_ppm`` for a JPEG/PNG decoder
+changes one function; the batch iteration, schema, and partitioning
+contracts are identical.
 
 Scale posture: payload bytes never pass through a shuffle here — all
 stages are map-only over the scan; metadata-only plans prune the
@@ -22,6 +23,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -58,19 +60,53 @@ FEATURE_SCHEMA = T.StructType(
 )
 
 
-def decode_image(payload: bytes, fake: bool = False) -> list[int]:
-    """Decode an image payload to pixel data.
+def encode_ppm(width: int, height: int, pixels: np.ndarray) -> bytes:
+    """Binary PPM (P6) encoder: ASCII header + raw RGB bytes."""
+    if pixels.shape != (height, width, 3):
+        raise ValueError(f"pixels shape {pixels.shape} != ({height}, {width}, 3)")
+    header = f"P6\n{width} {height}\n255\n".encode("ascii")
+    return header + pixels.astype(np.uint8).tobytes()
 
-    Real decoding needs an image codec library that is not available
-    in this environment; ``fake=True`` substitutes a deterministic
-    4x4 grayscale derived from the payload digest so pipelines can be
-    tested end to end."""
-    if not fake:
-        raise NotImplementedError(
-            "image codecs unavailable in this environment; pass fake=True"
+
+def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a binary PPM (P6) payload to (width, height, HxWx3 uint8).
+
+    A real, dependency-free decode: parse the whitespace-separated
+    ASCII header (magic, width, height, maxval — comments allowed per
+    the netpbm spec), then reinterpret the raw sample bytes with
+    numpy. Raises ValueError on malformed input."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # Header = 4 whitespace-separated tokens; '#' starts a comment to
+    # end-of-line. Scan byte-wise so we never touch the pixel data.
+    tokens: list[int] = []
+    pos = 2
+    while len(tokens) < 3 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c == b"#":
+            pos = payload.index(b"\n", pos) + 1
+        elif c.isspace():
+            pos += 1
+        else:
+            end = pos
+            while end < len(payload) and not payload[end : end + 1].isspace():
+                end += 1
+            tokens.append(int(payload[pos:end]))
+            pos = end
+    if len(tokens) < 3:
+        raise ValueError("truncated PPM header")
+    width, height, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pos += 1  # exactly one whitespace byte separates header from raster
+    n = width * height * 3
+    raster = payload[pos : pos + n]
+    if len(raster) != n:
+        raise ValueError(
+            f"raster has {len(raster)} bytes, expected {n}"
         )
-    digest = hashlib.md5(payload).digest()
-    return [b for b in digest]
+    pixels = np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+    return width, height, pixels
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -247,6 +283,175 @@ SELECT doc_id,
            CAST(CASE WHEN mx > {RESIZE_MAX_DIM} THEN h * {RESIZE_MAX_DIM} // mx
                 ELSE h END AS VARCHAR)) AS resized_md5
 FROM sized
+"""
+
+
+# --- real decode path: PPM payloads ----------------------------------
+# Pixel values are a closed-form function of (doc_id, index) so the
+# DuckDB oracle can recompute the decoded statistics from first
+# principles while Spark actually round-trips real image bytes:
+# encode_ppm builds the payload, decode_ppm parses it back. A bug in
+# either direction (header math, row-major order, channel layout)
+# breaks the hash match.
+
+PPM_PIXEL_MULT = 31
+PPM_PIXEL_STEP = 7
+THUMB_DIM = 2  # nearest-neighbor thumbnail side
+
+
+def documents_as_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) where payload is a VALID binary PPM whose
+    dimensions and pixels derive deterministically from doc_id:
+    w = 4 + doc_id % 5, h = 3 + doc_id % 4,
+    pixel[i] = (doc_id*31 + i*7) % 256 over the row-major RGB raster."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(4 + doc_id % 5)
+                h = int(3 + doc_id % 4)
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = ((doc_id * PPM_PIXEL_MULT + i * PPM_PIXEL_STEP) % 256)
+                payloads.append(
+                    encode_ppm(w, h, px.astype(np.uint8).reshape(h, w, 3))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def image_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL image bytes and aggregate per-channel pixel sums.
+
+    The mapInPandas stage sees only (media_id, payload); everything it
+    emits comes out of ``decode_ppm``'s parsed header and raster, so
+    the oracle match certifies the decode path itself."""
+    media = documents_as_ppm(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows["doc_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_stats, schema=schema)
+
+
+IMAGE_DECODE_STATS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, unnest(range(0, w * h * 3)) AS i FROM dims
+),
+vals AS (
+  SELECT doc_id, w, h, i,
+         (doc_id * {PPM_PIXEL_MULT} + i * {PPM_PIXEL_STEP}) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+FROM vals GROUP BY doc_id, w, h
+"""
+
+
+def image_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor THUMB_DIM x THUMB_DIM resize over DECODED
+    pixels: thumb(x, y) = src(x*w // T, y*h // T) — the standard
+    integer nearest-neighbor map. Emits the per-channel sums of the
+    thumbnail so the oracle can recompute them from the pixel formula."""
+    media = documents_as_ppm(spark, sf_dir)
+    t = THUMB_DIM
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"doc_id": [], "thumb_r": [], "thumb_g": [], "thumb_b": []}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                xs = (np.arange(t) * w) // t
+                ys = (np.arange(t) * h) // t
+                thumb = px[np.ix_(ys, xs)].astype(np.int64)
+                sums = thumb.sum(axis=(0, 1))
+                rows["doc_id"].append(mid)
+                rows["thumb_r"].append(int(sums[0]))
+                rows["thumb_g"].append(int(sums[1]))
+                rows["thumb_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("thumb_r", T.LongType()),
+            T.StructField("thumb_g", T.LongType()),
+            T.StructField("thumb_b", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_resize, schema=schema)
+
+
+IMAGE_DECODE_RESIZE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 4 + doc_id % 5 AS w, 3 + doc_id % 4 AS h FROM documents
+),
+grid AS (
+  SELECT doc_id, w, h, unnest(range(0, {THUMB_DIM * THUMB_DIM * 3})) AS g
+  FROM dims
+),
+mapped AS (
+  -- g enumerates (y, x, c); src index = (src_y*w + src_x)*3 + c
+  SELECT doc_id,
+         g % 3 AS c,
+         ((((g // 3) // {THUMB_DIM}) * h // {THUMB_DIM}) * w
+          + (((g // 3) % {THUMB_DIM}) * w // {THUMB_DIM})) * 3 + g % 3 AS i,
+         doc_id * {PPM_PIXEL_MULT} AS base
+  FROM grid
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN c = 0
+                 THEN (base + i * {PPM_PIXEL_STEP}) % 256 ELSE 0 END)
+            AS BIGINT) AS thumb_r,
+       CAST(sum(CASE WHEN c = 1
+                 THEN (base + i * {PPM_PIXEL_STEP}) % 256 ELSE 0 END)
+            AS BIGINT) AS thumb_g,
+       CAST(sum(CASE WHEN c = 2
+                 THEN (base + i * {PPM_PIXEL_STEP}) % 256 ELSE 0 END)
+            AS BIGINT) AS thumb_b
+FROM mapped GROUP BY doc_id
 """
 
 

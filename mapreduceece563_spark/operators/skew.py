@@ -57,6 +57,75 @@ FROM events GROUP BY event_type
 """
 
 
+# --- salted hot-key join ---------------------------------------------
+
+SALT_BUCKETS = 16
+
+
+def events_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key JOIN through an explicit salting rewrite: per event,
+    join to its type's (n, sum) profile and count events whose value
+    is above the type mean.
+
+    ``event_type`` has ~5 values, so a shuffled join on it alone
+    funnels each type's entire fact stream through one partition — the
+    textbook skew cliff at 100 TB (AQE's skew-join split handles sort-
+    merge cases at runtime; this is the explicit rewrite you use when
+    the dim side is too big to broadcast and you want the plan shape
+    guaranteed). Rewrite: the fact side gets
+    ``salt = pmod(hash(event_id), 16)``; the dim side is exploded x16
+    (dim rows are few — the explosion is bounded); the join key
+    becomes (event_type, salt), spreading each hot key over 16
+    partitions. ``shuffle_hash`` hint keeps Spark from broadcasting
+    the small test dim so the demonstrated plan is the at-scale one.
+
+    Above-mean test uses ``vc * n > sum_vc`` (exact int64 products) —
+    no division, so no float or integer-division-semantics drift
+    between engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    fact = ev.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        F.pmod(F.hash("event_id"), F.lit(SALT_BUCKETS)).alias("salt"),
+    )
+    dim = fact.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("sum_vc")
+    )
+    salts = spark.range(SALT_BUCKETS).select(
+        F.col("id").cast("int").alias("salt")
+    )
+    dim_salted = dim.crossJoin(salts)  # bounded: |dim| x 16 rows
+    joined = fact.join(
+        dim_salted.hint("shuffle_hash"), ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("vc") * F.col("n") > F.col("sum_vc"), 1).otherwise(0)
+        ).alias("n_above_mean"),
+    )
+
+
+EVENTS_SALTED_JOIN_SQL = """
+WITH f AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+d AS (
+  SELECT event_type, count(*) AS n, sum(vc) AS sum_vc
+  FROM f GROUP BY event_type
+)
+SELECT f.event_type, count(*) AS n_events,
+       CAST(sum(CASE WHEN f.vc * d.n > d.sum_vc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_above_mean
+FROM f JOIN d ON f.event_type = d.event_type
+GROUP BY f.event_type
+"""
+
+
 APPROX_TOL = 0.10
 
 

@@ -26,6 +26,7 @@ from .operators import temporal as tp
 from .operators import textstats as ts
 from .operators import trainprep as tr
 from .operators import wordcount as wc
+from .streaming import wordcount_stream as st
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -131,7 +132,18 @@ register("sql_supplier_argmax", rel.sql_supplier_argmax, rel.SQL_SUPPLIER_ARGMAX
 register("user_trailing_value", rel.user_trailing_value, rel.USER_TRAILING_SQL)
 
 # --- round-3 additions (positions 47-50 of the checked window) -------
-# (registered below as the round-3 operators land)
+# Streaming hard signal: an actual readStream + foreachBatch run whose
+# materialized result equals the batch wordcount (same transform
+# chain, same oracle).
+register("streaming_wordcount", st.streaming_wordcount_batch, wc.WORDCOUNT_SQL)
+# Real image decode: Spark round-trips actual PPM bytes through
+# encode_ppm/decode_ppm; the oracle recomputes the decoded stats from
+# the closed-form pixel formula.
+register("image_decode_stats", mm.image_decode_stats, mm.IMAGE_DECODE_STATS_SQL)
+register("image_decode_resize", mm.image_decode_resize, mm.IMAGE_DECODE_RESIZE_SQL)
+# Salted hot-key join (explicit skew rewrite; plan pinned in
+# tests/test_plans.py)
+register("events_salted_join", sk.events_salted_join, sk.EVENTS_SALTED_JOIN_SQL)
 
 # ======================================================================
 # Entries below position 50: all received green rows+schema+hash rows

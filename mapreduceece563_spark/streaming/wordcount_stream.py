@@ -19,10 +19,15 @@ watermark, after which expired windows are dropped.
 
 from __future__ import annotations
 
+import os
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import tokenize_lines
+from ..sources.catalog import load_table
 
 
 def streaming_wordcount(spark: SparkSession, input_dir: str) -> DataFrame:
@@ -64,6 +69,71 @@ def windowed_event_counts(
             "n_events",
         )
     )
+
+
+def streaming_wordcount_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word count computed through an ACTUAL Structured Streaming run —
+    the registry's hard signal for SURVEY.md §2.9 (previously the
+    streaming path was pinned only by local parity tests).
+
+    Shape mirrors the reference engine end to end
+    (/root/reference/mpi_mapreduce.c):
+
+    1. spill documents.text into an 8-file parquet dir — the chunked
+       corpus (S8, generate_files.py:1-13);
+    2. ``readStream`` over those chunks, 2 files per trigger, so the
+       run takes multiple micro-batches (bounded-queue backpressure,
+       mpi_mapreduce.c:93-101);
+    3. per micro-batch, foreachBatch partial-aggregates the batch's
+       words and appends the partials to a batch_id-keyed dir — the
+       mapper-side combiner spilling scratch files (S6,
+       mpi_mapreduce.c:258-277,314-338). Writing to a per-batch_id
+       path in overwrite mode keeps the sink idempotent on retry;
+    4. the returned DataFrame re-aggregates the partials — the final
+       reduce over scratch files (A3, mpi_mapreduce.c:768-781).
+
+    Scale posture: state per micro-batch is the batch's own partial
+    counts only (no unbounded running-vocabulary state, which is why
+    this uses foreachBatch partials instead of ``complete``-mode
+    aggregation — SCALE.md); the final merge is an ordinary
+    vocabulary-keyed aggregation.
+    """
+    work = tempfile.mkdtemp(prefix="stream_wc_")
+    src = os.path.join(work, "chunks")
+    partials_dir = os.path.join(work, "partials")
+    ckpt = os.path.join(work, "ckpt")
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    docs.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("text STRING")
+        .option("maxFilesPerTrigger", 2)  # >1 micro-batch per run
+        .parquet(src)
+    )
+    words = tokenize_lines(stream)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("word")
+            .agg(F.count("*").alias("cnt"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        words.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # The chunk spill and checkpoint are consumed; only the partials
+    # back the (lazy) result.
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    partials = spark.read.parquet(os.path.join(partials_dir, "batch_id=*"))
+    return partials.groupBy("word").agg(F.sum("cnt").alias("cnt"))
 
 
 def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:

@@ -1,29 +1,58 @@
 """Multimodal plumbing: binary payload schema, Arrow-batched
-extraction, stubbed decode."""
+extraction, real PPM decode."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
 from mapreduceece563_spark.operators.multimodal import (
     MEDIA_SCHEMA,
-    decode_image,
+    decode_ppm,
     documents_as_media,
+    documents_as_ppm,
+    encode_ppm,
     extract_features,
+    image_decode_stats,
 )
 from tests.conftest import SF_DIR
 
 
-def test_decode_stub_raises_without_fake():
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x00\x01")
+def test_ppm_round_trip():
+    px = np.arange(5 * 4 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    payload = encode_ppm(5, 4, px)
+    w, h, decoded = decode_ppm(payload)
+    assert (w, h) == (5, 4)
+    assert np.array_equal(decoded, px)
 
 
-def test_decode_fake_deterministic():
-    px = decode_image(b"payload", fake=True)
-    assert px == decode_image(b"payload", fake=True)
-    assert len(px) == 16 and all(0 <= b <= 255 for b in px)
+def test_ppm_decode_handles_comments_and_rejects_malformed():
+    px = np.zeros((2, 2, 3), dtype=np.uint8)
+    payload = b"P6\n# a netpbm comment\n2 2\n255\n" + px.tobytes()
+    w, h, decoded = decode_ppm(payload)
+    assert (w, h) == (2, 2) and decoded.shape == (2, 2, 3)
+    with pytest.raises(ValueError):
+        decode_ppm(b"P5\n2 2\n255\n" + px.tobytes())  # wrong magic
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n255\n" + px.tobytes()[:-1])  # short raster
+    with pytest.raises(ValueError):
+        decode_ppm(b"P6\n2 2\n65535\n" + px.tobytes())  # 16-bit maxval
+
+
+def test_decoded_stats_match_payload_pixels(spark):
+    """image_decode_stats must agree with an independent decode of the
+    actual payload bytes (not the closed-form formula — that is the
+    oracle's job)."""
+    payloads = {
+        r["media_id"]: bytes(r["payload"])
+        for r in documents_as_ppm(spark, SF_DIR).collect()
+    }
+    for r in image_decode_stats(spark, SF_DIR).limit(500).collect():
+        w, h, px = decode_ppm(payloads[r["doc_id"]])
+        sums = px.astype(np.int64).sum(axis=(0, 1))
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["sum_r"], r["sum_g"], r["sum_b"]) == tuple(sums)
 
 
 def test_media_schema_and_extraction(spark):

@@ -205,3 +205,45 @@ def test_q21_single_lineitem_order_shuffle_family(spark):
     assert rep.n_broadcast_joins >= 1
     assert "TakeOrderedAndProject" in plan
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The skew rewrite must actually change the physical join: the
+    join key carries the salt column (hot event_type spread over 16
+    partitions) and the dim side is NOT broadcast (the at-scale
+    shape the hint pins)."""
+    from mapreduceece563_spark.operators import skew as sk
+
+    df = Q["events_salted_join"](spark, SF_DIR)
+    simple = plan_string(df, "simple")
+    assert "salt" in simple, "join must key on (event_type, salt)"
+    rep = plan_report(df)
+    assert rep.n_broadcast_joins == 0, "salted demo must not broadcast"
+
+    # Row parity: salted rewrite == plain unsalted join result.
+    from pyspark.sql import functions as F
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").select("event_type", "value")
+    fact = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+    dim = fact.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("vc").alias("sum_vc")
+    )
+    plain = (
+        fact.join(dim, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("vc") * F.col("n") > F.col("sum_vc"), 1
+                ).otherwise(0)
+            ).alias("n_above_mean"),
+        )
+    )
+    got = {tuple(r) for r in df.collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want and len(got) > 0

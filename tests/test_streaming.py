@@ -15,6 +15,7 @@ from mapreduceece563_spark.sources.catalog import load_table
 from mapreduceece563_spark.streaming.wordcount_stream import (
     run_to_completion,
     streaming_wordcount,
+    streaming_wordcount_batch,
     windowed_event_counts,
 )
 from tests.conftest import SF_DIR
@@ -44,6 +45,22 @@ def test_stream_equals_batch_wordcount(spark, text_dir):
     s = {(r["word"], r["cnt"]) for r in stream_counts.collect()}
     b = {(r["word"], r["cnt"]) for r in batch_counts.collect()}
     assert s == b and len(s) > 0
+
+
+def test_streaming_wordcount_batch_matches_batch(spark):
+    """The registry's streaming hard-signal entry: a real readStream +
+    foreachBatch partial-aggregation run must equal the batch
+    wordcount on the documents table."""
+    from mapreduceece563_spark.operators.wordcount import wordcount
+
+    got = {
+        (r["word"], r["cnt"])
+        for r in streaming_wordcount_batch(spark, SF_DIR).collect()
+    }
+    want = {
+        (r["word"], r["cnt"]) for r in wordcount(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
 
 
 def test_windowed_event_counts_matches_batch(spark):
