@@ -15,7 +15,7 @@ Scale posture (100 TB): signatures are computed with a SINGLE
 groupBy(doc_id) carrying 16 min-aggregates — no 16x row explosion
 through the shuffle. The LSH self-join joins on (band, band_hash),
 i.e. only within buckets; the Jaccard join caps shingle document
-frequency (df <= DF_CAP) so no quadratic blowup on common shingles —
+frequency (df <= max(100, 8*sqrt(n_docs))) so no quadratic blowup —
 the same pruning the MinHash/LSH literature uses. All hashes are the
 engine-portable polynomial hash (functions/hashing.py), pure int64
 arithmetic, so the DuckDB oracle reproduces results exactly.
@@ -38,8 +38,30 @@ from ..functions.hashing import (
 from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL, normalize_word
 from ..sources.catalog import load_table
 
-DF_CAP = 1000  # max shingle document-frequency admitted to the join
+# Shingle document-frequency cap for the Jaccard join: corpus-relative,
+# cap = max(DF_CAP_MIN, floor(DF_CAP_K * sqrt(n_docs))). A fixed cap
+# (r2: 1000) was the wrong policy knob at 100 TB — common-shingle join
+# fan-out is df^2 pairs, so the admissible df should grow sublinearly
+# with the corpus, keeping per-shingle pair work ~K^2 * n_docs total.
+# Both engines evaluate the identical rule (sqrt of an integer-valued
+# double is IEEE-exact), so the boundary can't disagree.
+DF_CAP_MIN = 100
+DF_CAP_K = 8
 JACCARD_THRESHOLD = 0.2
+
+
+def df_cap_expr(n_docs: Column) -> Column:
+    """max(DF_CAP_MIN, floor(DF_CAP_K * sqrt(n_docs))) as int64."""
+    return F.greatest(
+        F.lit(DF_CAP_MIN).cast("long"),
+        F.floor(F.lit(DF_CAP_K) * F.sqrt(n_docs.cast("double"))),
+    )
+
+
+DF_CAP_SQL = (
+    f"GREATEST({DF_CAP_MIN}, CAST(floor({DF_CAP_K} * sqrt(count(*))) "
+    "AS BIGINT))"
+)
 
 
 # --- shared shingle machinery ----------------------------------------
@@ -317,7 +339,8 @@ GROUP BY a.doc_id, b.doc_id
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact 3-shingle Jaccard similarity for pairs sharing a shingle.
 
-    Shingles with document frequency > DF_CAP are excluded from the
+    Shingles with document frequency above the corpus-relative cap
+    (max(DF_CAP_MIN, DF_CAP_K*sqrt(n_docs))) are excluded from the
     join (standard common-feature pruning — a stopword-like shingle
     would otherwise create df^2 pairs). Sizes still count all
     shingles, so Jaccard stays exact w.r.t. the full sets for the
@@ -327,10 +350,19 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # are possible but the oracle hashes identically, so results agree.
     sh = doc_shingle_hashes(spark, sf_dir)  # persisted by the shared stage
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    # 1-row cap frame, broadcast into the df filter — the cap is data-
+    # dependent but the plan stays fully distributed (no driver-side
+    # collect of anything but the implicit scalar).
+    cap = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
+    )
     df_ok = (
         sh.groupBy("h0")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= DF_CAP)
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("df") <= F.col("cap"))
         .select("h0")
     )
     pruned = sh.join(df_ok, "h0")
@@ -367,8 +399,10 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 NGRAM_JACCARD_SQL = f"""
 WITH {shingle_hashes_cte_sql().lstrip()},
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cap AS (SELECT {DF_CAP_SQL} AS cap FROM documents),
 df_ok AS (
-  SELECT h0 FROM sh GROUP BY h0 HAVING count(*) <= {DF_CAP}
+  SELECT h0 FROM sh GROUP BY h0
+  HAVING count(*) <= (SELECT cap FROM cap)
 ),
 pruned AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN df_ok USING (h0)),
 inter AS (

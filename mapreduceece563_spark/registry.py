@@ -26,6 +26,7 @@ from .operators import temporal as tp
 from .operators import textstats as ts
 from .operators import trainprep as tr
 from .operators import wordcount as wc
+from .session import ship_package
 from .streaming import wordcount_stream as st
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -38,8 +39,21 @@ def register(name: str, fn: QueryFn, oracle: str | None) -> None:
     _REGISTRY[name] = (fn, oracle)
 
 
+def _shipped(fn: QueryFn) -> QueryFn:
+    """Every registry callable first ships the package zip to the
+    Python workers (no-op after the first call per SparkContext) so
+    pickled-by-reference module functions import no matter what cwd /
+    sys.path the driving process has."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        ship_package(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+    return {name: _shipped(fn) for name, (fn, _) in _REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

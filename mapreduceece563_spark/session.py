@@ -10,10 +10,41 @@ total cores), and Arrow is on for the few Pandas-UDF paths.
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SHIPPED: set[str] = set()
+
+
+def ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executor Python workers.
+
+    cloudpickle serializes module-level functions (e.g. ``decode_ppm``
+    inside a ``mapInPandas`` closure) BY REFERENCE, so the worker must
+    be able to ``import mapreduceece563_spark`` — which fails whenever
+    the driving process's cwd is not the repo root (workers only
+    inherit the JVM's cwd, not the driver's ``sys.path`` edits). Zip
+    the package and ``sc.addPyFile`` it once per SparkContext: the
+    local-mode analogue of shipping the wheel with ``--py-files`` /
+    ``spark.submit.pyFiles`` on a real cluster, and the posture that
+    holds at 1000 executors."""
+    sc = spark.sparkContext
+    key = sc.applicationId
+    if key in _SHIPPED:
+        return
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = shutil.make_archive(
+        os.path.join(tempfile.gettempdir(), "mapreduceece563_spark_pkg"),
+        "zip",
+        root_dir=pkg_parent,
+        base_dir="mapreduceece563_spark",
+    )
+    sc.addPyFile(zip_path)
+    _SHIPPED.add(key)
 
 
 def get_spark(
