@@ -1,0 +1,270 @@
+"""Corpus-hygiene operators for training-data assembly.
+
+Beyond the reference's word-count surface (the reference has no
+corpus-level operators at all — SURVEY.md §0), these are the standard
+web-corpus cleaning passes an LLM data pipeline runs before training:
+boilerplate span detection (the line/span-level dedup of C4/CCNet/
+RefinedWeb, expressed over word 3-shingles because the fixture text is
+single-line), source blocklist filtering (domain blocklists in real
+crawls), deterministic stratified downsampling (language rebalancing),
+and character-class profiling (mojibake / non-text detection).
+
+Scale posture (100 TB):
+- Boilerplate detection reuses the persisted shingle stage shared with
+  the dedup family (`dedup.doc_shingle_hashes`) — one pass over the
+  corpus feeds six consumers. The document-frequency threshold is
+  corpus-relative (ceil(0.0025 * n_docs)) and rides a broadcast 1-row
+  frame, so the plan has no driver-side collect and the "boilerplate"
+  notion (appears in >=0.25% of documents) is scale-invariant.
+- The boilerplate set itself is tiny relative to the corpus (shingles
+  above the df threshold), so the per-doc coverage join broadcasts it.
+- The blocklist anti-join broadcasts the blocklist side: real
+  blocklists are millions of rows — still megabytes, still the
+  broadcast side at any corpus scale.
+- Stratified sampling is a broadcast join against a #strata-row dim
+  plus a map-side deterministic-hash filter — no shuffle of the
+  corpus, no sort, no sampling state; the same doc set is selected on
+  any cluster layout (poly_hash, not rand()).
+- Char-class stats aggregate int64 counter sums (never double sums),
+  with ratios computed once from the final integers, so the DuckDB
+  oracle matches bit-exactly (the round-1 HUGEINT/fold-order lessons).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import HASH_MOD, poly_hash, poly_hash_sql
+from ..sources.catalog import load_table
+from .dedup import doc_shingle_hashes, shingle_hashes_cte_sql
+
+# Boilerplate document-frequency threshold: a shingle present in at
+# least max(4, ceil(0.0025 * n_docs)) documents is "boilerplate"
+# (header/footer/template text repeats across a fixed fraction of a
+# crawl regardless of its size; 4 floors the rule below ~1600 docs).
+BOILER_MIN = 4
+BOILER_RATE = 0.0025
+
+# Static source blocklist, standing in for a curated domain blocklist.
+BLOCKLIST = ("src3", "src7", "src13")
+
+# Stratified sampling: hash buckets per stratum. poly_hash is linear
+# in the trailing character, so consecutive doc_ids land in
+# consecutive buckets — an affine scramble (h*a + b) mod p (exact
+# int64 in both engines; constants = the first MinHash perm)
+# equidistributes them before the bucket modulus.
+SAMPLE_BUCKETS = 1000
+SAMPLE_A = 1203077157
+SAMPLE_B = 869531133
+
+
+def _boiler_threshold_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-row (thr) frame: the corpus-relative boilerplate df cutoff."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+        .select(
+            F.greatest(
+                F.lit(BOILER_MIN).cast("long"),
+                F.ceil(F.lit(BOILER_RATE) * F.col("n_docs")),
+            ).alias("thr")
+        )
+    )
+
+
+BOILER_THR_SQL = (
+    f"GREATEST({BOILER_MIN}, CAST(ceil({BOILER_RATE} * "
+    "(SELECT count(*) FROM documents)) AS BIGINT))"
+)
+
+
+def _boiler_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(h0, df) for shingles at/above the boilerplate threshold."""
+    sh = doc_shingle_hashes(spark, sf_dir)
+    return (
+        sh.groupBy("h0")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(_boiler_threshold_frame(spark, sf_dir)))
+        .filter(F.col("df") >= F.col("thr"))
+    )
+
+
+def boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate 3-shingles: (shingle_hash, df) with df above the
+    corpus-relative threshold — the cross-document repeated spans a
+    C4-style cleaning pass would strip."""
+    return _boiler_set(spark, sf_dir).select(
+        F.col("h0").alias("shingle_hash"), F.col("df").alias("df")
+    )
+
+
+BOILERPLATE_NGRAMS_SQL = f"""
+WITH {shingle_hashes_cte_sql().lstrip()}
+SELECT h0 AS shingle_hash, count(*) AS df
+FROM sh GROUP BY h0
+HAVING count(*) >= {BOILER_THR_SQL}
+"""
+
+
+def boilerplate_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate coverage: the fraction of a doc's
+    distinct shingles that are corpus-boilerplate. Downstream filters
+    drop docs above a coverage cutoff (template pages, navigation)."""
+    sh = doc_shingle_hashes(spark, sf_dir)
+    per_doc = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    boiler = _boiler_set(spark, sf_dir).select("h0")
+    n_boiler = (
+        sh.join(F.broadcast(boiler), "h0")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_boiler"))
+    )
+    return (
+        per_doc.join(n_boiler, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_boiler"), F.lit(0).cast("long")).alias(
+                "n_boiler"
+            ),
+            F.round(
+                F.coalesce(F.col("n_boiler"), F.lit(0)).cast("double")
+                / F.col("n_shingles"),
+                9,
+            ).alias("boiler_frac"),
+        )
+    )
+
+
+BOILERPLATE_FRACTION_SQL = f"""
+WITH {shingle_hashes_cte_sql().lstrip()},
+boiler AS (
+  SELECT h0 FROM sh GROUP BY h0
+  HAVING count(*) >= {BOILER_THR_SQL}
+),
+per_doc AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+bp AS (
+  SELECT sh.doc_id, count(*) AS n_boiler
+  FROM sh JOIN boiler USING (h0) GROUP BY sh.doc_id
+)
+SELECT p.doc_id, p.n_shingles,
+       CAST(COALESCE(b.n_boiler, 0) AS BIGINT) AS n_boiler,
+       round(CAST(COALESCE(b.n_boiler, 0) AS DOUBLE) / p.n_shingles, 9)
+         AS boiler_frac
+FROM per_doc p LEFT JOIN bp b USING (doc_id)
+"""
+
+
+def source_blocklist_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivor stats after a blocklist anti-join.
+
+    The blocklist is the broadcast side of a LEFT ANTI join — the
+    shape that holds when the blocklist is a curated table of millions
+    of domains (MBs) and the corpus side is 100 TB: the corpus never
+    shuffles, each task streams past a broadcast hash set."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "n_chars")
+    blk = spark.createDataFrame(
+        [(s,) for s in BLOCKLIST], "source string"
+    )
+    return (
+        docs.join(F.broadcast(blk), "source", "left_anti")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+_BLK_IN = ", ".join(f"'{s}'" for s in BLOCKLIST)
+SOURCE_BLOCKLIST_SQL = f"""
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE source NOT IN ({_BLK_IN})
+GROUP BY source
+"""
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced deterministic downsample.
+
+    Each language stratum keeps ~min-stratum-count documents by
+    admitting doc_ids whose deterministic hash bucket falls under the
+    stratum's keep-rate — the rebalancing pass a multilingual training
+    mix runs. No rand(): the selected set is identical on any cluster,
+    any partitioning, any retry, and in the DuckDB oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n"))
+    mn = counts.agg(F.min("n").alias("mn"))
+    thr = F.floor(F.lit(float(SAMPLE_BUCKETS)) * F.col("mn") / F.col("n"))
+    h = poly_hash(F.col("doc_id").cast("string"))
+    bucket = (h * SAMPLE_A + SAMPLE_B) % HASH_MOD % SAMPLE_BUCKETS
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mn))
+        .filter(bucket < thr)
+        .select("doc_id", "lang")
+    )
+
+
+STRATIFIED_SAMPLE_SQL = f"""
+WITH counts AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+mn AS (SELECT min(n) AS mn FROM counts)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN counts c USING (lang)
+WHERE (({poly_hash_sql('CAST(d.doc_id AS VARCHAR)')}) * {SAMPLE_A}
+       + {SAMPLE_B}) % {HASH_MOD} % {SAMPLE_BUCKETS}
+      < CAST(floor({float(SAMPLE_BUCKETS)} * (SELECT mn FROM mn) / c.n)
+             AS BIGINT)
+"""
+
+
+def _n_matching(text: Column, pattern: str) -> Column:
+    """Count of chars in ``text`` matching the regex char class —
+    length minus length-after-removal, pure JVM-side expressions."""
+    return F.length(text) - F.length(F.regexp_replace(text, pattern, ""))
+
+
+def char_class_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-class profile (alpha/space ratios).
+
+    Sums are int64 counters; the ratios divide the two final integers
+    (one exact IEEE op), so no double-sum fold-order drift between
+    engines. Detects mojibake / non-text sources: a lang whose alpha
+    ratio collapses is not prose."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang", "text"
+    )
+    docs = docs.filter(F.col("text").isNotNull())
+    per = docs.select(
+        "lang",
+        F.length("text").alias("n_chars"),
+        _n_matching(F.col("text"), "[a-z]").alias("n_alpha"),
+        _n_matching(F.col("text"), "[ ]").alias("n_space"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(
+            F.sum("n_alpha").cast("double") / F.sum("n_chars"), 9
+        ).alias("alpha_ratio"),
+        F.round(
+            F.sum("n_space").cast("double") / F.sum("n_chars"), 9
+        ).alias("space_ratio"),
+    )
+
+
+CHAR_CLASS_SQL = """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+       round(CAST(sum(length(text)
+                      - length(regexp_replace(text, '[a-z]', '', 'g')))
+                  AS DOUBLE) / sum(length(text)), 9) AS alpha_ratio,
+       round(CAST(sum(length(text)
+                      - length(regexp_replace(text, '[ ]', '', 'g')))
+                  AS DOUBLE) / sum(length(text)), 9) AS space_ratio
+FROM documents
+WHERE text IS NOT NULL
+GROUP BY lang
+"""

@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import corpus as cp
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import ngrams as ng
@@ -240,3 +241,12 @@ register("dedup_embedding_stats", sim.dedup_embedding_stats, sim.DEDUP_EMBEDDING
 
 # --- skew-safe two-phase aggregation ---------------------------------
 register("events_type_profile", sk.events_type_profile, sk.EVENTS_TYPE_PROFILE_SQL)
+
+# --- corpus hygiene (round 3; after the window — rotate into round
+# 4's first-50 for hard driver rows; until then pinned by the local
+# registry-wide oracle test) -----------------------------------------
+register("boilerplate_ngrams", cp.boilerplate_ngrams, cp.BOILERPLATE_NGRAMS_SQL)
+register("boilerplate_fraction", cp.boilerplate_fraction, cp.BOILERPLATE_FRACTION_SQL)
+register("source_blocklist_survivors", cp.source_blocklist_survivors, cp.SOURCE_BLOCKLIST_SQL)
+register("stratified_sample", cp.stratified_sample, cp.STRATIFIED_SAMPLE_SQL)
+register("char_class_stats", cp.char_class_stats, cp.CHAR_CLASS_SQL)
