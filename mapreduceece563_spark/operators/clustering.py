@@ -1,0 +1,161 @@
+"""Fixed-iteration k-means over the embeddings table.
+
+Topic/quality bucketing of a training corpus runs k-means over
+document embeddings; on Spark the iterative structure is a driver
+loop over declarative rounds. Here the iteration count is FIXED (2
+assignment rounds, unrolled) so the whole computation is one
+deterministic dataflow that the DuckDB oracle reproduces exactly —
+the same posture as the dedup connected-components operator, whose
+loop-to-convergence variant lives Spark-side with a weaker
+rows-only check.
+
+Determinism across engines (the things that usually break float
+clustering):
+- Distances are an explicit left-fold of doubles (``F.aggregate`` /
+  ``list_reduce``) — identical IEEE operation order in both engines.
+- Assignment ties break on (dist, cluster_id) via ROW_NUMBER in both
+  engines — a tie can't pick different clusters.
+- Centroid updates sum SCALED INT64 (round(x*1e6)), divide once at
+  the end — a distributed integer sum is exact and order-free, so
+  iteration-2 centroids are bit-identical to the oracle's.
+- Inertia likewise sums int64-scaled per-vector distances.
+
+Scale posture (100 TB): centroids are a K-row broadcast; assignment
+is a broadcast nested-loop scan (map-side, no corpus shuffle) + a
+per-vector argmin window keyed on vec_id; the update shuffles
+(cluster, dim, int64) triples — 64 fixed-width rows per vector, with
+map-side partial sums. At billions of vectors you'd swap the explode
+for an Arrow ``applyInPandas`` per-partition partial-sum (the
+``knn_pandas_udf`` pattern); the plan shape — broadcast assign,
+integer-sum update, driver carries only K×dim centroids per round —
+is the one that holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+K = 8
+DIM = 64
+SCALE = 1_000_000
+
+
+def _vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    return emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    diffs = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_SQDIST_SQL = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}, {b}), p -> (p[1]-p[2])*(p[1]-p[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector; ties break on cluster id."""
+    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
+        "dist", _sqdist(F.col("v"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "dist", "v")
+    )
+
+
+def _update(assigned: DataFrame) -> DataFrame:
+    """New centroids from scaled-int64 sums; rebuilds the array in
+    dim order (array_sort on (dim, mean) structs is deterministic)."""
+    exploded = assigned.select(
+        "cid", F.posexplode("v").alias("pos", "x")
+    ).select(
+        "cid",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x") * SCALE, 0).cast("long").alias("xs"),
+    )
+    means = exploded.groupBy("cid", "dim").agg(
+        ((F.sum("xs").cast("double") / SCALE) / F.count("*")).alias("m")
+    )
+    return means.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+
+def kmeans_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled k-means rounds; per-cluster size + inertia."""
+    vecs = _vecs(spark, sf_dir)
+    c0 = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _assign(vecs, c0)
+    c1 = _update(a1)
+    a2 = _assign(vecs, c1)
+    return (
+        a2.withColumn(
+            "ds", F.round(F.col("dist") * SCALE, 0).cast("long")
+        )
+        .groupBy(F.col("cid").alias("cluster_id"))
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("ds") / float(SCALE), 6).alias("inertia"),
+        )
+    )
+
+
+def _assign_sql(src: str, cents: str, out: str) -> str:
+    d = _SQDIST_SQL.format(a=f"{src}.v", b=f"{cents}.c")
+    return f"""
+{out}_s AS (
+  SELECT {src}.vec_id, {cents}.cid, {d} AS dist, {src}.v
+  FROM {src} CROSS JOIN {cents}
+),
+{out} AS (
+  SELECT vec_id, cid, dist, v FROM (
+    SELECT vec_id, cid, dist, v,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM {out}_s
+  ) WHERE rn = 1
+)"""
+
+
+KMEANS_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {K}),
+{_assign_sql('v', 'c0', 'a1').lstrip()},
+e1 AS (
+  SELECT cid, d.dim AS dim,
+         CAST(round(v[d.dim] * {SCALE}, 0) AS BIGINT) AS xs
+  FROM a1 CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS dim) d
+),
+m1 AS (
+  SELECT cid, dim, (CAST(sum(xs) AS DOUBLE) / {SCALE}) / count(*) AS m
+  FROM e1 GROUP BY cid, dim
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+{_assign_sql('v', 'c1', 'a2').lstrip()}
+SELECT cid AS cluster_id, count(*) AS n_vectors,
+       round(sum(CAST(round(dist * {SCALE}, 0) AS BIGINT)) / {float(SCALE)}, 6)
+         AS inertia
+FROM a2 GROUP BY cid
+"""

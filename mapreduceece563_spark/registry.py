@@ -15,6 +15,7 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import clustering as cl
 from .operators import corpus as cp
 from .operators import dedup as dd
 from .operators import multimodal as mm
@@ -28,6 +29,7 @@ from .operators import textstats as ts
 from .operators import trainprep as tr
 from .operators import wordcount as wc
 from .session import ship_package
+from .streaming import windowed_stream as ws
 from .streaming import wordcount_stream as st
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -250,3 +252,5 @@ register("boilerplate_fraction", cp.boilerplate_fraction, cp.BOILERPLATE_FRACTIO
 register("source_blocklist_survivors", cp.source_blocklist_survivors, cp.SOURCE_BLOCKLIST_SQL)
 register("stratified_sample", cp.stratified_sample, cp.STRATIFIED_SAMPLE_SQL)
 register("char_class_stats", cp.char_class_stats, cp.CHAR_CLASS_SQL)
+register("kmeans_2iter", cl.kmeans_2iter, cl.KMEANS_SQL)
+register("streaming_events_hourly", ws.streaming_events_hourly, rel.EVENTS_HOURLY_SQL)

@@ -78,3 +78,16 @@ def test_char_class_ratios_sum_sane(spark):
         assert 0.0 <= r["space_ratio"] <= 1.0
         # fixture text is words + single spaces: classes are exhaustive
         assert abs(r["alpha_ratio"] + r["space_ratio"] - 1.0) < 1e-6
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    """Fixed-iteration k-means: every vector lands in exactly one of
+    the K clusters; inertia is finite and non-negative."""
+    from mapreduceece563_spark.operators.clustering import K
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    rows = Q["kmeans_2iter"](spark, SF_DIR).collect()
+    assert 1 <= len(rows) <= K
+    total = load_table(spark, SF_DIR, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == total
+    assert all(r["inertia"] >= 0.0 for r in rows)

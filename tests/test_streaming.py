@@ -307,3 +307,23 @@ def test_stream_stream_interval_join(spark):
         assert got == want and len(got) > 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_events_hourly_matches_batch(spark):
+    """The windowed streaming hard-signal entry: a real update-mode
+    readStream run with last-writer-wins merge must equal the batch
+    tumbling-hour aggregation (including the int64-cents value sums)."""
+    from mapreduceece563_spark.operators.relational import events_hourly
+    from mapreduceece563_spark.streaming.windowed_stream import (
+        streaming_events_hourly,
+    )
+
+    got = {
+        (r["hour"], r["event_type"], r["n_events"], round(r["value_sum"], 6))
+        for r in streaming_events_hourly(spark, SF_DIR).collect()
+    }
+    want = {
+        (r["hour"], r["event_type"], r["n_events"], round(r["value_sum"], 6))
+        for r in events_hourly(spark, SF_DIR).collect()
+    }
+    assert got == want and len(got) > 0
