@@ -72,9 +72,14 @@ BUDGETS = {
     "minhash_jaccard_estimate": 5.0,
     "dedup_edit_distance": 5.0,
     "streaming_wordcount": 6.0,
+    "streaming_events_hourly": 10.0,  # multi-micro-batch drain + spill
     "wordcount": 4.0,
     "topk_words": 4.0,
     "distinct_vocab": 4.0,
+    "contamination_check": 4.0,
+    "doc_repetition_stats": 4.0,
+    "boilerplate_fraction": 4.0,
+    "kmeans_2iter": 4.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

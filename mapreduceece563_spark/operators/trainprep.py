@@ -359,3 +359,71 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_ips", n_ips.cast("long")) \
         .withColumn("n_long_digits", n_digits.cast("long")) \
         .withColumn(text_col, redacted)
+
+
+# --- end-to-end manifest ---------------------------------------------
+
+MANIFEST_SHARDS = 8
+
+
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end shard manifest: the composed quality/dedup filter
+    (textstats.training_data_filter), inner-joined to the embeddings
+    table (doc_id = vec_id; the embedding's label is the topic
+    bucket), sharded by scrambled deterministic hash, rolled up to
+    per-(shard, label) stats — the summary a trainer reads before
+    pulling shards.
+
+    Scale posture: the filter is two shuffles (see its docstring);
+    the doc<->embedding join is key-partitioned on doc_id (both sides
+    are corpus-sized at 100 TB — never broadcast); shard assignment
+    is a map-side hash; the rollup carries int64 sums only (token
+    counts, 1e6-scaled quality), so the manifest is exact and
+    engine-reproducible at any parallelism."""
+    from .corpus import SAMPLE_A, SAMPLE_B
+    from .textstats import training_data_filter
+    from ..functions.hashing import HASH_MOD, poly_hash
+
+    tf = training_data_filter(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "label"
+    )
+    h = poly_hash(F.col("doc_id").cast("string"))
+    shard = (h * SAMPLE_A + SAMPLE_B) % HASH_MOD % MANIFEST_SHARDS
+    return (
+        tf.join(emb, "doc_id")
+        .withColumn("shard", shard)
+        .withColumn(
+            "_q6", F.round(F.col("quality") * 1_000_000, 0).cast("long")
+        )
+        .groupBy("shard", "label")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                (F.sum("_q6").cast("double") / 1_000_000) / F.count("*"), 6
+            ).alias("avg_quality"),
+        )
+    )
+
+
+def _manifest_sql() -> str:
+    from .corpus import SAMPLE_A, SAMPLE_B
+    from .textstats import TRAINING_FILTER_SQL
+    from ..functions.hashing import HASH_MOD, poly_hash_sql
+
+    h = poly_hash_sql("CAST(t.doc_id AS VARCHAR)")
+    return f"""
+SELECT (({h}) * {SAMPLE_A} + {SAMPLE_B}) % {HASH_MOD} % {MANIFEST_SHARDS}
+         AS shard,
+       e.label, count(*) AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+       round((CAST(sum(CAST(round(t.quality * 1000000, 0) AS BIGINT))
+                   AS DOUBLE) / 1000000) / count(*), 6) AS avg_quality
+FROM ({TRAINING_FILTER_SQL}) t
+JOIN (SELECT vec_id AS doc_id, label FROM embeddings) e USING (doc_id)
+GROUP BY shard, e.label
+"""
+
+
+TRAINING_MANIFEST_SQL = _manifest_sql()

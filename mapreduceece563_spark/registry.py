@@ -254,3 +254,4 @@ register("stratified_sample", cp.stratified_sample, cp.STRATIFIED_SAMPLE_SQL)
 register("char_class_stats", cp.char_class_stats, cp.CHAR_CLASS_SQL)
 register("kmeans_2iter", cl.kmeans_2iter, cl.KMEANS_SQL)
 register("streaming_events_hourly", ws.streaming_events_hourly, rel.EVENTS_HOURLY_SQL)
+register("training_manifest", tr.training_manifest, tr.TRAINING_MANIFEST_SQL)
