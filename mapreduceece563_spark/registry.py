@@ -69,25 +69,22 @@ def oracle_sql() -> dict[str, str]:
 # DRIVER-CHECKED WINDOW — the driver's correctness snapshot covers the
 # FIRST 50 registered names only. Round 2's snapshot checked the first
 # 50 of 92, leaving 42 entries with only the local pytest signal.
-# Round 3 front-loads exactly those 42 (plus the 4 §2-parity queries,
-# which must always keep a hard row). Everything the round-2 snapshot
-# already verified green moves after position 50; those stay pinned
-# locally by tests/test_registry_oracle.py, which runs the identical
-# oracle comparison for EVERY entry at sf0.001.
+# Round 3 front-loads exactly those 42, plus the four newest round-3
+# entries, keeping `wordcount` (THE §2 parity query) anchored at
+# position 0. Everything a prior snapshot already verified green moves
+# after position 50; those stay pinned locally by
+# tests/test_registry_oracle.py, which runs the identical oracle
+# comparison for EVERY entry at sf0.001. `approx_distinct_sketch`
+# (no oracle — the driver could only record a rows-only row) sits
+# outside the window so a hash-checkable entry gets its slot.
 # ======================================================================
 
 # --- reference-parity surface (SURVEY.md §2) -------------------------
 register("wordcount", wc.wordcount, wc.WORDCOUNT_SQL)
-register("wordcount_by_lang", wc.wordcount_by_lang, wc.WORDCOUNT_BY_LANG_SQL)
-register("distinct_vocab", wc.distinct_vocab, wc.DISTINCT_VOCAB_SQL)
-register("topk_words", wc.topk_words, wc.TOPK_WORDS_SQL)
 
-# --- grouping sets / approx sketches / Arrow path / CC dedup ---------
+# --- grouping sets / Arrow path / CC dedup ---------------------------
 register("orders_grouping_sets", rel.orders_grouping_sets, rel.ORDERS_GROUPING_SETS_SQL)
 register("approx_distinct_users", sk.approx_distinct_users, sk.APPROX_DISTINCT_SQL)
-# sketch internals are engine-specific: no cross-engine oracle; the
-# tolerance vs the exact count is asserted Spark-side in pytest
-register("approx_distinct_sketch", sk.approx_distinct_sketch, None)
 register("knn_pandas_udf", sim.knn_pandas_udf, sim.KNN_PANDAS_SQL)
 register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
 
@@ -161,12 +158,30 @@ register("image_decode_resize", mm.image_decode_resize, mm.IMAGE_DECODE_RESIZE_S
 # Salted hot-key join (explicit skew rewrite; plan pinned in
 # tests/test_plans.py)
 register("events_salted_join", sk.events_salted_join, sk.EVENTS_SALTED_JOIN_SQL)
+# Fixed-iteration k-means (oracle-reproducible iterative ML), the
+# update-mode windowed streaming entry, the end-to-end training
+# manifest rollup, and corpus-relative boilerplate detection — the
+# four newest round-3 operators, given hard rows immediately.
+register("kmeans_2iter", cl.kmeans_2iter, cl.KMEANS_SQL)
+register("streaming_events_hourly", ws.streaming_events_hourly, rel.EVENTS_HOURLY_SQL)
+register("training_manifest", tr.training_manifest, tr.TRAINING_MANIFEST_SQL)
+register("boilerplate_ngrams", cp.boilerplate_ngrams, cp.BOILERPLATE_NGRAMS_SQL)
 
 # ======================================================================
 # Entries below position 50: all received green rows+schema+hash rows
-# in CORRECTNESS_r02.json; tests/test_registry_oracle.py keeps them
-# pinned with the identical oracle comparison at sf0.001.
+# in CORRECTNESS_r02.json (or, for `approx_distinct_sketch`, have no
+# oracle by design); tests/test_registry_oracle.py keeps them pinned
+# with the identical oracle comparison at sf0.001.
 # ======================================================================
+
+# --- §2 parity variants (driver-green rounds 1 AND 2) ----------------
+register("wordcount_by_lang", wc.wordcount_by_lang, wc.WORDCOUNT_BY_LANG_SQL)
+register("distinct_vocab", wc.distinct_vocab, wc.DISTINCT_VOCAB_SQL)
+register("topk_words", wc.topk_words, wc.TOPK_WORDS_SQL)
+
+# --- approx sketch: engine-specific internals, no cross-engine oracle;
+# the 10% tolerance vs the exact count is asserted Spark-side in pytest
+register("approx_distinct_sketch", sk.approx_distinct_sketch, None)
 
 # --- relational operator coverage (joins/windows/aggs/set ops) -------
 register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL)
@@ -246,12 +261,10 @@ register("events_type_profile", sk.events_type_profile, sk.EVENTS_TYPE_PROFILE_S
 
 # --- corpus hygiene (round 3; after the window — rotate into round
 # 4's first-50 for hard driver rows; until then pinned by the local
-# registry-wide oracle test) -----------------------------------------
-register("boilerplate_ngrams", cp.boilerplate_ngrams, cp.BOILERPLATE_NGRAMS_SQL)
+# registry-wide oracle test). boilerplate_ngrams / kmeans_2iter /
+# streaming_events_hourly / training_manifest are IN the round-3
+# window above. ------------------------------------------------------
 register("boilerplate_fraction", cp.boilerplate_fraction, cp.BOILERPLATE_FRACTION_SQL)
 register("source_blocklist_survivors", cp.source_blocklist_survivors, cp.SOURCE_BLOCKLIST_SQL)
 register("stratified_sample", cp.stratified_sample, cp.STRATIFIED_SAMPLE_SQL)
 register("char_class_stats", cp.char_class_stats, cp.CHAR_CLASS_SQL)
-register("kmeans_2iter", cl.kmeans_2iter, cl.KMEANS_SQL)
-register("streaming_events_hourly", ws.streaming_events_hourly, rel.EVENTS_HOURLY_SQL)
-register("training_manifest", tr.training_manifest, tr.TRAINING_MANIFEST_SQL)
