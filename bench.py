@@ -80,6 +80,9 @@ BUDGETS = {
     "doc_repetition_stats": 4.0,
     "boilerplate_fraction": 4.0,
     "kmeans_2iter": 4.0,
+    "pagerank_2iter": 5.0,  # two join+agg rounds over the edge list
+    "inverted_index": 4.0,
+    "funnel_conversion": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -1,0 +1,202 @@
+"""Product-analytics operators over the event stream: ordered funnel
+conversion, weekly cohort retention, and an event-type pivot.
+
+The reference engine has no event-analytics surface (SURVEY.md §0 —
+it is a word-count engine); these extend the engine the same way the
+corpus/training operators do, with every plan shaped for the 100 TB
+posture:
+
+- **Funnel** is the interesting one at scale. The naive formulation
+  re-scans and re-joins the event table once per funnel step (the
+  3-CTE shape the DuckDB oracle uses). The Spark plan instead does
+  ONE shuffle — groupBy(user_id) — and runs the ordered step machine
+  as a native ``aggregate`` over the per-user sorted event array:
+  per-key state-machine reduction, the classic MapReduce "secondary
+  sort" pattern, with no Python and no second pass. Per-user event
+  counts are bounded (product analytics, not firehose), so the
+  collected array is small; a pathological power-user key would be
+  handled by the same salting rewrite as operators/skew.py.
+- **Cohort retention** shuffles twice on user_id (first-seen week,
+  distinct active weeks) then aggregates a tiny (cohort, offset)
+  grid — the wide exchanges are both on the natural key.
+- **Pivot** passes the category values explicitly, so Spark skips
+  the eager distinct-scan job that ``pivot(col)`` without values
+  needs — at 100 TB that scan is a full extra pass over the table.
+
+All comparisons run on microsecond longs in both engines (Spark
+events.ts is ns-truncated-to-us by the catalog loader; the oracle
+uses ``epoch_us``), so strict ``>`` funnel ordering can never
+disagree on sub-microsecond ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+# Ordered funnel definition: first view, then a click strictly after
+# that view, then a purchase strictly after that click.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+# The event-type domain, passed explicitly to pivot() so no
+# distinct-values pre-scan runs.
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Users completing each prefix of the view->click->purchase
+    funnel, computed in one shuffle.
+
+    Per user: sort events by (ts_us, type), then fold a 3-slot state
+    machine (t1 = first view; t2 = first click with ts > t1; t3 =
+    first purchase with ts > t2) as a native ``aggregate`` expression.
+    Equivalent to the oracle's per-step min-join formulation because
+    the fold visits events in ascending ts order with strict
+    inequalities. Returns one row: n_view / n_view_click /
+    n_view_click_purchase."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts", "event_type")
+        .filter(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("event_type").alias("et"),
+        )
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("ts_us"), F.col("et")))
+        ).alias("evs")
+    )
+    nolong = F.lit(None).cast("long")
+    init = F.struct(
+        nolong.alias("t1"), nolong.alias("t2"), nolong.alias("t3")
+    )
+    state = F.aggregate(
+        F.col("evs"),
+        init,
+        lambda acc, e: F.struct(
+            F.when(
+                acc["t1"].isNull() & (e["et"] == FUNNEL_STEPS[0]), e["ts_us"]
+            )
+            .otherwise(acc["t1"])
+            .alias("t1"),
+            F.when(
+                acc["t2"].isNull()
+                & acc["t1"].isNotNull()
+                & (e["et"] == FUNNEL_STEPS[1])
+                & (e["ts_us"] > acc["t1"]),
+                e["ts_us"],
+            )
+            .otherwise(acc["t2"])
+            .alias("t2"),
+            F.when(
+                acc["t3"].isNull()
+                & acc["t2"].isNotNull()
+                & (e["et"] == FUNNEL_STEPS[2])
+                & (e["ts_us"] > acc["t2"]),
+                e["ts_us"],
+            )
+            .otherwise(acc["t3"])
+            .alias("t3"),
+        ),
+    )
+    stages = per_user.select(state.alias("s"))
+    return stages.agg(
+        F.count(F.col("s")["t1"]).alias("n_view"),
+        F.count(F.col("s")["t2"]).alias("n_view_click"),
+        F.count(F.col("s")["t3"]).alias("n_view_click_purchase"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH t1 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+),
+t2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[1]}' AND epoch_us(e.ts) > t1.t1
+  GROUP BY e.user_id
+),
+t3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = '{FUNNEL_STEPS[2]}' AND epoch_us(e.ts) > t2.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT count(*) FROM t1) AS n_view,
+       (SELECT count(*) FROM t2) AS n_view_click,
+       (SELECT count(*) FROM t3) AS n_view_click_purchase
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention grid: users bucketed by the ISO week of
+    their first event; for each (cohort_week, week_offset), how many
+    of them were active that week. The standard retention matrix."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    week = F.to_date(F.date_trunc("week", F.col("ts")))
+    first = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    active = ev.select("user_id", week.alias("activity_week")).distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count("*").alias("n_users"))
+    )
+
+
+COHORT_RETENTION_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE)
+         AS activity_week
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((a.activity_week - f.cohort_week) / 7 AS BIGINT)
+         AS week_offset,
+       count(*) AS n_users
+FROM active a JOIN first f USING (user_id)
+GROUP BY f.cohort_week, week_offset
+"""
+
+
+def events_daily_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-per-day pivoted wide by event type (one column per
+    type). The value list is passed explicitly so no distinct-scan
+    job precedes the aggregation."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date(F.col("ts")).alias("day"), "event_type"
+    )
+    wide = ev.groupBy("day").pivot("event_type", list(EVENT_TYPES)).count()
+    return wide.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0).cast("long")).alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+_PIVOT_COLS = ",\n       ".join(
+    f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+    for t in EVENT_TYPES
+)
+EVENTS_DAILY_PIVOT_SQL = f"""
+SELECT CAST(ts AS DATE) AS day,
+       {_PIVOT_COLS}
+FROM events GROUP BY day
+"""

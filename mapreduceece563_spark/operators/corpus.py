@@ -37,7 +37,8 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import HASH_MOD, poly_hash, poly_hash_sql
 from ..sources.catalog import load_table
-from .dedup import doc_shingle_hashes, shingle_hashes_cte_sql
+from .dedup import doc_shingle_hashes, shingle_hashes_cte_sql, words_array
+from .ngrams import _words_cte
 
 # Boilerplate document-frequency threshold: a shingle present in at
 # least max(4, ceil(0.0025 * n_docs)) documents is "boilerplate"
@@ -267,4 +268,72 @@ SELECT lang, count(*) AS n_docs,
 FROM documents
 WHERE text IS NOT NULL
 GROUP BY lang
+"""
+
+
+# Passage-level dedup granularity: non-overlapping runs of
+# PASSAGE_LEN normalized words. Coarser than the 3-shingle stage
+# (which detects near-dup DOCUMENTS); this finds the repeated
+# passages themselves — the line/paragraph-level dedup pass of
+# C4/CCNet, at the granularity the single-line fixture text allows.
+PASSAGE_LEN = 8
+
+
+def passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated passages: non-overlapping 8-word
+    windows that occur in >= 2 distinct documents.
+
+    Map-only until one groupBy on the 8-byte passage hash: the
+    passage STRINGS never shuffle (poly_hash reduces each to int64
+    map-side), so the exchange moves ~#passages * 8 B regardless of
+    text size — the same digest-keyed discipline as the exact-dedup
+    family. Output is (passage_hash, n_docs, n_occurrences)."""
+    arr = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", "text")
+        .filter(F.col("text").isNotNull() & (F.col("text") != ""))
+        .select("doc_id", words_array(F.col("text")).alias("ws"))
+    )
+    n = F.size(F.col("ws"))
+    k = F.expr(f"size(ws) div {PASSAGE_LEN}")
+    passages = F.when(
+        n >= PASSAGE_LEN,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.array_join(
+                F.slice(F.col("ws"), i * PASSAGE_LEN + 1, PASSAGE_LEN), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    p = arr.select("doc_id", F.explode(passages).alias("passage")).select(
+        "doc_id", poly_hash(F.col("passage")).alias("passage_hash")
+    )
+    return (
+        p.groupBy("passage_hash")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+PASSAGE_DEDUP_SQL = f"""
+WITH {_words_cte().lstrip()},
+p AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(words) >= {PASSAGE_LEN} THEN
+             list_transform(range(0, len(words) // {PASSAGE_LEN}),
+               i -> array_to_string(
+                      words[(i*{PASSAGE_LEN}+1):(i*{PASSAGE_LEN}+{PASSAGE_LEN})],
+                      ' '))
+           ELSE CAST([] AS VARCHAR[]) END) AS passage
+  FROM w
+)
+SELECT {poly_hash_sql('passage')} AS passage_hash,
+       count(DISTINCT doc_id) AS n_docs,
+       count(*) AS n_occurrences
+FROM p
+GROUP BY passage_hash
+HAVING count(DISTINCT doc_id) >= 2
 """

@@ -1,0 +1,233 @@
+"""Graph/IR operators over the tokenized corpus: an inverted index
+and a fixed-iteration PageRank on the word co-occurrence graph.
+
+The reference engine stops at word counting; an inverted index is the
+canonical next MapReduce program over the identical tokenize stage
+(SURVEY.md §2.7 pipeline), and PageRank is the canonical iterative
+one. Both reuse the exact reference tokenize/normalize semantics from
+``functions.text``.
+
+Scale posture (100 TB):
+
+- **Inverted index**: the df-count and the capped posting list come
+  from ONE shuffle on ``word`` — a window rank caps postings at
+  :data:`POSTINGS_CAP` *before* any list is materialized, so a
+  stopword's millions of doc_ids never collect into one row (the
+  unbounded ``collect_set``-then-slice shape is exactly what dies at
+  scale). Postings are emitted as a joined string, bounded at
+  ``POSTINGS_CAP`` ids.
+- **PageRank**: ranks and contributions are int64 fixed-point
+  (:data:`PR_SCALE`), so Spark and the DuckDB oracle agree
+  bit-exactly (integer ``div`` both sides — no double-sum fold-order
+  drift, the round-1 lesson). Each iteration is one join
+  (edges ⋈ ranks, both keyed on the node) plus one groupBy(dst) —
+  the standard distributed PageRank shuffle pattern; the node count
+  rides a broadcast 1-row frame, never a driver-side action. The
+  edge list is persisted once and reused across iterations; at
+  cluster scale that is a bucketed edge table co-partitioned with
+  the rank vector. The per-doc word ARRAY is built with the staged
+  array expression (no explode + collect_list round-trip, whose
+  result order would hinge on partitioning). Iteration count is
+  FIXED (2), which keeps the query oracle-expressible as unrolled
+  CTEs; the convergence-loop variant is ``dedup.dedup_groups``'s
+  territory (driver-side round counter, localCheckpoint lineage
+  truncation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import words_cte_sql
+from ..sources.catalog import load_table
+from .dedup import words_array
+from .ngrams import _words_cte
+
+# Max doc_ids kept per posting list (ascending doc_id): bounds row
+# width no matter how common the term is.
+POSTINGS_CAP = 20
+
+# PageRank fixed-point scale and damping (0.85 as 85/100 integer
+# arithmetic). All values stay far below 2^63: ranks <= PR_SCALE,
+# contribution sums <= PR_SCALE, 85 * sum <= 8.5e13.
+PR_SCALE = 10**12
+PR_ITERS = 2
+PR_TOP = 100
+
+
+def _doc_word_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ws): per-doc normalized word array in token order —
+    map-only, no shuffle (same staged pattern as ngrams)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    return docs.select("doc_id", words_array(F.col("text")).alias("ws"))
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-term document frequency + capped ascending posting list.
+
+    distinct (word, doc_id) -> one window shuffle computes both the
+    per-term df and the rank that caps the posting list at
+    POSTINGS_CAP ids -> groupBy(word) assembles the bounded list.
+    """
+    pairs = (
+        _doc_word_arrays(spark, sf_dir)
+        .select("doc_id", F.explode("ws").alias("word"))
+        .distinct()
+    )
+    by_doc = Window.partitionBy("word").orderBy("doc_id")
+    whole = Window.partitionBy("word")
+    ranked = pairs.select(
+        "word",
+        "doc_id",
+        F.row_number().over(by_doc).alias("rn"),
+        F.count("*").over(whole).alias("df"),
+    )
+    return (
+        ranked.filter(F.col("rn") <= POSTINGS_CAP)
+        .groupBy("word")
+        .agg(
+            F.max("df").alias("df"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+    )
+
+
+INVERTED_INDEX_SQL = f"""
+WITH {words_cte_sql("documents", "doc_id").lstrip()},
+pairs AS (SELECT DISTINCT word, doc_id FROM words_f)
+SELECT word, count(*) AS df,
+       array_to_string(
+         list_sort(list(doc_id ORDER BY doc_id))[1:{POSTINGS_CAP}],
+         ',') AS postings
+FROM pairs GROUP BY word
+"""
+
+
+def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct symmetric adjacent-word edges (src, dst), no
+    self-loops. The undirected co-occurrence graph, materialized as
+    both directed arcs so out-degree == degree."""
+    arr = _doc_word_arrays(spark, sf_dir)
+    n = F.size(F.col("ws"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("ws"), i).alias("src"),
+                F.element_at(F.col("ws"), i + 1).alias("dst"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<src:string,dst:string>>"))
+    e = (
+        arr.select(F.explode(pairs).alias("e"))
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    return e.union(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+
+
+def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two PageRank iterations over the word co-occurrence graph,
+    int64 fixed-point, top-100 by final rank.
+
+    r0 = SCALE div N; r' = (15*SCALE) div (100*N)
+                         + (85 * sum_in(r div deg)) div 100.
+    Symmetric edges mean every node has in-edges, so each iteration's
+    groupBy(dst) covers the whole node set.
+    """
+    edges = _cooc_edges(spark, sf_dir).persist()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .withColumnRenamed("src", "node")
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    nfr = nodes.agg(F.count("*").alias("n"))
+
+    ranks = nodes.crossJoin(F.broadcast(nfr)).select(
+        "node",
+        F.expr(f"CAST({PR_SCALE} AS BIGINT) div n").alias("r"),
+    )
+    for _ in range(PR_ITERS):
+        contrib = ranks.join(deg, "node").select(
+            F.col("node").alias("src"), F.expr("r div deg").alias("c")
+        )
+        s = edges.join(contrib, "src").groupBy("dst").agg(
+            F.sum("c").alias("s")
+        )
+        ranks = s.crossJoin(F.broadcast(nfr)).select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"(15 * CAST({PR_SCALE} AS BIGINT)) div (100 * n)"
+                " + (85 * s) div 100"
+            ).alias("r"),
+        )
+    return (
+        ranks.select(
+            F.col("node").alias("word"), F.col("r").alias("rank_scaled")
+        )
+        .orderBy(F.desc("rank_scaled"), F.asc("word"))
+        .limit(PR_TOP)
+    )
+
+
+PAGERANK_SQL = f"""
+WITH {_words_cte().lstrip()},
+arcs AS (
+  SELECT e.* FROM (
+    SELECT unnest(CASE WHEN len(words) >= 2 THEN
+             list_transform(range(1, len(words)),
+                            i -> {{'src': words[i], 'dst': words[i+1]}})
+           ELSE CAST([] AS STRUCT(src VARCHAR, dst VARCHAR)[]) END) AS e
+    FROM w) t
+),
+e0 AS (SELECT src, dst FROM arcs WHERE src <> dst),
+edges AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(DISTINCT src) AS n FROM edges),
+r0 AS (
+  SELECT DISTINCT src AS node,
+         CAST({PR_SCALE} AS BIGINT) // (SELECT n FROM nn) AS r
+  FROM edges
+),
+s1 AS (
+  SELECT e.dst AS node, CAST(sum(r0.r // d.deg) AS BIGINT) AS s
+  FROM edges e JOIN r0 ON e.src = r0.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r1 AS (
+  SELECT node,
+         (15 * CAST({PR_SCALE} AS BIGINT)) // (100 * (SELECT n FROM nn))
+           + (85 * s) // 100 AS r
+  FROM s1
+),
+s2 AS (
+  SELECT e.dst AS node, CAST(sum(r1.r // d.deg) AS BIGINT) AS s
+  FROM edges e JOIN r1 ON e.src = r1.node JOIN deg d ON e.src = d.src
+  GROUP BY e.dst
+),
+r2 AS (
+  SELECT node,
+         (15 * CAST({PR_SCALE} AS BIGINT)) // (100 * (SELECT n FROM nn))
+           + (85 * s) // 100 AS r
+  FROM s2
+)
+SELECT node AS word, r AS rank_scaled FROM r2
+ORDER BY rank_scaled DESC, word ASC LIMIT {PR_TOP}
+"""

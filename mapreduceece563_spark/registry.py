@@ -15,8 +15,10 @@ from __future__ import annotations
 from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
+from .operators import analytics as an
 from .operators import clustering as cl
 from .operators import corpus as cp
+from .operators import graph as gph
 from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import ngrams as ng
@@ -268,3 +270,19 @@ register("boilerplate_fraction", cp.boilerplate_fraction, cp.BOILERPLATE_FRACTIO
 register("source_blocklist_survivors", cp.source_blocklist_survivors, cp.SOURCE_BLOCKLIST_SQL)
 register("stratified_sample", cp.stratified_sample, cp.STRATIFIED_SAMPLE_SQL)
 register("char_class_stats", cp.char_class_stats, cp.CHAR_CLASS_SQL)
+
+# --- product analytics over the event stream (round 3; rotate into
+# round 4's first-50). funnel_conversion is the one-shuffle ordered
+# step machine; the oracle uses the per-step min-join formulation. ---
+register("funnel_conversion", an.funnel_conversion, an.FUNNEL_SQL)
+register("cohort_retention", an.cohort_retention, an.COHORT_RETENTION_SQL)
+register("events_daily_pivot", an.events_daily_pivot, an.EVENTS_DAILY_PIVOT_SQL)
+
+# --- graph / IR over the tokenized corpus (round 3; rotate into
+# round 4's first-50). pagerank_2iter is int64 fixed-point so the
+# unrolled-CTE oracle matches bit-exactly. -----------------------------
+register("inverted_index", gph.inverted_index, gph.INVERTED_INDEX_SQL)
+register("pagerank_2iter", gph.pagerank_2iter, gph.PAGERANK_SQL)
+
+# --- passage-level dedup (round 3; rotate into round 4's first-50) ---
+register("passage_dedup", cp.passage_dedup, cp.PASSAGE_DEDUP_SQL)
