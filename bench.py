@@ -83,6 +83,8 @@ BUDGETS = {
     "pagerank_2iter": 5.0,  # two join+agg rounds over the edge list
     "inverted_index": 4.0,
     "funnel_conversion": 3.0,
+    "bucketed_join_revenue": 8.0,  # includes the once-per-session bucketed write
+    "partition_pruned_purchases": 4.0,  # includes the once-per-session layout write
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -1,0 +1,175 @@
+"""Storage-layout operators: bucketed co-located joins and
+partition-pruned scans.
+
+The reference's storage story is hash-partitioned scratch files
+(SURVEY.md §2.2 S6/S7 — files per (rank, bucket) re-read by the
+reducer that owns the bucket). Spark's durable equivalents are the
+two layout features that dominate 100 TB economics, and both are
+exercised here as REAL queries over really-written tables, not just
+plan assertions:
+
+- **Bucketed tables** (``bucketBy`` + ``sortBy``): both join sides
+  are physically hash-distributed AND sorted by the join key at
+  write time, so the sort-merge join needs NO exchange and NO sort
+  at read time — the shuffle the reference pays per-query (its
+  scratch-file exchange) is paid ONCE at ingest. At cluster scale
+  this is the difference between re-shuffling 100 TB per join and
+  streaming co-located bucket pairs.
+- **Partition pruning** (``partitionBy`` at write): a predicate on
+  the partition column prunes directories before any I/O happens —
+  the scan never opens non-matching files. The 100 TB analogue:
+  an event-type (or date) predicate reads 1/Nth of the lake.
+
+Both operators materialize their layout once per (session, sf) into
+a session-scoped temp location and cache the handle; re-invocations
+(bench passes, repeated driver checks) reuse the written layout, the
+same way a cluster deployment writes the bucketed/partitioned table
+once and amortizes it over every downstream query. The DuckDB
+oracles run the equivalent logical query on the raw parquet — the
+layout must change the PLAN, never the ANSWER.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .relational import _cents, _cents_sql
+
+N_BUCKETS = 8
+
+# (applicationId, sf_dir) -> (orders_table, lineitem_table) names
+_BUCKET_CACHE: dict[tuple[str, str], tuple[str, str]] = {}
+# (applicationId, sf_dir) -> partitioned-events path
+_PART_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _tag(spark: SparkSession, sf_dir: str) -> str:
+    app = spark.sparkContext.applicationId
+    return re.sub(r"[^a-z0-9]+", "_", f"{app}_{sf_dir}".lower()).strip("_")
+
+
+def _scratch(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_layout", _tag(spark, sf_dir), kind
+    )
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write orders + lineitem bucketed/sorted by the join key, once
+    per (session, sf). Only the joined columns are written — column
+    pruning at ingest, not just at read."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BUCKET_CACHE.get(key)
+    if cached is not None:
+        return cached
+    tag = _tag(spark, sf_dir)
+    bo, bl = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .write.format("parquet")
+        .bucketBy(N_BUCKETS, "o_orderkey")
+        .sortBy("o_orderkey")
+        .option("path", _scratch(spark, sf_dir, "orders"))
+        .mode("overwrite")
+        .saveAsTable(bo)
+    )
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.format("parquet")
+        .bucketBy(N_BUCKETS, "l_orderkey")
+        .sortBy("l_orderkey")
+        .option("path", _scratch(spark, sf_dir, "lineitem"))
+        .mode("overwrite")
+        .saveAsTable(bl)
+    )
+    _BUCKET_CACHE[key] = (bo, bl)
+    return bo, bl
+
+
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by order priority over a ZERO-EXCHANGE sort-merge join
+    of bucketed orders x lineitem (plan pinned in tests: the only
+    exchange in the plan is the final tiny groupBy).
+
+    The MERGE hint keeps AQE from broadcast-converting the small test
+    tables — at real scale neither side fits a broadcast and SMJ over
+    co-located buckets is exactly the plan you want."""
+    bo, bl = _bucketed_tables(spark, sf_dir)
+    orders = spark.table(bo)
+    items = spark.table(bl)
+    rev = _cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        orders.hint("merge")
+        .join(items, orders["o_orderkey"] == items["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(rev).alias("_rc"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_items",
+            (F.col("_rc") / 100.0).alias("revenue"),
+        )
+    )
+
+
+BUCKETED_JOIN_SQL = f"""
+SELECT o.o_orderpriority, count(*) AS n_items,
+       CAST(sum({_cents_sql('l.l_extendedprice * (1 - l.l_discount)')})
+            AS BIGINT) / 100.0 AS revenue
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+def _partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write events partitioned by event_type, once per (session, sf)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PART_CACHE.get(key)
+    if cached is not None:
+        return cached
+    path = _scratch(spark, sf_dir, "events_by_type")
+    (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "value", "event_type")
+        .write.partitionBy("event_type")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    _PART_CACHE[key] = path
+    return path
+
+
+def partition_pruned_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily purchase totals read from an event-type-partitioned
+    layout: the event_type predicate prunes to ONE directory before
+    any row is read (PartitionFilters in the scan, pinned in tests)."""
+    path = _partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(F.col("event_type") == "purchase")
+    return (
+        ev.groupBy(F.to_date(F.col("ts")).alias("day"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(_cents(F.col("value"))).alias("_vc"),
+        )
+        .select(
+            "day", "n_purchases", (F.col("_vc") / 100.0).alias("value_sum")
+        )
+    )
+
+
+PARTITION_PRUNED_SQL = f"""
+SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases,
+       CAST(sum({_cents_sql('value')}) AS BIGINT) / 100.0 AS value_sum
+FROM events WHERE event_type = 'purchase'
+GROUP BY day
+"""

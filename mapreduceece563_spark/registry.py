@@ -26,6 +26,7 @@ from .operators import sessions as ss
 from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import skew as sk
+from .operators import storage as stg
 from .operators import temporal as tp
 from .operators import textstats as ts
 from .operators import trainprep as tr
@@ -286,3 +287,9 @@ register("pagerank_2iter", gph.pagerank_2iter, gph.PAGERANK_SQL)
 
 # --- passage-level dedup (round 3; rotate into round 4's first-50) ---
 register("passage_dedup", cp.passage_dedup, cp.PASSAGE_DEDUP_SQL)
+
+# --- storage layout (round 3; rotate into round 4's first-50):
+# bucketed zero-exchange SMJ and partition-pruned scans — the layout
+# must change the PLAN, never the ANSWER (oracles run on raw parquet).
+register("bucketed_join_revenue", stg.bucketed_join_revenue, stg.BUCKETED_JOIN_SQL)
+register("partition_pruned_purchases", stg.partition_pruned_purchases, stg.PARTITION_PRUNED_SQL)
