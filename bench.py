@@ -85,6 +85,11 @@ BUDGETS = {
     "funnel_conversion": 3.0,
     "bucketed_join_revenue": 8.0,  # includes the once-per-session bucketed write
     "partition_pruned_purchases": 4.0,  # includes the once-per-session layout write
+    "event_transition_matrix": 3.0,
+    "user_latest_state": 3.0,
+    "events_value_histogram": 3.0,
+    "part_name_match_stats": 4.0,  # collapse-first blocked levenshtein
+    "doc_lm_surprisal": 6.0,  # corpus bigram LM + score-back join
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -1,0 +1,250 @@
+"""Sequence-mining, state-compaction, and entity-resolution operators.
+
+The reference engine's surface is grouped aggregation over token
+streams (SURVEY.md §2.4); these operators apply the same
+shuffle-discipline to the event/sequence shapes a production pipeline
+runs next to it:
+
+- **event_transition_matrix** — first-order Markov transition counts
+  and probabilities over each user's event sequence. One exchange on
+  ``user_id`` for the ``lead`` window; the transition aggregate is
+  |event_types|² rows, i.e. tiny at any corpus size.
+- **user_latest_state** — CDC-style compaction to the latest event
+  per user. Deliberately ``max(struct(ts, event_id, ...))`` rather
+  than a row_number window: the struct-max is an ordinary aggregate,
+  so Spark runs a map-side partial pass and only ONE ROW PER USER PER
+  MAP TASK crosses the shuffle — at 100 TB that is the difference
+  between shuffling every event and shuffling the user cardinality.
+  (``event_id`` is unique, so the (ts, event_id) prefix makes the max
+  deterministic; trailing struct fields ride along as payload.)
+- **events_value_histogram** — fixed 20-bin equi-width histogram.
+  Two-pass: a 1-row global min/max aggregate broadcast back over the
+  scan, then map-side binning into a 20-row aggregate. At real scale
+  the min/max pass would be replaced by a fixed domain or a sampled
+  bound; the binning pass is the same either way.
+- **part_name_match_stats** — blocked fuzzy entity resolution:
+  exact-duplicate names collapse in one groupBy, then candidate pairs
+  are generated ONLY among distinct names within a blocking key
+  (first name token) and scored with edit distance. The classic ER
+  shape: quadratic work is per-block and per-distinct-value, never
+  all-pairs over rows. Complements the document-side
+  ``dedup_edit_distance`` (which blocks by MinHash-LSH instead).
+
+Floats cross engines only where both sides compute the identical
+IEEE expression; every SUM is over int64 (counts or quantized
+values), so fold order can never change a result.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+
+N_BINS = 20
+ER_MAX_DIST = 5  # max edit distance for a near-duplicate name pair
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, to_type) transition counts + within-source
+    probability over each user's ts-ordered event sequence."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(seq))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").alias("n_pairs")
+    )
+    per_src = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs") / F.sum("n_pairs").over(per_src), 6
+        ).alias("p"),
+    )
+
+
+EVENT_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+c AS (
+  SELECT from_type, to_type, count(*) AS n_pairs
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n_pairs,
+       round(n_pairs / CAST(sum(n_pairs) OVER (PARTITION BY from_type)
+                            AS DOUBLE), 6) AS p
+FROM c
+"""
+
+
+def user_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user via max(struct) — partial-aggregable, so
+    the shuffle carries one candidate row per user per map task
+    (plan-pinned: 2 HashAggregates, no Window)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    latest = ev.groupBy("user_id").agg(
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("_s"),
+        F.count("*").alias("n_events"),
+    )
+    return latest.select(
+        "user_id",
+        F.col("_s.ts").alias("last_ts"),
+        F.col("_s.event_type").alias("last_event_type"),
+        F.round(F.col("_s.value"), 6).alias("last_value"),
+        "n_events",
+    )
+
+
+USER_LATEST_STATE_SQL = """
+WITH ranked AS (
+  SELECT user_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_events
+  FROM events
+)
+SELECT user_id, ts AS last_ts, event_type AS last_event_type,
+       round(value, 6) AS last_value, n_events
+FROM ranked WHERE rn = 1
+"""
+
+
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-bin equi-width histogram of events.value. The bin arithmetic
+    is written identically in both engines so the IEEE doubles (and
+    therefore the floor) agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    stats = ev.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / N_BINS
+    bin_ = F.least(
+        F.floor((F.col("value") - F.col("vmin")) / width), F.lit(N_BINS - 1)
+    )
+    return (
+        ev.crossJoin(F.broadcast(stats))
+        .groupBy(bin_.alias("bin"), "vmin", "vmax")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "bin",
+            F.round(
+                F.col("vmin")
+                + F.col("bin") * (F.col("vmax") - F.col("vmin")) / N_BINS,
+                6,
+            ).alias("lo"),
+            F.round(
+                F.col("vmin")
+                + (F.col("bin") + 1) * (F.col("vmax") - F.col("vmin")) / N_BINS,
+                6,
+            ).alias("hi"),
+            "n",
+        )
+    )
+
+
+EVENTS_VALUE_HISTOGRAM_SQL = f"""
+WITH s AS (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+b AS (
+  SELECT CAST(least(floor((value - vmin) / ((vmax - vmin) / {N_BINS})),
+                    {N_BINS - 1}) AS BIGINT) AS bin,
+         vmin, vmax
+  FROM events CROSS JOIN s
+)
+SELECT bin,
+       round(vmin + bin * (vmax - vmin) / {N_BINS}, 6) AS lo,
+       round(vmin + (bin + 1) * (vmax - vmin) / {N_BINS}, 6) AS hi,
+       count(*) AS n
+FROM b GROUP BY bin, vmin, vmax
+"""
+
+
+def part_name_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block fuzzy-duplicate report over part names: collapse
+    exact-duplicate names FIRST (one groupBy), then run the quadratic
+    Levenshtein step only on the distinct names inside each blocking
+    key, weighting near-pairs back up by the collapsed counts.
+
+    The collapse is the scale move: on this catalog it turns ~250k
+    in-block comparisons into ~200 — entity catalogs are Zipfian, so
+    paying the quadratic cost per DISTINCT value (not per row) is the
+    difference between an ER pass that finishes and one that doesn't.
+    Output is one bounded row per block, never a pair list."""
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    names = parts.groupBy("p_name").agg(F.count("*").alias("cnt")).select(
+        "p_name", "cnt", F.split(F.col("p_name"), " ").getItem(0).alias("blk")
+    )
+    base = names.groupBy("blk").agg(
+        F.sum("cnt").alias("n_parts"),
+        F.count("*").alias("n_names"),
+        F.sum(
+            (F.col("cnt") * (F.col("cnt") - 1) / 2).cast("long")
+        ).alias("exact_dup_pairs"),
+    )
+    a = names.select(
+        "blk", F.col("p_name").alias("name_a"), F.col("cnt").alias("cnt_a")
+    )
+    b = names.select(
+        "blk", F.col("p_name").alias("name_b"), F.col("cnt").alias("cnt_b")
+    )
+    near = (
+        a.join(b, "blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .filter(
+            F.levenshtein(F.col("name_a"), F.col("name_b")).between(
+                1, ER_MAX_DIST
+            )
+        )
+        .groupBy("blk")
+        .agg(
+            F.count("*").alias("near_name_pairs"),
+            F.sum(F.col("cnt_a") * F.col("cnt_b")).alias("near_part_pairs"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return base.join(near, "blk", "left").select(
+        "blk",
+        "n_parts",
+        "n_names",
+        "exact_dup_pairs",
+        F.coalesce(F.col("near_name_pairs"), zero).alias("near_name_pairs"),
+        F.coalesce(F.col("near_part_pairs"), zero).alias("near_part_pairs"),
+    )
+
+
+PART_NAME_MATCH_STATS_SQL = f"""
+WITH names AS (
+  SELECT p_name, string_split(p_name, ' ')[1] AS blk, count(*) AS cnt
+  FROM part GROUP BY p_name, string_split(p_name, ' ')[1]
+),
+base AS (
+  SELECT blk, CAST(sum(cnt) AS BIGINT) AS n_parts, count(*) AS n_names,
+         CAST(sum(CAST(cnt * (cnt - 1) / 2 AS BIGINT)) AS BIGINT)
+           AS exact_dup_pairs
+  FROM names GROUP BY blk
+),
+near AS (
+  SELECT a.blk, count(*) AS near_name_pairs,
+         CAST(sum(a.cnt * b.cnt) AS BIGINT) AS near_part_pairs
+  FROM names a JOIN names b ON a.blk = b.blk AND a.p_name < b.p_name
+  WHERE levenshtein(a.p_name, b.p_name) BETWEEN 1 AND {ER_MAX_DIST}
+  GROUP BY a.blk
+)
+SELECT blk, n_parts, n_names, exact_dup_pairs,
+       coalesce(near_name_pairs, CAST(0 AS BIGINT)) AS near_name_pairs,
+       coalesce(near_part_pairs, CAST(0 AS BIGINT)) AS near_part_pairs
+FROM base LEFT JOIN near USING (blk)
+"""

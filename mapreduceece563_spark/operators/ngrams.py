@@ -212,6 +212,79 @@ FROM documents
 """
 
 
+def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal under a corpus-trained
+    first-order LM — the CCNet-style "perplexity filter" that ranks
+    documents by how unlike the corpus their word sequences are.
+
+    Model: P(w2 | w1) = c(w1,w2) / c(w1,·) with counts from this same
+    corpus; each doc scores mean(-ln P) over its bigrams. Scale shape:
+    bigram extraction is map-only (array slice, no window); the model
+    is ONE vocabulary-keyed groupBy (the same shuffle class as
+    wordcount) with the unigram margin derived from it by a second,
+    much smaller agg; scoring joins the doc bigrams back on the same
+    (w1, w2) key. Surprisal is quantized to int64 micro-nats before
+    the per-doc sum, so fold order cannot change a result; both
+    engines compute ln on the identical count ratio.
+    """
+    w = _words_per_doc(spark, sf_dir)
+    n = F.size(F.col("words"))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("words"), i).alias("w1"),
+                F.element_at(F.col("words"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = w.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = c2.groupBy("w1").agg(F.sum("n12").alias("n1"))
+    micro = F.round(
+        -F.log(F.col("n12") / F.col("n1").cast("double")) * 1000000, 0
+    ).cast("long")
+    scored = (
+        pairs.join(c2, ["w1", "w2"]).join(c1, "w1").select(
+            "doc_id", micro.alias("micro")
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(
+            (F.sum("micro") / F.count("*")) / 1000000.0, 6
+        ).alias("avg_surprisal"),
+    )
+
+
+DOC_LM_SURPRISAL_SQL = f"""
+WITH {_words_cte().lstrip()},
+pairs AS (
+  SELECT doc_id,
+         unnest(words[1:len(words) - 1]) AS w1,
+         unnest(words[2:len(words)]) AS w2
+  FROM w WHERE len(words) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c2 GROUP BY w1),
+scored AS (
+  SELECT p.doc_id,
+         CAST(round(-ln(c2.n12 / CAST(c1.n1 AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS micro
+  FROM pairs p
+  JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
+  JOIN c1 ON c1.w1 = p.w1
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       round((CAST(sum(micro) AS BIGINT) / CAST(count(*) AS DOUBLE))
+             / 1000000.0, 6) AS avg_surprisal
+FROM scored GROUP BY doc_id
+"""
+
+
 # --- TF-IDF cosine over candidate pairs ------------------------------
 
 def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

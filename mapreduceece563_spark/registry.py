@@ -23,6 +23,7 @@ from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import ngrams as ng
 from .operators import sessions as ss
+from .operators import mining as mn
 from .operators import relational as rel
 from .operators import similarity as sim
 from .operators import skew as sk
@@ -293,3 +294,11 @@ register("passage_dedup", cp.passage_dedup, cp.PASSAGE_DEDUP_SQL)
 # must change the PLAN, never the ANSWER (oracles run on raw parquet).
 register("bucketed_join_revenue", stg.bucketed_join_revenue, stg.BUCKETED_JOIN_SQL)
 register("partition_pruned_purchases", stg.partition_pruned_purchases, stg.PARTITION_PRUNED_SQL)
+
+# --- sequence mining / ER / LM quality (round 3; rotate into a later
+# driver window) ------------------------------------------------------
+register("event_transition_matrix", mn.event_transition_matrix, mn.EVENT_TRANSITION_SQL)
+register("user_latest_state", mn.user_latest_state, mn.USER_LATEST_STATE_SQL)
+register("events_value_histogram", mn.events_value_histogram, mn.EVENTS_VALUE_HISTOGRAM_SQL)
+register("part_name_match_stats", mn.part_name_match_stats, mn.PART_NAME_MATCH_STATS_SQL)
+register("doc_lm_surprisal", ng.doc_lm_surprisal, ng.DOC_LM_SURPRISAL_SQL)
