@@ -90,6 +90,8 @@ BUDGETS = {
     "events_value_histogram": 3.0,
     "part_name_match_stats": 4.0,  # collapse-first blocked levenshtein
     "doc_lm_surprisal": 6.0,  # corpus bigram LM + score-back join
+    "doc_chunk_manifest": 3.0,
+    "streaming_user_profile": 12.0,  # multi-micro-batch stateful drain
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -337,3 +337,63 @@ FROM p
 GROUP BY passage_hash
 HAVING count(DISTINCT doc_id) >= 2
 """
+
+
+# --- context-window chunking ------------------------------------------
+
+CHUNK_CHARS = 500
+CHUNK_STRIDE = 400  # 100-char overlap between consecutive chunks
+
+
+def doc_chunk_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-width chunks per document — the RAG/pretrain
+    context-window split — emitted as a MANIFEST (doc_id, chunk_id,
+    chunk_len, chunk_hash), never the chunk text itself.
+
+    Map-only: chunk starts are a per-row ``sequence`` over the char
+    length, the chunk is a substring, and only its md5 + length leave
+    the row — so nothing document-sized ever crosses a shuffle, and
+    the hashes plug straight into the dedup family (chunk-level exact
+    dedup = one groupBy on chunk_hash). At 100 TB this is the shape
+    that matters: chunking is embarrassingly parallel, and the
+    manifest is ~40 bytes/chunk regardless of chunk size."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    n = F.length("text")
+    starts = F.sequence(
+        F.lit(0), F.floor((n - 1) / CHUNK_STRIDE).cast("int")
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.substring(
+            F.col("text"), i * CHUNK_STRIDE + 1, CHUNK_CHARS
+        ),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_id", "c"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.length("c").cast("long").alias("chunk_len"),
+            F.md5("c").alias("chunk_hash"),
+        )
+    )
+
+
+DOC_CHUNK_MANIFEST_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE})
+                              AS BIGINT) + 1)) AS i
+  FROM documents
+  WHERE text IS NOT NULL AND text <> ''
+)
+SELECT doc_id, i AS chunk_id,
+       CAST(length(substring(text, CAST(i * {CHUNK_STRIDE} + 1 AS INTEGER),
+                             {CHUNK_CHARS})) AS BIGINT) AS chunk_len,
+       md5(substring(text, CAST(i * {CHUNK_STRIDE} + 1 AS INTEGER),
+                     {CHUNK_CHARS})) AS chunk_hash
+FROM base
+"""

@@ -302,3 +302,14 @@ register("user_latest_state", mn.user_latest_state, mn.USER_LATEST_STATE_SQL)
 register("events_value_histogram", mn.events_value_histogram, mn.EVENTS_VALUE_HISTOGRAM_SQL)
 register("part_name_match_stats", mn.part_name_match_stats, mn.PART_NAME_MATCH_STATS_SQL)
 register("doc_lm_surprisal", ng.doc_lm_surprisal, ng.DOC_LM_SURPRISAL_SQL)
+register("doc_chunk_manifest", cp.doc_chunk_manifest, cp.DOC_CHUNK_MANIFEST_SQL)
+
+# applyInPandasWithState through a real multi-micro-batch streaming
+# run, reduced to final state and oracle-checked as a batch aggregate.
+from .streaming import stateful as sf  # noqa: E402
+
+register(
+    "streaming_user_profile",
+    sf.streaming_user_profile_batch,
+    sf.STREAMING_USER_PROFILE_SQL,
+)

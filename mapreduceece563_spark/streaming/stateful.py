@@ -73,3 +73,76 @@ def running_user_profile(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_user_profile_batch(spark, sf_dir: str) -> DataFrame:
+    """Per-user final (n_events, value_sum) computed through an ACTUAL
+    ``applyInPandasWithState`` streaming run — the hard oracle signal
+    for the custom-stateful-operator surface (previously pinned only
+    by local parity tests).
+
+    Pipeline: spill events into an 8-file chunk dir, stream it 2 files
+    per trigger (so state genuinely carries across multiple
+    micro-batches), persist every update-mode emission tagged with its
+    batch_id, then reduce to each user's LAST emission — which, since
+    state accumulates monotonically, is the user's final total and
+    must equal the plain batch aggregate the DuckDB oracle runs.
+    The last-emission reduce is the same partial-aggregable
+    max(struct) shape as ``user_latest_state``."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..sources.catalog import load_table
+
+    work = tempfile.mkdtemp(prefix="stream_profile_")
+    src = os.path.join(work, "chunks")
+    out = os.path.join(work, "emissions")
+    ckpt = os.path.join(work, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    ev.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    profile = running_user_profile(stream)
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(out, f"batch_id={batch_id}")
+        )
+
+    q = (
+        profile.writeStream.foreachBatch(sink_batch)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    # read the base dir (not a batch_id=* glob) so the batch_id
+    # partition column is inferred — it's the last-emission ordering key
+    emissions = spark.read.parquet(out)
+    last = emissions.groupBy("user_id").agg(
+        F.max(F.struct("batch_id", "n_events", "value_sum")).alias("_s")
+    )
+    return last.select(
+        "user_id",
+        F.col("_s.n_events").alias("n_events"),
+        F.col("_s.value_sum").alias("value_sum"),
+    )
+
+
+STREAMING_USER_PROFILE_SQL = """
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) / 100.0
+         AS value_sum
+FROM events GROUP BY user_id
+"""
