@@ -92,6 +92,10 @@ BUDGETS = {
     "doc_lm_surprisal": 6.0,  # corpus bigram LM + score-back join
     "doc_chunk_manifest": 3.0,
     "streaming_user_profile": 12.0,  # multi-micro-batch stateful drain
+    "oov_rate": 4.0,
+    "word_freq_spectrum": 3.0,
+    "bigram_pmi_top": 5.0,
+    "embedding_covariance": 6.0,  # d^2 map-side explode, tiny shuffle
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -381,3 +381,168 @@ LEFT JOIN num n ON n.doc_a = p.doc_a AND n.doc_b = p.doc_b
 JOIN norms na ON na.doc_id = p.doc_a
 JOIN norms nb ON nb.doc_id = p.doc_b
 """
+
+
+# --- vocabulary statistics -------------------------------------------
+
+OOV_VOCAB_SIZE = 1000
+PMI_MIN_COUNT = 5
+PMI_TOP = 50
+
+
+def oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus's own
+    top-1000 vocabulary — the tokenizer-coverage check a training
+    pipeline runs before committing to a vocab.
+
+    The vocabulary is bounded (top-V by count, count-then-word
+    tie-break so both engines pick the identical set) and broadcast;
+    the per-doc pass is the token stream left-joined against it, so
+    the only wide shuffle is the vocabulary build itself (wordcount's
+    shuffle class)."""
+    tf = _tf_stage(spark, sf_dir)
+    counts = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("word", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        tf.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in_vocab").isNull(), F.col("tf")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("n_oov"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_oov",
+            F.round(F.col("n_oov") / F.col("n_tokens"), 6).alias("oov_rate"),
+        )
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH {_words_cte().lstrip()},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+counts AS (SELECT word, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY word),
+vocab AS (
+  SELECT word FROM counts ORDER BY cnt DESC, word ASC LIMIT {OOV_VOCAB_SIZE}
+),
+joined AS (
+  SELECT tf.doc_id, tf.tf,
+         CASE WHEN v.word IS NULL THEN tf.tf ELSE 0 END AS oov_tf
+  FROM tf LEFT JOIN vocab v ON v.word = tf.word
+)
+SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       CAST(sum(oov_tf) AS BIGINT) AS n_oov,
+       round(CAST(sum(oov_tf) AS BIGINT)
+             / CAST(CAST(sum(tf) AS BIGINT) AS DOUBLE), 6) AS oov_rate
+FROM joined GROUP BY doc_id
+"""
+
+
+def word_freq_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-of-frequency spectrum (how many distinct words occur
+    exactly k times) — the Zipf sanity check and the input to
+    Good-Turing smoothing. Two aggregations; the second is tiny."""
+    tf = _tf_stage(spark, sf_dir)
+    counts = tf.groupBy("word").agg(F.sum("tf").alias("cnt"))
+    return counts.groupBy(F.col("cnt").alias("freq")).agg(
+        F.count("*").alias("n_words")
+    )
+
+
+WORD_FREQ_SPECTRUM_SQL = f"""
+WITH {_words_cte().lstrip()},
+tok AS (SELECT unnest(words) AS word FROM w),
+counts AS (SELECT word, count(*) AS freq FROM tok GROUP BY word)
+SELECT freq, count(*) AS n_words FROM counts GROUP BY freq
+"""
+
+
+def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by pointwise mutual information over corpus
+    bigrams with count >= 5.
+
+    PMI = ln(c12·N / (m1·m2)) with m1/m2 the first/second-position
+    margins, all derived from ONE (w1,w2) count shuffle; N rides a
+    broadcast 1-row frame. The ln argument is assembled in DOUBLE
+    (c12·N overflows int64 at web scale); ranking is on int64
+    micro-nat PMI with a (w1, w2) tie-break so both engines emit the
+    identical top-k."""
+    w = _words_per_doc(spark, sf_dir)
+    n = F.size(F.col("words"))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at(F.col("words"), i).alias("w1"),
+                F.element_at(F.col("words"), i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    pairs = w.select(F.explode(grams).alias("g")).select(
+        F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
+    )
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    m1 = c2.groupBy("w1").agg(F.sum("n12").alias("m1"))
+    m2 = c2.groupBy("w2").agg(F.sum("n12").alias("m2"))
+    total = c2.agg(F.sum("n12").alias("n_total"))
+    pmi_micro = F.round(
+        F.log(
+            (F.col("n12").cast("double") * F.col("n_total"))
+            / (F.col("m1").cast("double") * F.col("m2"))
+        )
+        * 1000000,
+        0,
+    ).cast("long")
+    return (
+        c2.filter(F.col("n12") >= PMI_MIN_COUNT)
+        .join(m1, "w1")
+        .join(m2, "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2", "n12", pmi_micro.alias("_pmi")
+        )
+        .orderBy(F.desc("_pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(PMI_TOP)
+        .select(
+            "w1", "w2", "n12", (F.col("_pmi") / 1000000.0).alias("pmi")
+        )
+    )
+
+
+BIGRAM_PMI_SQL = f"""
+WITH {_words_cte().lstrip()},
+pairs AS (
+  SELECT doc_id,
+         unnest(words[1:len(words) - 1]) AS w1,
+         unnest(words[2:len(words)]) AS w2
+  FROM w WHERE len(words) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS n12 FROM pairs GROUP BY w1, w2),
+m1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS m1 FROM c2 GROUP BY w1),
+m2 AS (SELECT w2, CAST(sum(n12) AS BIGINT) AS m2 FROM c2 GROUP BY w2),
+tot AS (SELECT CAST(sum(n12) AS BIGINT) AS n_total FROM c2),
+scored AS (
+  SELECT c2.w1, c2.w2, c2.n12,
+         CAST(round(ln((CAST(c2.n12 AS DOUBLE) * n_total)
+                       / (CAST(m1.m1 AS DOUBLE) * m2.m2)) * 1000000, 0)
+              AS BIGINT) AS _pmi
+  FROM c2
+  JOIN m1 ON m1.w1 = c2.w1
+  JOIN m2 ON m2.w2 = c2.w2
+  CROSS JOIN tot
+  WHERE c2.n12 >= {PMI_MIN_COUNT}
+)
+SELECT w1, w2, n12, _pmi / 1000000.0 AS pmi
+FROM scored ORDER BY _pmi DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP}
+"""

@@ -455,3 +455,109 @@ def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_PANDAS_SQL = KNN_SQL  # identical semantics, different physical path
+
+
+# --- covariance / gram matrix ----------------------------------------
+
+COV_SCALE = 1000000  # fixed-point quantization per coordinate
+EMB_DIM = 64
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle empirical covariance matrix of the embedding
+    coordinates — the gram-matrix pass under PCA/whitening.
+
+    Coordinates quantize once to int64 (COV_SCALE fixed-point); every
+    pairwise product and marginal sum is exact integer math, and the
+    float covariance is assembled from the final integers with the
+    identical expression in both engines. Shape: the d² cell explosion
+    is map-side CPU, but HashAggregate's partial pass means each map
+    task ships at most d(d+1)/2 = 2080 partial rows — the shuffle is
+    O(tasks · d²), independent of row count. At much larger d, swap
+    the explode for a per-partition numpy gram in mapInPandas; the
+    partial-sum-then-merge shape is unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "embedding"
+    )
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * COV_SCALE, 0).cast("long"),
+    )
+    rows = emb.select(quant.alias("q"))
+    cells = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("q"),
+                lambda qi, i: F.transform(
+                    F.col("q"),
+                    lambda qj, j: F.struct(
+                        i.cast("long").alias("i"),
+                        j.cast("long").alias("j"),
+                        (qi * qj).alias("p"),
+                    ),
+                ),
+            )
+        ),
+        lambda c: c["i"] <= c["j"],
+    )
+    s_ij = (
+        rows.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("s_ij"))
+    )
+    means = (
+        rows.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum("qi").alias("s"))
+    )
+    nn = rows.agg(F.count("*").alias("n"))
+    a = means.select("i", F.col("s").alias("s_i"))
+    b = means.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+    scale2 = float(COV_SCALE) * float(COV_SCALE)
+    return (
+        s_ij.join(F.broadcast(a), "i")
+        .join(F.broadcast(b), "j")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i",
+            "j",
+            F.round(
+                (
+                    F.col("s_ij") / F.col("n")
+                    - (F.col("s_i") / F.col("n")) * (F.col("s_j") / F.col("n"))
+                )
+                / scale2,
+                9,
+            ).alias("cov"),
+        )
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {COV_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cells AS (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(sum(q.q[ii.i + 1] * q.q[jj.j + 1]) AS BIGINT) AS s_ij
+  FROM q, range(0, {EMB_DIM}) ii(i), range(0, {EMB_DIM}) jj(j)
+  WHERE ii.i <= jj.j
+  GROUP BY ii.i, jj.j
+),
+means AS (
+  SELECT ii.i AS i, CAST(sum(q.q[ii.i + 1]) AS BIGINT) AS s
+  FROM q, range(0, {EMB_DIM}) ii(i)
+  GROUP BY ii.i
+),
+nn AS (SELECT count(*) AS n FROM q)
+SELECT c.i, c.j,
+       round((CAST(s_ij AS DOUBLE) / n
+              - (CAST(a.s AS DOUBLE) / n) * (CAST(b.s AS DOUBLE) / n))
+             / ({COV_SCALE}.0 * {COV_SCALE}.0), 9) AS cov
+FROM cells c
+JOIN means a ON a.i = c.i
+JOIN means b ON b.i = c.j
+CROSS JOIN nn
+"""

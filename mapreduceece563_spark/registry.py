@@ -313,3 +313,9 @@ register(
     sf.streaming_user_profile_batch,
     sf.STREAMING_USER_PROFILE_SQL,
 )
+
+# --- vocabulary statistics / collocations / gram matrix (round 3) ----
+register("oov_rate", ng.oov_rate, ng.OOV_RATE_SQL)
+register("word_freq_spectrum", ng.word_freq_spectrum, ng.WORD_FREQ_SPECTRUM_SQL)
+register("bigram_pmi_top", ng.bigram_pmi_top, ng.BIGRAM_PMI_SQL)
+register("embedding_covariance", sim.embedding_covariance, sim.EMBEDDING_COVARIANCE_SQL)
