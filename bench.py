@@ -96,6 +96,9 @@ BUDGETS = {
     "word_freq_spectrum": 3.0,
     "bigram_pmi_top": 5.0,
     "embedding_covariance": 6.0,  # d^2 map-side explode, tiny shuffle
+    "quality_percentile_by_source": 4.0,
+    "per_source_holdout": 3.0,
+    "table_checksum": 4.0,  # poly-hash fold over every char
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

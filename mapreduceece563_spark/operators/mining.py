@@ -248,3 +248,55 @@ SELECT blk, n_parts, n_names, exact_dup_pairs,
        coalesce(near_part_pairs, CAST(0 AS BIGINT)) AS near_part_pairs
 FROM base LEFT JOIN near USING (blk)
 """
+
+
+# --- order-independent table fingerprint ------------------------------
+
+
+def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source order-independent content fingerprint of the
+    documents table: XOR of a deterministic row hash.
+
+    XOR is commutative/associative, so the signature is invariant to
+    partitioning, task order, and merge order — the replication /
+    migration validation primitive: run on both sides of a copy, one
+    row per source crosses the wire. Row identity is the poly-fold of
+    a canonical unit-separator-joined rendering of every column
+    (null -> '')."""
+    docs = load_table(spark, sf_dir, "documents", spread=True)
+    canon = F.concat_ws(
+        "\x1f",
+        F.col("doc_id").cast("string"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+        F.coalesce(F.col("source"), F.lit("")),
+        F.col("n_chars").cast("string"),
+    )
+    from ..functions.hashing import poly_hash
+
+    return (
+        docs.select("source", poly_hash(canon).alias("_h"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.expr("bit_xor(_h)").alias("xor_sig"),
+        )
+    )
+
+
+def _checksum_canon_sql() -> str:
+    from ..functions.hashing import poly_hash_sql
+
+    canon = (
+        "concat_ws(chr(31), CAST(doc_id AS VARCHAR), coalesce(text, ''), "
+        "coalesce(lang, ''), coalesce(source, ''), "
+        "CAST(n_chars AS VARCHAR))"
+    )
+    return poly_hash_sql(canon)
+
+
+TABLE_CHECKSUM_SQL = f"""
+SELECT source, count(*) AS n_rows,
+       bit_xor({_checksum_canon_sql()}) AS xor_sig
+FROM documents GROUP BY source
+"""

@@ -484,3 +484,87 @@ SELECT n_docs, n_chars, n_tokens, vocab_size,
        n_docs - n_distinct_texts AS n_exact_dups
 FROM base CROSS JOIN vocab
 """
+
+
+# --- quantile normalization / holdout selection ----------------------
+
+HOLDOUT_K = 20
+HOLDOUT_A = 1203077157  # first MinHash perm: the affine scramble
+HOLDOUT_B = 869531133
+HOLDOUT_MOD = 1_000_000_007
+
+
+def quality_percentile_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantile-normalized quality per source: percent_rank of the
+    quality score within each source, tie-broken by doc_id so the
+    rank order is total and both engines agree exactly.
+
+    One exchange on source for the window. At 100 TB a single source
+    can be most of the corpus — then the per-source sort becomes the
+    bottleneck and the move is approximate quantiles (fixed-bin CDF,
+    the events_value_histogram shape) instead of an exact rank."""
+    qs = quality_score(spark, sf_dir).select("doc_id", "quality")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy(
+        F.asc("quality"), F.asc("doc_id")
+    )
+    return (
+        qs.join(src, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.round(F.percent_rank().over(w), 6).alias("q_pct"),
+        )
+    )
+
+
+QUALITY_PERCENTILE_SQL = f"""
+WITH q AS ({QUALITY_SQL})
+SELECT q.doc_id, d.source, q.quality,
+       round(percent_rank() OVER (PARTITION BY d.source
+                                  ORDER BY q.quality ASC, q.doc_id ASC),
+             6) AS q_pct
+FROM q JOIN documents d ON d.doc_id = q.doc_id
+"""
+
+
+def per_source_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k eval-holdout docs per source, chosen by a
+    deterministic affine hash scramble of doc_id — the same docs are
+    selected on any cluster layout, any partitioning, any engine
+    (rand() would give none of those). One exchange on source; the
+    scramble is map-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    scramble = (
+        (F.col("doc_id") % HOLDOUT_MOD) * HOLDOUT_A + HOLDOUT_B
+    ) % HOLDOUT_MOD
+    w = Window.partitionBy("source").orderBy(
+        F.asc("_scr"), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("_scr", scramble)
+        .withColumn("holdout_rank", F.row_number().over(w))
+        .filter(F.col("holdout_rank") <= HOLDOUT_K)
+        .select("source", "doc_id", "holdout_rank")
+    )
+
+
+PER_SOURCE_HOLDOUT_SQL = f"""
+WITH s AS (
+  SELECT source, doc_id,
+         ((doc_id % {HOLDOUT_MOD}) * {HOLDOUT_A} + {HOLDOUT_B})
+           % {HOLDOUT_MOD} AS _scr
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY _scr ASC, doc_id ASC) AS holdout_rank
+  FROM s
+)
+SELECT source, doc_id, holdout_rank FROM r
+WHERE holdout_rank <= {HOLDOUT_K}
+"""

@@ -319,3 +319,6 @@ register("oov_rate", ng.oov_rate, ng.OOV_RATE_SQL)
 register("word_freq_spectrum", ng.word_freq_spectrum, ng.WORD_FREQ_SPECTRUM_SQL)
 register("bigram_pmi_top", ng.bigram_pmi_top, ng.BIGRAM_PMI_SQL)
 register("embedding_covariance", sim.embedding_covariance, sim.EMBEDDING_COVARIANCE_SQL)
+register("quality_percentile_by_source", ts.quality_percentile_by_source, ts.QUALITY_PERCENTILE_SQL)
+register("per_source_holdout", ts.per_source_holdout, ts.PER_SOURCE_HOLDOUT_SQL)
+register("table_checksum", mn.table_checksum, mn.TABLE_CHECKSUM_SQL)
