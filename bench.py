@@ -99,6 +99,10 @@ BUDGETS = {
     "quality_percentile_by_source": 4.0,
     "per_source_holdout": 3.0,
     "table_checksum": 4.0,  # poly-hash fold over every char
+    "fk_integrity_audit": 4.0,  # three anti-join edges
+    "events_profile": 4.0,  # single-pass multi-distinct Expand
+    "events_hourly_incremental": 3.0,
+    "lang_confusion_matrix": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

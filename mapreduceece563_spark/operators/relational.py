@@ -1862,3 +1862,140 @@ GROUP BY s_name
 ORDER BY numwait DESC, s_name ASC
 LIMIT 100
 """
+
+
+# --- referential-integrity audit / profiling / partial-agg merge ------
+
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orphan audit over the star schema's FK edges: one bounded row
+    per relationship with total child rows and dangling-key count.
+
+    Each edge is an anti-join (child minus matching parent keys) —
+    Spark broadcasts the parent when small and AQE picks shuffle-hash
+    at scale; either way the output is one row, so the audit runs on
+    every load with no materialization cost. NOT EXISTS semantics (an
+    anti-join), not NOT IN, so a null parent key can never vacuously
+    empty the result."""
+    edges = [
+        ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = None
+    for label, child_t, ckey, parent_t, pkey in edges:
+        child = load_table(spark, sf_dir, child_t).select(ckey)
+        parent = load_table(spark, sf_dir, parent_t).select(pkey)
+        n_child = child.agg(F.count("*").alias("n_child"))
+        n_orphans = child.join(
+            parent, child[ckey] == parent[pkey], "left_anti"
+        ).agg(F.count("*").alias("n_orphans"))
+        row = (
+            n_child.crossJoin(F.broadcast(n_orphans))
+            .select(
+                F.lit(label).alias("fk_edge"), "n_child", "n_orphans"
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'orders->customer' AS fk_edge,
+       (SELECT count(*) FROM orders) AS n_child,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+UNION ALL
+SELECT 'lineitem->orders',
+       (SELECT count(*) FROM lineitem),
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))
+UNION ALL
+SELECT 'customer->nation',
+       (SELECT count(*) FROM customer),
+       (SELECT count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey))
+"""
+
+
+_PROFILE_COLS = ("event_id", "user_id", "event_type", "value", "props")
+
+
+def events_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profile of the events table: null count and
+    exact distinct count per column.
+
+    All five count-distincts run in ONE aggregate — Catalyst plans
+    multi-distinct via an Expand (each input row fans out once per
+    distinct column, then one shuffle). That is a deliberate scale
+    trade: one pass with a 5x expand beats five scans of a 100 TB
+    table; for approximate profiling swap count_distinct for
+    approx_count_distinct and the Expand disappears."""
+    ev = load_table(spark, sf_dir, "events").select(*_PROFILE_COLS)
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs.append(
+            F.sum(
+                F.when(F.col(c).isNull(), 1).otherwise(0)
+            ).cast("long").alias(f"_nn_{c}")
+        )
+        aggs.append(F.count_distinct(F.col(c)).alias(f"_nd_{c}"))
+    wide = ev.agg(*aggs)
+    stack_expr = ", ".join(
+        f"'{c}', _nn_{c}, _nd_{c}" for c in _PROFILE_COLS
+    )
+    return wide.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(_PROFILE_COLS)}, {stack_expr}) "
+            "AS (col_name, n_nulls, n_distinct)"
+        ),
+    ).select("col_name", "n_rows", "n_nulls", "n_distinct")
+
+
+EVENTS_PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       (SELECT count(*) FROM events) AS n_rows,
+       CAST((SELECT count(*) FROM events WHERE {c} IS NULL) AS BIGINT)
+         AS n_nulls,
+       CAST((SELECT count(DISTINCT {c}) FROM events) AS BIGINT)
+         AS n_distinct"""
+    for c in _PROFILE_COLS
+)
+
+
+def events_hourly_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event counts computed as a MERGE of two partial
+    aggregates (first half-month and the rest) — the incremental-view
+    maintenance law: agg(A union B) == merge(agg(A), agg(B)) for any
+    associative aggregate. This is the batch statement of what the
+    streaming entries do per micro-batch, and what a warehouse's
+    incremental rollup does per load; the oracle computes the rollup
+    flat, so the equality IS the check."""
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type")
+    hour = F.date_trunc("hour", F.col("ts")).alias("hour")
+    split = F.lit("2024-01-15")
+    old = (
+        ev.filter(F.col("ts") < split)
+        .groupBy(hour, "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    new = (
+        ev.filter(F.col("ts") >= split)
+        .groupBy(hour, "event_type")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        old.unionByName(new)
+        .groupBy("hour", "event_type")
+        .agg(F.sum("n").alias("n_events"))
+    )
+
+
+EVENTS_HOURLY_INCR_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       count(*) AS n_events
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""

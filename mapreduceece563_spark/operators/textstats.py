@@ -568,3 +568,28 @@ r AS (
 SELECT source, doc_id, holdout_rank FROM r
 WHERE holdout_rank <= {HOLDOUT_K}
 """
+
+
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled-vs-predicted language confusion matrix — the eval
+    harness for the lang_id heuristic, |langs|^2-bounded output. The
+    predicted side reuses the lang_id query; the join back to labels
+    is doc_id-keyed, then a tiny groupBy."""
+    pred = lang_id(spark, sf_dir).select("doc_id", "predicted_lang")
+    labels = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang"
+    )
+    return (
+        pred.join(labels, "doc_id")
+        .groupBy(F.col("lang").alias("labeled_lang"), "predicted_lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH pred AS ({LANG_ID_SQL})
+SELECT d.lang AS labeled_lang, pred.predicted_lang,
+       count(*) AS n_docs
+FROM pred JOIN documents d ON d.doc_id = pred.doc_id
+GROUP BY d.lang, pred.predicted_lang
+"""

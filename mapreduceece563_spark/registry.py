@@ -322,3 +322,9 @@ register("embedding_covariance", sim.embedding_covariance, sim.EMBEDDING_COVARIA
 register("quality_percentile_by_source", ts.quality_percentile_by_source, ts.QUALITY_PERCENTILE_SQL)
 register("per_source_holdout", ts.per_source_holdout, ts.PER_SOURCE_HOLDOUT_SQL)
 register("table_checksum", mn.table_checksum, mn.TABLE_CHECKSUM_SQL)
+
+# --- data-quality / audit / incremental-merge (round 3) --------------
+register("fk_integrity_audit", rel.fk_integrity_audit, rel.FK_INTEGRITY_SQL)
+register("events_profile", rel.events_profile, rel.EVENTS_PROFILE_SQL)
+register("events_hourly_incremental", rel.events_hourly_incremental, rel.EVENTS_HOURLY_INCR_SQL)
+register("lang_confusion_matrix", ts.lang_confusion_matrix, ts.LANG_CONFUSION_SQL)
