@@ -103,6 +103,7 @@ BUDGETS = {
     "events_profile": 4.0,  # single-pass multi-distinct Expand
     "events_hourly_incremental": 3.0,
     "lang_confusion_matrix": 3.0,
+    "triangle_count": 8.0,  # oriented wedge self-join + closure check
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -231,3 +231,103 @@ r2 AS (
 SELECT node AS word, r AS rank_scaled FROM r2
 ORDER BY rank_scaled DESC, word ASC LIMIT {PR_TOP}
 """
+
+
+# --- triangle counting ------------------------------------------------
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the word co-occurrence graph via
+    DEGREE-ORIENTED wedge join — the shape that makes distributed
+    triangle counting feasible on skewed graphs.
+
+    Each undirected edge is oriented from its lower-(degree, name)
+    endpoint to the higher one, so every node's out-degree is
+    O(sqrt(m)) and the wedge self-join is sum(outdeg^2) — bounded even
+    when a stopword hub touches half the vocabulary (the naive
+    edge-edge-edge join explodes exactly there). Wedges close against
+    the canonical undirected edge set; each triangle is counted once.
+    One bounded summary row: nodes, edges, triangles."""
+    sym = _cooc_edges(spark, sf_dir).persist()
+    und = sym.filter(F.col("src") < F.col("dst"))
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = (
+        und.join(
+            deg.select(F.col("src"), F.col("deg").alias("dsrc")), "src"
+        )
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("deg").alias("ddst")
+            ),
+            "dst",
+        )
+    )
+    fwd = (F.col("dsrc") < F.col("ddst")) | (
+        (F.col("dsrc") == F.col("ddst")) & (F.col("src") < F.col("dst"))
+    )
+    arcs = ed.select(
+        F.when(fwd, F.col("src")).otherwise(F.col("dst")).alias("u"),
+        F.when(fwd, F.col("dst")).otherwise(F.col("src")).alias("v"),
+    )
+    a = arcs.select(F.col("u"), F.col("v").alias("x"))
+    b = arcs.select(F.col("u"), F.col("v").alias("y"))
+    wedges = a.join(b, "u").filter(F.col("x") < F.col("y")).select("x", "y")
+    tri = (
+        wedges.join(
+            und,
+            (wedges["x"] == und["src"]) & (wedges["y"] == und["dst"]),
+            "left_semi",
+        )
+        .agg(F.count("*").alias("n_triangles"))
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        tri.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_nodes))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
+TRIANGLE_COUNT_SQL = f"""
+WITH {_words_cte().lstrip()},
+arcs0 AS (
+  SELECT e.* FROM (
+    SELECT unnest(CASE WHEN len(words) >= 2 THEN
+             list_transform(range(1, len(words)),
+                            i -> {{'src': words[i], 'dst': words[i+1]}})
+           ELSE CAST([] AS STRUCT(src VARCHAR, dst VARCHAR)[]) END) AS e
+    FROM w) t
+),
+e0 AS (SELECT src, dst FROM arcs0 WHERE src <> dst),
+edges AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+),
+und AS (SELECT src, dst FROM edges WHERE src < dst),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+ed AS (
+  SELECT u.src, u.dst, a.deg AS dsrc, b.deg AS ddst
+  FROM und u JOIN deg a ON a.node = u.src JOIN deg b ON b.node = u.dst
+),
+arcs AS (
+  SELECT CASE WHEN dsrc < ddst OR (dsrc = ddst AND src < dst)
+              THEN src ELSE dst END AS u,
+         CASE WHEN dsrc < ddst OR (dsrc = ddst AND src < dst)
+              THEN dst ELSE src END AS v
+  FROM ed
+),
+wedges AS (
+  SELECT a.v AS x, b.v AS y
+  FROM arcs a JOIN arcs b ON a.u = b.u AND a.v < b.v
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM wedges wg
+  WHERE EXISTS (SELECT 1 FROM und
+                WHERE und.src = wg.x AND und.dst = wg.y)
+)
+SELECT (SELECT count(*) FROM deg) AS n_nodes,
+       (SELECT count(*) FROM und) AS n_edges,
+       n_triangles
+FROM tri
+"""

@@ -328,3 +328,4 @@ register("fk_integrity_audit", rel.fk_integrity_audit, rel.FK_INTEGRITY_SQL)
 register("events_profile", rel.events_profile, rel.EVENTS_PROFILE_SQL)
 register("events_hourly_incremental", rel.events_hourly_incremental, rel.EVENTS_HOURLY_INCR_SQL)
 register("lang_confusion_matrix", ts.lang_confusion_matrix, ts.LANG_CONFUSION_SQL)
+register("triangle_count", gph.triangle_count, gph.TRIANGLE_COUNT_SQL)
