@@ -263,6 +263,12 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per source crosses the wire. Row identity is the poly-fold of
     a canonical unit-separator-joined rendering of every column
     (null -> '')."""
+    return _xor_rollup(_row_hashes(spark, sf_dir))
+
+
+def _row_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, _h): the canonical per-row hash stage, exposed so the
+    order-independence property is testable under any repartitioning."""
     docs = load_table(spark, sf_dir, "documents", spread=True)
     canon = F.concat_ws(
         "\x1f",
@@ -274,13 +280,13 @@ def table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from ..functions.hashing import poly_hash
 
-    return (
-        docs.select("source", poly_hash(canon).alias("_h"))
-        .groupBy("source")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.expr("bit_xor(_h)").alias("xor_sig"),
-        )
+    return docs.select("source", poly_hash(canon).alias("_h"))
+
+
+def _xor_rollup(hashes: DataFrame) -> DataFrame:
+    return hashes.groupBy("source").agg(
+        F.count("*").alias("n_rows"),
+        F.expr("bit_xor(_h)").alias("xor_sig"),
     )
 
 

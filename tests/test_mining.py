@@ -96,3 +96,75 @@ def test_lm_surprisal_is_positive_and_bounded(spark):
         # -ln(p) with p in (0, 1]; ln of the rarest possible bigram is
         # bounded by ln(total corpus bigrams).
         assert 0.0 <= r["avg_surprisal"] < 30.0
+
+
+def test_events_profile_single_pass_expand(spark):
+    """All five exact count-distincts must plan as ONE scan with an
+    Expand (multi-distinct rewrite), not five separate scans."""
+    plan = plan_string(Q["events_profile"](spark, SF_DIR), "simple")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Expand" in plan
+
+
+def test_fk_audit_uses_anti_joins(spark):
+    plan = plan_string(Q["fk_integrity_audit"](spark, SF_DIR), "simple")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    rows = {r["fk_edge"]: r for r in Q["fk_integrity_audit"](spark, SF_DIR).collect()}
+    assert set(rows) == {
+        "orders->customer", "lineitem->orders", "customer->nation"
+    }
+    # the generated star schema has no dangling keys
+    assert all(r["n_orphans"] == 0 for r in rows.values())
+
+
+def test_table_checksum_is_order_independent(spark):
+    """Same data through a different partitioning must give the same
+    XOR signature."""
+    from mapreduceece563_spark.operators import mining as mn
+
+    base = {
+        (r["source"], r["n_rows"], r["xor_sig"])
+        for r in Q["table_checksum"](spark, SF_DIR).collect()
+    }
+    # identical signature from a completely different input layout
+    again = {
+        (r["source"], r["n_rows"], r["xor_sig"])
+        for r in mn._xor_rollup(
+            mn._row_hashes(spark, SF_DIR).repartition(7)
+        ).collect()
+    }
+    assert base == again
+
+
+def test_holdout_exactly_k_per_source(spark):
+    from mapreduceece563_spark.operators.textstats import HOLDOUT_K
+
+    rows = Q["per_source_holdout"](spark, SF_DIR).collect()
+    per_src: dict[str, int] = {}
+    for r in rows:
+        per_src[r["source"]] = per_src.get(r["source"], 0) + 1
+    n_docs_per_src = {
+        r["source"]: r["n"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for src, n in per_src.items():
+        assert n == min(HOLDOUT_K, n_docs_per_src[src])
+
+
+def test_triangle_count_on_known_graph(spark):
+    """Complete graph K_n has C(n,3) triangles — the fixture's tiny
+    vocabulary makes the co-occurrence graph complete, which pins the
+    orientation+wedge+closure arithmetic exactly."""
+    import math
+
+    r = Q["triangle_count"](spark, SF_DIR).collect()[0]
+    n, m = r["n_nodes"], r["n_edges"]
+    if m == n * (n - 1) // 2:  # complete graph at this SF
+        assert r["n_triangles"] == math.comb(n, 3)
+    else:
+        assert 0 <= r["n_triangles"] <= math.comb(n, 3)
