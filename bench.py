@@ -104,6 +104,8 @@ BUDGETS = {
     "events_hourly_incremental": 3.0,
     "lang_confusion_matrix": 3.0,
     "triangle_count": 8.0,  # oriented wedge self-join + closure check
+    "part_price_size_skyline": 3.0,
+    "purchase_attribution": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in
@@ -151,6 +153,13 @@ def main() -> None:
     for fn in qs_all.values():
         materialize(fn(spark, "/root/testdata/sf0.001"))
 
+    # Baseline-comparable wordcount FIRST, right after warmup: the
+    # registry passes that follow persist shingle/TF caches and churn
+    # the heap across 100+ queries, which taxes this measurement by
+    # 20-25% (r3: 0.54 s after the loop vs 0.43 s steady state). The
+    # reference's 0.7 s is likewise a dedicated run of one query.
+    wc13 = baseline_comparable_wordcount(spark)
+
     qs = queries()
     timings: dict[str, float] = {}
     passes: dict[str, list[float]] = {n: [] for n in qs}
@@ -168,7 +177,6 @@ def main() -> None:
         if t > BUDGETS.get(n, BUDGET_DEFAULT)
     }
 
-    wc13 = baseline_comparable_wordcount(spark)
     sweep = conf_sweep(spark, qs)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -298,8 +306,9 @@ def baseline_comparable_wordcount(spark) -> dict:
         # churn and measures 2-3x slower than steady state.
         elapsed = float("inf")
         try:
+            spark.sparkContext._jvm.System.gc()
             run_once()
-            for _ in range(3):
+            for _ in range(5):
                 t0 = time.perf_counter()
                 run_once()
                 elapsed = min(elapsed, time.perf_counter() - t0)

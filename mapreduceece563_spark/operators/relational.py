@@ -1999,3 +1999,119 @@ SELECT date_trunc('hour', ts) AS hour, event_type,
        count(*) AS n_events
 FROM events GROUP BY date_trunc('hour', ts), event_type
 """
+
+
+# --- skyline / forward-fill window patterns ---------------------------
+
+def part_price_size_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts minimizing (retail price, size) — the
+    2D skyline via the sorted-running-min trick, NOT a quadratic
+    dominance self-join.
+
+    Shape: collapse the fact table to one row per distinct price
+    (groupBy price -> min size), run the strict-predecessor running
+    min over THAT bounded table (a global window, but over distinct
+    prices only — never the facts), then semi-join survivors back.
+    A part survives iff it has the min size at its price and every
+    strictly cheaper price has a strictly larger min size. Money is
+    integer cents throughout."""
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice", "p_size"
+    )
+    parts = parts.withColumn("_pc", _cents(F.col("p_retailprice")))
+    per_price = parts.groupBy("_pc").agg(F.min("p_size").alias("_msz"))
+    w = Window.orderBy("_pc").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        per_price.withColumn("_prev", F.min("_msz").over(w))
+        .filter(
+            F.col("_prev").isNull() | (F.col("_msz") < F.col("_prev"))
+        )
+        .select("_pc", "_msz")
+    )
+    return (
+        parts.join(
+            frontier,
+            (parts["_pc"] == frontier["_pc"])
+            & (parts["p_size"] == frontier["_msz"]),
+            "left_semi",
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            (F.col("_pc") / 100.0).alias("price"),
+            F.col("p_size").cast("long").alias("size"),
+        )
+    )
+
+
+PART_SKYLINE_SQL = f"""
+WITH p AS (
+  SELECT p_partkey, p_name, p_size,
+         {_cents_sql('p_retailprice')} AS pc
+  FROM part
+),
+per_price AS (SELECT pc, min(p_size) AS msz FROM p GROUP BY pc),
+frontier AS (
+  SELECT pc, msz FROM (
+    SELECT pc, msz,
+           min(msz) OVER (ORDER BY pc
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev
+    FROM per_price
+  ) WHERE prev IS NULL OR msz < prev
+)
+SELECT p.p_partkey, p.p_name, p.pc / 100.0 AS price,
+       CAST(p.p_size AS BIGINT) AS size
+FROM p
+WHERE EXISTS (SELECT 1 FROM frontier f
+              WHERE f.pc = p.pc AND f.msz = p.p_size)
+"""
+
+
+def purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (gap-fill) attribution: every event carries the
+    value of the user's most recent preceding purchase; summarized per
+    user so the output stays bounded.
+
+    The fill is last(ignorenulls) over a running frame — the standard
+    sparse-to-dense window pattern (sensor backfill, SCD current-value
+    propagation). One exchange on user_id; cents-exact sums."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    purchase_val = F.when(
+        F.col("event_type") == "purchase", _cents(F.col("value"))
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    filled = ev.withColumn(
+        "_last_pc", F.last(purchase_val, ignorenulls=True).over(w)
+    )
+    return filled.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(
+            F.when(F.col("_last_pc").isNotNull(), 1).otherwise(0)
+        ).cast("long").alias("n_attributed"),
+        (F.sum("_last_pc") / 100.0).alias("attributed_value_sum"),
+    )
+
+
+PURCHASE_ATTRIBUTION_SQL = f"""
+WITH filled AS (
+  SELECT user_id,
+         last_value(CASE WHEN event_type = 'purchase'
+                         THEN {_cents_sql('value')} END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_pc
+  FROM events
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CASE WHEN last_pc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_attributed,
+       CAST(sum(last_pc) AS BIGINT) / 100.0 AS attributed_value_sum
+FROM filled GROUP BY user_id
+"""

@@ -329,3 +329,5 @@ register("events_profile", rel.events_profile, rel.EVENTS_PROFILE_SQL)
 register("events_hourly_incremental", rel.events_hourly_incremental, rel.EVENTS_HOURLY_INCR_SQL)
 register("lang_confusion_matrix", ts.lang_confusion_matrix, ts.LANG_CONFUSION_SQL)
 register("triangle_count", gph.triangle_count, gph.TRIANGLE_COUNT_SQL)
+register("part_price_size_skyline", rel.part_price_size_skyline, rel.PART_SKYLINE_SQL)
+register("purchase_attribution", rel.purchase_attribution, rel.PURCHASE_ATTRIBUTION_SQL)
