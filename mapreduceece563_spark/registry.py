@@ -54,6 +54,12 @@ def _shipped(fn: QueryFn) -> QueryFn:
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
         ship_package(spark)
+        # Timestamp semantics contract: TIMESTAMP_NTZ test data is
+        # reinterpreted as UTC instants (sources/catalog.py), and the
+        # DuckDB oracles compute epoch_us on the same naive values —
+        # both sides agree only under a UTC session, so pin it even
+        # when the driving process built its own session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         return fn(spark, sf_dir)
 
     return wrapped

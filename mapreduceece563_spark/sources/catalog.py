@@ -52,18 +52,29 @@ def load_table(
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read it as raw int64 nanos (legacy conf) and
-    convert with integer division — ns-since-epoch (~1.7e18) exceeds
-    2^53, so the ns->us conversion must never pass through a double.
-    DuckDB truncates ns->us the same way, so values stay oracle-equal.
+    """Normalize events.ts across test-data vintages to a session-tz
+    TIMESTAMP (an instant), which every downstream operator assumes
+    (``unix_micros`` rejects TIMESTAMP_NTZ outright):
+
+    - parquet TIMESTAMP(NANOS): Spark's vectorized reader rejects it;
+      read as raw int64 nanos (legacy conf) and convert with integer
+      division — ns-since-epoch (~1.7e18) exceeds 2^53, so the ns->us
+      conversion must never pass through a double.
+    - parquet timestamp[us] without timezone: Spark 4 infers
+      TIMESTAMP_NTZ; reinterpret the naive wall time as UTC. The
+      session pins spark.sql.session.timeZone=UTC (session.py and the
+      registry wrapper), so the cast is exact and matches DuckDB's
+      ``epoch_us`` on the same naive values.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
     from pyspark.sql import functions as F
 
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
