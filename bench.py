@@ -106,6 +106,9 @@ BUDGETS = {
     "triangle_count": 8.0,  # oriented wedge self-join + closure check
     "part_price_size_skyline": 3.0,
     "purchase_attribution": 3.0,
+    "lsh_precision": 5.0,  # shared shingle stage + candidate-only verify join
+    "events_value_outliers": 3.0,  # two percentile passes + outlier count
+    "events_heavy_hitters": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -200,3 +200,78 @@ SELECT CAST(ts AS DATE) AS day,
        {_PIVOT_COLS}
 FROM events GROUP BY day
 """
+
+
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier profile per event_type: median, MAD (median
+    absolute deviation), and the count of events whose deviation
+    exceeds 3x MAD — the standard robust z-score screen for metric
+    streams, where mean/stddev would be dragged by the very outliers
+    being hunted.
+
+    Median needs the data twice (deviations are relative to the
+    median), so this is inherently two aggregation passes plus an
+    outlier count — each pass groups on event_type with the interim
+    per-type medians BROADCAST back, so the event table is never
+    re-shuffled on a second key. Values are quantized to int64 cents
+    before the percentile so Spark's `percentile` and DuckDB's
+    `quantile_cont` interpolate over identical integers (the
+    operators/relational.py price_percentiles contract): every
+    intermediate is a multiple of 0.25 cents, exactly representable,
+    so the 3x-MAD boundary cannot disagree between engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(_c, 0.5)").alias("_med_c")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "_med_c", F.abs(F.col("_c") - F.col("_med_c")).alias("_adev")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(_adev, 0.5)").alias("_mad_c")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("_med_c") / 100.0, 4).alias("med_value"),
+            F.round(F.max("_mad_c") / 100.0, 4).alias("mad_value"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("_adev") > 3.0 * F.col("_mad_c"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0).cast("long"),
+            ).alias("n_outliers"),
+        )
+    )
+
+
+EVENTS_VALUE_OUTLIERS_SQL = """
+WITH c AS (
+  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS _c FROM events
+),
+med AS (
+  SELECT event_type, quantile_cont(_c, 0.5) AS _med_c FROM c GROUP BY event_type
+),
+dev AS (
+  SELECT c.event_type, _med_c, abs(_c - _med_c) AS _adev
+  FROM c JOIN med USING (event_type)
+),
+mad AS (
+  SELECT event_type, quantile_cont(_adev, 0.5) AS _mad_c
+  FROM dev GROUP BY event_type
+)
+SELECT dev.event_type,
+       count(*) AS n_events,
+       round(max(_med_c) / 100.0, 4) AS med_value,
+       round(max(_mad_c) / 100.0, 4) AS mad_value,
+       CAST(count(*) FILTER (WHERE _adev > 3.0 * _mad_c) AS BIGINT)
+         AS n_outliers
+FROM dev JOIN mad USING (event_type)
+GROUP BY dev.event_type
+"""

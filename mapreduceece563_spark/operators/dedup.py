@@ -874,3 +874,115 @@ FROM wins
 
 
 WINNOW_SQL = _winnow_sql()
+
+
+# --- LSH candidate-quality evaluation --------------------------------
+
+def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the MinHash-LSH banding scheme: the fraction of
+    candidate pairs whose EXACT 3-shingle Jaccard clears
+    JACCARD_THRESHOLD. This is the verify tier of the standard
+    near-dup pipeline (LSH proposes, exact similarity disposes), run
+    as a corpus-level parameter-quality metric.
+
+    Scale posture: the exact-Jaccard join touches only documents that
+    appear in some candidate pair (left-semi prune of the shared
+    shingle stage), so its cost scales with the candidate set — tiny
+    relative to the corpus when the banding is tuned — never with
+    n_docs^2. Candidates with zero shared shingles (band-hash
+    collisions) survive via the left join as jaccard 0."""
+    cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    sh = doc_shingle_hashes(spark, sf_dir)
+    docs_in = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(docs_in, "doc_id", "left_semi")
+    a, b = shc.alias("a"), shc.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    jc = (
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            (
+                F.coalesce(F.col("n_common"), F.lit(0))
+                / (
+                    F.col("_sa")
+                    + F.col("_sb")
+                    - F.coalesce(F.col("n_common"), F.lit(0))
+                ).cast("double")
+            ).alias("j")
+        )
+    )
+    agg = jc.agg(
+        F.count("*").alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.col("j") >= JACCARD_THRESHOLD, 1).otherwise(0)),
+            F.lit(0).cast("long"),
+        ).alias("n_true"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true",
+        F.when(F.col("n_candidates") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_true") / F.col("n_candidates").cast("double"), 6
+            )
+        )
+        .alias("lsh_precision"),
+    )
+
+
+LSH_PRECISION_SQL = f"""
+WITH {_minhash_sig_sql().lstrip()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+docs_in AS (
+  SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b AS doc_id FROM cand
+),
+shc AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN docs_in USING (doc_id)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shc a JOIN shc b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+jc AS (
+  SELECT COALESCE(i.n_common, 0)
+         / CAST(sa.sz + sb.sz - COALESCE(i.n_common, 0) AS DOUBLE) AS j
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+)
+SELECT count(*) AS n_candidates,
+       CAST(count(*) FILTER (WHERE j >= {JACCARD_THRESHOLD}) AS BIGINT)
+         AS n_true,
+       CASE WHEN count(*) = 0 THEN 0.0
+            ELSE round(count(*) FILTER (WHERE j >= {JACCARD_THRESHOLD})
+                       / CAST(count(*) AS DOUBLE), 6)
+       END AS lsh_precision
+FROM jc
+"""

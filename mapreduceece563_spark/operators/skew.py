@@ -165,3 +165,47 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("n_approx")
     )
+
+
+def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 heaviest users by event count with their share of all
+    events — the key-frequency diagnostic you run BEFORE choosing a
+    partitioning/salting strategy for a user-keyed join or agg.
+
+    Plan shape: one groupBy(user_id) with map-side partial agg, a
+    1-row total broadcast back (no second scan of events), and the
+    top-10 via sort+limit, which Spark plans as TakeOrderedAndProject
+    — per-partition heaps plus a driver merge of 10-row tops, never a
+    global sort. Ties break on user_id so the cut is deterministic in
+    both engines."""
+    cnt = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    tot = cnt.agg(F.sum("n_events").alias("_t"))
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("n_events") / F.col("_t").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+EVENTS_HEAVY_HITTERS_SQL = """
+WITH cnt AS (
+  SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
+),
+tot AS (SELECT sum(n_events) AS _t FROM cnt)
+SELECT user_id, n_events,
+       round(n_events / CAST(_t AS DOUBLE), 6) AS share
+FROM cnt, tot
+ORDER BY n_events DESC, user_id ASC
+LIMIT 10
+"""

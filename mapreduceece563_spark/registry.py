@@ -337,3 +337,6 @@ register("lang_confusion_matrix", ts.lang_confusion_matrix, ts.LANG_CONFUSION_SQ
 register("triangle_count", gph.triangle_count, gph.TRIANGLE_COUNT_SQL)
 register("part_price_size_skyline", rel.part_price_size_skyline, rel.PART_SKYLINE_SQL)
 register("purchase_attribution", rel.purchase_attribution, rel.PURCHASE_ATTRIBUTION_SQL)
+register("lsh_precision", dd.lsh_precision, dd.LSH_PRECISION_SQL)
+register("events_value_outliers", an.events_value_outliers, an.EVENTS_VALUE_OUTLIERS_SQL)
+register("events_heavy_hitters", sk.events_heavy_hitters, sk.EVENTS_HEAVY_HITTERS_SQL)

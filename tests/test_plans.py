@@ -247,3 +247,27 @@ def test_salted_join_spreads_hot_keys(spark):
     got = {tuple(r) for r in df.collect()}
     want = {tuple(r) for r in plain.collect()}
     assert got == want and len(got) > 0
+
+
+def test_heavy_hitters_topk_and_broadcast_total(spark):
+    """Top-10 must be per-partition heaps + driver merge, and the
+    1-row total must come back as a broadcast, not a shuffle."""
+    plan = plan_string(Q["events_heavy_hitters"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_value_outliers_broadcasts_interim_medians(spark):
+    """Both per-type median frames (25 rows) join back broadcast — the
+    event table is never re-shuffled onto a second key."""
+    rep = plan_report(Q["events_value_outliers"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 2
+    assert rep.n_sortmerge_joins == 0
+
+
+def test_lsh_precision_semi_prunes_shingles(spark):
+    """The exact-Jaccard verify tier must touch only candidate docs:
+    the shingle stage is pruned through a left-semi join before the
+    pair join."""
+    plan = plan_string(Q["lsh_precision"](spark, SF_DIR), "simple")
+    assert "LeftSemi" in plan
