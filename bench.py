@@ -109,6 +109,8 @@ BUDGETS = {
     "lsh_precision": 5.0,  # shared shingle stage + candidate-only verify join
     "events_value_outliers": 3.0,  # two percentile passes + outlier count
     "events_heavy_hitters": 3.0,
+    "rolling_7d_revenue": 3.0,
+    "daily_gap_fill": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -197,3 +197,105 @@ JOIN (VALUES {_BANDS_VALUES}) AS bands(band_name, lo, hi)
   ON o_totalprice >= lo AND o_totalprice < hi
 GROUP BY band_name
 """
+
+
+# --- time-series shapes: range-frame rolling window, calendar spine --
+
+def rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type, the trailing-7-day event-value sum for every
+    active day — a RANGE window frame (value-based, in days), not a
+    ROWS frame, so missing days genuinely shrink the window.
+
+    Scale posture: the window NEVER runs over raw events. Events
+    pre-aggregate to (event_type, day) first — the rolling frame then
+    slides over a frame that is #types x #days rows no matter how many
+    raw events exist, which is the only survivable formulation at
+    100 TB (a per-event range window would sort the whole table per
+    type). Ordering key is integer epoch-days so both engines bound
+    the frame with exact integer arithmetic; revenue is int64 cents."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.sum("_c").alias("_rev_c"))
+    daily = daily.withColumn(
+        "_epd", F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("_epd")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.sum("_rev_c").over(w) / 100.0, 4).alias("rev_7d"),
+        F.count("*").over(w).alias("n_days_in_window"),
+    )
+
+
+ROLLING_7D_REVENUE_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         sum(CAST(round(value * 100, 0) AS BIGINT)) AS _rev_c,
+         CAST(ts AS DATE) - DATE '1970-01-01' AS _epd
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+)
+SELECT event_type, day,
+       round(sum(_rev_c) OVER w / 100.0, 4) AS rev_7d,
+       count(*) OVER w AS n_days_in_window
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY _epd
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+def daily_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily 'error' counts over the full [min_day, max_day]
+    calendar: a generated day spine left-joined to the observed daily
+    counts, absent days emitted as 0 — the densification step every
+    downstream time-series model (anomaly, forecasting) assumes.
+
+    The spine comes from sequence() over the 1-row min/max aggregate:
+    generated distributively from a broadcast scalar, never collected
+    to the driver. Both joined sides are day-grained (tiny), so the
+    only full-table work is the one pre-aggregation scan."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    bounds = ev.agg(
+        F.min("day").alias("_d0"), F.max("day").alias("_d1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_d0"), F.col("_d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy("day")
+        .agg(F.count("*").alias("_n"))
+    )
+    return spine.join(daily, "day", "left").select(
+        "day", F.coalesce(F.col("_n"), F.lit(0).cast("long")).alias("n_errors")
+    )
+
+
+DAILY_GAP_FILL_SQL = """
+WITH bounds AS (
+  SELECT min(CAST(ts AS DATE)) AS _d0, max(CAST(ts AS DATE)) AS _d1
+  FROM events
+),
+spine AS (
+  SELECT CAST(unnest(generate_series(_d0, _d1, INTERVAL 1 DAY)) AS DATE)
+         AS day
+  FROM bounds
+),
+daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS _n
+  FROM events WHERE event_type = 'error' GROUP BY CAST(ts AS DATE)
+)
+SELECT spine.day, COALESCE(_n, 0) AS n_errors
+FROM spine LEFT JOIN daily USING (day)
+"""

@@ -340,3 +340,5 @@ register("purchase_attribution", rel.purchase_attribution, rel.PURCHASE_ATTRIBUT
 register("lsh_precision", dd.lsh_precision, dd.LSH_PRECISION_SQL)
 register("events_value_outliers", an.events_value_outliers, an.EVENTS_VALUE_OUTLIERS_SQL)
 register("events_heavy_hitters", sk.events_heavy_hitters, sk.EVENTS_HEAVY_HITTERS_SQL)
+register("rolling_7d_revenue", tp.rolling_7d_revenue, tp.ROLLING_7D_REVENUE_SQL)
+register("daily_gap_fill", tp.daily_gap_fill, tp.DAILY_GAP_FILL_SQL)
