@@ -111,6 +111,8 @@ BUDGETS = {
     "events_heavy_hitters": 3.0,
     "rolling_7d_revenue": 3.0,
     "daily_gap_fill": 3.0,
+    "global_doc_ids": 3.0,
+    "sentence_stats": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -173,3 +173,59 @@ SELECT CAST(ts AS DATE) AS day, count(*) AS n_purchases,
 FROM events WHERE event_type = 'purchase'
 GROUP BY day
 """
+
+
+# --- total-order ID assignment (the TeraSort pattern) ----------------
+
+# Bucket width over the doc_id domain. At 100 TB you'd derive bucket
+# boundaries from a range sample (what RangePartitioner does); the
+# testdata's doc_id domain is dense integers, so fixed-width buckets
+# give the same balanced result deterministically in both engines.
+_ID_BUCKET_WIDTH = 1000
+
+
+def global_doc_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous global ids 0..N-1 ordered by doc_id, WITHOUT a
+    global-order window.
+
+    ``row_number() OVER (ORDER BY doc_id)`` — the oracle's
+    formulation — plans as a single-partition sort at any scale: one
+    task sees every row. The distributed-classic rewrite (TeraSort's
+    total-order partitioner): bucket rows by key range, rank WITHIN
+    each bucket (distributed window, one exchange on the bucket key),
+    and add per-bucket offsets — a cumulative sum over the tiny
+    bucket-count frame, broadcast back. Only #buckets rows ever pass
+    through an ordered window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    per = docs.withColumn(
+        "_b", F.floor(F.col("doc_id") / _ID_BUCKET_WIDTH)
+    )
+    counts = per.groupBy("_b").agg(F.count("*").alias("_n"))
+    # #buckets rows: an ordered window here is deliberately fine.
+    off_w = (
+        Window.orderBy("_b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "_b",
+        F.coalesce(F.sum("_n").over(off_w), F.lit(0)).alias("_off"),
+    )
+    rn_w = Window.partitionBy("_b").orderBy("doc_id")
+    return (
+        per.join(F.broadcast(offsets), "_b")
+        .select(
+            "doc_id",
+            (F.row_number().over(rn_w).cast("long") - 1 + F.col("_off")).alias(
+                "global_id"
+            ),
+        )
+    )
+
+
+GLOBAL_DOC_IDS_SQL = """
+SELECT doc_id,
+       CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
+FROM documents
+"""

@@ -593,3 +593,59 @@ SELECT d.lang AS labeled_lang, pred.predicted_lang,
 FROM pred JOIN documents d ON d.doc_id = pred.doc_id
 GROUP BY d.lang, pred.predicted_lang
 """
+
+
+# Sentence boundary: one-or-more terminal punctuation marks. Both
+# engines split with the same regex class; segments are space-trimmed
+# and empty segments dropped, so trailing terminators and ellipses
+# cannot produce phantom sentences in one engine only.
+SENT_SPLIT_RE = "[.!?]+"
+
+
+def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc sentence segmentation profile: sentence count and mean
+    words-per-sentence — the readability-style quality signal corpus
+    filters threshold on (very long run-on "sentences" flag boilerplate
+    and OCR junk). Map-only: regex split + array math per row, no
+    shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), SENT_SPLIT_RE), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    prof = docs.select(
+        "doc_id",
+        F.size(sents).cast("long").alias("n_sentences"),
+        F.size(words).cast("long").alias("_nw"),
+    )
+    return prof.select(
+        "doc_id",
+        "n_sentences",
+        F.when(F.col("n_sentences") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(F.col("_nw") / F.col("n_sentences").cast("double"), 4)
+        )
+        .alias("words_per_sentence"),
+    )
+
+
+SENTENCE_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len(sents) AS BIGINT) AS n_sentences,
+       CASE WHEN len(sents) = 0 THEN 0.0
+            ELSE round(len(list_filter(string_split(text, ' '),
+                                       w -> w <> ''))
+                       / CAST(len(sents) AS DOUBLE), 4)
+       END AS words_per_sentence
+FROM (
+  SELECT doc_id, text,
+         list_filter(list_transform(regexp_split_to_array(text,
+                                                          '{SENT_SPLIT_RE}'),
+                                    s -> trim(s)),
+                     s -> s <> '') AS sents
+  FROM documents
+)
+"""

@@ -342,3 +342,5 @@ register("events_value_outliers", an.events_value_outliers, an.EVENTS_VALUE_OUTL
 register("events_heavy_hitters", sk.events_heavy_hitters, sk.EVENTS_HEAVY_HITTERS_SQL)
 register("rolling_7d_revenue", tp.rolling_7d_revenue, tp.ROLLING_7D_REVENUE_SQL)
 register("daily_gap_fill", tp.daily_gap_fill, tp.DAILY_GAP_FILL_SQL)
+register("global_doc_ids", stg.global_doc_ids, stg.GLOBAL_DOC_IDS_SQL)
+register("sentence_stats", ts.sentence_stats, ts.SENTENCE_STATS_SQL)

@@ -271,3 +271,20 @@ def test_lsh_precision_semi_prunes_shingles(spark):
     pair join."""
     plan = plan_string(Q["lsh_precision"](spark, SF_DIR), "simple")
     assert "LeftSemi" in plan
+
+
+def test_global_doc_ids_no_global_sort_of_data(spark):
+    """The TeraSort-pattern rewrite: the per-row window must be
+    partitioned by the range bucket (distributed), with the only
+    SinglePartition exchange feeding the tiny bucket-count offsets
+    frame, which returns via broadcast."""
+    plan = plan_string(Q["global_doc_ids"](spark, SF_DIR), "simple")
+    assert "Window [row_number()" in plan
+    # the row_number window spec is keyed by the bucket column
+    assert "windowspecdefinition(_b#" in plan
+    assert "BroadcastExchange" in plan
+
+
+def test_sentence_stats_map_only(spark):
+    plan = plan_string(Q["sentence_stats"](spark, SF_DIR), "simple")
+    assert "Exchange" not in plan
