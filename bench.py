@@ -113,6 +113,7 @@ BUDGETS = {
     "daily_gap_fill": 3.0,
     "global_doc_ids": 3.0,
     "sentence_stats": 3.0,
+    "price_percentiles_sketch": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

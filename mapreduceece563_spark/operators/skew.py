@@ -209,3 +209,35 @@ FROM cnt, tot
 ORDER BY n_events DESC, user_id ASC
 LIMIT 10
 """
+
+
+def price_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketched p50/p95 per order priority — the 100 TB percentile
+    path, mirroring approx_distinct_sketch's relationship to the exact
+    tier (operators/relational.py price_percentiles).
+
+    Exact `percentile` buffers and sorts every group value on one
+    reducer per group; `approx_percentile` (t-digest-style quantile
+    summary) is fixed-size and merges map-side, one pass, no sort. No
+    DuckDB oracle (summary internals are engine-specific); the driver
+    records the rows-only check and tests/test_partitioning.py asserts
+    each sketched percentile lands within APPROX_PCT_TOL (relative) of
+    the exact tier's answer."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    agg = orders.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.95), 10000)"
+        ).alias("_p"),
+        F.count("*").alias("n_orders"),
+    )
+    return agg.select(
+        "o_orderpriority",
+        F.round(F.col("_p")[0], 4).alias("p50_price"),
+        F.round(F.col("_p")[1], 4).alias("p95_price"),
+        "n_orders",
+    )
+
+
+APPROX_PCT_TOL = 0.02  # sketched percentile within 2% of exact

@@ -344,3 +344,4 @@ register("rolling_7d_revenue", tp.rolling_7d_revenue, tp.ROLLING_7D_REVENUE_SQL)
 register("daily_gap_fill", tp.daily_gap_fill, tp.DAILY_GAP_FILL_SQL)
 register("global_doc_ids", stg.global_doc_ids, stg.GLOBAL_DOC_IDS_SQL)
 register("sentence_stats", ts.sentence_stats, ts.SENTENCE_STATS_SQL)
+register("price_percentiles_sketch", sk.price_percentiles_sketch, None)

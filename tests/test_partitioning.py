@@ -96,3 +96,28 @@ def test_approx_distinct_sketch_within_tol(spark):
         assert abs(approx[et] - n) <= n * APPROX_TOL, (
             f"{et}: sketch {approx[et]} outside {APPROX_TOL:.0%} of exact {n}"
         )
+
+
+def test_price_percentiles_sketch_within_tol(spark):
+    """The approx_percentile sketch path must land within
+    APPROX_PCT_TOL of the exact interpolated percentiles per priority
+    — Spark-side only, same reasoning as the HLL sketch test."""
+    from mapreduceece563_spark.operators.relational import price_percentiles
+    from mapreduceece563_spark.operators.skew import (
+        APPROX_PCT_TOL,
+        price_percentiles_sketch,
+    )
+
+    exact = {
+        r["o_orderpriority"]: (r["p50_price"], r["p95_price"])
+        for r in price_percentiles(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["o_orderpriority"]: (r["p50_price"], r["p95_price"])
+        for r in price_percentiles_sketch(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    for prio, (e50, e95) in exact.items():
+        a50, a95 = approx[prio]
+        assert abs(a50 - e50) <= e50 * APPROX_PCT_TOL
+        assert abs(a95 - e95) <= e95 * APPROX_PCT_TOL
