@@ -114,6 +114,7 @@ BUDGETS = {
     "global_doc_ids": 3.0,
     "sentence_stats": 3.0,
     "price_percentiles_sketch": 3.0,
+    "lsh_recall": 5.0,  # ground-truth jaccard side shares the shingle stage
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

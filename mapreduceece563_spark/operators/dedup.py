@@ -986,3 +986,82 @@ SELECT count(*) AS n_candidates,
        END AS lsh_precision
 FROM jc
 """
+
+
+def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the MinHash-LSH banding scheme: the fraction of TRUE
+    near-dup pairs (exact 3-shingle Jaccard >= JACCARD_THRESHOLD,
+    df-capped like ngram_jaccard_pairs — both engines share the cap)
+    that appear among the LSH candidates. Together with lsh_precision
+    this is the standard banding-parameter tuning loop: recall too low
+    -> more bands; precision too low -> more rows per band.
+
+    Scale posture: the ground-truth side IS ngram_jaccard_pairs (df-
+    capped shingle self-join, sub-quadratic); the candidate side is
+    the banded bucket join; the final comparison joins two already-
+    small pair sets on (doc_a, doc_b)."""
+    true_pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    cand = dedup_minhash(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("_hit")
+    )
+    marked = true_pairs.join(cand, ["doc_a", "doc_b"], "left")
+    agg = marked.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias("n_caught"),
+    )
+    return agg.select(
+        "n_true_pairs",
+        "n_caught",
+        F.when(F.col("n_true_pairs") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("n_caught") / F.col("n_true_pairs").cast("double"), 6
+            )
+        )
+        .alias("lsh_recall"),
+    )
+
+
+LSH_RECALL_SQL = f"""
+WITH {_minhash_sig_sql().lstrip()},
+bands AS ({_bands_sql()}),
+cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+              AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cap AS (SELECT {DF_CAP_SQL} AS cap FROM documents),
+df_ok AS (
+  SELECT h0 FROM sh GROUP BY h0
+  HAVING count(*) <= (SELECT cap FROM cap)
+),
+pruned AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN df_ok USING (h0)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a
+  JOIN pruned b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+true_pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE)
+        >= {JACCARD_THRESHOLD}
+),
+marked AS (
+  SELECT t.doc_a, c.doc_a AS _hit
+  FROM true_pairs t
+  LEFT JOIN cand c ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b
+)
+SELECT count(*) AS n_true_pairs,
+       CAST(count(_hit) AS BIGINT) AS n_caught,
+       CASE WHEN count(*) = 0 THEN 0.0
+            ELSE round(count(_hit) / CAST(count(*) AS DOUBLE), 6)
+       END AS lsh_recall
+FROM marked
+"""
