@@ -62,6 +62,8 @@ HEADLINE = (
 BUDGET_DEFAULT = 2.0
 BUDGETS = {
     "ngram_jaccard_pairs": 5.0,
+    "orders_price_band": 3.0,  # banded BNLJ: best-of-3 varies 1.4-2.2s
+
     "dedup_groups": 5.0,
     "tfidf_cosine_pairs": 5.0,
     "user_gap_stats": 5.0,

@@ -87,6 +87,11 @@ def oracle_sql() -> dict[str, str]:
 # comparison for EVERY entry at sf0.001. `approx_distinct_sketch`
 # (no oracle — the driver could only record a rows-only row) sits
 # outside the window so a hash-checkable entry gets its slot.
+#
+# Round-3 additions past this point (142 entries total) register at
+# the tail: with 92 never-driver-checked names and a 50-slot window,
+# 42+ stay local-only regardless of order — COVERAGE.json records
+# which, and round 4 rotates the window onto the next unchecked set.
 # ======================================================================
 
 # --- reference-parity surface (SURVEY.md §2) -------------------------
