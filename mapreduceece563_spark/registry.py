@@ -351,3 +351,4 @@ register("global_doc_ids", stg.global_doc_ids, stg.GLOBAL_DOC_IDS_SQL)
 register("sentence_stats", ts.sentence_stats, ts.SENTENCE_STATS_SQL)
 register("price_percentiles_sketch", sk.price_percentiles_sketch, None)
 register("lsh_recall", dd.lsh_recall, dd.LSH_RECALL_SQL)
+register("streaming_dedup", st.streaming_dedup_batch, st.STREAMING_DEDUP_SQL)

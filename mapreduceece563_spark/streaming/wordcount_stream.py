@@ -149,3 +149,72 @@ def run_to_completion(stream_df: DataFrame, query_name: str) -> DataFrame:
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(query_name)
+
+
+def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact streaming deduplication through an ACTUAL Structured
+    Streaming run — the streaming face of the dedup family: every
+    event is fed to the stream TWICE (two full copies of the table
+    spilled as chunked parquet) and watermarked
+    ``dropDuplicatesWithinWatermark`` on event_id must collapse the
+    doubled stream back to the batch table's per-type counts.
+
+    Duplicate copies of a key routinely arrive in DIFFERENT
+    micro-batches here (maxFilesPerTrigger=2 over 8 chunk files), so
+    this exercises cross-batch dedup state, not per-batch distinct.
+
+    Scale posture: dedup state is bounded by the watermark delay — the
+    state store holds only keys younger than (max event time - delay),
+    the standard at-least-once -> exactly-once repair for replayed
+    sources (Kafka re-reads, file-source restarts). The delay here
+    exceeds the fixture's time span so the check is exact; production
+    picks the delay to match the source's replay horizon. Output goes
+    through the same idempotent per-batch_id foreachBatch partials as
+    streaming_wordcount_batch."""
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "chunks")
+    partials_dir = os.path.join(work, "partials")
+    ckpt = os.path.join(work, "ckpt")
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    doubled = ev.union(ev)
+    doubled.repartition(8).write.mode("overwrite").parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 2)  # >1 micro-batch per run
+        .parquet(src)
+    )
+    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy("event_type")
+            .agg(F.count("*").alias("n"))
+            .write.mode("overwrite")
+            .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    partials = spark.read.parquet(os.path.join(partials_dir, "batch_id=*"))
+    return partials.groupBy("event_type").agg(
+        F.sum("n").cast("long").alias("n_events")
+    )
+
+
+STREAMING_DEDUP_SQL = """
+SELECT event_type, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
