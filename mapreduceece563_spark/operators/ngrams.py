@@ -252,11 +252,25 @@ def doc_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", micro.alias("micro")
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_bigrams"),
-        F.round(
-            (F.sum("micro") / F.count("*")) / 1000000.0, 6
-        ).alias("avg_surprisal"),
+    # Half-up integer average of micro-nats before the one exact
+    # division — round() after a double division can land decimal-tie
+    # values on different sides per engine (see training_manifest).
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("micro").alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (
+                F.expr("(2 * _s + n_bigrams) div (2 * n_bigrams)").cast(
+                    "double"
+                )
+                / 1_000_000
+            ).alias("avg_surprisal"),
+        )
     )
 
 
@@ -278,10 +292,13 @@ scored AS (
   JOIN c2 ON c2.w1 = p.w1 AND c2.w2 = p.w2
   JOIN c1 ON c1.w1 = p.w1
 )
-SELECT doc_id, count(*) AS n_bigrams,
-       round((CAST(sum(micro) AS BIGINT) / CAST(count(*) AS DOUBLE))
-             / 1000000.0, 6) AS avg_surprisal
-FROM scored GROUP BY doc_id
+SELECT doc_id, n_bigrams,
+       CAST((2 * _s + n_bigrams) // (2 * n_bigrams) AS DOUBLE) / 1000000
+         AS avg_surprisal
+FROM (
+  SELECT doc_id, count(*) AS n_bigrams, CAST(sum(micro) AS BIGINT) AS _s
+  FROM scored GROUP BY doc_id
+)
 """
 
 

@@ -400,8 +400,22 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(
-                (F.sum("_q6").cast("double") / 1_000_000) / F.count("*"), 6
+            F.sum("_q6").alias("_s"),
+        )
+        # Half-up average in PURE int64 — (2s+n) div (2n) — then one
+        # exact division. round((s/1e6)/n, 6) after double division
+        # diverged between engines at sf0.1 on a decimal-tie value
+        # (Spark rounds the exact binary expansion via BigDecimal,
+        # DuckDB rounds via x*1e6 which can land the tie on the other
+        # side); integers can't disagree.
+        .select(
+            "shard",
+            "label",
+            "n_docs",
+            "total_tokens",
+            (
+                F.expr("(2 * _s + n_docs) div (2 * n_docs)").cast("double")
+                / 1_000_000
             ).alias("avg_quality"),
         )
     )
@@ -414,15 +428,21 @@ def _manifest_sql() -> str:
 
     h = poly_hash_sql("CAST(t.doc_id AS VARCHAR)")
     return f"""
-SELECT (({h}) * {SAMPLE_A} + {SAMPLE_B}) % {HASH_MOD} % {MANIFEST_SHARDS}
-         AS shard,
-       e.label, count(*) AS n_docs,
-       CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
-       round((CAST(sum(CAST(round(t.quality * 1000000, 0) AS BIGINT))
-                   AS DOUBLE) / 1000000) / count(*), 6) AS avg_quality
-FROM ({TRAINING_FILTER_SQL}) t
-JOIN (SELECT vec_id AS doc_id, label FROM embeddings) e USING (doc_id)
-GROUP BY shard, e.label
+WITH g AS (
+  SELECT (({h}) * {SAMPLE_A} + {SAMPLE_B}) % {HASH_MOD} % {MANIFEST_SHARDS}
+           AS shard,
+         e.label, count(*) AS n_docs,
+         CAST(sum(t.n_tokens) AS BIGINT) AS total_tokens,
+         CAST(sum(CAST(round(t.quality * 1000000, 0) AS BIGINT)) AS BIGINT)
+           AS _s
+  FROM ({TRAINING_FILTER_SQL}) t
+  JOIN (SELECT vec_id AS doc_id, label FROM embeddings) e USING (doc_id)
+  GROUP BY shard, e.label
+)
+SELECT shard, label, n_docs, total_tokens,
+       CAST((2 * _s + n_docs) // (2 * n_docs) AS DOUBLE) / 1000000
+         AS avg_quality
+FROM g
 """
 
 
