@@ -2115,3 +2115,72 @@ SELECT user_id, count(*) AS n_events,
        CAST(sum(last_pc) AS BIGINT) / 100.0 AS attributed_value_sum
 FROM filled GROUP BY user_id
 """
+
+
+# --- FULL OUTER reconciliation ---------------------------------------
+
+def order_lineitem_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided reconciliation of the orders header against the
+    lineitem detail — the snapshot-vs-snapshot audit a warehouse runs
+    after every load. A FULL OUTER join of per-order lineitem revenue
+    onto order headers classifies every key into: header with no
+    detail rows, detail with no header (both directions at once —
+    fk_integrity_audit's anti-joins each see only one), and matched
+    keys split by whether the header total is within 2x of summed
+    detail revenue (the synthetic data prices the two independently,
+    so a wide band keeps the check data-driven but stable).
+
+    Scale posture: the detail side pre-aggregates to one row per
+    order BEFORE the join (the aggregate-before-join rewrite — the
+    full outer then joins two order-cardinality sides on their shared
+    key, one co-partitioned exchange each, instead of joining raw
+    6x-larger lineitem); the classification aggregate is 4 rows."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", _cents(F.col("o_totalprice")).alias("_oc")
+    )
+    detail = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", _cents(F.col("l_extendedprice")).alias("_lc"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("_lc").alias("_dc"))
+    )
+    j = orders.join(
+        detail, orders.o_orderkey == detail.l_orderkey, "full_outer"
+    )
+    category = (
+        F.when(F.col("l_orderkey").isNull(), F.lit("header_only"))
+        .when(F.col("o_orderkey").isNull(), F.lit("detail_only"))
+        .when(
+            (F.col("_oc") <= 2 * F.col("_dc"))
+            & (F.col("_dc") <= 2 * F.col("_oc")),
+            F.lit("matched_within_band"),
+        )
+        .otherwise(F.lit("matched_out_of_band"))
+    )
+    return (
+        j.select(category.alias("category"))
+        .groupBy("category")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+ORDER_LINEITEM_RECONCILIATION_SQL = f"""
+WITH detail AS (
+  SELECT l_orderkey,
+         CAST(sum({_cents_sql('l_extendedprice')}) AS BIGINT) AS _dc
+  FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+  SELECT o.o_orderkey, d.l_orderkey,
+         {_cents_sql('o.o_totalprice')} AS _oc, d._dc
+  FROM orders o FULL OUTER JOIN detail d ON o.o_orderkey = d.l_orderkey
+)
+SELECT CASE WHEN l_orderkey IS NULL THEN 'header_only'
+            WHEN o_orderkey IS NULL THEN 'detail_only'
+            WHEN _oc <= 2 * _dc AND _dc <= 2 * _oc
+              THEN 'matched_within_band'
+            ELSE 'matched_out_of_band'
+       END AS category,
+       count(*) AS n_orders
+FROM j GROUP BY category
+"""

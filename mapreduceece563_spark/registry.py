@@ -352,3 +352,8 @@ register("sentence_stats", ts.sentence_stats, ts.SENTENCE_STATS_SQL)
 register("price_percentiles_sketch", sk.price_percentiles_sketch, None)
 register("lsh_recall", dd.lsh_recall, dd.LSH_RECALL_SQL)
 register("streaming_dedup", st.streaming_dedup_batch, st.STREAMING_DEDUP_SQL)
+register(
+    "order_lineitem_reconciliation",
+    rel.order_lineitem_reconciliation,
+    rel.ORDER_LINEITEM_RECONCILIATION_SQL,
+)
