@@ -119,6 +119,7 @@ BUDGETS = {
     "lsh_recall": 5.0,  # ground-truth jaccard side shares the shingle stage
     "streaming_dedup": 10.0,  # multi-micro-batch drain + dedup state store
     "order_lineitem_reconciliation": 3.0,
+    "zorder_bucket_stats": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -229,3 +229,132 @@ SELECT doc_id,
        CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_id
 FROM documents
 """
+
+
+# --- z-order clustering (multi-dimensional data skipping) ------------
+
+_Z_BITS = 10  # per-dimension resolution
+_Z_BUCKETS = 16  # simulated file count
+
+
+def _z_interleave_terms():
+    """(spark_expr_fn, sql_expr) pairs per bit, pure integer math so
+    both engines agree exactly. Bit i of dim a lands at 2i, of dim b
+    at 2i+1: the Morton (z-order) curve."""
+    terms = []
+    for i in range(_Z_BITS):
+        pa, pb = 1 << i, 1 << i
+        terms.append(
+            (
+                lambda a, b, i=i, pa=pa, pb=pb: (
+                    ((a / pa).cast("long") % 2) * (1 << (2 * i))
+                    + ((b / pb).cast("long") % 2) * (1 << (2 * i + 1))
+                ),
+                f"(((a // {pa}) % 2) * {1 << (2 * i)}"
+                f" + ((b // {pb}) % 2) * {1 << (2 * i + 1)})",
+            )
+        )
+    return terms
+
+
+def zorder_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) clustering of part by (p_size,
+    p_retailprice), summarized as the per-file min/max statistics a
+    lakehouse data-skipping index would record.
+
+    A single-column sort clusters ONE dimension: files are tight on
+    the sort key and useless for predicates on the other column.
+    Interleaving the bits of both (rank-normalized) dimensions orders
+    rows along the space-filling curve, so every simulated file
+    bucket is a small rectangle in BOTH dimensions at once — the
+    output rows show both per-bucket spans tight simultaneously,
+    which is exactly why a z-ordered layout prunes two-predicate
+    scans that a linear layout cannot.
+
+    Scale posture: rank normalization uses a broadcast 1-row min/max
+    aggregate (no collect, no global sort); the z-value and bucket id
+    are map-side integer math; the only wide operation is the final
+    #buckets-row statistics aggregate. At a real 100 TB OPTIMIZE
+    ZORDER the same bucket id feeds repartitionByRange + sortWithin-
+    Partitions at write time; min/max per file land in the table
+    format's stats (what PartitionFilters/dataFilters prune on)."""
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("_a_raw"),
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("long")
+        .alias("_b_raw"),
+    )
+    bounds = part.agg(
+        F.min("_a_raw").alias("_a_lo"),
+        F.max("_a_raw").alias("_a_hi"),
+        F.min("_b_raw").alias("_b_lo"),
+        F.max("_b_raw").alias("_b_hi"),
+    )
+    scale = 1 << _Z_BITS
+    scaled = part.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey",
+        "_a_raw",
+        "_b_raw",
+        (
+            ((F.col("_a_raw") - F.col("_a_lo")) * scale)
+            / (F.col("_a_hi") - F.col("_a_lo") + 1)
+        )
+        .cast("long")
+        .alias("_a"),
+        (
+            ((F.col("_b_raw") - F.col("_b_lo")) * scale)
+            / (F.col("_b_hi") - F.col("_b_lo") + 1)
+        )
+        .cast("long")
+        .alias("_b"),
+    )
+    z = None
+    for fn, _ in _z_interleave_terms():
+        term = fn(F.col("_a"), F.col("_b"))
+        z = term if z is None else z + term
+    per_bucket = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    bucketed = scaled.select(
+        "_a_raw",
+        "_b_raw",
+        (z / per_bucket).cast("long").alias("bucket"),
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_rows"),
+        F.min("_a_raw").alias("size_min"),
+        F.max("_a_raw").alias("size_max"),
+        (F.min("_b_raw") / 100.0).alias("price_min"),
+        (F.max("_b_raw") / 100.0).alias("price_max"),
+    )
+
+
+def _zorder_sql() -> str:
+    z_sum = " + ".join(sql for _, sql in _z_interleave_terms())
+    scale = 1 << _Z_BITS
+    per_bucket = (1 << (2 * _Z_BITS)) // _Z_BUCKETS
+    return f"""
+WITH raw AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS _a_raw,
+         CAST(round(p_retailprice * 100, 0) AS BIGINT) AS _b_raw
+  FROM part
+),
+bounds AS (
+  SELECT min(_a_raw) AS _a_lo, max(_a_raw) AS _a_hi,
+         min(_b_raw) AS _b_lo, max(_b_raw) AS _b_hi
+  FROM raw
+),
+scaled AS (
+  SELECT _a_raw, _b_raw,
+         ((_a_raw - _a_lo) * {scale}) // (_a_hi - _a_lo + 1) AS a,
+         ((_b_raw - _b_lo) * {scale}) // (_b_hi - _b_lo + 1) AS b
+  FROM raw, bounds
+)
+SELECT ({z_sum}) // {per_bucket} AS bucket,
+       count(*) AS n_rows,
+       min(_a_raw) AS size_min, max(_a_raw) AS size_max,
+       min(_b_raw) / 100.0 AS price_min, max(_b_raw) / 100.0 AS price_max
+FROM scaled GROUP BY bucket
+"""
+
+
+ZORDER_BUCKET_STATS_SQL = _zorder_sql()

@@ -357,3 +357,4 @@ register(
     rel.order_lineitem_reconciliation,
     rel.ORDER_LINEITEM_RECONCILIATION_SQL,
 )
+register("zorder_bucket_stats", stg.zorder_bucket_stats, stg.ZORDER_BUCKET_STATS_SQL)
