@@ -120,6 +120,7 @@ BUDGETS = {
     "streaming_dedup": 10.0,  # multi-micro-batch drain + dedup state store
     "order_lineitem_reconciliation": 3.0,
     "zorder_bucket_stats": 3.0,
+    "bm25_search": 3.0,  # query-term posting lists off the shared TF stage
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -563,3 +563,115 @@ scored AS (
 SELECT w1, w2, n12, _pmi / 1000000.0 AS pmi
 FROM scored ORDER BY _pmi DESC, w1 ASC, w2 ASC LIMIT {PMI_TOP}
 """
+
+
+# --- BM25 ranked retrieval -------------------------------------------
+
+BM25_QUERY_TERMS = ("hash", "join", "scan")
+BM25_TOP_K = 10
+# k1=1.2, b=0.75 in integer milli-units: numerator factor (k1+1)=2.2
+# -> 2200; denominator tf + k1(1-b) + k1*b*dl/avgdl -> 1000*tf + 300
+# + (900000*dl) // avgdl_milli.
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed query under BM25 (k1=1.2, b=0.75)
+    — the ranked-retrieval face of the TF stage, beside TF-IDF's
+    feature-extraction face.
+
+    Engine-exact scoring: the only float op is the idf ln(), which is
+    immediately quantized to int64 milli-units (the tfidf_top_terms
+    idiom); document length, the average-length ratio, the saturation
+    denominator, and the final score are all integer arithmetic
+    (floor divisions), so cross-engine ranking can never disagree on
+    a tie-adjacent double.
+
+    Scale posture: the posting lists touched are ONLY the query
+    terms' (a filter on the persisted TF stage — at index scale, an
+    inverted-index lookup); doc lengths come from the same TF stage;
+    idf and avgdl ride broadcast frames of |query| and 1 rows; top-k
+    is TakeOrderedAndProject. Nothing scans the corpus at query time
+    except the shared, amortized TF build."""
+    tf = _tf_stage(spark, sf_dir)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    n_docs = _n_docs(spark, sf_dir)
+    # floor(1000 * total_tokens / n_docs) — both engines integer-exact
+    avg = (
+        dl.agg(F.sum("dl").alias("_tot"))
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.expr("(1000 * _tot) div n_docs").alias("avgdl_milli")
+        )
+    )
+    tf_q = tf.filter(F.col("word").isin(*BM25_QUERY_TERMS))
+    df = tf_q.groupBy("word").agg(F.count("*").alias("df"))
+    idf3 = F.round(
+        F.log(
+            1.0
+            + (F.col("n_docs") - F.col("df") + 0.5)
+            / (F.col("df") + 0.5)
+        )
+        * 1000,
+        0,
+    ).cast("long")
+    word_idf = df.crossJoin(F.broadcast(n_docs)).select(
+        "word", idf3.alias("idf3")
+    )
+    scored = (
+        tf_q.join(dl, "doc_id")
+        .join(F.broadcast(word_idf), "word")
+        .crossJoin(F.broadcast(avg))
+        .select(
+            "doc_id",
+            F.expr(
+                "(idf3 * 2200 * tf * 1000) div "
+                "(1000 * tf + 300 + (900000 * dl) div avgdl_milli)"
+            ).alias("_s_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("_s_micro").alias("_sm"))
+        .select(
+            "doc_id", (F.col("_sm") / 1_000_000.0).alias("bm25_score")
+        )
+        .orderBy(F.desc("_sm"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
+    )
+
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+BM25_SEARCH_SQL = f"""
+WITH {_words_cte().lstrip()},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+nd AS (SELECT count(*) AS n_docs FROM w),
+avg AS (
+  SELECT (1000 * (SELECT CAST(sum(dl) AS BIGINT) FROM dl)) // n_docs
+           AS avgdl_milli
+  FROM nd
+),
+tfq AS (SELECT * FROM tf WHERE word IN ({_BM25_TERMS_SQL})),
+df AS (SELECT word, count(*) AS df FROM tfq GROUP BY word),
+widf AS (
+  SELECT word,
+         CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * 1000, 0)
+              AS BIGINT) AS idf3
+  FROM df CROSS JOIN nd
+),
+scored AS (
+  SELECT t.doc_id,
+         (w2.idf3 * 2200 * t.tf * 1000)
+           // (1000 * t.tf + 300 + (900000 * d.dl) // a.avgdl_milli)
+           AS _s_micro
+  FROM tfq t
+  JOIN dl d ON d.doc_id = t.doc_id
+  JOIN widf w2 ON w2.word = t.word
+  CROSS JOIN avg a
+)
+SELECT doc_id, CAST(sum(_s_micro) AS BIGINT) / 1000000.0 AS bm25_score
+FROM scored GROUP BY doc_id
+ORDER BY CAST(sum(_s_micro) AS BIGINT) DESC, doc_id ASC
+LIMIT {BM25_TOP_K}
+"""

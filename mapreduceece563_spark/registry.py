@@ -358,3 +358,4 @@ register(
     rel.ORDER_LINEITEM_RECONCILIATION_SQL,
 )
 register("zorder_bucket_stats", stg.zorder_bucket_stats, stg.ZORDER_BUCKET_STATS_SQL)
+register("bm25_search", ng.bm25_search, ng.BM25_SEARCH_SQL)
