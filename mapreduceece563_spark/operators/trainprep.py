@@ -447,3 +447,107 @@ FROM g
 
 
 TRAINING_MANIFEST_SQL = _manifest_sql()
+
+
+# --- token-balanced source mixing ------------------------------------
+
+def token_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upweight every source to the largest source's token budget —
+    the epoch-weighting counterpart of stratified DOWN-sampling: each
+    document is replicated floor(f) or ceil(f) times, where f is the
+    source's token deficit ratio and the floor/ceil choice is a
+    scrambled deterministic hash of doc_id (so expected replicated
+    tokens hit the target with no rand(), stable under retries and
+    partitioning). Returns the post-mix per-source manifest.
+
+    All mixing math is integer milli-units: f_milli = (1000·max_tot)
+    div tot, base copies = f_milli div 1000, and the fractional copy
+    fires when hash(doc_id) mod 1000 < f_milli mod 1000 — both
+    engines agree exactly. The replication itself is a map-side
+    explode(sequence(...)) — no shuffle touches the widened stream
+    until the final per-source rollup."""
+    from ..functions.hashing import HASH_MOD
+    from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL  # noqa: F401
+    from .corpus import SAMPLE_A, SAMPLE_B
+    from .dedup import words_array
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    n_tok = (
+        F.when(
+            F.col("text").isNotNull() & (F.col("text") != ""),
+            F.size(words_array(F.col("text"))),
+        )
+        .otherwise(0)
+        .cast("long")
+    )
+    per_doc = docs.select("doc_id", "source", n_tok.alias("_nt"))
+    totals = per_doc.groupBy("source").agg(F.sum("_nt").alias("_tot"))
+    max_tot = totals.agg(F.max("_tot").alias("_max_tot"))
+    factors = totals.crossJoin(F.broadcast(max_tot)).select(
+        "source", F.expr("(1000 * _max_tot) div _tot").alias("_f_milli")
+    )
+    scramble = (
+        (F.col("doc_id") * SAMPLE_A + SAMPLE_B) % HASH_MOD
+    ) % 1000
+    n_copies = (
+        F.expr("_f_milli div 1000")
+        + F.when(scramble < F.expr("_f_milli % 1000"), 1).otherwise(0)
+    ).alias("_nc")
+    replicated = (
+        per_doc.join(F.broadcast(factors), "source")
+        .select("source", "_nt", n_copies)
+        .select(
+            "source",
+            "_nt",
+            F.explode(F.sequence(F.lit(1), F.col("_nc"))).alias("_i"),
+        )
+    )
+    return replicated.groupBy("source").agg(
+        F.count("*").alias("n_docs_out"),
+        F.sum("_nt").alias("n_tokens_out"),
+    )
+
+
+def _token_balanced_sql() -> str:
+    from ..functions.hashing import HASH_MOD
+    from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL
+    from .corpus import SAMPLE_A, SAMPLE_B
+
+    norm = NORMALIZE_SQL.format(t="t")
+    return f"""
+WITH per_doc AS (
+  SELECT doc_id, source,
+         CASE WHEN text IS NOT NULL AND text <> '' THEN
+           CAST(len(list_filter(
+                  list_transform(string_split(text, ' '), t -> {norm}),
+                  w -> w <> '' AND length(w) <= {MAX_WORD_LEN})) AS BIGINT)
+         ELSE 0 END AS _nt
+  FROM documents
+),
+totals AS (SELECT source, CAST(sum(_nt) AS BIGINT) AS _tot
+           FROM per_doc GROUP BY source),
+mx AS (SELECT max(_tot) AS _max_tot FROM totals),
+factors AS (
+  SELECT source, (1000 * _max_tot) // _tot AS _f_milli
+  FROM totals, mx
+),
+copies AS (
+  SELECT p.source, p._nt,
+         (_f_milli // 1000)
+         + CASE WHEN ((p.doc_id * {SAMPLE_A} + {SAMPLE_B}) % {HASH_MOD})
+                     % 1000 < _f_milli % 1000
+                THEN 1 ELSE 0 END AS _nc
+  FROM per_doc p JOIN factors USING (source)
+),
+replicated AS (
+  SELECT source, _nt, unnest(range(1, _nc + 1)) AS _i FROM copies
+)
+SELECT source, count(*) AS n_docs_out,
+       CAST(sum(_nt) AS BIGINT) AS n_tokens_out
+FROM replicated GROUP BY source
+"""
+
+
+TOKEN_BALANCED_MIXTURE_SQL = _token_balanced_sql()

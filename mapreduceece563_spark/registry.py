@@ -359,3 +359,8 @@ register(
 )
 register("zorder_bucket_stats", stg.zorder_bucket_stats, stg.ZORDER_BUCKET_STATS_SQL)
 register("bm25_search", ng.bm25_search, ng.BM25_SEARCH_SQL)
+register(
+    "token_balanced_mixture",
+    tr.token_balanced_mixture,
+    tr.TOKEN_BALANCED_MIXTURE_SQL,
+)
