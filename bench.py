@@ -122,6 +122,7 @@ BUDGETS = {
     "zorder_bucket_stats": 3.0,
     "bm25_search": 3.0,  # query-term posting lists off the shared TF stage
     "token_balanced_mixture": 3.0,
+    "user_reach_curve": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

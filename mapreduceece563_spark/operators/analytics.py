@@ -31,7 +31,7 @@ disagree on sub-microsecond ties.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -274,4 +274,43 @@ SELECT dev.event_type,
          AS n_outliers
 FROM dev JOIN mad USING (event_type)
 GROUP BY dev.event_type
+"""
+
+
+def user_reach_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users by day (the reach/adoption curve). A
+    running COUNT(DISTINCT) over raw events is unbounded state; the
+    exact rewrite is the first-seen trick — a user contributes to the
+    curve only on min(day) — so the heavy work is ONE user-keyed
+    min-aggregate and the cumulative sum runs over the #days-row
+    daily-new frame (an ordered window over a calendar-sized input is
+    deliberately fine; it never sees event- or user-cardinality)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    daily_new = first.groupBy("day").agg(F.count("*").alias("n_new_users"))
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return daily_new.select(
+        "day",
+        "n_new_users",
+        F.sum("n_new_users").over(w).alias("cum_users"),
+    )
+
+
+USER_REACH_CURVE_SQL = """
+WITH first AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS day FROM events GROUP BY user_id
+),
+daily_new AS (
+  SELECT day, count(*) AS n_new_users FROM first GROUP BY day
+)
+SELECT day, n_new_users,
+       CAST(sum(n_new_users) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_users
+FROM daily_new
 """

@@ -364,3 +364,4 @@ register(
     tr.token_balanced_mixture,
     tr.TOKEN_BALANCED_MIXTURE_SQL,
 )
+register("user_reach_curve", an.user_reach_curve, an.USER_REACH_CURVE_SQL)
