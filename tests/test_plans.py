@@ -288,3 +288,39 @@ def test_global_doc_ids_no_global_sort_of_data(spark):
 def test_sentence_stats_map_only(spark):
     plan = plan_string(Q["sentence_stats"](spark, SF_DIR), "simple")
     assert "Exchange" not in plan
+
+
+def test_bm25_topk_and_broadcast_stats(spark):
+    """BM25's top-k must be per-partition heaps; idf and avgdl ride
+    broadcasts, and the posting-list join is a broadcast hash join."""
+    plan = plan_string(Q["bm25_search"](spark, SF_DIR), "simple")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_reconciliation_full_outer_after_preagg(spark):
+    """The detail side must aggregate to order grain BEFORE the full
+    outer join (aggregate-before-join), and the join itself is the
+    one co-partitioned sort-merge."""
+    plan = plan_string(
+        Q["order_lineitem_reconciliation"](spark, SF_DIR), "simple"
+    )
+    assert "FullOuter" in plan
+    assert plan.count("SortMergeJoin") == 1
+
+
+def test_mixture_replication_is_map_side(spark):
+    """Replication factors join back broadcast; the explode (Generate)
+    widens rows map-side with no shuffle between it and the scan."""
+    plan = plan_string(Q["token_balanced_mixture"](spark, SF_DIR), "simple")
+    assert "Generate" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_rolling_window_over_preaggregate(spark):
+    """The RANGE frame must slide over the day-grained aggregate: one
+    Window above the partial/final agg pair, never over raw events."""
+    plan = plan_string(Q["rolling_7d_revenue"](spark, SF_DIR), "simple")
+    assert plan.count("Window") == 1
+    assert plan.count("HashAggregate") >= 2
