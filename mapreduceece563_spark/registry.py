@@ -88,10 +88,12 @@ def oracle_sql() -> dict[str, str]:
 # (no oracle — the driver could only record a rows-only row) sits
 # outside the window so a hash-checkable entry gets its slot.
 #
-# Round-3 additions past this point (142 entries total) register at
-# the tail: with 92 never-driver-checked names and a 50-slot window,
-# 42+ stay local-only regardless of order — COVERAGE.json records
+# Round-3 additions past this point (148 entries total) register at
+# the tail: with 98 never-driver-checked names and a 50-slot window,
+# 48+ stay local-only regardless of order — COVERAGE.json records
 # which, and round 4 rotates the window onto the next unchecked set.
+# Every entry, windowed or not, is verified by the identical compare
+# in pytest at sf0.001 and by full sweeps at sf0.01 and sf0.1.
 # ======================================================================
 
 # --- reference-parity surface (SURVEY.md §2) -------------------------
