@@ -123,6 +123,7 @@ BUDGETS = {
     "bm25_search": 3.0,  # query-term posting lists off the shared TF stage
     "token_balanced_mixture": 3.0,
     "user_reach_curve": 3.0,
+    "basket_brand_lift": 4.0,  # per-order basket self-join
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -306,3 +306,110 @@ SELECT source, count(*) AS n_rows,
        bit_xor({_checksum_canon_sql()}) AS xor_sig
 FROM documents GROUP BY source
 """
+
+
+# --- market-basket association ---------------------------------------
+
+BASKET_TOP_K = 20
+
+
+def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association mining over order baskets: top-20 part-brand pairs
+    by lift (P(a,b) / P(a)P(b)), 0.1%-support-floored — the co-purchase
+    signal a recommender or assortment planner starts from.
+
+    Lift is computed as integer milli-units, (1000·N·n_ab) div
+    (n_a·n_b), so cross-engine ranking is exact; support is
+    corpus-relative (1000·n_ab >= N) rather than an absolute count so
+    the semantics are scale-invariant. Plan shape: the part dim
+    broadcasts into the item scan; baskets deduplicate to per-order
+    brand SETS before pairing (distinct on (order, brand)); the pair
+    self-join keys on the order id — pairs per order are bounded by
+    basket width squared, never corpus size; brand marginals (25
+    rows) and the 1-row order count broadcast back; top-k is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    n_orders = items.select("l_orderkey").distinct().agg(
+        F.count("*").alias("_n")
+    )
+    brand_cnt = items.groupBy("brand").agg(F.count("*").alias("_cnt"))
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    ca = brand_cnt.select(
+        F.col("brand").alias("brand_a"), F.col("_cnt").alias("_na")
+    )
+    cb = brand_cnt.select(
+        F.col("brand").alias("brand_b"), F.col("_cnt").alias("_nb")
+    )
+    scored = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cb), "brand_b")
+        .crossJoin(F.broadcast(n_orders))
+        .filter(1000 * F.col("n_ab") >= F.col("_n"))
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            F.expr("(1000 * _n * n_ab) div (_na * _nb)").alias("_lift_milli"),
+        )
+    )
+    return (
+        scored.orderBy(
+            F.desc("_lift_milli"), F.asc("brand_a"), F.asc("brand_b")
+        )
+        .limit(BASKET_TOP_K)
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_ab",
+            (F.col("_lift_milli") / 1000.0).alias("lift"),
+        )
+    )
+
+
+BASKET_BRAND_LIFT_SQL = f"""
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand AS brand
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+nd AS (SELECT count(DISTINCT l_orderkey) AS _n FROM items),
+bc AS (SELECT brand, count(*) AS _cnt FROM items GROUP BY brand),
+pairs AS (
+  SELECT a.brand AS brand_a, b.brand AS brand_b, count(*) AS n_ab
+  FROM items a
+  JOIN items b ON a.l_orderkey = b.l_orderkey AND a.brand < b.brand
+  GROUP BY a.brand, b.brand
+),
+scored AS (
+  SELECT brand_a, brand_b, n_ab,
+         (1000 * _n * n_ab) // (ca._cnt * cb._cnt) AS _lift_milli
+  FROM pairs
+  JOIN bc ca ON ca.brand = brand_a
+  JOIN bc cb ON cb.brand = brand_b
+  CROSS JOIN nd
+  WHERE 1000 * n_ab >= _n
+)
+SELECT brand_a, brand_b, n_ab, _lift_milli / 1000.0 AS lift
+FROM scored
+ORDER BY _lift_milli DESC, brand_a ASC, brand_b ASC
+LIMIT {BASKET_TOP_K}
+"""

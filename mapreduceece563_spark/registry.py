@@ -367,3 +367,4 @@ register(
     tr.TOKEN_BALANCED_MIXTURE_SQL,
 )
 register("user_reach_curve", an.user_reach_curve, an.USER_REACH_CURVE_SQL)
+register("basket_brand_lift", mn.basket_brand_lift, mn.BASKET_BRAND_LIFT_SQL)
