@@ -936,14 +936,19 @@ def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
         ).alias("n_true"),
     )
+    # Half-up ratio in PURE int64 (then one exact division) so a
+    # decimal tie can't round differently per engine — see
+    # events_heavy_hitters / training_manifest.
     return agg.select(
         "n_candidates",
         "n_true",
         F.when(F.col("n_candidates") == 0, F.lit(0.0))
         .otherwise(
-            F.round(
-                F.col("n_true") / F.col("n_candidates").cast("double"), 6
-            )
+            F.expr(
+                "(2 * 1000000 * n_true + n_candidates)"
+                " div (2 * n_candidates)"
+            ).cast("double")
+            / 1e6
         )
         .alias("lsh_precision"),
     )
@@ -981,8 +986,8 @@ SELECT count(*) AS n_candidates,
        CAST(count(*) FILTER (WHERE j >= {JACCARD_THRESHOLD}) AS BIGINT)
          AS n_true,
        CASE WHEN count(*) = 0 THEN 0.0
-            ELSE round(count(*) FILTER (WHERE j >= {JACCARD_THRESHOLD})
-                       / CAST(count(*) AS DOUBLE), 6)
+            ELSE ((2 * 1000000 * count(*) FILTER (WHERE j >= {JACCARD_THRESHOLD})
+                   + count(*)) // (2 * count(*))) / 1000000.0
        END AS lsh_precision
 FROM jc
 """
@@ -1009,14 +1014,17 @@ def lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_true_pairs"),
         F.coalesce(F.sum("_hit"), F.lit(0).cast("long")).alias("n_caught"),
     )
+    # Same int64 half-up ratio idiom as lsh_precision.
     return agg.select(
         "n_true_pairs",
         "n_caught",
         F.when(F.col("n_true_pairs") == 0, F.lit(0.0))
         .otherwise(
-            F.round(
-                F.col("n_caught") / F.col("n_true_pairs").cast("double"), 6
-            )
+            F.expr(
+                "(2 * 1000000 * n_caught + n_true_pairs)"
+                " div (2 * n_true_pairs)"
+            ).cast("double")
+            / 1e6
         )
         .alias("lsh_recall"),
     )
@@ -1061,7 +1069,8 @@ marked AS (
 SELECT count(*) AS n_true_pairs,
        CAST(count(_hit) AS BIGINT) AS n_caught,
        CASE WHEN count(*) = 0 THEN 0.0
-            ELSE round(count(_hit) / CAST(count(*) AS DOUBLE), 6)
+            ELSE ((2 * 1000000 * count(_hit) + count(*))
+                  // (2 * count(*))) / 1000000.0
        END AS lsh_recall
 FROM marked
 """

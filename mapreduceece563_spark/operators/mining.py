@@ -321,7 +321,12 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lift is computed as integer milli-units, (1000·N·n_ab) div
     (n_a·n_b), so cross-engine ranking is exact; support is
     corpus-relative (1000·n_ab >= N) rather than an absolute count so
-    the semantics are scale-invariant. Plan shape: the part dim
+    the semantics are scale-invariant. The numerator runs in 128-bit
+    integers on BOTH engines (Spark DECIMAL(38,0), DuckDB HUGEINT):
+    with N and n_ab both ~1e9 at the 100 TB posture, 1000·N·n_ab
+    (~1e21) overflows int64 — non-ANSI Spark would wrap silently
+    while DuckDB raises, i.e. the engines would diverge rather than
+    both fail. Plan shape: the part dim
     broadcasts into the item scan; baskets deduplicate to per-order
     brand SETS before pairing (distinct on (order, brand)); the pair
     self-join keys on the order id — pairs per order are bounded by
@@ -369,7 +374,10 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "brand_a",
             "brand_b",
             "n_ab",
-            F.expr("(1000 * _n * n_ab) div (_na * _nb)").alias("_lift_milli"),
+            F.expr(
+                "CAST((CAST(1000 AS DECIMAL(38,0)) * _n * n_ab)"
+                " div (CAST(_na AS DECIMAL(38,0)) * _nb) AS BIGINT)"
+            ).alias("_lift_milli"),
         )
     )
     return (
@@ -401,7 +409,9 @@ pairs AS (
 ),
 scored AS (
   SELECT brand_a, brand_b, n_ab,
-         (1000 * _n * n_ab) // (ca._cnt * cb._cnt) AS _lift_milli
+         CAST((CAST(1000 AS HUGEINT) * _n * n_ab)
+              // (CAST(ca._cnt AS HUGEINT) * cb._cnt) AS BIGINT)
+           AS _lift_milli
   FROM pairs
   JOIN bc ca ON ca.brand = brand_a
   JOIN bc cb ON cb.brand = brand_b

@@ -793,22 +793,31 @@ FROM tiles GROUP BY decile
 # --- sorted array aggregation -----------------------------------------
 
 def region_nations_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-region sorted array of nation names (deterministic
-    collect: sort after collect_list, never rely on arrival order)."""
+    """Per-region sorted list of nation names, emitted as a
+    '|'-joined STRING (deterministic collect: sort after
+    collect_list, never rely on arrival order).
+
+    The top-level column is a scalar string, not array<string>: the
+    driver harness canonicalizes results via pandas sort_values,
+    which cannot hash list-typed cells (the one red row of round 3).
+    Same contract as inverted_index's posting-list column — registry
+    outputs are scalar-only, enforced by tests/test_output_schemas.py."""
     nation = load_table(spark, sf_dir, "nation").select("n_name", "n_regionkey")
     region = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
     return (
         nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), "|"
+            ).alias("nations"),
             F.count("*").alias("n_nations"),
         )
     )
 
 
 REGION_NATIONS_SQL = """
-SELECT r_name, list(n_name ORDER BY n_name) AS nations,
+SELECT r_name, string_agg(n_name, '|' ORDER BY n_name) AS nations,
        count(*) AS n_nations
 FROM nation JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name

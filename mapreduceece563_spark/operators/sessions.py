@@ -129,16 +129,39 @@ FROM sess GROUP BY user_id, sid
 
 
 def user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user inter-event gap statistics via grouped-map
-    ``applyInPandas`` — the Arrow path for per-group logic that needs
-    the WHOLE group in memory at once (here: sorted gap sequence for
-    an exact median). Groups are users, so memory per task is one
-    user's events; median interpolation on integer microsecond gaps
-    matches DuckDB's definition exactly.
+    """Per-user inter-event gap statistics, fully native: `lag` over
+    a user-ordered window to form the gap column, then one grouped
+    aggregate with `percentile(gap, 0.5)` for the exact median
+    (linear interpolation over int64 microseconds — midpoints are
+    x.0 or x.5, exactly representable, so Spark's `percentile` and
+    DuckDB's `median` cannot disagree; the contract proven in
+    events_value_outliers / price_percentiles).
 
-    Built-ins can express this too (percentile over a lag column) —
-    the operator exists to pin the applyInPandas harness: grouping
-    key handling, Arrow batch shape, output schema contract."""
+    100 TB posture: one shuffle on user_id, a sorted window pass, a
+    partial+final aggregate. No whole-group materialization — the
+    round-3 Arrow grouped-map version (kept as
+    `user_gap_stats_arrow`, pinned by tests/test_arrow_paths.py)
+    required a whale user's entire event history to fit one task's
+    memory; this plan never does."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"))
+    staged = ev.select("user_id", F.unix_micros("ts").alias("us"))
+    gaps = staged.withColumn("gap", F.col("us") - F.lag("us").over(w))
+    return gaps.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.expr("CAST(percentile(gap, 0.5) AS DOUBLE)").alias("median_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+    )
+
+
+def user_gap_stats_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map ``applyInPandas`` variant of `user_gap_stats` —
+    NOT registered (same answer, Arrow path). Exists to pin the
+    applyInPandas harness: grouping key handling, Arrow batch shape,
+    output schema contract. The registered entry uses the native
+    window plan above; at 100 TB a whole-group grouped-map on a
+    whale user would OOM a task, so this is a harness test, not a
+    query path."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T

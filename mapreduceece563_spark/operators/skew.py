@@ -184,14 +184,22 @@ def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_events"))
     )
     tot = cnt.agg(F.sum("n_events").alias("_t"))
+    # Share rounded half-up in PURE int64 — (2*10^6*n + t) div (2t) —
+    # then ONE exact division by 1e6. round() after a double division
+    # can land a decimal tie on opposite sides per engine (Spark
+    # rounds the binary expansion via BigDecimal, DuckDB re-rounds
+    # x*10^d) — the training_manifest / doc_lm_surprisal contract.
     return (
         cnt.crossJoin(F.broadcast(tot))
         .select(
             "user_id",
             "n_events",
-            F.round(F.col("n_events") / F.col("_t").cast("double"), 6).alias(
-                "share"
-            ),
+            (
+                F.expr(
+                    "(2 * 1000000 * n_events + _t) div (2 * _t)"
+                ).cast("double")
+                / 1e6
+            ).alias("share"),
         )
         .orderBy(F.desc("n_events"), F.asc("user_id"))
         .limit(10)
@@ -204,7 +212,7 @@ WITH cnt AS (
 ),
 tot AS (SELECT sum(n_events) AS _t FROM cnt)
 SELECT user_id, n_events,
-       round(n_events / CAST(_t AS DOUBLE), 6) AS share
+       ((2 * 1000000 * n_events + _t) // (2 * _t)) / 1000000.0 AS share
 FROM cnt, tot
 ORDER BY n_events DESC, user_id ASC
 LIMIT 10

@@ -621,12 +621,18 @@ def sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(sents).cast("long").alias("n_sentences"),
         F.size(words).cast("long").alias("_nw"),
     )
+    # Half-up ratio in PURE int64 then one exact division — decimal
+    # ties can't round differently per engine (training_manifest
+    # contract).
     return prof.select(
         "doc_id",
         "n_sentences",
         F.when(F.col("n_sentences") == 0, F.lit(0.0))
         .otherwise(
-            F.round(F.col("_nw") / F.col("n_sentences").cast("double"), 4)
+            F.expr(
+                "(2 * 10000 * _nw + n_sentences) div (2 * n_sentences)"
+            ).cast("double")
+            / 1e4
         )
         .alias("words_per_sentence"),
     )
@@ -636,9 +642,9 @@ SENTENCE_STATS_SQL = f"""
 SELECT doc_id,
        CAST(len(sents) AS BIGINT) AS n_sentences,
        CASE WHEN len(sents) = 0 THEN 0.0
-            ELSE round(len(list_filter(string_split(text, ' '),
-                                       w -> w <> ''))
-                       / CAST(len(sents) AS DOUBLE), 4)
+            ELSE ((2 * 10000 * len(list_filter(string_split(text, ' '),
+                                               w -> w <> ''))
+                   + len(sents)) // (2 * len(sents))) / 10000.0
        END AS words_per_sentence
 FROM (
   SELECT doc_id, text,

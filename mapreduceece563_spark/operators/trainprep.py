@@ -485,8 +485,12 @@ def token_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc = docs.select("doc_id", "source", n_tok.alias("_nt"))
     totals = per_doc.groupBy("source").agg(F.sum("_nt").alias("_tot"))
     max_tot = totals.agg(F.max("_tot").alias("_max_tot"))
+    # nullif guards the all-empty-text source (_tot=0): its factor is
+    # NULL (not a DIVIDE_BY_ZERO under ANSI mode), it replicates no
+    # rows, and the final left join reports it with zero output.
     factors = totals.crossJoin(F.broadcast(max_tot)).select(
-        "source", F.expr("(1000 * _max_tot) div _tot").alias("_f_milli")
+        "source",
+        F.expr("(1000 * _max_tot) div nullif(_tot, 0)").alias("_f_milli"),
     )
     scramble = (
         (F.col("doc_id") * SAMPLE_A + SAMPLE_B) % HASH_MOD
@@ -504,9 +508,27 @@ def token_balanced_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.sequence(F.lit(1), F.col("_nc"))).alias("_i"),
         )
     )
-    return replicated.groupBy("source").agg(
-        F.count("*").alias("n_docs_out"),
-        F.sum("_nt").alias("n_tokens_out"),
+    mixed = replicated.groupBy("source").agg(
+        F.count("*").alias("_nd"),
+        F.sum("_nt").alias("_ntok"),
+    )
+    # A source whose documents are all empty has _tot=0, so its
+    # factor (1000*_max_tot) div _tot is NULL and it vanishes from
+    # `replicated`. Left-join back to the per-source totals so such
+    # sources are REPORTED with zero output rather than silently
+    # dropped from the manifest.
+    return (
+        totals.select("source")
+        .join(mixed, "source", "left")
+        .select(
+            "source",
+            F.coalesce(F.col("_nd"), F.lit(0).cast("long")).alias(
+                "n_docs_out"
+            ),
+            F.coalesce(F.col("_ntok"), F.lit(0).cast("long")).alias(
+                "n_tokens_out"
+            ),
+        )
     )
 
 
@@ -530,7 +552,7 @@ totals AS (SELECT source, CAST(sum(_nt) AS BIGINT) AS _tot
            FROM per_doc GROUP BY source),
 mx AS (SELECT max(_tot) AS _max_tot FROM totals),
 factors AS (
-  SELECT source, (1000 * _max_tot) // _tot AS _f_milli
+  SELECT source, (1000 * _max_tot) // nullif(_tot, 0) AS _f_milli
   FROM totals, mx
 ),
 copies AS (
@@ -543,10 +565,15 @@ copies AS (
 ),
 replicated AS (
   SELECT source, _nt, unnest(range(1, _nc + 1)) AS _i FROM copies
+),
+mixed AS (
+  SELECT source, count(*) AS _nd, CAST(sum(_nt) AS BIGINT) AS _ntok
+  FROM replicated GROUP BY source
 )
-SELECT source, count(*) AS n_docs_out,
-       CAST(sum(_nt) AS BIGINT) AS n_tokens_out
-FROM replicated GROUP BY source
+SELECT t.source,
+       CAST(coalesce(m._nd, 0) AS BIGINT) AS n_docs_out,
+       CAST(coalesce(m._ntok, 0) AS BIGINT) AS n_tokens_out
+FROM totals t LEFT JOIN mixed m USING (source)
 """
 
 

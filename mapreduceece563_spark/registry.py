@@ -33,6 +33,7 @@ from .operators import textstats as ts
 from .operators import trainprep as tr
 from .operators import wordcount as wc
 from .session import ship_package
+from .streaming import stateful as sf
 from .streaming import windowed_stream as ws
 from .streaming import wordcount_stream as st
 
@@ -77,54 +78,215 @@ def oracle_sql() -> dict[str, str]:
 
 # ======================================================================
 # DRIVER-CHECKED WINDOW — the driver's correctness snapshot covers the
-# FIRST 50 registered names only. Round 2's snapshot checked the first
-# 50 of 92, leaving 42 entries with only the local pytest signal.
-# Round 3 front-loads exactly those 42, plus the four newest round-3
-# entries, keeping `wordcount` (THE §2 parity query) anchored at
-# position 0. Everything a prior snapshot already verified green moves
-# after position 50; those stay pinned locally by
-# tests/test_registry_oracle.py, which runs the identical oracle
-# comparison for EVERY entry at sf0.001. `approx_distinct_sketch`
-# (no oracle — the driver could only record a rows-only row) sits
-# outside the window so a hash-checkable entry gets its slot.
-#
-# Round-3 additions past this point (148 entries total) register at
-# the tail: with 98 never-driver-checked names and a 50-slot window,
-# 48+ stay local-only regardless of order — COVERAGE.json records
-# which, and round 4 rotates the window onto the next unchecked set.
-# Every entry, windowed or not, is verified by the identical compare
-# in pytest at sf0.001 and by full sweeps at sf0.01 and sf0.1.
+# FIRST 50 registered names only. Round-4 rotation (VERDICT r3 ask #1):
+# positions 0-49 are `wordcount` (THE §2 parity anchor, green every
+# round), `region_nations_agg` (round 3's one red row, now emitting its
+# nation list as an array_join'd STRING), and the 48 ORACLE-PAIRED
+# entries that had never received a driver CORRECTNESS row (the round-3
+# additions recorded in COVERAGE.json.never_green_outside_window).
+# The two no-oracle sketch entries (approx_distinct_sketch,
+# price_percentiles_sketch) stay OUTSIDE the window on purpose: the
+# driver could only ever record a weak rows-only row for them, so a
+# hash-checkable entry gets the slot; their accuracy-vs-exact-tier
+# contract is asserted Spark-side in tests/test_partitioning.py.
+# Everything below position 50 already has a green driver row from a
+# prior round and stays pinned by tests/test_registry_oracle.py, which
+# runs the identical oracle comparison for EVERY entry at sf0.001 (and
+# the /verify sweep re-runs it at sf0.01 and sf0.1).
 # ======================================================================
 
-# --- reference-parity surface (SURVEY.md §2) -------------------------
+# --- §2 parity anchor + the round-3 red row, fixed ------------------
 register("wordcount", wc.wordcount, wc.WORDCOUNT_SQL)
-
-# --- grouping sets / Arrow path / CC dedup ---------------------------
-register("orders_grouping_sets", rel.orders_grouping_sets, rel.ORDERS_GROUPING_SETS_SQL)
-register("approx_distinct_users", sk.approx_distinct_users, sk.APPROX_DISTINCT_SQL)
-register("knn_pandas_udf", sim.knn_pandas_udf, sim.KNN_PANDAS_SQL)
-register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
-
-# --- edit-distance verify tier / sorted array agg --------------------
-register("dedup_edit_distance", dd.dedup_edit_distance, dd.DEDUP_EDIT_DISTANCE_SQL)
 register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
 
-# --- composed training-data pipeline ---------------------------------
-register("training_data_filter", ts.training_data_filter, ts.TRAINING_FILTER_SQL)
+# --- round-3 additions: first driver check this round ----------------
+register(
+    "boilerplate_fraction",
+    cp.boilerplate_fraction,
+    cp.BOILERPLATE_FRACTION_SQL,
+)
+register(
+    "source_blocklist_survivors",
+    cp.source_blocklist_survivors,
+    cp.SOURCE_BLOCKLIST_SQL,
+)
+register("stratified_sample", cp.stratified_sample, cp.STRATIFIED_SAMPLE_SQL)
+register("char_class_stats", cp.char_class_stats, cp.CHAR_CLASS_SQL)
+register("funnel_conversion", an.funnel_conversion, an.FUNNEL_SQL)
+register("cohort_retention", an.cohort_retention, an.COHORT_RETENTION_SQL)
+register(
+    "events_daily_pivot",
+    an.events_daily_pivot,
+    an.EVENTS_DAILY_PIVOT_SQL,
+)
+register("inverted_index", gph.inverted_index, gph.INVERTED_INDEX_SQL)
+register("pagerank_2iter", gph.pagerank_2iter, gph.PAGERANK_SQL)
+register("passage_dedup", cp.passage_dedup, cp.PASSAGE_DEDUP_SQL)
+register(
+    "bucketed_join_revenue",
+    stg.bucketed_join_revenue,
+    stg.BUCKETED_JOIN_SQL,
+)
+register(
+    "partition_pruned_purchases",
+    stg.partition_pruned_purchases,
+    stg.PARTITION_PRUNED_SQL,
+)
+register(
+    "event_transition_matrix",
+    mn.event_transition_matrix,
+    mn.EVENT_TRANSITION_SQL,
+)
+register("user_latest_state", mn.user_latest_state, mn.USER_LATEST_STATE_SQL)
+register(
+    "events_value_histogram",
+    mn.events_value_histogram,
+    mn.EVENTS_VALUE_HISTOGRAM_SQL,
+)
+register(
+    "part_name_match_stats",
+    mn.part_name_match_stats,
+    mn.PART_NAME_MATCH_STATS_SQL,
+)
+register("doc_lm_surprisal", ng.doc_lm_surprisal, ng.DOC_LM_SURPRISAL_SQL)
+register(
+    "doc_chunk_manifest",
+    cp.doc_chunk_manifest,
+    cp.DOC_CHUNK_MANIFEST_SQL,
+)
+register(
+    "streaming_user_profile",
+    sf.streaming_user_profile_batch,
+    sf.STREAMING_USER_PROFILE_SQL,
+)
+register("oov_rate", ng.oov_rate, ng.OOV_RATE_SQL)
+register(
+    "word_freq_spectrum",
+    ng.word_freq_spectrum,
+    ng.WORD_FREQ_SPECTRUM_SQL,
+)
+register("bigram_pmi_top", ng.bigram_pmi_top, ng.BIGRAM_PMI_SQL)
+register(
+    "embedding_covariance",
+    sim.embedding_covariance,
+    sim.EMBEDDING_COVARIANCE_SQL,
+)
+register(
+    "quality_percentile_by_source",
+    ts.quality_percentile_by_source,
+    ts.QUALITY_PERCENTILE_SQL,
+)
+register(
+    "per_source_holdout",
+    ts.per_source_holdout,
+    ts.PER_SOURCE_HOLDOUT_SQL,
+)
+register("table_checksum", mn.table_checksum, mn.TABLE_CHECKSUM_SQL)
+register("fk_integrity_audit", rel.fk_integrity_audit, rel.FK_INTEGRITY_SQL)
+register("events_profile", rel.events_profile, rel.EVENTS_PROFILE_SQL)
+register(
+    "events_hourly_incremental",
+    rel.events_hourly_incremental,
+    rel.EVENTS_HOURLY_INCR_SQL,
+)
+register(
+    "lang_confusion_matrix",
+    ts.lang_confusion_matrix,
+    ts.LANG_CONFUSION_SQL,
+)
+register("triangle_count", gph.triangle_count, gph.TRIANGLE_COUNT_SQL)
+register(
+    "part_price_size_skyline",
+    rel.part_price_size_skyline,
+    rel.PART_SKYLINE_SQL,
+)
+register(
+    "purchase_attribution",
+    rel.purchase_attribution,
+    rel.PURCHASE_ATTRIBUTION_SQL,
+)
+register("lsh_precision", dd.lsh_precision, dd.LSH_PRECISION_SQL)
+register(
+    "events_value_outliers",
+    an.events_value_outliers,
+    an.EVENTS_VALUE_OUTLIERS_SQL,
+)
+register(
+    "events_heavy_hitters",
+    sk.events_heavy_hitters,
+    sk.EVENTS_HEAVY_HITTERS_SQL,
+)
+register(
+    "rolling_7d_revenue",
+    tp.rolling_7d_revenue,
+    tp.ROLLING_7D_REVENUE_SQL,
+)
+register("daily_gap_fill", tp.daily_gap_fill, tp.DAILY_GAP_FILL_SQL)
+register("global_doc_ids", stg.global_doc_ids, stg.GLOBAL_DOC_IDS_SQL)
+register("sentence_stats", ts.sentence_stats, ts.SENTENCE_STATS_SQL)
+register("lsh_recall", dd.lsh_recall, dd.LSH_RECALL_SQL)
+register("streaming_dedup", st.streaming_dedup_batch, st.STREAMING_DEDUP_SQL)
+register(
+    "order_lineitem_reconciliation",
+    rel.order_lineitem_reconciliation,
+    rel.ORDER_LINEITEM_RECONCILIATION_SQL,
+)
+register(
+    "zorder_bucket_stats",
+    stg.zorder_bucket_stats,
+    stg.ZORDER_BUCKET_STATS_SQL,
+)
+register("bm25_search", ng.bm25_search, ng.BM25_SEARCH_SQL)
+register(
+    "token_balanced_mixture",
+    tr.token_balanced_mixture,
+    tr.TOKEN_BALANCED_MIXTURE_SQL,
+)
+register("user_reach_curve", an.user_reach_curve, an.USER_REACH_CURVE_SQL)
+register("basket_brand_lift", mn.basket_brand_lift, mn.BASKET_BRAND_LIFT_SQL)
+
+# ======================================================================
+# Below position 50: every entry here has a green driver row from a
+# prior round (CORRECTNESS_r01/r02/r03); the local registry-wide oracle
+# test keeps them pinned.
+# ======================================================================
+
+register(
+    "orders_grouping_sets",
+    rel.orders_grouping_sets,
+    rel.ORDERS_GROUPING_SETS_SQL,
+)
+register(
+    "approx_distinct_users",
+    sk.approx_distinct_users,
+    sk.APPROX_DISTINCT_SQL,
+)
+register("knn_pandas_udf", sim.knn_pandas_udf, sim.KNN_PANDAS_SQL)
+register("dedup_groups", dd.dedup_groups, dd.DEDUP_GROUPS_SQL)
+register(
+    "dedup_edit_distance",
+    dd.dedup_edit_distance,
+    dd.DEDUP_EDIT_DISTANCE_SQL,
+)
+register(
+    "training_data_filter",
+    ts.training_data_filter,
+    ts.TRAINING_FILTER_SQL,
+)
 register("corpus_stats", ts.corpus_stats, ts.CORPUS_STATS_SQL)
 register("doc_repetition_stats", ts.doc_repetition_stats, ts.REPETITION_SQL)
-
-# --- tf-idf cosine verify tier ---------------------------------------
 register("tfidf_cosine_pairs", ng.tfidf_cosine_pairs, ng.TFIDF_COSINE_SQL)
-
-# --- set intersect ---------------------------------------------------
 register("brands_all_sizes", rel.brands_all_sizes, rel.BRANDS_ALL_SIZES_SQL)
-
-# --- minhash estimate tier / deciles ---------------------------------
-register("minhash_jaccard_estimate", dd.minhash_jaccard_estimate, dd.MINHASH_ESTIMATE_SQL)
-register("customer_balance_deciles", rel.customer_balance_deciles, rel.CUSTOMER_DECILES_SQL)
-
-# --- TPC-H 22 (the 18 shapes without a round-2 driver row) -----------
+register(
+    "minhash_jaccard_estimate",
+    dd.minhash_jaccard_estimate,
+    dd.MINHASH_ESTIMATE_SQL,
+)
+register(
+    "customer_balance_deciles",
+    rel.customer_balance_deciles,
+    rel.CUSTOMER_DECILES_SQL,
+)
 register("q6_forecast_revenue", rel.q6_forecast_revenue, rel.Q6_SQL)
 register("q10_returned_items", rel.q10_returned_items, rel.Q10_SQL)
 register("q14_promo_share", rel.q14_promo_share, rel.Q14_SQL)
@@ -138,233 +300,181 @@ register("q15_top_supplier", rel.q15_top_supplier, rel.Q15_SQL)
 register("q17_small_qty_revenue", rel.q17_small_qty_revenue, rel.Q17_SQL)
 register("q19_disjunctive_revenue", rel.q19_disjunctive_revenue, rel.Q19_SQL)
 register("q22_inactive_rich", rel.q22_inactive_rich, rel.Q22_SQL)
-# full TPC-H 22: the remaining six, adapted to this schema (no
-# partsupp / shipmode / commit+receipt dates — see each docstring)
 register("q2_min_cost_supplier", rel.q2_min_cost_supplier, rel.Q2_SQL)
 register("q11_important_parts", rel.q11_important_parts, rel.Q11_SQL)
 register("q12_shipping_delay", rel.q12_shipping_delay, rel.Q12_SQL)
 register("q16_supplier_counts", rel.q16_supplier_counts, rel.Q16_SQL)
 register("q20_dominant_suppliers", rel.q20_dominant_suppliers, rel.Q20_SQL)
 register("q21_waiting_suppliers", rel.q21_waiting_suppliers, rel.Q21_SQL)
-
-# --- training-corpus assembly (splits / packing / mixing / decontam) -
 register("train_test_split", tr.train_test_split, tr.TRAIN_TEST_SPLIT_SQL)
 register("token_pack", tr.token_pack, tr.TOKEN_PACK_SQL)
-register("embedding_quantize", tr.embedding_quantize, tr.EMBEDDING_QUANTIZE_SQL)
-register("source_mixture_weights", tr.source_mixture_weights, tr.SOURCE_MIXTURE_SQL)
+register(
+    "embedding_quantize",
+    tr.embedding_quantize,
+    tr.EMBEDDING_QUANTIZE_SQL,
+)
+register(
+    "source_mixture_weights",
+    tr.source_mixture_weights,
+    tr.SOURCE_MIXTURE_SQL,
+)
 register("contamination_check", tr.contamination_check, tr.CONTAMINATION_SQL)
-
-# --- winnowing fingerprints / hourly anomaly -------------------------
 register("winnow_fingerprints", dd.winnow_fingerprints, dd.WINNOW_SQL)
-register("events_hourly_anomalies", rel.events_hourly_anomalies, rel.EVENTS_ANOMALY_SQL)
-
-# --- SQL surface (correlated subquery) / RANGE-frame windows ---------
-register("sql_supplier_argmax", rel.sql_supplier_argmax, rel.SQL_SUPPLIER_ARGMAX_SQL)
+register(
+    "events_hourly_anomalies",
+    rel.events_hourly_anomalies,
+    rel.EVENTS_ANOMALY_SQL,
+)
+register(
+    "sql_supplier_argmax",
+    rel.sql_supplier_argmax,
+    rel.SQL_SUPPLIER_ARGMAX_SQL,
+)
 register("user_trailing_value", rel.user_trailing_value, rel.USER_TRAILING_SQL)
-
-# --- round-3 additions (positions 47-50 of the checked window) -------
-# Streaming hard signal: an actual readStream + foreachBatch run whose
-# materialized result equals the batch wordcount (same transform
-# chain, same oracle).
 register("streaming_wordcount", st.streaming_wordcount_batch, wc.WORDCOUNT_SQL)
-# Real image decode: Spark round-trips actual PPM bytes through
-# encode_ppm/decode_ppm; the oracle recomputes the decoded stats from
-# the closed-form pixel formula.
-register("image_decode_stats", mm.image_decode_stats, mm.IMAGE_DECODE_STATS_SQL)
-register("image_decode_resize", mm.image_decode_resize, mm.IMAGE_DECODE_RESIZE_SQL)
-# Salted hot-key join (explicit skew rewrite; plan pinned in
-# tests/test_plans.py)
-register("events_salted_join", sk.events_salted_join, sk.EVENTS_SALTED_JOIN_SQL)
-# Fixed-iteration k-means (oracle-reproducible iterative ML), the
-# update-mode windowed streaming entry, the end-to-end training
-# manifest rollup, and corpus-relative boilerplate detection — the
-# four newest round-3 operators, given hard rows immediately.
+register(
+    "image_decode_stats",
+    mm.image_decode_stats,
+    mm.IMAGE_DECODE_STATS_SQL,
+)
+register(
+    "image_decode_resize",
+    mm.image_decode_resize,
+    mm.IMAGE_DECODE_RESIZE_SQL,
+)
+register(
+    "events_salted_join",
+    sk.events_salted_join,
+    sk.EVENTS_SALTED_JOIN_SQL,
+)
 register("kmeans_2iter", cl.kmeans_2iter, cl.KMEANS_SQL)
-register("streaming_events_hourly", ws.streaming_events_hourly, rel.EVENTS_HOURLY_SQL)
+register(
+    "streaming_events_hourly",
+    ws.streaming_events_hourly,
+    rel.EVENTS_HOURLY_SQL,
+)
 register("training_manifest", tr.training_manifest, tr.TRAINING_MANIFEST_SQL)
-register("boilerplate_ngrams", cp.boilerplate_ngrams, cp.BOILERPLATE_NGRAMS_SQL)
-
-# ======================================================================
-# Entries below position 50: all received green rows+schema+hash rows
-# in CORRECTNESS_r02.json (or, for `approx_distinct_sketch`, have no
-# oracle by design); tests/test_registry_oracle.py keeps them pinned
-# with the identical oracle comparison at sf0.001.
-# ======================================================================
-
-# --- §2 parity variants (driver-green rounds 1 AND 2) ----------------
+register(
+    "boilerplate_ngrams",
+    cp.boilerplate_ngrams,
+    cp.BOILERPLATE_NGRAMS_SQL,
+)
 register("wordcount_by_lang", wc.wordcount_by_lang, wc.WORDCOUNT_BY_LANG_SQL)
 register("distinct_vocab", wc.distinct_vocab, wc.DISTINCT_VOCAB_SQL)
 register("topk_words", wc.topk_words, wc.TOPK_WORDS_SQL)
-
-# --- approx sketch: engine-specific internals, no cross-engine oracle;
-# the 10% tolerance vs the exact count is asserted Spark-side in pytest
 register("approx_distinct_sketch", sk.approx_distinct_sketch, None)
-
-# --- relational operator coverage (joins/windows/aggs/set ops) -------
 register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL)
 register("q3_top_unshipped", rel.q3_top_unshipped, rel.Q3_SQL)
 register("q5_region_revenue", rel.q5_region_revenue, rel.Q5_SQL)
-register("top_customers_per_nation", rel.top_customers_per_nation, rel.TOP_CUSTOMERS_SQL)
-register("orders_running_total", rel.orders_running_total, rel.RUNNING_TOTAL_SQL)
-register("customers_inactive_1995", rel.customers_inactive_1995, rel.CUSTOMERS_INACTIVE_SQL)
-register("suppliers_with_sales", rel.suppliers_with_sales, rel.SUPPLIERS_WITH_SALES_SQL)
-register("parts_never_ordered", rel.parts_never_ordered, rel.PARTS_NEVER_ORDERED_SQL)
-register("nation_presence_union", rel.nation_presence_union, rel.NATION_PRESENCE_SQL)
-register("nation_customer_rollup", rel.nation_customer_rollup, rel.NATION_ROLLUP_SQL)
-register("orders_priority_pivot", rel.orders_priority_pivot, rel.ORDERS_PIVOT_SQL)
+register(
+    "top_customers_per_nation",
+    rel.top_customers_per_nation,
+    rel.TOP_CUSTOMERS_SQL,
+)
+register(
+    "orders_running_total",
+    rel.orders_running_total,
+    rel.RUNNING_TOTAL_SQL,
+)
+register(
+    "customers_inactive_1995",
+    rel.customers_inactive_1995,
+    rel.CUSTOMERS_INACTIVE_SQL,
+)
+register(
+    "suppliers_with_sales",
+    rel.suppliers_with_sales,
+    rel.SUPPLIERS_WITH_SALES_SQL,
+)
+register(
+    "parts_never_ordered",
+    rel.parts_never_ordered,
+    rel.PARTS_NEVER_ORDERED_SQL,
+)
+register(
+    "nation_presence_union",
+    rel.nation_presence_union,
+    rel.NATION_PRESENCE_SQL,
+)
+register(
+    "nation_customer_rollup",
+    rel.nation_customer_rollup,
+    rel.NATION_ROLLUP_SQL,
+)
+register(
+    "orders_priority_pivot",
+    rel.orders_priority_pivot,
+    rel.ORDERS_PIVOT_SQL,
+)
 register("events_hourly", rel.events_hourly, rel.EVENTS_HOURLY_SQL)
 register("events_json_stats", rel.events_json_stats, rel.EVENTS_JSON_SQL)
 register("segment_stats", rel.segment_stats, rel.SEGMENT_STATS_SQL)
-
-# --- deduplication (exact / MinHash-LSH / Jaccard / SimHash) ---------
 register("dedup_exact_stats", dd.dedup_exact_stats, dd.DEDUP_EXACT_STATS_SQL)
-register("dedup_exact_survivors", dd.dedup_exact_survivors, dd.DEDUP_EXACT_SURVIVORS_SQL)
+register(
+    "dedup_exact_survivors",
+    dd.dedup_exact_survivors,
+    dd.DEDUP_EXACT_SURVIVORS_SQL,
+)
 register("dedup_minhash", dd.dedup_minhash, dd.DEDUP_MINHASH_SQL)
 register("ngram_jaccard_pairs", dd.ngram_jaccard_pairs, dd.NGRAM_JACCARD_SQL)
 register("simhash_fingerprint", dd.simhash_fingerprint, dd.SIMHASH_SQL)
-register("simhash_collisions", dd.simhash_collisions, dd.SIMHASH_COLLISIONS_SQL)
-
-# --- similarity search over embeddings -------------------------------
+register(
+    "simhash_collisions",
+    dd.simhash_collisions,
+    dd.SIMHASH_COLLISIONS_SQL,
+)
 register("knn_brute_force", sim.knn_brute_force, sim.KNN_SQL)
-register("embedding_similar_pairs", sim.embedding_similar_pairs, sim.SIMILAR_PAIRS_SQL)
+register(
+    "embedding_similar_pairs",
+    sim.embedding_similar_pairs,
+    sim.SIMILAR_PAIRS_SQL,
+)
 register("embedding_centroids", sim.embedding_centroids, sim.CENTROIDS_SQL)
-
-# --- text analysis ---------------------------------------------------
 register("token_stats", ts.token_stats, ts.TOKEN_STATS_SQL)
 register("lang_id", ts.lang_id, ts.LANG_ID_SQL)
 register("quality_score", ts.quality_score, ts.QUALITY_SQL)
 register("doc_fingerprint", ts.doc_fingerprint, ts.DOC_FINGERPRINT_SQL)
-
-# --- multimodal plumbing (Arrow-batched mapInPandas) -----------------
-register("multimodal_features", mm.multimodal_features, mm.MULTIMODAL_FEATURES_SQL)
+register(
+    "multimodal_features",
+    mm.multimodal_features,
+    mm.MULTIMODAL_FEATURES_SQL,
+)
 register("image_resize_plan", mm.image_resize_plan, mm.IMAGE_RESIZE_SQL)
 register("frame_sample_plan", mm.frame_sample_plan, mm.FRAME_SAMPLE_SQL)
-
-# --- n-grams / TF-IDF / tokenizer accounting -------------------------
 register("word_bigrams", ng.word_bigrams, ng.WORD_BIGRAMS_SQL)
 register("tfidf_top_terms", ng.tfidf_top_terms, ng.TFIDF_SQL)
 register("bpe_token_count", ng.bpe_token_count, ng.BPE_TOKEN_COUNT_SQL)
-
-# --- sessionization --------------------------------------------------
 register("sessionize", ss.sessionize, ss.SESSIONIZE_SQL)
-
-# --- relational extensions (dates / cube / percentiles) --------------
 register("orders_by_month", rel.orders_by_month, rel.ORDERS_BY_MONTH_SQL)
 register("lineitem_flags_cube", rel.lineitem_flags_cube, rel.LINEITEM_CUBE_SQL)
 register("price_percentiles", rel.price_percentiles, rel.PRICE_PERCENTILES_SQL)
-
-# --- simhash banded hamming pairs ------------------------------------
-register("simhash_hamming_pairs", dd.simhash_hamming_pairs, dd.SIMHASH_HAMMING_SQL)
-
-# --- IVF-style ANN ----------------------------------------------------
+register(
+    "simhash_hamming_pairs",
+    dd.simhash_hamming_pairs,
+    dd.SIMHASH_HAMMING_SQL,
+)
 register("ivf_ann", sim.ivf_ann, sim.IVF_ANN_SQL)
-
-# --- temporal joins (as-of / time-range / band) ----------------------
 register("asof_join_events", tp.asof_join_events, tp.ASOF_JOIN_SQL)
-register("purchase_followup_counts", tp.purchase_followup_counts, tp.FOLLOWUP_SQL)
+register(
+    "purchase_followup_counts",
+    tp.purchase_followup_counts,
+    tp.FOLLOWUP_SQL,
+)
 register("orders_price_band", tp.orders_price_band, tp.ORDERS_PRICE_BAND_SQL)
-
-# --- grouped-map applyInPandas ---------------------------------------
 register("user_gap_stats", ss.user_gap_stats, ss.USER_GAP_STATS_SQL)
-
-# --- native session windows ------------------------------------------
-register("session_window_counts", ss.session_window_counts, ss.SESSION_WINDOW_SQL)
-
-# --- embedding-cosine near-dup dedup ---------------------------------
-register("dedup_embedding_stats", sim.dedup_embedding_stats, sim.DEDUP_EMBEDDING_SQL)
-
-# --- skew-safe two-phase aggregation ---------------------------------
-register("events_type_profile", sk.events_type_profile, sk.EVENTS_TYPE_PROFILE_SQL)
-
-# --- corpus hygiene (round 3; after the window — rotate into round
-# 4's first-50 for hard driver rows; until then pinned by the local
-# registry-wide oracle test). boilerplate_ngrams / kmeans_2iter /
-# streaming_events_hourly / training_manifest are IN the round-3
-# window above. ------------------------------------------------------
-register("boilerplate_fraction", cp.boilerplate_fraction, cp.BOILERPLATE_FRACTION_SQL)
-register("source_blocklist_survivors", cp.source_blocklist_survivors, cp.SOURCE_BLOCKLIST_SQL)
-register("stratified_sample", cp.stratified_sample, cp.STRATIFIED_SAMPLE_SQL)
-register("char_class_stats", cp.char_class_stats, cp.CHAR_CLASS_SQL)
-
-# --- product analytics over the event stream (round 3; rotate into
-# round 4's first-50). funnel_conversion is the one-shuffle ordered
-# step machine; the oracle uses the per-step min-join formulation. ---
-register("funnel_conversion", an.funnel_conversion, an.FUNNEL_SQL)
-register("cohort_retention", an.cohort_retention, an.COHORT_RETENTION_SQL)
-register("events_daily_pivot", an.events_daily_pivot, an.EVENTS_DAILY_PIVOT_SQL)
-
-# --- graph / IR over the tokenized corpus (round 3; rotate into
-# round 4's first-50). pagerank_2iter is int64 fixed-point so the
-# unrolled-CTE oracle matches bit-exactly. -----------------------------
-register("inverted_index", gph.inverted_index, gph.INVERTED_INDEX_SQL)
-register("pagerank_2iter", gph.pagerank_2iter, gph.PAGERANK_SQL)
-
-# --- passage-level dedup (round 3; rotate into round 4's first-50) ---
-register("passage_dedup", cp.passage_dedup, cp.PASSAGE_DEDUP_SQL)
-
-# --- storage layout (round 3; rotate into round 4's first-50):
-# bucketed zero-exchange SMJ and partition-pruned scans — the layout
-# must change the PLAN, never the ANSWER (oracles run on raw parquet).
-register("bucketed_join_revenue", stg.bucketed_join_revenue, stg.BUCKETED_JOIN_SQL)
-register("partition_pruned_purchases", stg.partition_pruned_purchases, stg.PARTITION_PRUNED_SQL)
-
-# --- sequence mining / ER / LM quality (round 3; rotate into a later
-# driver window) ------------------------------------------------------
-register("event_transition_matrix", mn.event_transition_matrix, mn.EVENT_TRANSITION_SQL)
-register("user_latest_state", mn.user_latest_state, mn.USER_LATEST_STATE_SQL)
-register("events_value_histogram", mn.events_value_histogram, mn.EVENTS_VALUE_HISTOGRAM_SQL)
-register("part_name_match_stats", mn.part_name_match_stats, mn.PART_NAME_MATCH_STATS_SQL)
-register("doc_lm_surprisal", ng.doc_lm_surprisal, ng.DOC_LM_SURPRISAL_SQL)
-register("doc_chunk_manifest", cp.doc_chunk_manifest, cp.DOC_CHUNK_MANIFEST_SQL)
-
-# applyInPandasWithState through a real multi-micro-batch streaming
-# run, reduced to final state and oracle-checked as a batch aggregate.
-from .streaming import stateful as sf  # noqa: E402
-
 register(
-    "streaming_user_profile",
-    sf.streaming_user_profile_batch,
-    sf.STREAMING_USER_PROFILE_SQL,
+    "session_window_counts",
+    ss.session_window_counts,
+    ss.SESSION_WINDOW_SQL,
 )
-
-# --- vocabulary statistics / collocations / gram matrix (round 3) ----
-register("oov_rate", ng.oov_rate, ng.OOV_RATE_SQL)
-register("word_freq_spectrum", ng.word_freq_spectrum, ng.WORD_FREQ_SPECTRUM_SQL)
-register("bigram_pmi_top", ng.bigram_pmi_top, ng.BIGRAM_PMI_SQL)
-register("embedding_covariance", sim.embedding_covariance, sim.EMBEDDING_COVARIANCE_SQL)
-register("quality_percentile_by_source", ts.quality_percentile_by_source, ts.QUALITY_PERCENTILE_SQL)
-register("per_source_holdout", ts.per_source_holdout, ts.PER_SOURCE_HOLDOUT_SQL)
-register("table_checksum", mn.table_checksum, mn.TABLE_CHECKSUM_SQL)
-
-# --- data-quality / audit / incremental-merge (round 3) --------------
-register("fk_integrity_audit", rel.fk_integrity_audit, rel.FK_INTEGRITY_SQL)
-register("events_profile", rel.events_profile, rel.EVENTS_PROFILE_SQL)
-register("events_hourly_incremental", rel.events_hourly_incremental, rel.EVENTS_HOURLY_INCR_SQL)
-register("lang_confusion_matrix", ts.lang_confusion_matrix, ts.LANG_CONFUSION_SQL)
-register("triangle_count", gph.triangle_count, gph.TRIANGLE_COUNT_SQL)
-register("part_price_size_skyline", rel.part_price_size_skyline, rel.PART_SKYLINE_SQL)
-register("purchase_attribution", rel.purchase_attribution, rel.PURCHASE_ATTRIBUTION_SQL)
-register("lsh_precision", dd.lsh_precision, dd.LSH_PRECISION_SQL)
-register("events_value_outliers", an.events_value_outliers, an.EVENTS_VALUE_OUTLIERS_SQL)
-register("events_heavy_hitters", sk.events_heavy_hitters, sk.EVENTS_HEAVY_HITTERS_SQL)
-register("rolling_7d_revenue", tp.rolling_7d_revenue, tp.ROLLING_7D_REVENUE_SQL)
-register("daily_gap_fill", tp.daily_gap_fill, tp.DAILY_GAP_FILL_SQL)
-register("global_doc_ids", stg.global_doc_ids, stg.GLOBAL_DOC_IDS_SQL)
-register("sentence_stats", ts.sentence_stats, ts.SENTENCE_STATS_SQL)
+register(
+    "dedup_embedding_stats",
+    sim.dedup_embedding_stats,
+    sim.DEDUP_EMBEDDING_SQL,
+)
+register(
+    "events_type_profile",
+    sk.events_type_profile,
+    sk.EVENTS_TYPE_PROFILE_SQL,
+)
 register("price_percentiles_sketch", sk.price_percentiles_sketch, None)
-register("lsh_recall", dd.lsh_recall, dd.LSH_RECALL_SQL)
-register("streaming_dedup", st.streaming_dedup_batch, st.STREAMING_DEDUP_SQL)
-register(
-    "order_lineitem_reconciliation",
-    rel.order_lineitem_reconciliation,
-    rel.ORDER_LINEITEM_RECONCILIATION_SQL,
-)
-register("zorder_bucket_stats", stg.zorder_bucket_stats, stg.ZORDER_BUCKET_STATS_SQL)
-register("bm25_search", ng.bm25_search, ng.BM25_SEARCH_SQL)
-register(
-    "token_balanced_mixture",
-    tr.token_balanced_mixture,
-    tr.TOKEN_BALANCED_MIXTURE_SQL,
-)
-register("user_reach_curve", an.user_reach_curve, an.USER_REACH_CURVE_SQL)
-register("basket_brand_lift", mn.basket_brand_lift, mn.BASKET_BRAND_LIFT_SQL)

@@ -91,19 +91,23 @@ def streaming_user_profile_batch(spark, sf_dir: str) -> DataFrame:
     max(struct) shape as ``user_latest_state``."""
     import os
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..sources.catalog import load_table
+    from .wordcount_stream import _fresh_workdir, spill_chunks
 
-    work = tempfile.mkdtemp(prefix="stream_profile_")
-    src = os.path.join(work, "chunks")
+    work = _fresh_workdir("profile")
     out = os.path.join(work, "emissions")
     ckpt = os.path.join(work, "ckpt")
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
-    ev.repartition(8).write.mode("overwrite").parquet(src)
+    # Shares the memoized 4-column events spill with
+    # streaming_events_hourly; the explicit readStream schema below
+    # prunes to (user_id, value).
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", "user_id", "value"
+    )
+    src = spill_chunks(ev, sf_dir, "events_shared")
 
     stream = (
         spark.readStream.schema("user_id BIGINT, value DOUBLE")
@@ -125,7 +129,6 @@ def streaming_user_profile_batch(spark, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    shutil.rmtree(src, ignore_errors=True)
     shutil.rmtree(ckpt, ignore_errors=True)
     # read the base dir (not a batch_id=* glob) so the batch_id
     # partition column is inferred — it's the last-emission ordering key

@@ -5,8 +5,9 @@ sum-over-nothing NULLs, 0/0 ratio guards (lsh_precision/recall),
 empty-candidate joins, sequence() over NULL min/max bounds.
 
 The slice spans one operator per family shape (agg, window, self-join,
-broadcast-scalar ratio, spine generation, full outer); running all
-144 against empty tables would mostly re-test the same guards.
+broadcast-scalar ratio, spine generation, full outer); running the
+whole registry against empty tables would mostly re-test the same
+guards.
 """
 
 from __future__ import annotations
@@ -31,6 +32,13 @@ CASES = [
     "global_doc_ids",
     "sentence_stats",
     "order_lineitem_reconciliation",
+    # ADVICE r3: availableNow may finish with zero foreachBatch calls
+    # on an empty source — the partials fallback path.
+    "streaming_dedup",
+    # ADVICE r3: all-empty-text sources must be REPORTED with zero
+    # output, not dropped (exercised properly by the fixture test
+    # below; the empty-table run here pins the all-NULL factor path).
+    "token_balanced_mixture",
 ]
 
 

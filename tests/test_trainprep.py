@@ -134,3 +134,56 @@ def test_mixture_weights_equalize(spark):
         assert r["mix_weight"] * r["tok_share"] == pytest.approx(
             1.0 / n, rel=1e-3
         )
+
+
+def test_token_balanced_mixture_reports_zero_token_source(
+    spark, tmp_path, duck
+):
+    """ADVICE r3: a source whose documents all have empty text has
+    _tot=0 and a NULL mix factor; it must appear in the manifest with
+    n_docs_out=0 / n_tokens_out=0, not silently vanish — in BOTH
+    engines."""
+    import pandas as pd
+
+    from mapreduceece563_spark.operators import trainprep as tr
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "mix_sf"
+    d.mkdir()
+    # minimal documents table: one real source, one all-empty source
+    pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["alpha beta gamma", "delta epsilon", "", None],
+            "lang": ["en"] * 4,
+            "source": ["web", "web", "ghost", "ghost"],
+            "n_chars": [16, 13, 0, 0],
+        }
+    ).to_parquet(d / "documents.parquet")
+    for t in TABLES:
+        if t != "documents":
+            pq.write_table(
+                pq.read_table(f"{SF_DIR}/{t}.parquet").slice(0, 0),
+                d / f"{t}.parquet",
+            )
+
+    rows = {
+        r["source"]: r
+        for r in tr.token_balanced_mixture(spark, str(d)).collect()
+    }
+    assert set(rows) == {"web", "ghost"}
+    assert rows["ghost"]["n_docs_out"] == 0
+    assert rows["ghost"]["n_tokens_out"] == 0
+    assert rows["web"]["n_tokens_out"] > 0
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+    )
+    orows = {
+        r[0]: r
+        for r in con.execute(tr.TOKEN_BALANCED_MIXTURE_SQL).fetchall()
+    }
+    con.close()
+    assert set(orows) == {"web", "ghost"}
+    assert orows["ghost"][1] == 0 and orows["ghost"][2] == 0
