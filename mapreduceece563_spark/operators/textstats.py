@@ -348,17 +348,80 @@ def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- repetition metrics (Gopher-style quality filters) ----------------
 
+def _max_run(sorted_arr: Column) -> Column:
+    """Length of the longest run of equal adjacent values in a SORTED
+    array — i.e. the max multiplicity of any value — as one native
+    ``aggregate`` fold (no explode, no shuffle). Empty array -> 0.
+    The accumulator carries ``prev`` as a string so one fold shape
+    serves string and int64 arrays alike (int64 -> decimal string is
+    injective, so equality is faithful)."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        run = F.when(
+            acc["prev"].isNotNull() & (x.cast("string") == acc["prev"]),
+            acc["run"] + 1,
+        ).otherwise(F.lit(1).cast("long"))
+        return F.struct(
+            x.cast("string").alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["best"])
+
+
+def _dup_run_sum(sorted_arr: Column) -> Column:
+    """Sum of run lengths over runs of length >= 2 in a SORTED array
+    (= number of elements whose value occurs more than once), as one
+    native fold. Incremental: a run's 2nd element contributes 2 (its
+    own + retroactively the 1st), later elements contribute 1."""
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("dup"),
+    )
+
+    def step(acc: Column, x: Column) -> Column:
+        cont = acc["prev"].isNotNull() & (x.cast("string") == acc["prev"])
+        run = F.when(cont, acc["run"] + 1).otherwise(F.lit(1).cast("long"))
+        bump = (
+            F.when(run == 2, F.lit(2))
+            .when(run > 2, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+        )
+        return F.struct(
+            x.cast("string").alias("prev"),
+            run.alias("run"),
+            (acc["dup"] + bump).alias("dup"),
+        )
+
+    return F.aggregate(sorted_arr, init, step, lambda acc: acc["dup"])
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document repetition metrics — the classic training-data
     quality filters (cf. the Gopher/MassiveText rules): distinct-word
     ratio, top-word fraction, and the fraction of bigram occurrences
     whose bigram repeats within the document.
 
-    Plan shape: tokens explode once; word counts and bigram counts are
-    two high-cardinality (doc_id, key) groupBys — no skew (keys are
-    per-doc), partial aggregation map-side, then one groupBy(doc_id)
-    each and a 1:1 join on doc_id. Bigram identity is the int64 fold
-    of adjacent word hashes (8-byte shuffle keys, never strings).
+    Plan shape (round 4): ZERO shuffles. Per-document statistics need
+    no exchange — every token of a document is already co-located in
+    its row — so the word/bigram multiplicity stats come from sorting
+    the per-doc hash array and folding run lengths with native
+    ``aggregate`` expressions (`_max_run`, `_dup_run_sum`), one
+    codegen'd pass over the scan. Rounds 1-3 shaped this as two
+    explode + (doc_id, key) groupBy pairs; at 10^11 docs those were
+    four exchanges of every token in the corpus, all to compute
+    values each map task already had in hand (the r3 bench slippage
+    on this query was the tell). Word identity uses the same int64
+    poly-hash fold as the oracle on BOTH levels, so hash collisions
+    (if any) collide identically in both engines.
     Docs whose tokens all filter out produce no row (so n_words >= 1
     and the ratios never divide by zero). All ratios are int/int
     double divisions of identical operands in both engines."""
@@ -371,17 +434,11 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = docs.select("doc_id", words_array(F.col("text")).alias("words"))
     hws = words.select(
         "doc_id",
-        F.col("words"),
+        "words",
+        F.size("words").alias("n_words"),
+        F.size(F.array_distinct("words")).alias("n_distinct"),
         F.transform(F.col("words"), poly_hash).alias("hws"),
-    )
-
-    tok = hws.select("doc_id", F.explode("words").alias("word"))
-    wc = tok.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
-    wstats = wc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_words"),
-        F.count("*").alias("n_distinct"),
-        F.max("c").alias("top_c"),
-    )
+    ).filter(F.col("n_words") >= 1)
 
     n = F.size("hws")
     bigrams = F.transform(
@@ -392,19 +449,17 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         % HASH_MOD,
     )
-    bg = hws.filter(n >= 2).select(
-        "doc_id", F.explode(bigrams).alias("bh")
+    stats = hws.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        _max_run(F.array_sort("words")).alias("top_c"),
+        (n - 1).cast("long").alias("n_bigrams"),
+        F.when(
+            n >= 2, _dup_run_sum(F.array_sort(bigrams))
+        ).otherwise(F.lit(None).cast("long")).alias("dup_bi"),
     )
-    bc = bg.groupBy("doc_id", "bh").agg(F.count("*").alias("c"))
-    bstats = bc.groupBy("doc_id").agg(
-        F.sum("c").alias("n_bigrams"),
-        F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
-            "dup_bi"
-        ),
-    )
-
-    joined = wstats.join(bstats, "doc_id", "left")
-    return joined.select(
+    return stats.select(
         "doc_id",
         "n_words",
         "n_distinct",
