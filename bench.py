@@ -124,6 +124,8 @@ BUDGETS = {
     "token_balanced_mixture": 3.0,
     "user_reach_curve": 3.0,
     "basket_brand_lift": 4.0,  # per-order basket self-join
+    "audio_decode_energy": 4.0,  # WAV synth + decode round-trip in Arrow
+    "video_frame_decode": 4.0,  # VF1 synth + frame-seek decode in Arrow
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -536,3 +536,319 @@ SELECT doc_id, CAST(t.t_ms AS BIGINT) AS t_ms,
 FROM clips,
      LATERAL (SELECT unnest(range(0, duration_ms, {FRAME_INTERVAL_MS})) AS t_ms) t
 """
+
+
+# --- real decode path: WAV/PCM16 audio payloads ----------------------
+# Same contract as the PPM tier: sample values are a closed-form
+# function of (doc_id, index) so the DuckDB oracle recomputes the
+# decoded statistics analytically while Spark round-trips REAL RIFF/
+# WAVE bytes — encode_wav writes a spec-correct 44-byte header +
+# little-endian int16 samples, decode_wav walks the chunk list (not
+# fixed offsets, so extra chunks wouldn't break it). A bug in either
+# direction (chunk math, endianness, sample width) breaks the hash
+# match.
+
+WAV_SAMPLE_RATE = 8000
+WAV_SAMPLE_MULT = 131
+WAV_SAMPLE_STEP = 17
+AUDIO_FRAME = 32  # samples per analysis frame
+
+
+def encode_wav(sample_rate: int, samples: np.ndarray) -> bytes:
+    """Minimal spec-correct mono PCM16 WAV encoder."""
+    import struct
+
+    data = samples.astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return hdr + fmt + b"data" + struct.pack("<I", len(data)) + data
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """Decode mono PCM16 WAV to (sample_rate, int16 samples) by
+    walking RIFF chunks. Raises ValueError on malformed input."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, sample_rate, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (clen,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            fmt, ch, sample_rate, _, _, width = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt != 1 or ch != 1 or width != 16:
+                raise ValueError("only mono PCM16 supported")
+        elif cid == b"data":
+            data = np.frombuffer(body, dtype="<i2")
+        pos += 8 + clen + (clen & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, data
+
+
+def documents_as_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) where payload is a VALID mono PCM16 WAV
+    whose samples derive deterministically from doc_id:
+    n = 64 + doc_id % 97,
+    sample[i] = ((doc_id*131 + i*17) % 4096) - 2048."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                n = int(64 + doc_id % 97)
+                i = np.arange(n, dtype=np.int64)
+                s = (doc_id * WAV_SAMPLE_MULT + i * WAV_SAMPLE_STEP) % 4096 - 2048
+                payloads.append(encode_wav(WAV_SAMPLE_RATE, s))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def audio_decode_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode REAL audio bytes and emit per-clip signal statistics:
+    sample count, total energy (sum of squares), peak amplitude, and
+    the max energy over non-overlapping AUDIO_FRAME-sample frames
+    (only full frames — the standard framing for VAD/loudness).
+
+    All-integer outputs, so no float can drift; the mapInPandas stage
+    sees only (media_id, payload) and everything it emits comes out of
+    ``decode_wav``'s parsed chunks, so the oracle match certifies the
+    RIFF walk + endianness + int16 reinterpretation. Map-only: payload
+    bytes never pass through a shuffle."""
+    media = documents_as_wav(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "energy": [], "peak": [], "max_frame_energy": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, s = decode_wav(bytes(payload))
+                s64 = s.astype(np.int64)
+                n_frames = len(s64) // AUDIO_FRAME
+                frames = s64[: n_frames * AUDIO_FRAME].reshape(
+                    n_frames, AUDIO_FRAME
+                )
+                rows["doc_id"].append(mid)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(len(s64))
+                rows["energy"].append(int((s64 * s64).sum()))
+                rows["peak"].append(int(np.abs(s64).max()))
+                rows["max_frame_energy"].append(
+                    int((frames * frames).sum(axis=1).max())
+                )
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("energy", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("max_frame_energy", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_stats, schema=schema)
+
+
+AUDIO_DECODE_ENERGY_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+),
+vals AS (
+  SELECT doc_id, n, i,
+         (doc_id * {WAV_SAMPLE_MULT} + i * {WAV_SAMPLE_STEP}) % 4096 - 2048 AS v
+  FROM (SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims)
+),
+frames AS (
+  SELECT doc_id, i // {AUDIO_FRAME} AS f, sum(v * v) AS fe
+  FROM vals WHERE i < (n // {AUDIO_FRAME}) * {AUDIO_FRAME}
+  GROUP BY doc_id, i // {AUDIO_FRAME}
+),
+base AS (
+  SELECT doc_id,
+         CAST({WAV_SAMPLE_RATE} AS BIGINT) AS sample_rate,
+         CAST(n AS BIGINT) AS n_samples,
+         CAST(sum(v * v) AS BIGINT) AS energy,
+         CAST(max(abs(v)) AS BIGINT) AS peak
+  FROM vals GROUP BY doc_id, n
+)
+SELECT b.doc_id, b.sample_rate, b.n_samples, b.energy, b.peak,
+       CAST(f.mfe AS BIGINT) AS max_frame_energy
+FROM base b
+JOIN (SELECT doc_id, max(fe) AS mfe FROM frames GROUP BY doc_id) f
+  ON b.doc_id = f.doc_id
+"""
+
+
+# --- real decode path: multi-frame raw video payloads ----------------
+# Container format "VF1": ASCII header "VF1\\n<w> <h> <nframes>\\n"
+# followed by nframes row-major RGB rasters back to back. Frame
+# sampling seeks to the k-th raster by offset — the real plumbing a
+# codec-backed frame grab needs (header parse, stride math, bounded
+# per-batch memory), with the pixel formula keeping it oracle-checkable.
+
+VID_PIXEL_MULT = 37
+VID_FRAME_STEP = 11
+VID_PIXEL_STEP = 13
+
+
+def encode_vf1(width: int, height: int, frames: np.ndarray) -> bytes:
+    """VF1 encoder: frames is (F, h, w, 3) uint8."""
+    f, h, w, c = frames.shape
+    if (h, w, c) != (height, width, 3):
+        raise ValueError("frame shape mismatch")
+    header = f"VF1\n{width} {height} {f}\n".encode("ascii")
+    return header + frames.astype(np.uint8).tobytes()
+
+
+def decode_vf1_frame(payload: bytes, k: int) -> tuple[int, int, np.ndarray]:
+    """Seek-decode ONLY frame k of a VF1 payload (no full-clip
+    materialization): parse the header, compute the frame stride,
+    slice, reshape. Raises ValueError on malformed input / k out of
+    range."""
+    if payload[:4] != b"VF1\n":
+        raise ValueError("not a VF1 payload")
+    nl = payload.index(b"\n", 4)
+    w, h, nf = (int(tok) for tok in payload[4:nl].split())
+    if not 0 <= k < nf:
+        raise ValueError(f"frame {k} out of range 0..{nf - 1}")
+    stride = w * h * 3
+    start = nl + 1 + k * stride
+    raster = np.frombuffer(payload[start : start + stride], dtype=np.uint8)
+    return w, h, raster.reshape(h, w, 3)
+
+
+def documents_as_vf1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload) where payload is a VALID VF1 clip derived
+    deterministically from doc_id: w = 3 + doc_id % 4,
+    h = 2 + doc_id % 3, nframes = 2 + doc_id % 5,
+    pixel[f, i] = (doc_id*37 + f*11 + i*13) % 256 over each frame's
+    row-major RGB raster."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = int(3 + doc_id % 4)
+                h = int(2 + doc_id % 3)
+                nf = int(2 + doc_id % 5)
+                i = np.arange(w * h * 3, dtype=np.int64)
+                frames = np.stack(
+                    [
+                        (
+                            (doc_id * VID_PIXEL_MULT + f * VID_FRAME_STEP
+                             + i * VID_PIXEL_STEP) % 256
+                        ).astype(np.uint8).reshape(h, w, 3)
+                        for f in range(nf)
+                    ]
+                )
+                payloads.append(encode_vf1(w, h, frames))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def video_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seek-decode ONE sampled frame per clip (k = doc_id % nframes)
+    and emit its per-channel pixel sums plus the clip geometry.
+
+    The sampled-frame index is data-dependent, the decode is a true
+    offset seek (`decode_vf1_frame` never touches other frames'
+    bytes), and the emitted sums certify stride math + channel layout
+    against the oracle's closed-form recomputation."""
+    media = documents_as_vf1(spark, sf_dir)
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "width": [], "height": [], "n_frames": [],
+                "frame_k": [], "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                payload = bytes(payload)
+                nl = payload.index(b"\n", 4)
+                _, _, nf = (int(t) for t in payload[4:nl].split())
+                k = int(mid) % nf
+                w, h, px = decode_vf1_frame(payload, k)
+                sums = px.astype(np.int64).sum(axis=(0, 1))
+                rows["doc_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["n_frames"].append(nf)
+                rows["frame_k"].append(k)
+                rows["sum_r"].append(int(sums[0]))
+                rows["sum_g"].append(int(sums[1]))
+                rows["sum_b"].append(int(sums[2]))
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("width", T.LongType()),
+            T.StructField("height", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("frame_k", T.LongType()),
+            T.StructField("sum_r", T.LongType()),
+            T.StructField("sum_g", T.LongType()),
+            T.StructField("sum_b", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_decode, schema=schema)
+
+
+VIDEO_FRAME_DECODE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS w,
+         2 + doc_id % 3 AS h,
+         2 + doc_id % 5 AS nf,
+         doc_id % (2 + doc_id % 5) AS k
+  FROM documents
+),
+px AS (
+  SELECT doc_id, w, h, nf, k, unnest(range(0, w * h * 3)) AS i FROM dims
+),
+vals AS (
+  SELECT doc_id, w, h, nf, k, i,
+         (doc_id * {VID_PIXEL_MULT} + k * {VID_FRAME_STEP}
+          + i * {VID_PIXEL_STEP}) % 256 AS v
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(k AS BIGINT) AS frame_k,
+       CAST(sum(CASE WHEN i % 3 = 0 THEN v ELSE 0 END) AS BIGINT) AS sum_r,
+       CAST(sum(CASE WHEN i % 3 = 1 THEN v ELSE 0 END) AS BIGINT) AS sum_g,
+       CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
+FROM vals GROUP BY doc_id, w, h, nf, k
+"""

@@ -478,3 +478,17 @@ register(
     sk.EVENTS_TYPE_PROFILE_SQL,
 )
 register("price_percentiles_sketch", sk.price_percentiles_sketch, None)
+
+# --- round-4 additions (positions > 50: first driver check when the
+# window rotates in round 5; pinned locally by test_registry_oracle
+# at sf0.001 and the /verify sweep at sf0.01 + sf0.1 until then) ------
+register(
+    "audio_decode_energy",
+    mm.audio_decode_energy,
+    mm.AUDIO_DECODE_ENERGY_SQL,
+)
+register(
+    "video_frame_decode",
+    mm.video_frame_decode,
+    mm.VIDEO_FRAME_DECODE_SQL,
+)

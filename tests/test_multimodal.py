@@ -81,3 +81,52 @@ def test_metadata_only_plan_prunes_payload(spark):
     meta_only = media.select("media_id", "media_type")
     plan = meta_only._jdf.queryExecution().executedPlan().toString()
     assert "payload" not in plan
+
+
+def test_wav_roundtrip_and_malformed():
+    """encode_wav -> decode_wav is the identity on (rate, samples);
+    malformed payloads raise instead of mis-parsing."""
+    import numpy as np
+    import pytest
+
+    from mapreduceece563_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    s = np.array([-2048, 0, 17, 2047, -1], dtype=np.int16)
+    rate, out = decode_wav(encode_wav(8000, s))
+    assert rate == 8000
+    assert out.tolist() == s.tolist()
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxJUNK")
+    with pytest.raises(ValueError):
+        decode_wav(b"not audio at all")
+    # stereo / non-PCM rejected by the fmt walk
+    bad = bytearray(encode_wav(8000, s))
+    bad[22] = 2  # channels = 2
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_vf1_frame_seek_and_bounds():
+    """decode_vf1_frame seeks the exact raster; out-of-range frame
+    indices and bad magic raise."""
+    import numpy as np
+    import pytest
+
+    from mapreduceece563_spark.operators.multimodal import (
+        decode_vf1_frame,
+        encode_vf1,
+    )
+
+    frames = np.arange(2 * 3 * 4 * 3, dtype=np.uint8).reshape(2, 3, 4, 3)
+    payload = encode_vf1(4, 3, frames)
+    for k in range(2):
+        w, h, px = decode_vf1_frame(payload, k)
+        assert (w, h) == (4, 3)
+        assert np.array_equal(px, frames[k])
+    with pytest.raises(ValueError):
+        decode_vf1_frame(payload, 2)
+    with pytest.raises(ValueError):
+        decode_vf1_frame(b"P6\n1 1\n255\nxxx", 0)
