@@ -126,6 +126,9 @@ BUDGETS = {
     "basket_brand_lift": 4.0,  # per-order basket self-join
     "audio_decode_energy": 4.0,  # WAV synth + decode round-trip in Arrow
     "video_frame_decode": 4.0,  # VF1 synth + frame-seek decode in Arrow
+    "quarter_revenue_overlap": 3.0,  # fact x orders join + quarter explode
+    "ngram_containment_pairs": 5.0,  # shares the shingle stage + df-cap join
+    "vocab_growth_curve": 4.0,  # min-fold over the shared TF stage
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -1074,3 +1074,102 @@ SELECT count(*) AS n_true_pairs,
        END AS lsh_recall
 FROM marked
 """
+
+
+# --- asymmetric containment (doc-inside-doc detection) ----------------
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric near-dup detection: pairs where the SMALLER doc's
+    3-shingle set is >= CONTAINMENT_THRESHOLD contained in the larger
+    doc's — the quote/excerpt/boilerplate-wrapper case symmetric
+    Jaccard systematically misses (a 50-shingle doc fully quoted
+    inside a 5000-shingle doc has Jaccard ~0.01 but containment 1.0).
+
+    Shares the persisted shingle-hash stage and the corpus-relative
+    df cap with ngram_jaccard_pairs — same bucketed (never all-pairs)
+    candidate join; containment = n_common / min(|A|, |B|) computed
+    over FULL set sizes, so the score is exact for surviving pairs.
+    Direction is reported as (contained, container), ties on size
+    resolved to the lower doc_id as the contained side — identical
+    rule both engines."""
+    sh = doc_shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cap = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
+    )
+    df_ok = (
+        sh.groupBy("h0")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("df") <= F.col("cap"))
+        .select("h0")
+    )
+    pruned = sh.join(df_ok, "h0")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    scored = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.when(F.col("_sa") <= F.col("_sb"), F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("contained"),
+            F.when(F.col("_sa") <= F.col("_sb"), F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("container"),
+            (
+                F.col("n_common")
+                / F.least("_sa", "_sb").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+    )
+    return scored.select(
+        "contained", "container",
+        F.round(F.col("containment"), 6).alias("containment"),
+    )
+
+
+NGRAM_CONTAINMENT_SQL = f"""
+WITH {shingle_hashes_cte_sql().lstrip()},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cap AS (SELECT {DF_CAP_SQL} AS cap FROM documents),
+df_ok AS (
+  SELECT h0 FROM sh GROUP BY h0
+  HAVING count(*) <= (SELECT cap FROM cap)
+),
+pruned AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN df_ok USING (h0)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a
+  JOIN pruned b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT CASE WHEN sa.sz <= sb.sz THEN i.doc_a ELSE i.doc_b END AS contained,
+         CASE WHEN sa.sz <= sb.sz THEN i.doc_b ELSE i.doc_a END AS container,
+         i.n_common / CAST(least(sa.sz, sb.sz) AS DOUBLE) AS containment
+  FROM inter i
+  JOIN sizes sa ON i.doc_a = sa.doc_id
+  JOIN sizes sb ON i.doc_b = sb.doc_id
+)
+SELECT contained, container, round(containment, 6) AS containment
+FROM scored WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""

@@ -1,0 +1,304 @@
+"""Customer-lifecycle analytics: RFM segmentation, churn labeling,
+and day-weighted revenue allocation across calendar quarters.
+
+The reference engine has no relational-analytics surface (SURVEY.md
+§0 — it is a word-count engine); these extend the engine the way the
+other analytics operators do, each with a DuckDB oracle and a plan
+shaped for the 100 TB posture:
+
+- **RFM** aggregates once per customer (one shuffle on the natural
+  key), then scores the tiny per-customer frame with three ntile
+  windows. Same stated scale caveat as customer_balance_deciles: an
+  exact global ntile serializes through one task; at 100 TB you'd
+  band-join against percentile_approx boundaries — the exact form
+  exists because the oracle needs the exact answer and a per-customer
+  aggregate is dim-sized (1.5M rows at SF100), not fact-sized.
+- **Churn** is one groupBy(custkey) plus a broadcast 1-row global
+  max-date frame — no second scan of orders, no window.
+- **Quarter overlap** is the range-join-without-a-range-join pattern:
+  each (orderdate, shipdate] interval explodes to the calendar
+  quarters it covers (bounded fan-out: the order book spans ~27
+  quarters) and aggregates by quarter — an equi-shuffle on the bin
+  key instead of the O(n·m) inequality join the oracle writes.
+  Allocation arithmetic is pure int64 (cents x days div total-days),
+  so cross-engine totals cannot drift on a double tie.
+
+Determinism contracts: money in int64 cents (relational._cents),
+ratios via the pure-int64 half-up idiom, ntile orderings carry a
+unique custkey tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.catalog import load_table
+from .relational import _cents, _cents_sql
+
+# Fixed analysis date: one day past the last order date in the
+# dataset (TESTDATA.md: o_orderdate spans 1995-01-01..2001-08-01).
+# A constant, not max(o_orderdate), so "recency" is stable across
+# subsets of the data and both engines agree by construction.
+RFM_REF_DATE = "2001-08-02"
+CHURN_WINDOW_DAYS = 365
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers scored into quartiles on Recency / Frequency /
+    Monetary, rolled up to one row per (r, f, m) segment with the
+    customer count and half-up average spend.
+
+    r=1 is the most recently active quartile; f=1 / m=1 the most
+    frequent / highest-spend quartiles (ORDER BY ... DESC for f and
+    m). Only customers with >= 1 order appear — recency is undefined
+    for the rest."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", _cents(F.col("o_totalprice")).alias("_tc")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(RFM_REF_DATE).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        ).alias("r_days"),
+        F.count("*").alias("f_orders"),
+        F.sum("_tc").alias("m_cents"),
+    )
+    scored = per_cust.select(
+        "m_cents",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("r_days"), F.asc("o_custkey")))
+        .alias("r_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("f_orders"), F.asc("o_custkey")))
+        .alias("f_score"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("m_cents"), F.asc("o_custkey")))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("m_cents").alias("_s"),
+        )
+        .select(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            (
+                F.expr("(2 * _s + n_customers) div (2 * n_customers)")
+                / 100.0
+            ).alias("avg_spend"),
+        )
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         date_diff('day', CAST(max(o_orderdate) AS DATE),
+                   DATE '{RFM_REF_DATE}') AS r_days,
+         count(*) AS f_orders,
+         sum({_cents_sql('o_totalprice')}) AS m_cents
+  FROM orders GROUP BY o_custkey
+),
+scored AS (
+  SELECT m_cents,
+         ntile(4) OVER (ORDER BY r_days ASC, o_custkey ASC) AS r_score,
+         ntile(4) OVER (ORDER BY f_orders DESC, o_custkey ASC) AS f_score,
+         ntile(4) OVER (ORDER BY m_cents DESC, o_custkey ASC) AS m_score
+  FROM per_cust
+)
+SELECT r_score, f_score, m_score,
+       count(*) AS n_customers,
+       ((2 * sum(m_cents) + count(*)) // (2 * count(*))) / 100.0 AS avg_spend
+FROM scored GROUP BY r_score, f_score, m_score
+"""
+
+
+def churn_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: ordered-customer count, how many have gone
+    quiet (no order within CHURN_WINDOW_DAYS of the dataset's last
+    order date), and the churn rate in ppm.
+
+    One shuffle on o_custkey for last-order; the global max date is a
+    1-row aggregate attached by broadcast cross join (never a second
+    scan); the customer dim joins on the same custkey key. Customers
+    who never ordered are out of scope (no last-order date to judge
+    churn by)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    last = orders.groupBy("o_custkey").agg(F.max("od").alias("last_od"))
+    global_max = orders.agg(F.max("od").alias("max_od"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    lab = (
+        last.crossJoin(F.broadcast(global_max))
+        .join(cust, last["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_mktsegment",
+            F.when(
+                F.datediff(F.col("max_od"), F.col("last_od"))
+                > CHURN_WINDOW_DAYS,
+                1,
+            )
+            .otherwise(0)
+            .alias("churned"),
+        )
+    )
+    return (
+        lab.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("churned").alias("n_churned"),
+        )
+        .select(
+            "c_mktsegment",
+            "n_customers",
+            "n_churned",
+            (
+                F.expr(
+                    "(2 * 1000000 * n_churned + n_customers)"
+                    " div (2 * n_customers)"
+                )
+                / 1e6
+            ).alias("churn_rate"),
+        )
+    )
+
+
+CHURN_BY_SEGMENT_SQL = f"""
+WITH last AS (
+  SELECT o_custkey, CAST(max(o_orderdate) AS DATE) AS last_od
+  FROM orders GROUP BY o_custkey
+),
+gm AS (SELECT CAST(max(o_orderdate) AS DATE) AS max_od FROM orders),
+lab AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN date_diff('day', l.last_od, gm.max_od)
+                   > {CHURN_WINDOW_DAYS}
+              THEN 1 ELSE 0 END AS churned
+  FROM last l CROSS JOIN gm JOIN customer c ON l.o_custkey = c.c_custkey
+)
+SELECT c_mktsegment, count(*) AS n_customers,
+       CAST(sum(churned) AS BIGINT) AS n_churned,
+       ((2 * 1000000 * sum(churned) + count(*)) // (2 * count(*))) / 1e6
+         AS churn_rate
+FROM lab GROUP BY c_mktsegment
+"""
+
+
+# Quarter spine covers the full order book (TESTDATA.md date range)
+# with slack; a fixed literal so both engines bin identically.
+QTR_FIRST = "1995-01-01"
+
+
+def quarter_revenue_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-weighted allocation of each line item's discounted revenue
+    across the calendar quarters its order-to-ship interval covers.
+
+    The oracle formulates this as an interval/spine inequality join —
+    the textbook range join that degenerates to all-pairs at scale.
+    The Spark plan decomposes it to an EQUI key: explode each
+    interval into the quarters it overlaps (sequence() of quarter
+    starts — bounded fan-out, the order book spans ~27 quarters) and
+    aggregate by quarter-start. Allocation is pure int64:
+    alloc = rev_cents * overlap_days div interval_days, remainder
+    deliberately dropped (documented, identical in both engines).
+
+    Data hygiene, stated: the synthetic tables do NOT respect the
+    TPC-H shipdate >= orderdate invariant (about half the rows invert
+    it), so the interval endpoints are normalized with least/greatest
+    in BOTH engines rather than assumed ordered."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        _cents(
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        ).alias("rev_c"),
+        F.col("l_shipdate").cast("date").alias("_ship"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("_od")
+    )
+    iv = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "rev_c",
+        F.least("_od", "_ship").alias("od"),
+        F.greatest("_od", "_ship").alias("ship"),
+    ).select(
+        "rev_c",
+        "od",
+        "ship",
+        (F.datediff("ship", "od") + 1).alias("len_days"),
+    )
+    q = iv.select(
+        "rev_c",
+        "od",
+        "ship",
+        "len_days",
+        F.explode(
+            F.sequence(
+                F.trunc("od", "quarter"),
+                F.trunc("ship", "quarter"),
+                F.expr("interval 3 months"),
+            )
+        ).alias("q_start"),
+    )
+    alloc = q.select(
+        "q_start",
+        F.expr(
+            "rev_c * (datediff(least(ship, date_sub(add_months(q_start, 3), 1)),"
+            " greatest(od, q_start)) + 1) div len_days"
+        ).alias("alloc_c"),
+    )
+    return (
+        alloc.groupBy("q_start")
+        .agg(
+            F.count("*").alias("n_allocations"),
+            F.sum("alloc_c").alias("_s"),
+        )
+        .select(
+            "q_start",
+            "n_allocations",
+            (F.col("_s") / 100.0).alias("revenue"),
+        )
+    )
+
+
+QUARTER_REVENUE_OVERLAP_SQL = f"""
+WITH iv0 AS (
+  SELECT {_cents_sql('l_extendedprice * (1 - l_discount)')} AS rev_c,
+         least(CAST(o.o_orderdate AS DATE),
+               CAST(l.l_shipdate AS DATE)) AS od,
+         greatest(CAST(o.o_orderdate AS DATE),
+                  CAST(l.l_shipdate AS DATE)) AS ship
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+iv AS (
+  SELECT rev_c, od, ship,
+         date_diff('day', od, ship) + 1 AS len_days
+  FROM iv0
+),
+spine AS (
+  SELECT CAST(q AS DATE) AS q_start
+  FROM (SELECT unnest(generate_series(DATE '{QTR_FIRST}',
+                                      DATE '2002-12-31',
+                                      INTERVAL 3 MONTH)) AS q)
+),
+alloc AS (
+  SELECT s.q_start,
+         iv.rev_c * (date_diff('day',
+             greatest(iv.od, s.q_start),
+             least(iv.ship, s.q_start + INTERVAL 3 MONTH - INTERVAL 1 DAY))
+             + 1) // iv.len_days AS alloc_c
+  FROM iv JOIN spine s
+    ON s.q_start <= iv.ship
+   AND s.q_start + INTERVAL 3 MONTH - INTERVAL 1 DAY >= iv.od
+)
+SELECT q_start, count(*) AS n_allocations,
+       sum(alloc_c) / 100.0 AS revenue
+FROM alloc GROUP BY q_start
+"""

@@ -675,3 +675,55 @@ FROM scored GROUP BY doc_id
 ORDER BY CAST(sum(_s_micro) AS BIGINT) DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
+
+
+# --- vocabulary growth (Heaps-law curve) ------------------------------
+
+VOCAB_BUCKET = 50  # docs per ingestion bucket
+
+
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: ingest documents in doc_id order
+    in buckets of VOCAB_BUCKET and report, per bucket, how many
+    never-before-seen words appear and the cumulative vocabulary.
+
+    The classic MapReduce formulation (re-scan the corpus per prefix)
+    is quadratic; this is the single-pass rewrite: a word's "birth
+    bucket" is simply min(doc_id div B) over its postings — one
+    shuffle on the word off the shared TF stage (tf is already one
+    row per (doc, word), so the min-fold touches no raw tokens), a
+    tiny groupBy(bucket), and a cumulative window over the handful of
+    bucket rows. Same first-seen-rewrite trick as user_reach_curve."""
+    tf = _tf_stage(spark, sf_dir)
+    birth = tf.select(
+        "word", F.expr(f"doc_id div {VOCAB_BUCKET}").alias("b")
+    ).groupBy("word").agg(F.min("b").alias("bucket"))
+    per_bucket = birth.groupBy("bucket").agg(
+        F.count("*").alias("n_new_words")
+    )
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per_bucket.select(
+        "bucket",
+        "n_new_words",
+        F.sum("n_new_words").over(w).alias("cum_vocab"),
+    )
+
+
+VOCAB_GROWTH_SQL = f"""
+WITH {_words_cte().lstrip()},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+birth AS (
+  SELECT word, min(doc_id // {VOCAB_BUCKET}) AS bucket
+  FROM tok GROUP BY word
+),
+per_bucket AS (
+  SELECT bucket, count(*) AS n_new_words FROM birth GROUP BY bucket
+)
+SELECT bucket, n_new_words,
+       CAST(sum(n_new_words) OVER (ORDER BY bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_vocab
+FROM per_bucket
+"""

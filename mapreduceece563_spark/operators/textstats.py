@@ -710,3 +710,91 @@ FROM (
   FROM documents
 )
 """
+
+
+# --- readability ------------------------------------------------------
+
+VOWEL_GROUP_RE = "[aeiouy]+"
+
+
+def readability_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Flesch-style readability from corpus totals: words,
+    sentences, and a vowel-group syllable proxy (the standard
+    dependency-free approximation), with the index computed over the
+    source's TOTALS (not a mean of per-doc scores, which overweights
+    short docs).
+
+    Map-only profile per row (regex counts on the text — a vowel
+    group never spans a space, so the text-level count equals the
+    per-word sum), then one tiny groupBy(source). The Flesch formula
+    206.835 - 1.015*(W/S) - 84.6*(Y/W) runs in integer milli-units
+    with floor division in BOTH engines, so no double ratio can land
+    a tie differently: flesch = (206835 - (1015*W) div S
+    - (84600*Y) div W) / 1000."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    sents = F.filter(
+        F.transform(
+            F.split(F.col("text"), SENT_SPLIT_RE), lambda s: F.trim(s)
+        ),
+        lambda s: s != "",
+    )
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    prof = docs.select(
+        "source",
+        F.size(words).cast("long").alias("_w"),
+        F.size(sents).cast("long").alias("_s"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{VOWEL_GROUP_RE}', 0)")
+        )
+        .cast("long")
+        .alias("_y"),
+    )
+    agg = prof.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_w").alias("tot_words"),
+        F.sum("_s").alias("tot_sentences"),
+        F.sum("_y").alias("tot_syllables"),
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "tot_words",
+        "tot_sentences",
+        "tot_syllables",
+        F.when(
+            (F.col("tot_words") > 0) & (F.col("tot_sentences") > 0),
+            F.expr(
+                "(206835 - (1015 * tot_words) div tot_sentences"
+                " - (84600 * tot_syllables) div tot_words)"
+            ).cast("double")
+            / 1000.0,
+        ).alias("flesch"),
+    )
+
+
+READABILITY_SQL = f"""
+WITH prof AS (
+  SELECT source,
+         CAST(len(list_filter(string_split(text, ' '), w -> w <> ''))
+              AS BIGINT) AS _w,
+         CAST(len(list_filter(list_transform(
+                    regexp_split_to_array(text, '{SENT_SPLIT_RE}'),
+                    s -> trim(s)), s -> s <> '')) AS BIGINT) AS _s,
+         CAST(len(regexp_extract_all(lower(text), '{VOWEL_GROUP_RE}'))
+              AS BIGINT) AS _y
+  FROM documents
+),
+agg AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(_w) AS BIGINT) AS tot_words,
+         CAST(sum(_s) AS BIGINT) AS tot_sentences,
+         CAST(sum(_y) AS BIGINT) AS tot_syllables
+  FROM prof GROUP BY source
+)
+SELECT source, n_docs, tot_words, tot_sentences, tot_syllables,
+       CASE WHEN tot_words > 0 AND tot_sentences > 0
+            THEN (206835 - (1015 * tot_words) // tot_sentences
+                  - (84600 * tot_syllables) // tot_words) / 1000.0
+       END AS flesch
+FROM agg
+"""

@@ -23,6 +23,7 @@ from .operators import dedup as dd
 from .operators import multimodal as mm
 from .operators import ngrams as ng
 from .operators import sessions as ss
+from .operators import lifecycle as lc
 from .operators import mining as mn
 from .operators import relational as rel
 from .operators import similarity as sim
@@ -491,4 +492,22 @@ register(
     "video_frame_decode",
     mm.video_frame_decode,
     mm.VIDEO_FRAME_DECODE_SQL,
+)
+register("rfm_segments", lc.rfm_segments, lc.RFM_SEGMENTS_SQL)
+register("churn_by_segment", lc.churn_by_segment, lc.CHURN_BY_SEGMENT_SQL)
+register(
+    "quarter_revenue_overlap",
+    lc.quarter_revenue_overlap,
+    lc.QUARTER_REVENUE_OVERLAP_SQL,
+)
+register(
+    "readability_by_source",
+    ts.readability_by_source,
+    ts.READABILITY_SQL,
+)
+register("vocab_growth_curve", ng.vocab_growth_curve, ng.VOCAB_GROWTH_SQL)
+register(
+    "ngram_containment_pairs",
+    dd.ngram_containment_pairs,
+    dd.NGRAM_CONTAINMENT_SQL,
 )
