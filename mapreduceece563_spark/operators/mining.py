@@ -423,3 +423,60 @@ FROM scored
 ORDER BY _lift_milli DESC, brand_a ASC, brand_b ASC
 LIMIT {BASKET_TOP_K}
 """
+
+
+# --- co-purchase part pairs -------------------------------------------
+
+COPURCHASE_TOP = 20
+
+
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top part pairs co-occurring in order baskets — the co-view/
+    co-purchase edge list under recommenders.
+
+    Basket = the order's DISTINCT part set (distinct first, so a
+    part ordered twice in one basket can't inflate its own pairs).
+    The pair generation is a self-join on the orderkey — co-partitioned
+    on the basket key, so it is a local zipper after one shuffle, and
+    fan-out is bounded by basket size squared (baskets here max out at
+    13 lines; a production basket cap would filter the rare pathological
+    basket first, same policy as the dedup df cap). Deterministic
+    top-k via (count desc, part ids) total order."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_baskets"))
+    )
+    return pairs.orderBy(
+        F.desc("n_baskets"), F.asc("part_a"), F.asc("part_b")
+    ).limit(COPURCHASE_TOP)
+
+
+COPURCHASE_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS n_baskets
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_baskets
+FROM pairs
+ORDER BY n_baskets DESC, part_a ASC, part_b ASC
+LIMIT {COPURCHASE_TOP}
+"""

@@ -561,3 +561,173 @@ JOIN means a ON a.i = c.i
 JOIN means b ON b.i = c.j
 CROSS JOIN nn
 """
+
+
+# --- PCA leading direction via power iteration ------------------------
+# Two fixed power-iteration steps over the (un-normalized, integer)
+# scatter matrix M = n*S - s s^T, from the all-ones start vector —
+# enough to certify the whole distributed pipeline (gram pass, matrix
+# mirror, matrix-vector product, normalization) with a deterministic,
+# engine-exact integer result. PCA_SCALE is deliberately smaller than
+# COV_SCALE: every intermediate must fit int64 on the Spark side
+# because DuckDB would RAISE on the same overflow Spark silently
+# wraps (the basket_brand_lift lesson). Bounds at this scale
+# (|coord| < 1, d = 64): |M| <= 2n²·PCA_SCALE², so n up to ~10^6
+# vectors stays under 2^63 through every product below.
+
+PCA_SCALE = 1000
+
+# x, m >= |x|  ->  sign-correct milli-unit ratio (1000*x) div m, with
+# a pre-scale branch so the 1000x numerator can't overflow when m (and
+# hence x) is large. Spark `div` and DuckDB `//` both truncate toward
+# zero, so one expression serves both engines verbatim.
+def _ratio_milli(x: str, m: str, div: str) -> str:
+    return (
+        f"CASE WHEN ({m}) >= 1000000 THEN "
+        f"(1000 * (({x}) {div} 1000)) {div} (({m}) {div} 1000) "
+        f"ELSE (1000 * ({x})) {div} ({m}) END"
+    )
+
+
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leading principal direction of the embedding cloud after two
+    power-iteration steps: v1 = M·1, v2 = M·norm(v1), each normalized
+    to +/-1000 milli-units by its max absolute component.
+
+    Everything after the quantized gram pass is integer arithmetic on
+    d- and d²-sized frames: the scatter matrix M = n·S - s·sᵀ is
+    assembled from the same partial-aggregated integer sums as
+    embedding_covariance (per-task shuffle volume O(tasks·d²),
+    independent of n), mirrored from its upper triangle with a union,
+    and both matrix-vector products are a broadcast join on the tiny
+    vector side + groupBy(i). No collect, no float until nothing is
+    left to diverge (there is none: outputs are int64 milli-units)."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "embedding"
+    )
+    quant = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * PCA_SCALE, 0).cast("long"),
+    )
+    rows = emb.select(quant.alias("q"))
+    cells = F.filter(
+        F.flatten(
+            F.transform(
+                F.col("q"),
+                lambda qi, i: F.transform(
+                    F.col("q"),
+                    lambda qj, j: F.struct(
+                        i.cast("long").alias("i"),
+                        j.cast("long").alias("j"),
+                        (qi * qj).alias("p"),
+                    ),
+                ),
+            )
+        ),
+        lambda c: c["i"] <= c["j"],
+    )
+    tri = (
+        rows.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
+        .agg(F.sum("c.p").alias("s_ij"))
+    )
+    full = tri.unionByName(
+        tri.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s_ij"
+        )
+    )
+    means = (
+        rows.select(F.posexplode("q").alias("i", "qi"))
+        .groupBy(F.col("i").cast("long").alias("i"))
+        .agg(F.sum("qi").alias("s"))
+    )
+    nn = rows.agg(F.count("*").alias("n"))
+    m_ij = (
+        full.join(
+            F.broadcast(means.select("i", F.col("s").alias("s_i"))), "i"
+        )
+        .join(
+            F.broadcast(
+                means.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
+            ),
+            "j",
+        )
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "i", "j", (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).alias("m")
+        )
+    )
+    u = m_ij.groupBy("i").agg(F.sum("m").alias("u"))
+    m1 = u.agg(F.max(F.abs(F.col("u"))).alias("m1"))
+    w = (
+        u.crossJoin(F.broadcast(m1))
+        .select("i", F.expr(_ratio_milli("u", "m1", "div")).alias("w"))
+    )
+    v2 = (
+        m_ij.join(
+            F.broadcast(w.select(F.col("i").alias("j"), "w")), "j"
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("m") * F.col("w")).alias("v2"))
+    )
+    m2 = v2.agg(F.max(F.abs(F.col("v2"))).alias("m2"))
+    out = (
+        w.join(v2, "i")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "i",
+            F.col("w").cast("long").alias("dir1"),
+            F.expr(_ratio_milli("v2", "m2", "div")).cast("long").alias("dir2"),
+        )
+    )
+    return out
+
+
+EMBEDDING_POWER_SQL = f"""
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {PCA_SCALE}) AS BIGINT)) AS q
+  FROM embeddings
+),
+tri AS (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(sum(q.q[ii.i + 1] * q.q[jj.j + 1]) AS BIGINT) AS s_ij
+  FROM q, range(0, {EMB_DIM}) ii(i), range(0, {EMB_DIM}) jj(j)
+  WHERE ii.i <= jj.j
+  GROUP BY ii.i, jj.j
+),
+fullm AS (
+  SELECT i, j, s_ij FROM tri
+  UNION ALL
+  SELECT j AS i, i AS j, s_ij FROM tri WHERE i < j
+),
+means AS (
+  SELECT ii.i AS i, CAST(sum(q.q[ii.i + 1]) AS BIGINT) AS s
+  FROM q, range(0, {EMB_DIM}) ii(i)
+  GROUP BY ii.i
+),
+nn AS (SELECT count(*) AS n FROM q),
+m_ij AS (
+  SELECT f.i, f.j,
+         CAST(nn.n * f.s_ij - a.s * b.s AS BIGINT) AS m
+  FROM fullm f
+  JOIN means a ON a.i = f.i
+  JOIN means b ON b.i = f.j
+  CROSS JOIN nn
+),
+u AS (SELECT i, CAST(sum(m) AS BIGINT) AS u FROM m_ij GROUP BY i),
+m1 AS (SELECT CAST(max(abs(u)) AS BIGINT) AS m1 FROM u),
+w AS (
+  SELECT i, CAST({_ratio_milli('u', 'm1', '//')} AS BIGINT) AS w
+  FROM u CROSS JOIN m1
+),
+v2 AS (
+  SELECT m_ij.i, CAST(sum(m_ij.m * w.w) AS BIGINT) AS v2
+  FROM m_ij JOIN w ON w.i = m_ij.j
+  GROUP BY m_ij.i
+),
+m2 AS (SELECT CAST(max(abs(v2)) AS BIGINT) AS m2 FROM v2)
+SELECT w.i, w.w AS dir1,
+       CAST({_ratio_milli('v2', 'm2', '//')} AS BIGINT) AS dir2
+FROM w JOIN v2 ON v2.i = w.i CROSS JOIN m2
+"""

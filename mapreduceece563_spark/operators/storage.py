@@ -358,3 +358,62 @@ FROM scaled GROUP BY bucket
 
 
 ZORDER_BUCKET_STATS_SQL = _zorder_sql()
+
+
+# --- small-file compaction planning -----------------------------------
+
+COMPACT_TARGET_BYTES = 4096  # per-bin target at test scale
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan small-file compaction bins per source: files (stand-in:
+    one document = one file of n_chars bytes, the realistic
+    small-file population a crawl ingest produces) are packed in
+    doc_id order into bins by cumulative size — bin = floor(bytes
+    before this file / target). Emits per-(source, bin) file count,
+    byte total, and the id range the merged file would cover.
+
+    Cumulative-order packing (not greedy first-fit-decreasing) on
+    purpose: it is a WINDOW, so it parallelizes per source partition
+    and both engines compute it identically; FFD needs a sequential
+    pass and yields at most ~11% fewer bins (classic bound) — the
+    wrong trade at 10^9 files. The id range per bin is what the
+    rewrite job needs to plan its reads; nothing here touches file
+    contents. At 100 TB sources partition the window — no global
+    serialization (contrast customer_balance_deciles' stated ntile
+    caveat)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", F.col("n_chars").cast("long").alias("bytes")
+    )
+    binned = docs.select(
+        "source",
+        "doc_id",
+        "bytes",
+        F.expr(
+            f"coalesce(sum(bytes) over (partition by source order by doc_id"
+            f" rows between unbounded preceding and 1 preceding), 0)"
+            f" div {COMPACT_TARGET_BYTES}"
+        ).alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("bytes").alias("tot_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+COMPACTION_PLAN_SQL = f"""
+WITH binned AS (
+  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS bytes,
+         coalesce(sum(CAST(n_chars AS BIGINT)) OVER (
+             PARTITION BY source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {COMPACT_TARGET_BYTES} AS bin
+  FROM documents
+)
+SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
+       CAST(sum(bytes) AS BIGINT) AS tot_bytes,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM binned GROUP BY source, bin
+"""

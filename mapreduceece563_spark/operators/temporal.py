@@ -299,3 +299,61 @@ daily AS (
 SELECT spine.day, COALESCE(_n, 0) AS n_errors
 FROM spine LEFT JOIN daily USING (day)
 """
+
+
+# --- linearly-decayed engagement score --------------------------------
+
+DECAY_FULL = 100   # weight of an event on the reference day
+DECAY_PER_DAY = 3  # weight lost per day of age
+DECAY_TOP = 50
+
+
+def decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top users by time-decayed engagement: each event contributes
+    max(0, DECAY_FULL - DECAY_PER_DAY * age_days) where age is
+    measured back from the newest event in the table — a windowed
+    linear decay (events older than ~33 days contribute nothing).
+
+    Linear integer decay instead of the usual exponential HALF-LIFE
+    on purpose: exp()/pow() doubles are libm-dependent and a
+    last-ulp difference between engines flips rankings on ties; the
+    piecewise-linear weight keeps the whole score in int64 while
+    preserving the recency-weighting semantics. One shuffle on
+    user_id; the reference date is a broadcast 1-row aggregate, not
+    a second scan. Deterministic top-k via (score desc, user_id)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    )
+    ref = ev.agg(F.max("d").alias("ref_d"))
+    scored = ev.crossJoin(F.broadcast(ref)).select(
+        "user_id",
+        F.greatest(
+            F.lit(0),
+            F.lit(DECAY_FULL)
+            - F.lit(DECAY_PER_DAY) * F.datediff("ref_d", "d"),
+        ).cast("long").alias("wt"),
+    )
+    per_user = scored.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum("wt").alias("score"),
+    )
+    return per_user.orderBy(F.desc("score"), F.asc("user_id")).limit(
+        DECAY_TOP
+    )
+
+
+DECAYED_ENGAGEMENT_SQL = f"""
+WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+ref AS (SELECT max(d) AS ref_d FROM ev),
+scored AS (
+  SELECT user_id,
+         CAST(greatest(0, {DECAY_FULL}
+              - {DECAY_PER_DAY} * date_diff('day', d, ref_d)) AS BIGINT)
+           AS wt
+  FROM ev CROSS JOIN ref
+)
+SELECT user_id, count(*) AS n_events, CAST(sum(wt) AS BIGINT) AS score
+FROM scored GROUP BY user_id
+ORDER BY score DESC, user_id ASC
+LIMIT {DECAY_TOP}
+"""

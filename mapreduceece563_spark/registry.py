@@ -511,3 +511,13 @@ register(
     dd.ngram_containment_pairs,
     dd.NGRAM_CONTAINMENT_SQL,
 )
+register(
+    "embedding_power_iteration",
+    sim.embedding_power_iteration,
+    sim.EMBEDDING_POWER_SQL,
+)
+register("compaction_plan", stg.compaction_plan, stg.COMPACTION_PLAN_SQL)
+register("copurchase_pairs", mn.copurchase_pairs, mn.COPURCHASE_SQL)
+register(
+    "decayed_engagement", tp.decayed_engagement, tp.DECAYED_ENGAGEMENT_SQL
+)
