@@ -88,48 +88,25 @@ def streaming_user_profile_batch(spark, sf_dir: str) -> DataFrame:
     state accumulates monotonically, is the user's final total and
     must equal the plain batch aggregate the DuckDB oracle runs.
     The last-emission reduce is the same partial-aggregable
-    max(struct) shape as ``user_latest_state``."""
-    import os
-    import shutil
+    max(struct) shape as ``user_latest_state``.
 
+    The drain itself runs through the shared concurrent harness
+    (shared_drain.drain_event_streams) — this query's operator graph
+    is unchanged, but its source drain overlaps the sibling hourly
+    and dedup streams so a registry pass pays max(drain), not
+    sum(drain)."""
     from pyspark.sql import functions as F
 
-    from ..sources.catalog import load_table
-    from .wordcount_stream import _fresh_workdir, spill_chunks
+    from .shared_drain import drain_event_streams
+    from .wordcount_stream import _partial_files
 
-    work = _fresh_workdir("profile")
-    out = os.path.join(work, "emissions")
-    ckpt = os.path.join(work, "ckpt")
-
-    # Shares the memoized 4-column events spill with
-    # streaming_events_hourly; the explicit readStream schema below
-    # prunes to (user_id, value).
-    ev = load_table(spark, sf_dir, "events").select(
-        "ts", "event_type", "user_id", "value"
-    )
-    src = spill_chunks(ev, sf_dir, "events_shared")
-
-    stream = (
-        spark.readStream.schema("user_id BIGINT, value DOUBLE")
-        .option("maxFilesPerTrigger", 2)
-        .parquet(src)
-    )
-    profile = running_user_profile(stream)
-
-    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(out, f"batch_id={batch_id}")
+    out = drain_event_streams(spark, sf_dir)["profile"]
+    if not _partial_files(out):
+        # empty source: availableNow can finish without a single
+        # foreachBatch invocation — honor the zero-row contract.
+        return spark.createDataFrame(
+            [], "user_id BIGINT, n_events BIGINT, value_sum DOUBLE"
         )
-
-    q = (
-        profile.writeStream.foreachBatch(sink_batch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
     # read the base dir (not a batch_id=* glob) so the batch_id
     # partition column is inferred — it's the last-emission ordering key
     emissions = spark.read.parquet(out)

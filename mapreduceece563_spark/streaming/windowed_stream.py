@@ -33,68 +33,27 @@ result is bit-identical to the batch plan's.
 
 from __future__ import annotations
 
-import os
-import shutil
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..operators.relational import _cents
-from ..sources.catalog import load_table
-from .wordcount_stream import _fresh_workdir, spill_chunks
-
 
 def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    work = _fresh_workdir("ev_hourly")
-    updates_dir = os.path.join(work, "updates")
-    ckpt = os.path.join(work, "ckpt")
+    # The update-mode hourly windowed aggregation runs through the
+    # shared concurrent drain (shared_drain.drain_event_streams):
+    # same operator graph, same per-batch_id idempotent sink — the
+    # drain just overlaps the sibling profile/dedup streams so one
+    # registry pass pays max(drain) instead of sum(drain).
+    from .shared_drain import drain_event_streams
+    from .wordcount_stream import _partial_files
 
-    # One 4-column events spill is shared with streaming_user_profile
-    # (parquet column pruning serves each stream its own subset) and
-    # memoized across bench passes — the spill is fixture prep, the
-    # timed work is the drain + merge.
-    ev = load_table(spark, sf_dir, "events").select(
-        "ts", "event_type", "user_id", "value"
-    )
-    src = spill_chunks(ev, sf_dir, "events_shared")
-
-    stream = (
-        spark.readStream.schema("ts TIMESTAMP, event_type STRING, value DOUBLE")
-        .option("maxFilesPerTrigger", 2)  # force multiple micro-batches
-        .parquet(src)
-    )
-    agg = (
-        stream.groupBy(
-            F.window("ts", "1 hour").alias("win"), "event_type"
+    updates_dir = drain_event_streams(spark, sf_dir)["hourly"]
+    if not _partial_files(updates_dir):
+        # empty source: no foreachBatch invocation ever ran
+        return spark.createDataFrame(
+            [],
+            "hour TIMESTAMP, event_type STRING, n_events BIGINT,"
+            " value_sum DOUBLE",
         )
-        .agg(
-            F.count("*").alias("n_events"),
-            F.sum(_cents(F.col("value"))).alias("_vc"),
-        )
-        .select(
-            F.col("win.start").alias("hour"),
-            "event_type",
-            "n_events",
-            (F.col("_vc") / 100.0).alias("value_sum"),
-        )
-    )
-
-    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("overwrite").parquet(
-            os.path.join(updates_dir, f"batch_id={batch_id}")
-        )
-
-    q = (
-        agg.writeStream.foreachBatch(sink_batch)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
-
     # reading the root dir (not a batch_id=* glob) lets partition
     # discovery surface batch_id as a column for the merge
     updates = spark.read.parquet(updates_dir)

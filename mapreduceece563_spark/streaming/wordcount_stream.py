@@ -171,13 +171,22 @@ def streaming_wordcount_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
         )
 
-    q = (
-        words.writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Per-batch partials are small (one trigger = 2 chunk files), so
+    # the in-drain combiner doesn't need the session's 32 shuffle
+    # partitions — 8 cuts per-micro-batch task overhead (same sizing
+    # note as shared_drain).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            words.writeStream.foreachBatch(sink_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     # The checkpoint is consumed; the memoized chunk spill stays for
     # reuse and only the partials back the (lazy) result.
     shutil.rmtree(ckpt, ignore_errors=True)
@@ -225,48 +234,19 @@ def streaming_dedup_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     exceeds the fixture's time span so the check is exact; production
     picks the delay to match the source's replay horizon. Output goes
     through the same idempotent per-batch_id foreachBatch partials as
-    streaming_wordcount_batch."""
-    work = _fresh_workdir("dedup")
-    partials_dir = os.path.join(work, "partials")
-    ckpt = os.path.join(work, "ckpt")
-    os.makedirs(partials_dir, exist_ok=True)
+    streaming_wordcount_batch.
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type"
-    )
-    doubled = ev.union(ev)
-    src = spill_chunks(doubled, sf_dir, "ev_doubled")
+    The drain runs through the shared concurrent harness
+    (shared_drain.drain_event_streams): same operator graph, but the
+    source drain overlaps the sibling profile/hourly streams so one
+    registry pass pays max(drain), not sum(drain)."""
+    from .shared_drain import drain_event_streams
 
-    stream = (
-        spark.readStream.schema("event_id BIGINT, ts TIMESTAMP, event_type STRING")
-        .option("maxFilesPerTrigger", 2)  # >1 micro-batch per run
-        .parquet(src)
-    )
-    deduped = stream.withWatermark("ts", "3650 days").dropDuplicatesWithinWatermark(
-        ["event_id"]
-    )
-
-    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
-        (
-            batch_df.groupBy("event_type")
-            .agg(F.count("*").alias("n"))
-            .write.mode("overwrite")
-            .parquet(os.path.join(partials_dir, f"batch_id={batch_id}"))
-        )
-
-    q = (
-        deduped.writeStream.foreachBatch(sink_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    shutil.rmtree(ckpt, ignore_errors=True)
+    partials_dir = drain_event_streams(spark, sf_dir)["dedup"]
     if not _partial_files(partials_dir):
         # Empty events table: no micro-batch ever fired — honor the
         # zero-row contract (commit f0e3754) instead of raising on
         # the never-written partials dir.
-        shutil.rmtree(work, ignore_errors=True)
         return spark.createDataFrame([], "event_type STRING, n_events BIGINT")
     partials = spark.read.parquet(os.path.join(partials_dir, "batch_id=*"))
     return partials.groupBy("event_type").agg(
