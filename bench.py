@@ -131,7 +131,8 @@ BUDGETS = {
     "ngram_containment_pairs": 5.0,  # shares the shingle stage + df-cap join
     "vocab_growth_curve": 4.0,  # min-fold over the shared TF stage
     "embedding_power_iteration": 6.0,  # d^2 gram pass + two int mat-vec rounds
-    "copurchase_pairs": 3.0,  # basket self-join on the orderkey
+    "copurchase_pairs": 4.0,  # basket self-join on the orderkey
+    "wordcount_via_datasource": 4.0,  # Python-source scan + full tokenize
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

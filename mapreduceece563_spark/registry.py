@@ -521,3 +521,14 @@ register("copurchase_pairs", mn.copurchase_pairs, mn.COPURCHASE_SQL)
 register(
     "decayed_engagement", tp.decayed_engagement, tp.DECAYED_ENGAGEMENT_SQL
 )
+
+# Custom Python Data Source (the reference's chunked-text layout read
+# through Spark's public DataSource V2 Python API).
+from .sources import chunktext as ct  # noqa: E402
+
+register("wordcount_via_datasource", ct.wordcount_via_datasource, wc.WORDCOUNT_SQL)
+register(
+    "chunktext_pruned_count",
+    ct.chunktext_pruned_count,
+    ct.chunktext_pruned_sql(),
+)

@@ -1,0 +1,239 @@
+"""Custom Spark Python Data Source for the reference's chunked text
+corpus layout.
+
+The reference engine's input is a directory of plain-text chunk
+files named by index, its reader hands whole chunks to worker ranks
+on demand, and its only pruning is "read the chunks you were
+assigned" (reference /root/reference/mpi_mapreduce.c:133-161 chunk
+reader, run_MapReduce.py chunked corpus layout; SURVEY.md §2.1
+S1/S2/S3). This module re-expresses that surface through Spark's
+public DataSource V2 Python API (pyspark.sql.datasource, Spark 4):
+
+- one ``InputPartition`` per chunk file — Spark's scheduler then IS
+  the task farm (S3): partitions are handed to idle executors
+  dynamically, no hand-rolled assignment;
+- ``pushFilters`` handles ``chunk_id`` equality/IN filters by
+  PRUNING the partition list — the custom-source face of partition
+  pruning: a query over one chunk opens one file, no matter how many
+  chunks the directory holds;
+- rows are (chunk_id, line_no, text) so downstream operators keep
+  full provenance (the reference's chunk index + line order).
+
+Scale posture: the reader never materializes a file list on the
+driver beyond os.listdir (at 10^6 chunks, swap in a manifest file —
+the partition-planning contract is unchanged), and each partition
+streams its file line by line (bounded memory per task regardless of
+chunk size).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    In,
+    InputPartition,
+)
+
+CHUNK_PREFIX = "chunk_"
+CHUNK_SUFFIX = ".txt"
+
+
+class ChunkFilePartition(InputPartition):
+    def __init__(self, chunk_id: int, path: str):
+        self.chunk_id = chunk_id
+        self.path = path
+
+
+class ChunkTextReader(DataSourceReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunktext requires .option('path', <dir>)")
+        self.dir = path
+        self._wanted: set[int] | None = None  # None = all chunks
+
+    def pushFilters(self, filters):  # noqa: N802 (API name)
+        """Absorb chunk_id equality/IN filters as partition pruning;
+        everything else stays with Spark."""
+        remaining = []
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("chunk_id",):
+                ids = {int(f.value)}
+            elif isinstance(f, In) and f.attribute == ("chunk_id",):
+                ids = {int(v) for v in f.value}
+            else:
+                remaining.append(f)
+                continue
+            self._wanted = ids if self._wanted is None else (
+                self._wanted & ids
+            )
+        return remaining
+
+    def partitions(self) -> Sequence[InputPartition]:
+        parts = []
+        for name in sorted(os.listdir(self.dir)):
+            if not (
+                name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX)
+            ):
+                continue
+            chunk_id = int(name[len(CHUNK_PREFIX): -len(CHUNK_SUFFIX)])
+            if self._wanted is not None and chunk_id not in self._wanted:
+                continue
+            parts.append(
+                ChunkFilePartition(chunk_id, os.path.join(self.dir, name))
+            )
+        return parts
+
+    def read(self, partition: ChunkFilePartition) -> Iterator[tuple]:
+        with open(partition.path, encoding="utf-8") as fh:
+            for line_no, line in enumerate(fh):
+                yield (partition.chunk_id, line_no, line.rstrip("\n"))
+
+
+class ChunkTextDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "chunktext"
+
+    def schema(self) -> str:
+        return "chunk_id INT, line_no BIGINT, text STRING"
+
+    def reader(self, schema) -> ChunkTextReader:
+        return ChunkTextReader(self.options)
+
+
+_REGISTERED: set[str] = set()
+
+
+def register_chunktext(spark) -> None:
+    """Idempotent per-session registration of the format. Python-source
+    filter pushdown is opt-in (off by default in Spark 4.1); a reader
+    that implements pushFilters REQUIRES the flag, so flip it with the
+    registration."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    app = spark.sparkContext.applicationId
+    if app in _REGISTERED:
+        return
+    spark.dataSource.register(ChunkTextDataSource)
+    _REGISTERED.add(app)
+
+
+# --- deterministic chunk-corpus fixture -------------------------------
+
+N_CHUNKS = 8
+_CHUNK_CACHE: dict[str, str] = {}
+
+
+def chunked_corpus_dir(sf_dir: str) -> str:
+    """Write (once per process) the documents table as N_CHUNKS text
+    chunk files, doc assigned to chunk doc_id % N_CHUNKS, docs in
+    doc_id order within a chunk — the reference's generate_files.py
+    corpus layout, with a deterministic assignment both engines can
+    reproduce in SQL. Fixture prep (like spill_chunks), not part of
+    any timed query; pyarrow keeps it off the Spark driver."""
+    cached = _CHUNK_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached):
+        return cached
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()),
+        key=lambda dt: dt[0],
+    )
+    out = tempfile.mkdtemp(prefix="chunktext_")
+    handles = [
+        open(
+            os.path.join(out, f"{CHUNK_PREFIX}{k}{CHUNK_SUFFIX}"),
+            "w",
+            encoding="utf-8",
+        )
+        for k in range(N_CHUNKS)
+    ]
+    try:
+        for doc_id, text in docs:
+            handles[doc_id % N_CHUNKS].write((text or "") + "\n")
+    finally:
+        for h in handles:
+            h.close()
+    _CHUNK_CACHE[sf_dir] = out
+    return out
+
+
+# --- registry faces of the custom source ------------------------------
+
+PRUNED_CHUNK = 3
+
+
+def wordcount_via_datasource(spark, sf_dir: str):
+    """The reference's full pipeline with its NATIVE input layout:
+    word count over the chunked text corpus read through the
+    ``chunktext`` custom source (one Spark partition per chunk file,
+    exactly the reference's reader-rank granularity), through the
+    same tokenize chain as the parquet-backed ``wordcount``. Matching
+    the same WORDCOUNT_SQL oracle certifies the source end to end —
+    partition planning, per-line reads, text fidelity."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize_lines
+
+    register_chunktext(spark)
+    src = chunked_corpus_dir(sf_dir)
+    lines = (
+        spark.read.format("chunktext")
+        .option("path", src)
+        .load()
+        .select("text")
+    )
+    words = tokenize_lines(lines)
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+def chunktext_pruned_count(spark, sf_dir: str):
+    """Line/token counts for ONE chunk, with the chunk_id predicate
+    absorbed by the source's ``pushFilters`` as partition pruning —
+    the scan opens one file out of N_CHUNKS (asserted at the reader
+    level in tests/test_sources_chunktext.py). The oracle recomputes
+    from the deterministic doc_id % N_CHUNKS assignment."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import words_array
+
+    register_chunktext(spark)
+    src = chunked_corpus_dir(sf_dir)
+    df = (
+        spark.read.format("chunktext")
+        .option("path", src)
+        .load()
+        .filter(F.col("chunk_id") == PRUNED_CHUNK)
+    )
+    return df.agg(
+        F.lit(PRUNED_CHUNK).cast("long").alias("chunk_id"),
+        F.count("*").alias("n_lines"),
+        F.coalesce(
+            F.sum(F.size(words_array(F.col("text")))), F.lit(0)
+        ).cast("long").alias("n_words"),
+    )
+
+
+def chunktext_pruned_sql() -> str:
+    from ..operators.textstats import _words_sql
+
+    return f"""
+WITH sel AS (
+  SELECT text FROM documents WHERE doc_id % {N_CHUNKS} = {PRUNED_CHUNK}
+)
+SELECT CAST({PRUNED_CHUNK} AS BIGINT) AS chunk_id,
+       count(*) AS n_lines,
+       CAST(coalesce(sum(len({_words_sql()})), 0) AS BIGINT) AS n_words
+FROM sel
+"""
