@@ -133,6 +133,16 @@ BUDGETS = {
     "embedding_power_iteration": 6.0,  # d^2 gram pass + two int mat-vec rounds
     "copurchase_pairs": 4.0,  # basket self-join on the orderkey
     "wordcount_via_datasource": 4.0,  # Python-source scan + full tokenize
+    "rolling_7d_active_users": 3.0,  # x7 bounded explode of user-days
+    "session_event_trigrams": 3.0,  # one user-keyed exchange, 3 windows
+    "scd2_event_state": 3.0,
+    "shingle_novelty_rate": 5.0,  # shares the persisted shingle stage
+    "pq_codebook_assign": 6.0,  # 8x subvector explode x 16-code probe
+    "csv_roundtrip_stats": 4.0,  # includes the once-per-session CSV write
+    "jsonl_roundtrip_stats": 4.0,  # includes the once-per-session JSON write
+    "schema_evolution_read": 4.0,  # includes the two-batch layout write
+    "bucket_prefilter_revenue": 3.0,
+    "winsorized_revenue_stats": 3.0,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

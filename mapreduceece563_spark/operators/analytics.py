@@ -314,3 +314,234 @@ SELECT day, n_new_users,
          AS cum_users
 FROM daily_new
 """
+
+
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day distinct active users, per day with any
+    event activity — the DAU/WAU-style rolling reach metric.
+
+    A windowed COUNT(DISTINCT) over raw events is either unbounded
+    state (streaming) or the inequality join the oracle writes (day
+    spine x user-days, O(days x users) with no equi key). The Spark
+    rewrite is the bounded-fan-out explode: dedupe to (user, day)
+    first — the only pass that ever sees event cardinality — then
+    each user-day emits the 7 window days it contributes to
+    (``sequence(day, day+6)``), dedupes (user, win_day) and counts.
+    Fan-out is exactly x7 of the user-day frame regardless of corpus
+    size, every join/agg is an equi-shuffle, and the final count is
+    per-day tiny. A left-semi join restricts the output to days that
+    actually have events (trailing windows keep a day "active" for a
+    week otherwise)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    user_days = ev.distinct()
+    days = user_days.select("day").distinct()
+    contrib = (
+        user_days.select(
+            "user_id",
+            F.explode(
+                F.expr("sequence(day, date_add(day, 6), interval 1 day)")
+            ).alias("day"),
+        )
+        .distinct()
+        .join(days, "day", "left_semi")
+    )
+    return contrib.groupBy("day").agg(
+        F.count("*").alias("n_active_users")
+    )
+
+
+ROLLING_7D_ACTIVE_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT DISTINCT day FROM ud)
+SELECT d.day, count(DISTINCT u.user_id) AS n_active_users
+FROM days d
+JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+"""
+
+
+def event_drift_chisq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square homogeneity test of the event-type mix between the
+    first and second half of the stream's time range — the
+    distribution-drift check a pipeline runs before trusting a new
+    data delivery.
+
+    Plan: one 1-row min/max aggregate broadcast back over the scan
+    labels each event with its half (pure integer microsecond
+    midpoint, no floats); one groupBy((event_type, half)) builds the
+    contingency table (|types| x 2 rows); marginals and the statistic
+    are computed on that tiny frame. Identity used:
+    (obs - r*c/N)^2 / (r*c/N) = (N*obs - r*c)^2 / (N*r*c), which
+    keeps everything integer. N*obs reaches ~1e11 at sf0.1 so its
+    square overflows int64 — the quadratic runs in 128-bit on BOTH
+    engines (Spark DECIMAL(38,0), DuckDB HUGEINT), the same
+    contract as basket_brand_lift. Per-cell milli-unit floor division
+    is applied identically in both engines before the sum."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.unix_micros("ts").alias("us")
+    )
+    bounds = ev.agg(
+        F.min("us").alias("_lo"), F.max("us").alias("_hi")
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.col("us") <= F.expr("_lo + (_hi - _lo) div 2"), F.lit("h1")
+        )
+        .otherwise(F.lit("h2"))
+        .alias("half"),
+    )
+    cells = halves.groupBy("event_type", "half").agg(
+        F.count("*").alias("obs")
+    )
+    w_type = Window.partitionBy("event_type")
+    w_half = Window.partitionBy("half")
+    scored = cells.select(
+        "obs",
+        F.sum("obs").over(w_type).alias("_r"),
+        F.sum("obs").over(w_half).alias("_c"),
+    ).crossJoin(
+        F.broadcast(
+            cells.agg(
+                F.sum("obs").alias("_n"),
+                F.count_distinct("event_type").alias("_nt"),
+            )
+        )
+    )
+    per_cell = scored.select(
+        "_nt",
+        F.expr(
+            "CAST((1000 * (CAST(_n AS DECIMAL(38,0)) * obs - CAST(_r AS"
+            " DECIMAL(38,0)) * _c) * (CAST(_n AS DECIMAL(38,0)) * obs -"
+            " CAST(_r AS DECIMAL(38,0)) * _c)) div (CAST(_n AS"
+            " DECIMAL(38,0)) * _r * _c) AS BIGINT)"
+        ).alias("_chi_milli"),
+    )
+    return per_cell.groupBy().agg(
+        F.count("*").alias("n_cells"),
+        F.max(F.col("_nt") - 1).alias("df"),
+        (F.sum("_chi_milli") / 1000.0).alias("chi_square"),
+    )
+
+
+EVENT_DRIFT_CHISQ_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) AS us FROM events
+),
+bounds AS (SELECT min(us) AS lo, max(us) AS hi FROM ev),
+halves AS (
+  SELECT event_type,
+         CASE WHEN us <= lo + (hi - lo) // 2 THEN 'h1' ELSE 'h2' END AS half
+  FROM ev CROSS JOIN bounds
+),
+cells AS (
+  SELECT event_type, half, count(*) AS obs
+  FROM halves GROUP BY event_type, half
+),
+tot AS (
+  SELECT CAST(sum(obs) AS HUGEINT) AS n,
+         count(DISTINCT event_type) AS nt
+  FROM cells
+),
+scored AS (
+  SELECT obs,
+         sum(obs) OVER (PARTITION BY event_type) AS r,
+         sum(obs) OVER (PARTITION BY half) AS c,
+         n, nt
+  FROM cells CROSS JOIN tot
+),
+per_cell AS (
+  SELECT nt,
+         CAST((1000 * (n * obs - CAST(r AS HUGEINT) * c)
+                    * (n * obs - CAST(r AS HUGEINT) * c))
+              // (n * CAST(r AS HUGEINT) * c) AS BIGINT) AS chi_milli
+  FROM scored
+)
+SELECT count(*) AS n_cells,
+       CAST(max(nt) - 1 AS BIGINT) AS df,
+       sum(chi_milli) / 1000.0 AS chi_square
+FROM per_cell
+"""
+
+
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per return flag: row count and the mean extended price before
+    and after winsorizing at the flag's own [p5, p95] — the robust
+    aggregate a metrics pipeline publishes when a few whale rows
+    would otherwise move the average.
+
+    Two passes over the fact in both engines: a per-flag exact
+    percentile aggregate (3 rows) broadcasts back over the scan, and
+    the clamp + re-aggregate is map-side. The interpolated
+    percentiles run over int64 cents (the proven
+    percentile/quantile_cont contract); the resulting DOUBLE bounds
+    are floored to int64 cents identically in both engines BEFORE
+    the clamp, so the winsorized sum is an integer sum — fold order
+    cannot drift a cent. Means use the half-up int idiom."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("_c"),
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.floor(F.expr(f"percentile(_c, {WINSOR_LO})")).alias("_lo"),
+        F.floor(F.expr(f"percentile(_c, {WINSOR_HI})")).alias("_hi"),
+    )
+    clamped = li.join(F.broadcast(bounds), "l_returnflag").select(
+        "l_returnflag",
+        "_c",
+        F.least(F.greatest(F.col("_c"), F.col("_lo")), F.col("_hi")).alias(
+            "_w"
+        ),
+    )
+    return (
+        clamped.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("_c").alias("_sr"),
+            F.sum("_w").alias("_sw"),
+        )
+        .select(
+            "l_returnflag",
+            "n_items",
+            (
+                F.expr("(2 * _sr + n_items) div (2 * n_items)") / 100.0
+            ).alias("mean_raw"),
+            (
+                F.expr("(2 * _sw + n_items) div (2 * n_items)") / 100.0
+            ).alias("mean_winsorized"),
+        )
+    )
+
+
+WINSORIZED_REVENUE_SQL = f"""
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(round(l_extendedprice * 100, 0) AS BIGINT) AS c
+  FROM lineitem
+),
+bounds AS (
+  SELECT l_returnflag,
+         CAST(floor(quantile_cont(c, {WINSOR_LO})) AS BIGINT) AS lo,
+         CAST(floor(quantile_cont(c, {WINSOR_HI})) AS BIGINT) AS hi
+  FROM c GROUP BY l_returnflag
+),
+clamped AS (
+  SELECT c.l_returnflag, c.c,
+         least(greatest(c.c, b.lo), b.hi) AS w
+  FROM c JOIN bounds b ON c.l_returnflag = b.l_returnflag
+)
+SELECT l_returnflag, count(*) AS n_items,
+       ((2 * sum(c) + count(*)) // (2 * count(*))) / 100.0 AS mean_raw,
+       ((2 * sum(w) + count(*)) // (2 * count(*))) / 100.0
+         AS mean_winsorized
+FROM clamped GROUP BY l_returnflag
+"""

@@ -1173,3 +1173,62 @@ scored AS (
 SELECT contained, container, round(containment, 6) AS containment
 FROM scored WHERE containment >= {CONTAINMENT_THRESHOLD}
 """
+
+
+def shingle_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty against everything EARLIER in the corpus
+    (by doc_id): the share of a doc's distinct 3-shingles that no
+    lower-id document contains — the incremental-ingest dedup signal
+    ("how much of this delivery is actually new text?"), the
+    streaming-order complement of the pairwise Jaccard tier.
+
+    Off the shared shingle stage: one h0-keyed min-aggregate finds
+    each shingle's first-owner doc, the join back to the shingle
+    frame is the SAME equi key (h0), and the per-doc rollup is the
+    doc-keyed aggregate every other per-doc operator pays. No pair
+    enumeration at all — cost is linear in distinct (doc, shingle)
+    rows at any corpus size. Docs with <3 words have no shingles and
+    are out of scope (same contract as the Jaccard tier). Rate is
+    the pure-int64 half-up ppm idiom."""
+    sh = doc_shingle_hashes(spark, sf_dir)
+    first_owner = sh.groupBy("h0").agg(F.min("doc_id").alias("_first"))
+    return (
+        sh.join(first_owner, "h0")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_first") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.expr(
+                    "(2 * 1000000 * n_novel + n_shingles)"
+                    " div (2 * n_shingles)"
+                )
+                / 1e6
+            ).alias("novelty_rate"),
+        )
+    )
+
+
+SHINGLE_NOVELTY_SQL = f"""
+WITH {shingle_hashes_cte_sql()},
+first_owner AS (
+  SELECT h0, min(doc_id) AS first_doc FROM sh GROUP BY h0
+),
+per_doc AS (
+  SELECT s.doc_id, count(*) AS n_shingles,
+         sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS n_novel
+  FROM sh s JOIN first_owner f ON s.h0 = f.h0
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
+       ((2 * 1000000 * n_novel + n_shingles) // (2 * n_shingles)) / 1e6
+         AS novelty_rate
+FROM per_doc
+"""

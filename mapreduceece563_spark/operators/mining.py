@@ -480,3 +480,137 @@ FROM pairs
 ORDER BY n_baskets DESC, part_a ASC, part_b ASC
 LIMIT {COPURCHASE_TOP}
 """
+
+
+def scd2_event_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build from the event stream: collapse each
+    user's event sequence to state *versions* (runs of the same
+    event_type), each with a validity interval [ts, next-change ts),
+    then profile the versions per state — the changelog-to-dimension
+    transform a warehouse runs on every CDC feed.
+
+    One exchange on ``user_id`` serves both window passes (lag to
+    detect the change boundary, lead over the change rows to close
+    the interval); nothing after the filter sees event cardinality
+    beyond the change rows themselves. Dwell time is floor-divided
+    integer microseconds -> seconds identically in both engines; open
+    versions (no successor) are counted, not summed."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", F.col("event_type").alias("state")
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    changes = ev.withColumn("_prev", F.lag("state").over(w)).filter(
+        F.col("_prev").isNull() | (F.col("_prev") != F.col("state"))
+    )
+    w2 = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    versions = changes.select(
+        "state",
+        F.unix_micros("ts").alias("_from_us"),
+        F.unix_micros(F.lead("ts").over(w2)).alias("_to_us"),
+    )
+    return versions.groupBy("state").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(
+            F.when(F.col("_to_us").isNull(), 1).otherwise(0)
+        ).alias("n_open"),
+        F.sum(
+            F.when(
+                F.col("_to_us").isNotNull(),
+                F.expr("(_to_us - _from_us) div 1000000"),
+            ).otherwise(0)
+        ).alias("dwell_seconds"),
+    )
+
+
+SCD2_EVENT_STATE_SQL = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type AS state,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events
+),
+changes AS (
+  SELECT user_id, ts, event_id, state
+  FROM ordered WHERE prev IS NULL OR prev <> state
+),
+versions AS (
+  SELECT state, epoch_us(ts) AS from_us,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC)) AS to_us
+  FROM changes
+)
+SELECT state, count(*) AS n_versions,
+       CAST(sum(CASE WHEN to_us IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_open,
+       CAST(sum(CASE WHEN to_us IS NOT NULL
+                     THEN (to_us - from_us) // 1000000 ELSE 0 END) AS BIGINT)
+         AS dwell_seconds
+FROM versions GROUP BY state
+"""
+
+
+K_ANON_THRESHOLD = 10
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy audit of the customer table under the quasi-identifier
+    (nation, market segment): group sizes ARE the k-anonymity levels,
+    and any group smaller than k=10 is a re-identification risk the
+    release pipeline must generalize or suppress.
+
+    One groupBy on the quasi-identifier (the only exchange, and
+    map-side combine applies), then a 1-row rollup of the group-size
+    frame — |nations| x |segments| rows at any corpus size. The
+    risk-row percentage uses the pure-int64 half-up ppm idiom."""
+    qi = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    )
+    groups = qi.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count("*").alias("k")
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.min("k").alias("min_k"),
+        F.sum(
+            F.when(F.col("k") < K_ANON_THRESHOLD, 1).otherwise(0)
+        ).alias("n_groups_below_k"),
+        F.sum(
+            F.when(F.col("k") < K_ANON_THRESHOLD, F.col("k")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+        F.sum("k").alias("n_rows"),
+    ).select(
+        "n_groups",
+        "min_k",
+        "n_groups_below_k",
+        "n_rows_at_risk",
+        (
+            F.expr(
+                "(2 * 1000000 * n_rows_at_risk + n_rows)"
+                " div (2 * n_rows)"
+            )
+            / 1e6
+        ).alias("risk_row_share"),
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH groups AS (
+  SELECT c_nationkey, c_mktsegment, count(*) AS k
+  FROM customer GROUP BY c_nationkey, c_mktsegment
+),
+roll AS (
+  SELECT count(*) AS n_groups, min(k) AS min_k,
+         sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN 1 ELSE 0 END)
+           AS n_groups_below_k,
+         sum(CASE WHEN k < {K_ANON_THRESHOLD} THEN k ELSE 0 END)
+           AS n_rows_at_risk,
+         sum(k) AS n_rows
+  FROM groups
+)
+SELECT n_groups, CAST(min_k AS BIGINT) AS min_k,
+       CAST(n_groups_below_k AS BIGINT) AS n_groups_below_k,
+       CAST(n_rows_at_risk AS BIGINT) AS n_rows_at_risk,
+       ((2 * 1000000 * n_rows_at_risk + n_rows) // (2 * n_rows)) / 1e6
+         AS risk_row_share
+FROM roll
+"""

@@ -2193,3 +2193,63 @@ SELECT CASE WHEN l_orderkey IS NULL THEN 'header_only'
        count(*) AS n_orders
 FROM j GROUP BY category
 """
+
+
+def orders_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape with the native ``DataFrame.unpivot``
+    (melt) operator — the inverse of orders_priority_pivot: revenue
+    per order priority is first laid out wide (one int64-cents column
+    per order status, computed in a single conditional-aggregation
+    pass over orders), then unpivoted back to (priority, status,
+    revenue) rows.
+
+    One exchange total (the groupBy); unpivot itself is a map-side
+    Expand — 3x fan-out of a 5-row frame. Money stays int64 cents
+    through the wide columns (unpivot requires one common value type)
+    and converts once after the melt."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderstatus",
+        _cents(F.col("o_totalprice")).alias("_tc"),
+    )
+    wide = orders.groupBy("o_orderpriority").agg(
+        *[
+            F.sum(
+                F.when(F.col("o_orderstatus") == s, F.col("_tc")).otherwise(0)
+            ).alias(s)
+            for s in ("O", "F", "P")
+        ]
+    )
+    long = wide.unpivot(
+        ids=["o_orderpriority"],
+        values=["O", "F", "P"],
+        variableColumnName="o_orderstatus",
+        valueColumnName="_rc",
+    )
+    return long.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        (F.col("_rc") / 100.0).alias("revenue"),
+    )
+
+
+ORDERS_UNPIVOT_SQL = f"""
+WITH wide AS (
+  SELECT o_orderpriority,
+         sum(CASE WHEN o_orderstatus = 'O'
+                  THEN {_cents_sql('o_totalprice')} ELSE 0 END) AS rev_o,
+         sum(CASE WHEN o_orderstatus = 'F'
+                  THEN {_cents_sql('o_totalprice')} ELSE 0 END) AS rev_f,
+         sum(CASE WHEN o_orderstatus = 'P'
+                  THEN {_cents_sql('o_totalprice')} ELSE 0 END) AS rev_p
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, 'O' AS o_orderstatus, rev_o / 100.0 AS revenue
+FROM wide
+UNION ALL
+SELECT o_orderpriority, 'F' AS o_orderstatus, rev_f / 100.0 AS revenue
+FROM wide
+UNION ALL
+SELECT o_orderpriority, 'P' AS o_orderstatus, rev_p / 100.0 AS revenue
+FROM wide
+"""

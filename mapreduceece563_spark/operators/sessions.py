@@ -206,3 +206,95 @@ SELECT user_id, count(*) AS n_events,
        max(gap) AS max_gap_us
 FROM gaps GROUP BY user_id
 """
+
+
+TRIGRAM_TOP_K = 20
+
+
+def session_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 event-type trigrams that occur INSIDE a session (the
+    3-step paths users actually walk) — the path-analysis feed for a
+    UX or recommendation team.
+
+    Session assignment is the same 30-minute-gap lag/cumsum machine
+    as `sessionize`; the trigram pass is two ``lead`` calls over the
+    SAME (user_id, ts, event_id) sort order, so Catalyst runs all
+    three window functions in one exchange + one sort — event rows
+    are touched exactly once after the shuffle. Trigrams never cross
+    a session boundary (the leads are partitioned by session). The
+    aggregate is |types|^3-bounded; top-k is TakeOrderedAndProject
+    with a lexical tiebreak."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    order_w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order_w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sw = Window.partitionBy("user_id", "session_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    tri = (
+        with_sess.select(
+            F.col("event_type").alias("e1"),
+            F.lead("event_type", 1).over(sw).alias("e2"),
+            F.lead("event_type", 2).over(sw).alias("e3"),
+        )
+        .filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("trigram")
+        )
+    )
+    return (
+        tri.groupBy("trigram")
+        .agg(F.count("*").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("trigram"))
+        .limit(TRIGRAM_TOP_K)
+    )
+
+
+SESSION_TRIGRAMS_SQL = f"""
+WITH ordered AS (
+  SELECT event_id, user_id, ts, event_type,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev_us,
+         epoch_us(ts) AS us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+sess AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS session_id
+  FROM flagged
+),
+tri AS (
+  SELECT event_type AS e1,
+         lead(event_type, 1) OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts ASC, event_id ASC) AS e2,
+         lead(event_type, 2) OVER (PARTITION BY user_id, session_id
+                                   ORDER BY ts ASC, event_id ASC) AS e3
+  FROM sess
+)
+SELECT e1 || '>' || e2 || '>' || e3 AS trigram,
+       count(*) AS n_occurrences
+FROM tri WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n_occurrences DESC, trigram ASC
+LIMIT {TRIGRAM_TOP_K}
+"""

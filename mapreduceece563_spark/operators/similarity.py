@@ -731,3 +731,146 @@ SELECT w.i, w.w AS dir1,
        CAST({_ratio_milli('v2', 'm2', '//')} AS BIGINT) AS dir2
 FROM w JOIN v2 ON v2.i = w.i CROSS JOIN m2
 """
+
+
+PQ_SUBSPACES = 8
+PQ_SUB_DIM = 8  # 64 dims / 8 subspaces
+PQ_CODES = 16
+PQ_ERR_SCALE = 1_000_000
+
+
+def pq_codebook_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (the IVF-PQ compression step): split each
+    64-d embedding into 8 subvectors of 8 dims, assign every
+    subvector to its nearest code from a 16-entry per-subspace
+    codebook, and profile the resulting code histogram and
+    quantization error per (subspace, code).
+
+    The codebook is deterministic — the 16 lowest-vec_id embeddings
+    seed it (the same fixed-seed stance as kmeans_2iter's init), so
+    the oracle reproduces it exactly. Plan shape is the PQ training
+    loop's inner step at any scale: the codebook is a 128-row
+    BROADCAST; assignment explodes each vector into its 8 subvectors
+    (fixed 8x fan-out of fixed-width rows, map-side) and probes the
+    broadcast — no corpus-sized shuffle exists; the final aggregate
+    is at most 8 x 16 rows. Distances are explicit left-folds of
+    doubles (identical IEEE order both engines); ties break on code
+    id via row_number; the error sum is int64-scaled before
+    aggregation so fold order cannot drift."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    vecs = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    cb_src = (
+        vecs.orderBy("vec_id")
+        .limit(PQ_CODES)
+        .select(
+            "v",
+            (
+                F.row_number().over(Window.orderBy("vec_id")) - 1
+            ).alias("code"),
+        )
+    )
+    sub_ids = F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))
+    codebook = cb_src.select(
+        "code", F.explode(sub_ids).alias("subspace"), "v"
+    ).select(
+        "subspace",
+        "code",
+        F.expr(f"slice(v, subspace * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias(
+            "cvec"
+        ),
+    )
+    svecs = vecs.select(
+        "vec_id", F.explode(sub_ids).alias("subspace"), "v"
+    ).select(
+        "vec_id",
+        "subspace",
+        F.expr(f"slice(v, subspace * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM})").alias(
+            "svec"
+        ),
+    )
+    scored = svecs.join(F.broadcast(codebook), "subspace").withColumn(
+        "dist",
+        F.aggregate(
+            F.zip_with(
+                F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w = Window.partitionBy("vec_id", "subspace").orderBy("dist", "code")
+    best = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "subspace",
+            "code",
+            F.round(F.col("dist") * PQ_ERR_SCALE, 0)
+            .cast("long")
+            .alias("_err"),
+        )
+    )
+    return (
+        best.groupBy("subspace", "code")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("_err").alias("_se"),
+        )
+        .select(
+            "subspace",
+            "code",
+            "n_vectors",
+            (F.col("_se") / float(PQ_ERR_SCALE)).alias("quant_error"),
+        )
+    )
+
+
+_PQ_FOLD_SQL = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip(svec, cvec), p -> (p[1]-p[2])*(p[1]-p[2]))), "
+    "(acc, x) -> acc + x)"
+)
+
+PQ_CODEBOOK_SQL = f"""
+WITH vecs AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+cb_src AS (
+  SELECT v, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM vecs ORDER BY vec_id LIMIT {PQ_CODES}
+),
+subs AS (SELECT unnest(range(0, {PQ_SUBSPACES})) AS subspace),
+codebook AS (
+  SELECT subspace, code,
+         v[subspace * {PQ_SUB_DIM} + 1 : subspace * {PQ_SUB_DIM} + {PQ_SUB_DIM}]
+           AS cvec
+  FROM cb_src CROSS JOIN subs
+),
+svecs AS (
+  SELECT vec_id, subspace,
+         v[subspace * {PQ_SUB_DIM} + 1 : subspace * {PQ_SUB_DIM} + {PQ_SUB_DIM}]
+           AS svec
+  FROM vecs CROSS JOIN subs
+),
+scored AS (
+  SELECT s.vec_id, s.subspace, c.code, {_PQ_FOLD_SQL} AS dist
+  FROM svecs s JOIN codebook c ON s.subspace = c.subspace
+),
+best AS (
+  SELECT subspace, code,
+         CAST(round(dist * {PQ_ERR_SCALE}, 0) AS BIGINT) AS err,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist, code) AS rn
+  FROM scored
+)
+SELECT subspace, code, count(*) AS n_vectors,
+       sum(err) / {PQ_ERR_SCALE}.0 AS quant_error
+FROM best WHERE rn = 1
+GROUP BY subspace, code
+"""

@@ -249,3 +249,83 @@ def price_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 APPROX_PCT_TOL = 0.02  # sketched percentile within 2% of exact
+
+
+PREFILTER_BUCKETS = 4096
+
+
+def bucket_prefilter_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selective dim⨝fact join with an EXPLICIT runtime pre-filter:
+    monthly shipped revenue for 1995 urgent orders. The dim side
+    (urgent 1995 orders) keeps ~3% of orders, but a plain join still
+    shuffles (or broadcast-probes) every lineitem row. This plan
+    makes the runtime-filter pattern explicit and engine-visible:
+
+    1. the filtered dim's keys hash into a 4096-bucket
+       membership set (a distinct-aggregate, tiny by construction —
+       at most 4096 rows regardless of corpus size);
+    2. the fact scan inner-joins that broadcast set on its own bucket
+       column — a semi-join-shaped pre-filter that drops most fact
+       rows BEFORE the real join does any work;
+    3. the surviving rows join the dim exactly; bucket-collision
+       false positives fall out here, so the result equals the plain
+       join the oracle writes by construction, for ANY hash.
+
+    This is precisely what Spark's InjectRuntimeFilter /
+    bloom-filter join does adaptively; spelling it out keeps the
+    rewrite available when the optimizer declines (e.g. a non-equi
+    pre-aggregated dim) and pins its correctness contract. Both
+    joins broadcast; the only wide exchange is the final monthly
+    aggregate (12 rows)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    dim = orders.filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.year("o_orderdate") == 1995)
+    ).select("o_orderkey")
+    buckets = dim.select(
+        F.pmod(F.xxhash64("o_orderkey"), F.lit(PREFILTER_BUCKETS)).alias(
+            "_bucket"
+        )
+    ).distinct()
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.month("l_shipdate").alias("ship_month"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("_rc"),
+    )
+    prefiltered = li.withColumn(
+        "_bucket", F.pmod(F.xxhash64("l_orderkey"), F.lit(PREFILTER_BUCKETS))
+    ).join(F.broadcast(buckets), "_bucket")
+    joined = prefiltered.join(
+        F.broadcast(dim), prefiltered["l_orderkey"] == dim["o_orderkey"]
+    )
+    return (
+        joined.groupBy("ship_month")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("_rc").alias("_s"),
+        )
+        .select(
+            "ship_month", "n_items", (F.col("_s") / 100.0).alias("revenue")
+        )
+    )
+
+
+BUCKET_PREFILTER_SQL = """
+WITH dim AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND year(CAST(o_orderdate AS DATE)) = 1995
+)
+SELECT month(CAST(l.l_shipdate AS DATE)) AS ship_month,
+       count(*) AS n_items,
+       sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 100, 0)
+                AS BIGINT)) / 100.0 AS revenue
+FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
+GROUP BY 1
+"""

@@ -92,3 +92,52 @@ WITH {words_cte_sql()}
 SELECT word, count(*) AS cnt FROM words_f GROUP BY word
 ORDER BY cnt DESC, word ASC LIMIT 100
 """
+
+
+def vocab_overlap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language vocabulary overlap via relational SET OPERATORS
+    — the registry's INTERSECT/EXCEPT coverage (UNION is pinned by
+    nation_presence_union): which normalized words appear in both the
+    English and German sub-corpora, and which are exclusive to each.
+
+    Both inputs are distinct-vocabulary frames (one tokenize +
+    distinct per language, sharing the scan via two filters), so
+    INTERSECT/EXCEPT run as hash joins on the word key — the same
+    exchange discipline as any equi-join; no sort, no all-pairs. At
+    100 TB the vocab frames are Zipf-bounded (vocabulary grows ~
+    sqrt of corpus), far below token cardinality."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang", "text"
+    )
+    lines = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    tokens = lines.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    from ..functions.text import MAX_WORD_LEN, normalize_word
+
+    words = tokens.select(
+        "lang", normalize_word(F.col("token")).alias("word")
+    ).filter((F.col("word") != "") & (F.length("word") <= MAX_WORD_LEN))
+    en = words.filter(F.col("lang") == "en").select("word").distinct()
+    de = words.filter(F.col("lang") == "de").select("word").distinct()
+    return (
+        en.intersect(de)
+        .select("word", F.lit("both").alias("status"))
+        .union(en.subtract(de).select("word", F.lit("en_only").alias("status")))
+        .union(de.subtract(en).select("word", F.lit("de_only").alias("status")))
+    )
+
+
+VOCAB_OVERLAP_SQL = f"""
+WITH {words_cte_sql(extra_cols="lang")},
+en AS (SELECT DISTINCT word FROM words_f WHERE lang = 'en'),
+de AS (SELECT DISTINCT word FROM words_f WHERE lang = 'de')
+SELECT word, 'both' AS status
+FROM (SELECT word FROM en INTERSECT SELECT word FROM de)
+UNION ALL
+SELECT word, 'en_only' AS status
+FROM (SELECT word FROM en EXCEPT SELECT word FROM de)
+UNION ALL
+SELECT word, 'de_only' AS status
+FROM (SELECT word FROM de EXCEPT SELECT word FROM en)
+"""

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from .operators import analytics as an
 from .operators import clustering as cl
 from .operators import corpus as cp
+from .operators import formats as fmt
 from .operators import graph as gph
 from .operators import dedup as dd
 from .operators import multimodal as mm
@@ -520,6 +521,67 @@ register("compaction_plan", stg.compaction_plan, stg.COMPACTION_PLAN_SQL)
 register("copurchase_pairs", mn.copurchase_pairs, mn.COPURCHASE_SQL)
 register(
     "decayed_engagement", tp.decayed_engagement, tp.DECAYED_ENGAGEMENT_SQL
+)
+
+register(
+    "rolling_7d_active_users",
+    an.rolling_7d_active_users,
+    an.ROLLING_7D_ACTIVE_SQL,
+)
+register("event_drift_chisq", an.event_drift_chisq, an.EVENT_DRIFT_CHISQ_SQL)
+register("scd2_event_state", mn.scd2_event_state, mn.SCD2_EVENT_STATE_SQL)
+register("k_anonymity_audit", mn.k_anonymity_audit, mn.K_ANONYMITY_SQL)
+register(
+    "session_event_trigrams",
+    ss.session_event_trigrams,
+    ss.SESSION_TRIGRAMS_SQL,
+)
+register(
+    "vocab_overlap_setops",
+    wc.vocab_overlap_setops,
+    wc.VOCAB_OVERLAP_SQL,
+)
+register(
+    "orders_status_unpivot",
+    rel.orders_status_unpivot,
+    rel.ORDERS_UNPIVOT_SQL,
+)
+register(
+    "bucket_prefilter_revenue",
+    sk.bucket_prefilter_revenue,
+    sk.BUCKET_PREFILTER_SQL,
+)
+
+register(
+    "shingle_novelty_rate",
+    dd.shingle_novelty_rate,
+    dd.SHINGLE_NOVELTY_SQL,
+)
+register(
+    "winsorized_revenue_stats",
+    an.winsorized_revenue_stats,
+    an.WINSORIZED_REVENUE_SQL,
+)
+register("pq_codebook_assign", sim.pq_codebook_assign, sim.PQ_CODEBOOK_SQL)
+register(
+    "csv_roundtrip_stats",
+    fmt.csv_roundtrip_stats,
+    fmt.CSV_ROUNDTRIP_SQL,
+)
+register(
+    "jsonl_roundtrip_stats",
+    fmt.jsonl_roundtrip_stats,
+    fmt.JSONL_ROUNDTRIP_SQL,
+)
+register(
+    "schema_evolution_read",
+    fmt.schema_evolution_read,
+    fmt.SCHEMA_EVOLUTION_SQL,
+)
+register(
+    "events_variant_stats",
+    fmt.events_variant_stats,
+    fmt.EVENTS_VARIANT_SQL,
 )
 
 # Custom Python Data Source (the reference's chunked-text layout read

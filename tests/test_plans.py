@@ -324,3 +324,45 @@ def test_rolling_window_over_preaggregate(spark):
     plan = plan_string(Q["rolling_7d_revenue"](spark, SF_DIR), "simple")
     assert plan.count("Window") == 1
     assert plan.count("HashAggregate") >= 2
+
+
+def test_bucket_prefilter_both_joins_broadcast(spark):
+    """The runtime-filter rewrite must keep BOTH probes broadcast
+    (membership set + exact dim) — a shuffled fact would defeat the
+    point of pre-filtering."""
+    rep = plan_report(Q["bucket_prefilter_revenue"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 2
+    assert rep.n_sortmerge_joins == 0
+
+
+def test_pq_assignment_probes_broadcast_codebook(spark):
+    """PQ assignment is a map-side broadcast probe: the only wide
+    exchange allowed is the per-(vec, subspace) argmin window and the
+    tiny final aggregate — the codebook never shuffles the vectors."""
+    rep = plan_report(Q["pq_codebook_assign"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 1
+    plan = plan_string(Q["pq_codebook_assign"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_novelty_reuses_shingle_keyed_joins(spark):
+    """Novelty joins first-owner back on the shingle hash — an equi
+    join, never a pair enumeration."""
+    plan = plan_string(Q["shingle_novelty_rate"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_unpivot_is_map_side_expand(spark):
+    """DataFrame.unpivot must plan as Expand (map-side fan-out), not
+    a join or union of re-scans."""
+    plan = plan_string(Q["orders_status_unpivot"](spark, SF_DIR), "simple")
+    assert "Expand" in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_trigrams_single_exchange_for_all_windows(spark):
+    """Session assignment + both leads must share ONE user-keyed
+    exchange: the plan may not re-shuffle between window passes."""
+    plan = plan_string(Q["session_event_trigrams"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
