@@ -143,6 +143,12 @@ BUDGETS = {
     "schema_evolution_read": 4.0,  # includes the two-batch layout write
     "bucket_prefilter_revenue": 3.0,
     "winsorized_revenue_stats": 3.0,
+    "streaming_session_windows": 15.0,  # 6 sequential micro-batches + layout
+    "streaming_purchase_view_join": 15.0,  # two-source watermarked drain
+    "js_divergence_langs": 3.0,
+    "source_overlap_jaccard": 5.0,  # vocab self-join across sources
+    "embedding_drift_l2": 4.0,  # 64x posexplode of the vector table
+    "wordcount_sink_roundtrip": 5.0,  # custom write path + read-back
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

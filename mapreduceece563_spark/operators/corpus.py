@@ -397,3 +397,96 @@ SELECT doc_id, i AS chunk_id,
                      {CHUNK_CHARS})) AS chunk_hash
 FROM base
 """
+
+
+SOURCE_OVERLAP_TOP = 20
+
+
+def source_overlap_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 source pairs by vocabulary Jaccard — the redundancy map
+    a curator consults before deduplicating across deliveries ("these
+    two crawls are near-identical; dedup them against each other
+    first").
+
+    The (source, word) frame is distinct (vocabulary, not tokens —
+    Zipf-bounded), the pair join keys on the WORD with a src_a <
+    src_b guard, so fan-out per word is bounded by |sources|² — a
+    constant, never corpus-sized. Per-source vocab sizes broadcast
+    back; Jaccard is the pure-int64 ppm idiom; top-k is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source", "text"
+    )
+    docs = docs.filter(F.col("text").isNotNull() & (F.col("text") != ""))
+    sv = docs.select(
+        "source", F.explode(words_array(F.col("text"))).alias("word")
+    ).distinct()
+    sizes = sv.groupBy("source").agg(F.count("*").alias("_vs"))
+    a, b = sv.alias("a"), sv.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("_vs").alias("_va")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("_vs").alias("_vb")
+    )
+    scored = (
+        pairs.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.expr(
+                "(2 * 1000000 * n_common + (_va + _vb - n_common))"
+                " div (2 * (_va + _vb - n_common))"
+            ).alias("_jppm"),
+        )
+    )
+    return (
+        scored.orderBy(F.desc("_jppm"), F.asc("src_a"), F.asc("src_b"))
+        .limit(SOURCE_OVERLAP_TOP)
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            (F.col("_jppm") / 1e6).alias("jaccard"),
+        )
+    )
+
+
+from ..functions.text import words_cte_sql as _words_cte_sql  # noqa: E402
+
+SOURCE_OVERLAP_SQL = f"""
+WITH {_words_cte_sql(extra_cols="source")},
+sv AS (SELECT DISTINCT source, word FROM words_f),
+sizes AS (SELECT source, count(*) AS vs FROM sv GROUP BY source),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+  FROM sv a JOIN sv b ON a.word = b.word AND a.source < b.source
+  GROUP BY a.source, b.source
+),
+scored AS (
+  SELECT src_a, src_b, n_common,
+         (2 * 1000000 * n_common + (sa.vs + sb.vs - n_common))
+           // (2 * (sa.vs + sb.vs - n_common)) AS jppm
+  FROM pairs
+  JOIN sizes sa ON sa.source = pairs.src_a
+  JOIN sizes sb ON sb.source = pairs.src_b
+)
+SELECT src_a, src_b, n_common, jppm / 1e6 AS jaccard
+FROM scored
+ORDER BY jppm DESC, src_a ASC, src_b ASC
+LIMIT {SOURCE_OVERLAP_TOP}
+"""

@@ -268,3 +268,49 @@ SELECT event_type, count(*) AS n_events,
        CAST(sum(k) AS BIGINT) AS sum_k
 FROM parsed GROUP BY event_type
 """
+
+
+def _orc_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "orc")
+    if key in _FMT_CACHE:
+        return _FMT_CACHE[key]
+    path = _scratch(spark, sf_dir, "orc")
+    (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .orc(path)
+    )
+    _FMT_CACHE[key] = path
+    return path
+
+
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier stats off an ORC round-trip — the second
+    columnar container (vectorized scan, predicate pushdown and
+    column pruning apply to ORC exactly as to parquet; the
+    positive-balance filter here reaches the ORC reader as a pushed
+    predicate). The oracle recomputes from the parquet original, so
+    any ORC encode/decode drift (decimal/double handling, nulls)
+    breaks the hash."""
+    path = _orc_dir(spark, sf_dir)
+    sup = spark.read.orc(path).filter(F.col("s_acctbal") > 0)
+    return (
+        sup.groupBy("s_nationkey")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.sum(_cents(F.col("s_acctbal"))).alias("_bc"),
+        )
+        .select(
+            "s_nationkey",
+            "n_suppliers",
+            (F.col("_bc") / 100.0).alias("acctbal_total"),
+        )
+    )
+
+
+ORC_ROUNDTRIP_SQL = f"""
+SELECT s_nationkey, count(*) AS n_suppliers,
+       sum({_cents_sql('s_acctbal')}) / 100.0 AS acctbal_total
+FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
+"""

@@ -727,3 +727,105 @@ SELECT bucket, n_new_words,
          AS cum_vocab
 FROM per_bucket
 """
+
+
+JSD_LANG_A = "en"
+JSD_LANG_B = "de"
+JSD_SCALE = 1_000_000
+
+
+def js_divergence_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between the English and German
+    unigram distributions — the corpus-comparison statistic a data
+    curator uses to quantify how different two sources/slices are
+    before mixing them.
+
+    One tokenize pass over the two slices (shared scan, conditional
+    sums pivot the (word, lang) counts to one row per word), one
+    broadcast of the 1-row token totals. Per-word KL terms use double
+    RATIOS of exact int64 counts (p = a/Na etc. — identical IEEE
+    division in both engines, and no a*Nb product that would overflow
+    int64 at the 100 TB posture), then quantize ln() to micro-nats
+    BEFORE the weighted sum, which runs as Σ count·int64 — fold-order
+    free. The final jsd is two exact divisions on the int sums."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang", "text"
+    )
+    docs = docs.filter(
+        F.col("lang").isin(JSD_LANG_A, JSD_LANG_B)
+        & F.col("text").isNotNull()
+        & (F.col("text") != "")
+    )
+    tokens = docs.select("lang", F.explode(words_array(F.col("text"))).alias("word"))
+    counts = tokens.groupBy("word").agg(
+        F.sum(F.when(F.col("lang") == JSD_LANG_A, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("lang") == JSD_LANG_B, 1).otherwise(0)).alias("b"),
+    )
+    totals = counts.agg(
+        F.sum("a").alias("_na"), F.sum("b").alias("_nb")
+    )
+    terms = counts.crossJoin(F.broadcast(totals)).select(
+        "a",
+        "b",
+        "_na",
+        "_nb",
+        F.expr(
+            f"""CASE WHEN a > 0 THEN a * CAST(round(ln(
+                  (2 * (a / CAST(_na AS DOUBLE))) /
+                  (a / CAST(_na AS DOUBLE) + b / CAST(_nb AS DOUBLE))
+                ) * {JSD_SCALE}) AS BIGINT) ELSE 0 END"""
+        ).alias("_t1"),
+        F.expr(
+            f"""CASE WHEN b > 0 THEN b * CAST(round(ln(
+                  (2 * (b / CAST(_nb AS DOUBLE))) /
+                  (a / CAST(_na AS DOUBLE) + b / CAST(_nb AS DOUBLE))
+                ) * {JSD_SCALE}) AS BIGINT) ELSE 0 END"""
+        ).alias("_t2"),
+    )
+    return terms.groupBy().agg(
+        F.count("*").alias("n_vocab_union"),
+        F.max("_na").alias("n_tokens_a"),
+        F.max("_nb").alias("n_tokens_b"),
+        (
+            (
+                F.sum("_t1") / F.max("_na")
+                + F.sum("_t2") / F.max("_nb")
+            )
+            / (2.0 * JSD_SCALE)
+        ).alias("jsd_nats"),
+    )
+
+
+from ..functions.text import words_cte_sql as _words_cte_sql  # noqa: E402
+
+JS_DIVERGENCE_SQL = f"""
+WITH {_words_cte_sql(extra_cols="lang")},
+counts AS (
+  SELECT word,
+         sum(CASE WHEN lang = '{JSD_LANG_A}' THEN 1 ELSE 0 END) AS a,
+         sum(CASE WHEN lang = '{JSD_LANG_B}' THEN 1 ELSE 0 END) AS b
+  FROM words_f WHERE lang IN ('{JSD_LANG_A}', '{JSD_LANG_B}')
+  GROUP BY word
+),
+tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+        FROM counts),
+terms AS (
+  SELECT a, b, na, nb,
+         CASE WHEN a > 0 THEN a * CAST(round(ln(
+             (2 * (a / CAST(na AS DOUBLE))) /
+             (a / CAST(na AS DOUBLE) + b / CAST(nb AS DOUBLE))
+           ) * {JSD_SCALE}) AS BIGINT) ELSE 0 END AS t1,
+         CASE WHEN b > 0 THEN b * CAST(round(ln(
+             (2 * (b / CAST(nb AS DOUBLE))) /
+             (a / CAST(na AS DOUBLE) + b / CAST(nb AS DOUBLE))
+           ) * {JSD_SCALE}) AS BIGINT) ELSE 0 END AS t2
+  FROM counts CROSS JOIN tot
+)
+SELECT count(*) AS n_vocab_union,
+       max(na) AS n_tokens_a,
+       max(nb) AS n_tokens_b,
+       (sum(t1) / CAST(max(na) AS DOUBLE)
+        + sum(t2) / CAST(max(nb) AS DOUBLE)) / (2.0 * {JSD_SCALE})
+         AS jsd_nats
+FROM terms
+"""

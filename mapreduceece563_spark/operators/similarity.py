@@ -874,3 +874,103 @@ SELECT subspace, code, count(*) AS n_vectors,
 FROM best WHERE rn = 1
 GROUP BY subspace, code
 """
+
+
+DRIFT_SCALE = 1_000_000
+
+
+def embedding_drift_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-distribution drift: L2 distance between the mean
+    vectors of two cohorts (even vs odd vec_id — the stand-in for
+    yesterday's batch vs today's) — the cheap first-line monitor for
+    an upstream encoder change or a corrupted delivery.
+
+    One pass: posexplode each vector to (dim, half, micro-quantized
+    int64), one (dim, half)-keyed aggregate (128 groups at any corpus
+    size, map-side combine applies), then the 64-row mean frame pivots
+    to per-dim diffs. Means are half-up integer division; the final
+    sqrt runs once over an exact integer sum, so both engines see the
+    identical double."""
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "embedding"
+    )
+    q = emb.select(
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * DRIFT_SCALE, 0).cast(
+                    "long"
+                ),
+            )
+        ).alias("dim", "qv"),
+    )
+    sums = q.groupBy("dim", "half").agg(
+        F.sum("qv").alias("_s"), F.count("*").alias("_n")
+    )
+    means = sums.select(
+        "dim",
+        "half",
+        F.expr(
+            "CASE WHEN _s >= 0 THEN (2 * _s + _n) div (2 * _n)"
+            " ELSE -((2 * (-_s) + _n) div (2 * _n)) END"
+        ).alias("_m"),
+        "_n",
+    )
+    wide = means.groupBy("dim").agg(
+        F.max(F.when(F.col("half") == 0, F.col("_m"))).alias("_ma"),
+        F.max(F.when(F.col("half") == 1, F.col("_m"))).alias("_mb"),
+        F.max(F.when(F.col("half") == 0, F.col("_n"))).alias("_na"),
+        F.max(F.when(F.col("half") == 1, F.col("_n"))).alias("_nb"),
+    )
+    return wide.agg(
+        F.max("_na").alias("n_vecs_even"),
+        F.max("_nb").alias("n_vecs_odd"),
+        (
+            F.sqrt(
+                F.sum(
+                    (F.col("_ma") - F.col("_mb"))
+                    * (F.col("_ma") - F.col("_mb"))
+                )
+            )
+            / DRIFT_SCALE
+        ).alias("l2_mean_distance"),
+    )
+
+
+EMBEDDING_DRIFT_SQL = f"""
+WITH q AS (
+  SELECT vec_id % 2 AS half,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {DRIFT_SCALE}) AS BIGINT))
+           AS qv
+  FROM embeddings
+),
+sums AS (
+  SELECT ii.i AS dim, half,
+         CAST(sum(q.qv[ii.i + 1]) AS BIGINT) AS s,
+         count(*) AS n
+  FROM q, range(0, 64) ii(i)
+  GROUP BY ii.i, half
+),
+means AS (
+  SELECT dim, half,
+         CASE WHEN s >= 0 THEN (2 * s + n) // (2 * n)
+              ELSE -((2 * (-s) + n) // (2 * n)) END AS m,
+         n
+  FROM sums
+),
+wide AS (
+  SELECT dim,
+         max(CASE WHEN half = 0 THEN m END) AS ma,
+         max(CASE WHEN half = 1 THEN m END) AS mb,
+         max(CASE WHEN half = 0 THEN n END) AS na,
+         max(CASE WHEN half = 1 THEN n END) AS nb
+  FROM means GROUP BY dim
+)
+SELECT CAST(max(na) AS BIGINT) AS n_vecs_even,
+       CAST(max(nb) AS BIGINT) AS n_vecs_odd,
+       sqrt(sum(CAST((ma - mb) * (ma - mb) AS DOUBLE)))
+         / {DRIFT_SCALE} AS l2_mean_distance
+FROM wide
+"""

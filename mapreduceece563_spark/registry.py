@@ -35,6 +35,7 @@ from .operators import textstats as ts
 from .operators import trainprep as tr
 from .operators import wordcount as wc
 from .session import ship_package
+from .streaming import join_stream as js
 from .streaming import stateful as sf
 from .streaming import windowed_stream as ws
 from .streaming import wordcount_stream as st
@@ -564,6 +565,36 @@ register(
 )
 register("pq_codebook_assign", sim.pq_codebook_assign, sim.PQ_CODEBOOK_SQL)
 register(
+    "pseudonymized_export_audit",
+    tr.pseudonymized_export_audit,
+    tr.PSEUDONYMIZED_EXPORT_SQL,
+)
+register(
+    "streaming_session_windows",
+    ws.streaming_session_windows,
+    ss.SESSION_WINDOW_SQL,
+)
+register(
+    "streaming_purchase_view_join",
+    js.streaming_purchase_view_join,
+    js.STREAMING_JOIN_SQL,
+)
+register(
+    "js_divergence_langs",
+    ng.js_divergence_langs,
+    ng.JS_DIVERGENCE_SQL,
+)
+register(
+    "source_overlap_jaccard",
+    cp.source_overlap_jaccard,
+    cp.SOURCE_OVERLAP_SQL,
+)
+register(
+    "embedding_drift_l2",
+    sim.embedding_drift_l2,
+    sim.EMBEDDING_DRIFT_SQL,
+)
+register(
     "csv_roundtrip_stats",
     fmt.csv_roundtrip_stats,
     fmt.CSV_ROUNDTRIP_SQL,
@@ -583,6 +614,11 @@ register(
     fmt.events_variant_stats,
     fmt.EVENTS_VARIANT_SQL,
 )
+register(
+    "orc_roundtrip_stats",
+    fmt.orc_roundtrip_stats,
+    fmt.ORC_ROUNDTRIP_SQL,
+)
 
 # Custom Python Data Source (the reference's chunked-text layout read
 # through Spark's public DataSource V2 Python API).
@@ -593,4 +629,9 @@ register(
     "chunktext_pruned_count",
     ct.chunktext_pruned_count,
     ct.chunktext_pruned_sql(),
+)
+register(
+    "wordcount_sink_roundtrip",
+    ct.wordcount_sink_roundtrip,
+    wc.WORDCOUNT_SQL,
 )

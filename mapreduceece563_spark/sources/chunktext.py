@@ -237,3 +237,123 @@ SELECT CAST({PRUNED_CHUNK} AS BIGINT) AS chunk_id,
        CAST(coalesce(sum(len({_words_sql()})), 0) AS BIGINT) AS n_words
 FROM sel
 """
+
+
+# --- the write path: the reference's S4 sink as a custom writer -------
+
+from dataclasses import dataclass  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class ChunkCommit(WriterCommitMessage):
+    tmp_path: str
+    chunk_id: int
+    n_rows: int
+
+
+class ChunkTextWriter(DataSourceWriter):
+    """Partitioned space-separated text sink — the reference's S4
+    output contract (`"word cnt\\n"` per row, one file per reducer,
+    /root/reference/mpi_mapreduce.c:278-289) behind the public
+    Python DataSource write API, WITH the commit protocol the
+    reference lacks: each task writes a uniquely-named temp file and
+    reports it in its commit message; only the driver-side commit()
+    renames temps to their final ``chunk_<pid>.txt`` names, so a
+    failed/speculative task attempt can never leave a half-written
+    chunk visible (the reference's writer would)."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunktext requires .option('path', <dir>)")
+        self.dir = path
+
+    def write(self, rows) -> ChunkCommit:
+        import uuid
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.dir, exist_ok=True)
+        tmp = os.path.join(self.dir, f".tmp_{uuid.uuid4().hex}")
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for row in rows:
+                fh.write(" ".join(str(v) for v in row) + "\n")
+                n += 1
+        return ChunkCommit(tmp, pid, n)
+
+    def commit(self, messages) -> None:
+        for m in messages:
+            os.replace(
+                m.tmp_path,
+                os.path.join(
+                    self.dir, f"{CHUNK_PREFIX}{m.chunk_id}{CHUNK_SUFFIX}"
+                ),
+            )
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            try:
+                os.remove(m.tmp_path)
+            except OSError:
+                pass
+
+
+def _writer(self, schema, overwrite: bool) -> ChunkTextWriter:
+    path = self.options.get("path")
+    if overwrite and path and os.path.isdir(path):
+        for name in os.listdir(path):
+            if name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX):
+                os.remove(os.path.join(path, name))
+    return ChunkTextWriter(self.options)
+
+
+ChunkTextDataSource.writer = _writer
+
+
+def wordcount_sink_roundtrip(spark, sf_dir: str):
+    """S4 certified end to end through the CUSTOM WRITE PATH: the
+    word-count result is written as space-separated chunk files by
+    ChunkTextWriter (task-temp + driver-commit protocol), read back
+    through the chunktext reader, parsed, and re-aggregated — the
+    result must hash-equal the plain WORDCOUNT_SQL oracle, so a
+    serialization or commit defect (lost partition, torn line,
+    double-committed attempt) breaks the value hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize_lines  # noqa: F401 (parity import)
+    from ..operators.wordcount import wordcount
+
+    register_chunktext(spark)
+    out = os.path.join(
+        tempfile.gettempdir(),
+        "chunktext_sink",
+        spark.sparkContext.applicationId,
+        os.path.basename(sf_dir.rstrip("/")),
+    )
+    counts = wordcount(spark, sf_dir)
+    (
+        counts.write.format("chunktext")
+        .option("path", out)
+        .mode("overwrite")
+        .save()
+    )
+    back = (
+        spark.read.format("chunktext")
+        .option("path", out)
+        .load()
+        .select(F.split("text", " ").alias("_p"))
+        .select(
+            F.element_at("_p", 1).alias("word"),
+            F.element_at("_p", 2).cast("long").alias("cnt"),
+        )
+    )
+    return back.groupBy("word").agg(F.sum("cnt").alias("cnt"))

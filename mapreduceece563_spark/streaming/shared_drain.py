@@ -37,8 +37,13 @@ _DRAIN_CACHE: dict[tuple[str, str], dict[str, str]] = {}
 
 def reset() -> None:
     """Forget completed drains (bench.py calls this between passes so
-    each pass times a real concurrent drain, not a sink read-back)."""
+    each pass times a real concurrent drain, not a sink read-back).
+    Also clears the append-mode session-window drain memo."""
     _DRAIN_CACHE.clear()
+    from . import join_stream, windowed_stream
+
+    windowed_stream.reset_session_windows()
+    join_stream.reset_join_stream()
 
 
 def drain_event_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:

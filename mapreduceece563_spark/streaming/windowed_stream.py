@@ -65,3 +65,142 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("hour", "event_type", "n_events", "value_sum")
     )
+
+
+# ----------------------------------------------------------------------
+# Streaming SESSION windows — the append-mode/watermark shape.
+#
+# Unlike the update-mode entries above, sessions are emitted exactly
+# once, when the watermark passes session_end: that requires (a) a
+# source whose replay is time-ordered ACROSS micro-batches, so the
+# watermark only ever moves forward past data that is fully ingested,
+# and (b) something to push the final watermark past the last real
+# session. This harness builds both: the event table is written as
+# strictly time-ranged chunk files in mtime order (the file source
+# replays them oldest-first), and two far-future SENTINEL files (a
+# user_id=-1 row each) land in their own final micro-batches — the
+# first advances the watermark past every real session, the second
+# triggers the batch in which that eviction is emitted. Sentinels are
+# filtered from the read-back. The watermark delay (1 hour) exceeds
+# the session gap, and chunk ranges are disjoint, so no real event
+# can ever arrive behind the watermark — the stream is lossless by
+# construction and must equal the batch session_window oracle.
+# ----------------------------------------------------------------------
+
+import os
+import shutil
+
+from ..sources.catalog import load_table
+
+# (appId, sf_dir) -> finalized-sessions partials dir
+_SESSION_WIN_CACHE: dict[tuple[str, str], str] = {}
+
+SESSION_SENTINELS = ("2030-01-01 00:00:00", "2030-01-02 00:00:00")
+N_SESSION_CHUNKS = 4
+
+
+def reset_session_windows() -> None:
+    _SESSION_WIN_CACHE.clear()
+
+
+def _session_window_drain(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SESSION_WIN_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .wordcount_stream import _fresh_workdir
+
+    work = _fresh_workdir("session_win")
+    src = os.path.join(work, "src")
+    sink = os.path.join(work, "sessions")
+    os.makedirs(src, exist_ok=True)
+    os.makedirs(sink, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    # Harness setup (not a query path): one 1-row min/max action to
+    # derive the chunk boundaries for the time-ordered replay.
+    bounds = ev.agg(
+        F.unix_micros(F.min("ts")).alias("lo"),
+        F.unix_micros(F.max("ts")).alias("hi"),
+    ).first()
+    lo, hi = bounds["lo"], bounds["hi"]
+    if lo is not None:
+        span = max(1, (hi - lo) + 1)
+        us = F.unix_micros(F.col("ts"))
+        for k in range(N_SESSION_CHUNKS):
+            a = lo + (span * k) // N_SESSION_CHUNKS
+            b = lo + (span * (k + 1)) // N_SESSION_CHUNKS
+            (
+                ev.filter((us >= a) & (us < b))
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+    for s_ts in SESSION_SENTINELS:
+        (
+            spark.createDataFrame([(-1, s_ts)], "user_id BIGINT, ts STRING")
+            .select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = (
+            spark.readStream.schema("user_id BIGINT, ts TIMESTAMP")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sess = (
+            stream.withWatermark("ts", "1 hour")
+            .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+
+        def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            ).write.mode("overwrite").parquet(
+                os.path.join(sink, f"batch_id={batch_id}")
+            )
+
+        q = (
+            sess.writeStream.foreachBatch(sink_fn)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(work, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+    _SESSION_WIN_CACHE[key] = sink
+    return sink
+
+
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows computed by an actual append-mode
+    Structured Streaming run (native ``session_window`` + watermark,
+    sessions emitted exactly once on finalization), oracle-checked
+    against the batch lag/cumsum SQL. See the drain docstring for why
+    this is lossless."""
+    from .wordcount_stream import _partial_files
+
+    sink = _session_window_drain(spark, sf_dir)
+    if not _partial_files(sink):
+        return spark.createDataFrame(
+            [],
+            "user_id BIGINT, session_start TIMESTAMP,"
+            " session_end TIMESTAMP, n_events BIGINT",
+        )
+    return (
+        spark.read.parquet(sink)
+        .filter(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "session_end", "n_events")
+    )

@@ -69,3 +69,25 @@ def test_reader_round_trips_every_line(spark):
         .collect()
     }
     assert got == exp
+
+
+def test_writer_commit_protocol_leaves_no_temps(spark, tmp_path):
+    """The custom write path must commit atomically: final chunk_*.txt
+    files only, no .tmp_* residue, and a re-write (overwrite mode)
+    replaces the previous generation completely."""
+    import os
+
+    register_chunktext(spark)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [("alpha", 2), ("beta", 3), ("gamma", 1)], "word STRING, cnt LONG"
+    ).repartition(2)
+    for _ in range(2):  # second pass exercises overwrite cleanup
+        df.write.format("chunktext").option("path", out).mode(
+            "overwrite"
+        ).save()
+    names = sorted(os.listdir(out))
+    assert all(n.startswith("chunk_") and n.endswith(".txt") for n in names)
+    back = spark.read.format("chunktext").option("path", out).load()
+    got = sorted(r["text"] for r in back.collect())
+    assert got == ["alpha 2", "beta 3", "gamma 1"]
