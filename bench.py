@@ -149,6 +149,11 @@ BUDGETS = {
     "source_overlap_jaccard": 5.0,  # vocab self-join across sources
     "embedding_drift_l2": 4.0,  # 64x posexplode of the vector table
     "wordcount_sink_roundtrip": 5.0,  # custom write path + read-back
+    "copurchase_degree_distribution": 4.0,  # basket self-join + Expand
+    "embedding_linear_scores": 3.0,
+    "customer_order_window_profile": 3.0,
+    "orc_roundtrip_stats": 3.0,  # includes the once-per-session ORC write
+    "table_expectations_audit": 3.0,  # six pruned 1-row aggregates
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -331,3 +331,59 @@ SELECT (SELECT count(*) FROM deg) AS n_nodes,
        n_triangles
 FROM tri
 """
+
+
+def copurchase_degree_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree distribution (frequency-of-frequency spectrum) of the
+    co-purchase graph — the first diagnostic before any graph
+    algorithm: is the degree tail heavy enough to need the hub
+    handling pagerank/triangles apply?
+
+    Edges come from the same distinct-first basket self-join as
+    copurchase_pairs (fan-out bounded by basket width squared);
+    degree is a distinct-neighbor count per part — emitted from the
+    UNDIRECTED edge list by counting each a<b edge for both ends via
+    a map-side Expand (explode of the two endpoints), never a second
+    join; the spectrum is the tiny degree-keyed rollup. At any scale
+    the only wide exchanges are on edge keys and part ids."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    ends = edges.select(
+        F.explode(F.array(F.col("pa"), F.col("pb"))).alias("part")
+    )
+    degrees = ends.groupBy("part").agg(F.count("*").alias("degree"))
+    return degrees.groupBy("degree").agg(F.count("*").alias("n_parts"))
+
+
+COPURCHASE_DEGREE_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+ends AS (
+  SELECT pa AS part FROM edges UNION ALL SELECT pb AS part FROM edges
+),
+degrees AS (SELECT part, count(*) AS degree FROM ends GROUP BY part)
+SELECT degree, count(*) AS n_parts FROM degrees GROUP BY degree
+"""

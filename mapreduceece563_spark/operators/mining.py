@@ -614,3 +614,101 @@ SELECT n_groups, CAST(min_k AS BIGINT) AS min_k,
          AS risk_row_share
 FROM roll
 """
+
+
+def table_expectations_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-contract audit (the Great-Expectations shape):
+    one row per named check with the checked-row and violation
+    counts, unioned across tables — the gate a pipeline runs on every
+    delivery before anything downstream trusts it.
+
+    Each check is a 1-row aggregate over only its own pruned columns
+    (six scans of one or two columns each — cheaper than one
+    wide scan at lake scale because each parquet read materializes
+    just that check's columns); uniqueness checks are
+    count - count(DISTINCT) so they need no self-join. The union is
+    a 6-row frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    docs = load_table(spark, sf_dir, "documents")
+
+    def check(name: str, df: DataFrame, violation) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(violation, 1).otherwise(0)).alias("n_violations"),
+        )
+
+    def unique_check(name: str, df: DataFrame, col: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_rows"),
+            (F.count("*") - F.count_distinct(F.col(col))).alias(
+                "n_violations"
+            ),
+        )
+
+    return (
+        check(
+            "orders_totalprice_positive",
+            orders.select("o_totalprice"),
+            F.col("o_totalprice") <= 0,
+        )
+        .union(
+            check(
+                "lineitem_discount_in_range",
+                li.select("l_discount"),
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 1),
+            )
+        )
+        .union(
+            check(
+                "lineitem_quantity_positive",
+                li.select("l_quantity"),
+                F.col("l_quantity") <= 0,
+            )
+        )
+        .union(unique_check("customer_custkey_unique", cust, "c_custkey"))
+        .union(unique_check("events_event_id_unique", ev, "event_id"))
+        .union(
+            check(
+                "documents_nchars_consistent",
+                docs.select("n_chars", "text"),
+                F.coalesce(F.col("n_chars"), F.lit(-1))
+                != F.coalesce(F.length("text"), F.lit(-1)),
+            )
+        )
+    )
+
+
+TABLE_EXPECTATIONS_SQL = """
+SELECT 'orders_totalprice_positive' AS check_name, count(*) AS n_rows,
+       CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_violations
+FROM orders
+UNION ALL
+SELECT 'lineitem_discount_in_range', count(*),
+       CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'lineitem_quantity_positive', count(*),
+       CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'customer_custkey_unique', count(*),
+       count(*) - count(DISTINCT c_custkey)
+FROM customer
+UNION ALL
+SELECT 'events_event_id_unique', count(*),
+       count(*) - count(DISTINCT event_id)
+FROM events
+UNION ALL
+SELECT 'documents_nchars_consistent', count(*),
+       CAST(sum(CASE WHEN coalesce(n_chars, -1)
+                       <> coalesce(length(text), -1)
+                THEN 1 ELSE 0 END) AS BIGINT)
+FROM documents
+"""

@@ -2253,3 +2253,87 @@ UNION ALL
 SELECT o_orderpriority, 'P' AS o_orderstatus, rev_p / 100.0 AS revenue
 FROM wide
 """
+
+
+def customer_order_window_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Window-frame breadth in one oracle-checked query: per ordered
+    customer — their first order's value (``first_value``), their
+    third order's value (``nth_value(3)``, NULL for customers with
+    fewer), order count, and where their total spend sits within
+    their nation (``cume_dist``, tie-broken by custkey so the ratio
+    is a deterministic count quotient).
+
+    Two window passes, each on its natural partition key (custkey for
+    the order-sequence frame — explicit UNBOUNDED/UNBOUNDED rows
+    frame, identical in the oracle, because the default frame stops
+    at CURRENT ROW and would NULL nth_value until row 3 — and
+    nationkey for the distribution pass over the per-customer
+    aggregate, which is dim-sized). Money stays int64 cents until the
+    final projection."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").cast("date").alias("_od"),
+        _cents(F.col("o_totalprice")).alias("_tc"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("_od"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_order = orders.select(
+        "o_custkey",
+        "_tc",
+        F.first("_tc").over(w).alias("_first"),
+        F.nth_value("_tc", 3).over(w).alias("_third"),
+    )
+    per_cust = per_order.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"),
+        F.max("_first").alias("_fv"),
+        F.max("_third").alias("_tv"),
+        F.sum("_tc").alias("_tot"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    joined = per_cust.join(
+        cust, per_cust["o_custkey"] == cust["c_custkey"]
+    )
+    w2 = Window.partitionBy("c_nationkey").orderBy(
+        F.asc("_tot"), F.asc("o_custkey")
+    )
+    return joined.select(
+        F.col("o_custkey").alias("custkey"),
+        "n_orders",
+        (F.col("_fv") / 100.0).alias("first_order_value"),
+        (F.col("_tv") / 100.0).alias("third_order_value"),
+        F.cume_dist().over(w2).alias("nation_spend_cume_dist"),
+    )
+
+
+CUSTOMER_WINDOW_PROFILE_SQL = f"""
+WITH per_order AS (
+  SELECT o_custkey,
+         {_cents_sql('o_totalprice')} AS tc,
+         first_value({_cents_sql('o_totalprice')}) OVER w AS fv,
+         nth_value({_cents_sql('o_totalprice')}, 3) OVER w AS tv
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey
+               ORDER BY CAST(o_orderdate AS DATE) ASC, o_orderkey ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+),
+per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders,
+         max(fv) AS fv, max(tv) AS tv, sum(tc) AS tot
+  FROM per_order GROUP BY o_custkey
+)
+SELECT p.o_custkey AS custkey, n_orders,
+       fv / 100.0 AS first_order_value,
+       tv / 100.0 AS third_order_value,
+       cume_dist() OVER (PARTITION BY c.c_nationkey
+                         ORDER BY tot ASC, p.o_custkey ASC)
+         AS nation_spend_cume_dist
+FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+"""

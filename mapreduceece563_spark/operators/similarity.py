@@ -974,3 +974,96 @@ SELECT CAST(max(na) AS BIGINT) AS n_vecs_even,
          / {DRIFT_SCALE} AS l2_mean_distance
 FROM wide
 """
+
+
+SCORE_SCALE = 1_000_000
+
+
+def _linear_weights() -> list[float]:
+    """Fixed deterministic 64-d weight vector (Knuth-hash spread over
+    [-0.5, 0.5)) — both engines rebuild it from the same integer
+    expression, so the 'model' needs no side-channel artifact."""
+    return [((i * 2654435761) % 1000 - 500) / 1000.0 for i in range(64)]
+
+
+def embedding_linear_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model inference: score every embedding with a fixed
+    linear model (dot product with a deterministic weight vector) and
+    profile scores per label — the shape of every embedding-based
+    quality/safety classifier pass over a corpus.
+
+    The weight vector is a 64-element broadcast LITERAL (a model of
+    any size ships the same way — broadcast, never a join); the dot
+    product is an explicit left-fold (identical IEEE order in both
+    engines, the kmeans contract); scores quantize to int64
+    micro-units BEFORE the per-label aggregate, so sums are fold-order
+    free, and the mean uses the sign-aware half-up idiom. Map-only +
+    one |labels|-row aggregate: nothing at corpus scale shuffles."""
+    ws = _linear_weights()
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "label", "embedding"
+    )
+    warr = F.array(*[F.lit(w) for w in ws])
+    dot = F.aggregate(
+        F.zip_with(
+            F.transform("embedding", lambda x: x.cast("double")),
+            warr,
+            lambda x, y: x * y,
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.select(
+        "label",
+        F.round(dot * SCORE_SCALE, 0).cast("long").alias("_s"),
+    )
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.sum("_s").alias("_sum"),
+            F.min("_s").alias("_min"),
+            F.max("_s").alias("_max"),
+        )
+        .select(
+            "label",
+            "n_vectors",
+            (
+                F.expr(
+                    "CASE WHEN _sum >= 0 THEN"
+                    " (2 * _sum + n_vectors) div (2 * n_vectors)"
+                    " ELSE -((2 * (-_sum) + n_vectors) div (2 * n_vectors))"
+                    " END"
+                )
+                / float(SCORE_SCALE)
+            ).alias("mean_score"),
+            (F.col("_min") / float(SCORE_SCALE)).alias("min_score"),
+            (F.col("_max") / float(SCORE_SCALE)).alias("max_score"),
+        )
+    )
+
+
+EMBEDDING_LINEAR_SCORES_SQL = f"""
+WITH w AS (
+  SELECT list_transform(range(0, 64),
+           i -> ((i * 2654435761) % 1000 - 500) / 1000.0) AS ws
+),
+scored AS (
+  SELECT label,
+         CAST(round(list_reduce(list_prepend(0.0,
+             list_transform(
+               list_zip(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                        w.ws),
+               p -> p[1] * p[2])),
+             (acc, x) -> acc + x) * {SCORE_SCALE}) AS BIGINT) AS s
+  FROM embeddings CROSS JOIN w
+)
+SELECT label, count(*) AS n_vectors,
+       (CASE WHEN sum(s) >= 0
+             THEN (2 * sum(s) + count(*)) // (2 * count(*))
+             ELSE -((2 * (-sum(s)) + count(*)) // (2 * count(*))) END)
+         / {SCORE_SCALE}.0 AS mean_score,
+       min(s) / {SCORE_SCALE}.0 AS min_score,
+       max(s) / {SCORE_SCALE}.0 AS max_score
+FROM scored GROUP BY label
+"""

@@ -357,3 +357,39 @@ FROM scored GROUP BY user_id
 ORDER BY score DESC, user_id ASC
 LIMIT {DECAY_TOP}
 """
+
+
+LOCAL_TZ = "America/New_York"
+
+
+def events_hourly_local_tz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile in a NAMED civil timezone
+    (America/New_York) — the dashboard view every global event
+    pipeline needs, and a classic cross-engine divergence trap: both
+    engines must consult the same IANA tzdata with the same
+    interpretation of the stored instant.
+
+    The stored timestamps are UTC instants (catalog contract). Spark
+    shifts with ``from_utc_timestamp``; the oracle pins the
+    interpretation SESSION-INDEPENDENTLY by composing DuckDB's
+    two-argument ``timezone`` twice (naive→UTC-instant→NY wall
+    clock), so the driver's DuckDB session timezone cannot change the
+    result. Map-only + one 24x|types| aggregate."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts")
+    return (
+        ev.select(
+            "event_type",
+            F.hour(F.from_utc_timestamp("ts", LOCAL_TZ)).alias("local_hour"),
+        )
+        .groupBy("local_hour", "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+EVENTS_HOURLY_LOCAL_SQL = f"""
+SELECT CAST(extract(hour FROM
+         timezone('{LOCAL_TZ}', timezone('UTC', ts))) AS INTEGER)
+         AS local_hour,
+       event_type, count(*) AS n_events
+FROM events GROUP BY 1, 2
+"""

@@ -574,10 +574,40 @@ register(
     ws.streaming_session_windows,
     ss.SESSION_WINDOW_SQL,
 )
+# streaming_tws_user_profile (transformWithStateInPandas, Spark 4's
+# typed-state API) is implemented in streaming/stateful.py but NOT
+# registered: the API's driver worker needs the `protobuf` package,
+# absent in this environment (no installs). tests/test_tws.py runs it
+# against the same oracle wherever protobuf exists and skips here.
 register(
     "streaming_purchase_view_join",
     js.streaming_purchase_view_join,
     js.STREAMING_JOIN_SQL,
+)
+register(
+    "events_hourly_local_tz",
+    tp.events_hourly_local_tz,
+    tp.EVENTS_HOURLY_LOCAL_SQL,
+)
+register(
+    "table_expectations_audit",
+    mn.table_expectations_audit,
+    mn.TABLE_EXPECTATIONS_SQL,
+)
+register(
+    "copurchase_degree_distribution",
+    gph.copurchase_degree_distribution,
+    gph.COPURCHASE_DEGREE_SQL,
+)
+register(
+    "embedding_linear_scores",
+    sim.embedding_linear_scores,
+    sim.EMBEDDING_LINEAR_SCORES_SQL,
+)
+register(
+    "customer_order_window_profile",
+    rel.customer_order_window_profile,
+    rel.CUSTOMER_WINDOW_PROFILE_SQL,
 )
 register(
     "js_divergence_langs",

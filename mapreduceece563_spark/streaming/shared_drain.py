@@ -40,10 +40,11 @@ def reset() -> None:
     each pass times a real concurrent drain, not a sink read-back).
     Also clears the append-mode session-window drain memo."""
     _DRAIN_CACHE.clear()
-    from . import join_stream, windowed_stream
+    from . import join_stream, stateful, windowed_stream
 
     windowed_stream.reset_session_windows()
     join_stream.reset_join_stream()
+    stateful.reset_tws()
 
 
 def drain_event_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
