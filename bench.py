@@ -63,13 +63,14 @@ HEADLINE = (
 BUDGET_DEFAULT = 2.0
 BUDGETS = {
     "ngram_jaccard_pairs": 5.0,
-    "orders_price_band": 3.0,  # banded BNLJ: best-of-3 varies 1.4-2.2s
+    "orders_price_band": 5.0,  # banded BNLJ: best-of-3 varies 1.4-4.1s
 
     "dedup_groups": 5.0,
     "tfidf_cosine_pairs": 5.0,
     "user_gap_stats": 5.0,
     "wordcount_by_lang": 5.0,
     "q3_top_unshipped": 3.0,
+    "q9_profit_by_nation": 3.0,  # five-table join: 1.5-2.0s steady state
     "sessionize": 3.0,
     "session_window_counts": 3.0,
     "minhash_jaccard_estimate": 5.0,
@@ -154,6 +155,8 @@ BUDGETS = {
     "customer_order_window_profile": 3.0,
     "orc_roundtrip_stats": 3.0,  # includes the once-per-session ORC write
     "table_expectations_audit": 3.0,  # six pruned 1-row aggregates
+    "cogroup_bucket_reconciliation": 4.0,  # two-sided Arrow grouped map
+    "streaming_wordcount_via_datasource": 12.0,  # Python-source micro-batches
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -712,3 +712,110 @@ SELECT 'documents_nchars_consistent', count(*),
                 THEN 1 ELSE 0 END) AS BIGINT)
 FROM documents
 """
+
+
+N_COGROUP_BUCKETS = 16
+
+
+def cogroup_bucket_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Header/detail reconciliation through ``cogroup(...).
+    applyInPandas`` — the two-sided Arrow grouped-map API (the last
+    UDF shape beside scalar pandas_udf, one-sided grouped map,
+    mapInPandas, and applyInPandasWithState, all pinned elsewhere).
+
+    The cogroup key is a 16-way orderkey bucket, so each task gets
+    both tables' full bucket as two pandas frames and reconciles them
+    vectorized (an order-grain merge inside the bucket); output is
+    one row per bucket. This is the pattern for paired-table logic
+    that SQL can't express (custom matching, per-entity model fits) —
+    for THIS query the native plan exists
+    (order_lineitem_reconciliation) and is what production should
+    use; the entry certifies the API against that same SQL semantics.
+    Money enters the Python boundary already quantized to int64
+    cents (Spark-side round), so pandas sums are exact int64.
+
+    Buckets with detail rows but no header rows are skipped on both
+    sides (the oracle drives from the header table) — the FK-orphan
+    direction is order_lineitem_reconciliation's job."""
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % N_COGROUP_BUCKETS).alias("bucket"),
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("hc"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % N_COGROUP_BUCKETS).alias("bucket"),
+        "l_orderkey",
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("dc"),
+    )
+
+    def merge(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            return pd.DataFrame(
+                columns=[
+                    "bucket",
+                    "n_orders",
+                    "n_orders_with_lines",
+                    "header_total",
+                    "detail_total",
+                ]
+            )
+        with_lines = left["o_orderkey"].isin(set(right["l_orderkey"]))
+        return pd.DataFrame(
+            {
+                "bucket": [int(key[0])],
+                "n_orders": [len(left)],
+                "n_orders_with_lines": [int(with_lines.sum())],
+                "header_total": [int(left["hc"].sum()) / 100.0],
+                "detail_total": [int(right["dc"].sum()) / 100.0],
+            }
+        )
+
+    return (
+        orders.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
+        .applyInPandas(
+            merge,
+            "bucket BIGINT, n_orders BIGINT, n_orders_with_lines BIGINT,"
+            " header_total DOUBLE, detail_total DOUBLE",
+        )
+    )
+
+
+COGROUP_RECONCILIATION_SQL = f"""
+WITH h AS (
+  SELECT o_orderkey % {N_COGROUP_BUCKETS} AS bucket, o_orderkey,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS hc
+  FROM orders
+),
+d AS (
+  SELECT l_orderkey % {N_COGROUP_BUCKETS} AS bucket, l_orderkey,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+           AS dc
+  FROM lineitem
+),
+ho AS (
+  SELECT bucket, count(*) AS n_orders, sum(hc) AS ht
+  FROM h GROUP BY bucket
+),
+wl AS (
+  SELECT h.bucket, count(*) AS nw
+  FROM h WHERE h.o_orderkey IN (SELECT DISTINCT l_orderkey FROM d)
+  GROUP BY h.bucket
+),
+dt AS (SELECT bucket, sum(dc) AS s FROM d GROUP BY bucket)
+SELECT ho.bucket, n_orders,
+       CAST(coalesce(wl.nw, 0) AS BIGINT) AS n_orders_with_lines,
+       ht / 100.0 AS header_total,
+       coalesce(dt.s, 0) / 100.0 AS detail_total
+FROM ho
+LEFT JOIN wl ON wl.bucket = ho.bucket
+LEFT JOIN dt ON dt.bucket = ho.bucket
+"""

@@ -2337,3 +2337,117 @@ SELECT p.o_custkey AS custkey, n_orders,
          AS nation_spend_cume_dist
 FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
 """
+
+
+def collation_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 COLLATION support: distinct part-name cardinality under
+    binary vs case-insensitive (UTF8_LCASE) collation, per brand —
+    the dedup question ("are 'STEEL' and 'steel' one value?") that
+    collations answer in the engine instead of via lower() rewrites.
+
+    The oracle expresses the same semantics with lower() — which is
+    exactly the equivalence this entry certifies: a collation-aware
+    distinct must equal the normalize-then-distinct plan. Both are
+    one groupBy; the collated comparison stays JVM-native."""
+    part = load_table(spark, sf_dir, "part").select("p_brand", "p_name")
+    return part.groupBy("p_brand").agg(
+        F.count_distinct(F.col("p_name")).alias("n_binary_distinct"),
+        F.count_distinct(
+            F.collate(F.col("p_name"), "UTF8_LCASE")
+        ).alias("n_lcase_distinct"),
+    )
+
+
+COLLATION_DISTINCT_SQL = """
+SELECT p_brand,
+       count(DISTINCT p_name) AS n_binary_distinct,
+       count(DISTINCT lower(p_name)) AS n_lcase_distinct
+FROM part GROUP BY p_brand
+"""
+
+
+def ship_rate_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe arithmetic with the ``try_`` function family:
+    revenue-per-day-to-ship where same-day lines make the denominator
+    ZERO — ``try_divide`` yields NULL instead of either raising
+    (ANSI) or silently producing Inf (legacy), and the aggregate
+    reports the null rate explicitly. The per-line ratio is quantized
+    to int64 micro-units before the sum (sign-aware half-up mean);
+    day counts can be negative in this dataset (the synthetic tables
+    invert the TPC-H ship>=order invariant about half the time), so
+    the mean idiom must handle both signs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.col("l_shipdate").cast("date").alias("_ship"),
+        F.round(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+        )
+        .cast("long")
+        .alias("_rc"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("_od")
+    )
+    rated = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+        "l_returnflag",
+        F.round(
+            F.try_divide(
+                F.col("_rc"), F.datediff("_ship", "_od")
+            )
+            * 1000,
+            0,
+        )
+        .cast("long")
+        .alias("_r_milli"),
+    )
+    return (
+        rated.groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.sum(
+                F.when(F.col("_r_milli").isNull(), 1).otherwise(0)
+            ).alias("n_same_day"),
+            F.sum("_r_milli").alias("_s"),
+            F.count("_r_milli").alias("_nr"),
+        )
+        .select(
+            "l_returnflag",
+            "n_lines",
+            "n_same_day",
+            (
+                F.expr(
+                    "CASE WHEN _s >= 0 THEN (2 * _s + _nr) div (2 * _nr)"
+                    " ELSE -((2 * (-_s) + _nr) div (2 * _nr)) END"
+                )
+                / 1000.0
+            ).alias("mean_cents_per_day"),
+        )
+    )
+
+
+SHIP_RATE_TRY_DIVIDE_SQL = """
+WITH rated AS (
+  SELECT l.l_returnflag,
+         CASE WHEN date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) = 0 THEN NULL
+              ELSE CAST(round(
+                     CAST(round(l.l_extendedprice * (1 - l.l_discount)
+                                * 100, 0) AS BIGINT)
+                     / date_diff('day', CAST(o.o_orderdate AS DATE),
+                                 CAST(l.l_shipdate AS DATE)) * 1000, 0)
+                   AS BIGINT)
+         END AS r_milli
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT l_returnflag, count(*) AS n_lines,
+       CAST(sum(CASE WHEN r_milli IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_same_day,
+       (CASE WHEN sum(r_milli) >= 0
+             THEN (2 * sum(r_milli) + count(r_milli))
+                    // (2 * count(r_milli))
+             ELSE -((2 * (-sum(r_milli)) + count(r_milli))
+                    // (2 * count(r_milli))) END) / 1000.0
+         AS mean_cents_per_day
+FROM rated GROUP BY l_returnflag
+"""

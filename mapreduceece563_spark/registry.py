@@ -585,6 +585,21 @@ register(
     js.STREAMING_JOIN_SQL,
 )
 register(
+    "collation_distinct_profile",
+    rel.collation_distinct_profile,
+    rel.COLLATION_DISTINCT_SQL,
+)
+register(
+    "ship_rate_try_divide",
+    rel.ship_rate_try_divide,
+    rel.SHIP_RATE_TRY_DIVIDE_SQL,
+)
+register(
+    "cogroup_bucket_reconciliation",
+    mn.cogroup_bucket_reconciliation,
+    mn.COGROUP_RECONCILIATION_SQL,
+)
+register(
     "events_hourly_local_tz",
     tp.events_hourly_local_tz,
     tp.EVENTS_HOURLY_LOCAL_SQL,
@@ -663,5 +678,10 @@ register(
 register(
     "wordcount_sink_roundtrip",
     ct.wordcount_sink_roundtrip,
+    wc.WORDCOUNT_SQL,
+)
+register(
+    "streaming_wordcount_via_datasource",
+    ct.streaming_wordcount_via_datasource,
     wc.WORDCOUNT_SQL,
 )

@@ -357,3 +357,151 @@ def wordcount_sink_roundtrip(spark, sf_dir: str):
         )
     )
     return back.groupBy("word").agg(F.sum("cnt").alias("cnt"))
+
+
+# --- the STREAMING read path: chunk files as a custom micro-batch
+# source (pyspark.sql.datasource SimpleDataSourceStreamReader). The
+# offset is just {"next": <chunk_id>} — the reference's "which chunk
+# index is next" counter (mpi_mapreduce.c:577-603 task farm) recast
+# as a streaming offset, which also makes replay/recovery exact:
+# readBetweenOffsets re-reads precisely the chunks of a batch.
+
+from pyspark.sql.datasource import (  # noqa: E402
+    SimpleDataSourceStreamReader,
+)
+
+CHUNKS_PER_MICROBATCH = 2
+
+
+class ChunkTextSimpleStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunktext requires .option('path', <dir>)")
+        self.dir = path
+
+    def _chunk_ids(self) -> list[int]:
+        out = []
+        for name in sorted(os.listdir(self.dir)):
+            if name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX):
+                out.append(int(name[len(CHUNK_PREFIX): -len(CHUNK_SUFFIX)]))
+        return sorted(out)
+
+    def _rows(self, ids) -> list[tuple]:
+        # a LIST, not a generator: the prefetching wrapper deep-copies
+        # and pickles the record cache across the driver/executor
+        # boundary, and generators aren't picklable. Bounded by
+        # CHUNKS_PER_MICROBATCH chunks per call.
+        out: list[tuple] = []
+        for cid in ids:
+            path = os.path.join(
+                self.dir, f"{CHUNK_PREFIX}{cid}{CHUNK_SUFFIX}"
+            )
+            with open(path, encoding="utf-8") as fh:
+                for line_no, line in enumerate(fh):
+                    out.append((cid, line_no, line.rstrip("\n")))
+        return out
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def read(self, start: dict):
+        ids = [c for c in self._chunk_ids() if c >= start["next"]]
+        ids = ids[:CHUNKS_PER_MICROBATCH]  # bounded batch = backpressure
+        if not ids:
+            return iter([]), start
+        # iter(list): the wrapper needs an iterator AND pickles its
+        # record cache — a list_iterator satisfies both (generators
+        # don't pickle; bare lists aren't iterators).
+        return iter(self._rows(ids)), {"next": ids[-1] + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        ids = [
+            c
+            for c in self._chunk_ids()
+            if start["next"] <= c < end["next"]
+        ]
+        return self._rows(ids)
+
+
+def _simple_stream_reader(self, schema) -> ChunkTextSimpleStreamReader:
+    return ChunkTextSimpleStreamReader(self.options)
+
+
+ChunkTextDataSource.simpleStreamReader = _simple_stream_reader
+
+
+# (appId, sf_dir) -> partials dir of the streaming run
+_STREAM_WC_CACHE: dict[tuple[str, str], str] = {}
+
+
+def reset_stream_wc() -> None:
+    _STREAM_WC_CACHE.clear()
+
+
+def streaming_wordcount_via_datasource(spark, sf_dir: str):
+    """The reference pipeline END TO END on its native layout under
+    Structured Streaming: the chunked corpus read INCREMENTALLY
+    through the custom source's micro-batch reader (2 chunks per
+    batch — the reference's task-farm doling, now with exact
+    replay), the same tokenize chain, update-mode counts persisted
+    per batch_id and reduced last-writer-wins — hash-equal to the
+    batch WORDCOUNT_SQL oracle."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize_lines
+    from ..streaming.wordcount_stream import _fresh_workdir, _partial_files
+
+    register_chunktext(spark)
+    src = chunked_corpus_dir(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sink = _STREAM_WC_CACHE.get(key)
+    if sink is None:
+        work = _fresh_workdir("chunktext_stream")
+        sink = os.path.join(work, "partials")
+        os.makedirs(sink, exist_ok=True)
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            lines = (
+                spark.readStream.format("chunktext")
+                .option("path", src)
+                .load()
+                .select(F.col("text"))
+            )
+            counts = tokenize_lines(lines).groupBy("word").agg(
+                F.count("*").alias("cnt")
+            )
+
+            def sink_fn(batch_df, batch_id: int) -> None:
+                batch_df.write.mode("overwrite").parquet(
+                    os.path.join(sink, f"batch_id={batch_id}")
+                )
+
+            q = (
+                counts.writeStream.foreachBatch(sink_fn)
+                .outputMode("update")
+                .option(
+                    "checkpointLocation", os.path.join(work, "ckpt")
+                )
+                .start()
+            )
+            # processAllAvailable drives micro-batches until the
+            # source's offset stops advancing — the multi-batch drain
+            # for a custom source (availableNow is file-source only).
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+        _STREAM_WC_CACHE[key] = sink
+    if not _partial_files(sink):
+        return spark.createDataFrame([], "word STRING, cnt BIGINT")
+    emissions = spark.read.parquet(sink)
+    last = emissions.groupBy("word").agg(
+        F.max(F.struct("batch_id", "cnt")).alias("_s")
+    )
+    return last.select("word", F.col("_s.cnt").alias("cnt"))

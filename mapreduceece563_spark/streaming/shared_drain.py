@@ -45,6 +45,9 @@ def reset() -> None:
     windowed_stream.reset_session_windows()
     join_stream.reset_join_stream()
     stateful.reset_tws()
+    from ..sources import chunktext
+
+    chunktext.reset_stream_wc()
 
 
 def drain_event_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
