@@ -366,3 +366,10 @@ def test_trigrams_single_exchange_for_all_windows(spark):
     exchange: the plan may not re-shuffle between window passes."""
     plan = plan_string(Q["session_event_trigrams"](spark, SF_DIR), "simple")
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_orc_roundtrip_predicate_pushed(spark):
+    """The positive-balance filter must reach the ORC reader as a
+    pushed predicate — columnar pushdown parity with parquet."""
+    rep = plan_report(Q["orc_roundtrip_stats"](spark, SF_DIR))
+    assert rep.pushed_filters, "s_acctbal > 0 must reach the ORC scan"
