@@ -157,6 +157,8 @@ BUDGETS = {
     "table_expectations_audit": 3.0,  # six pruned 1-row aggregates
     "cogroup_bucket_reconciliation": 4.0,  # two-sided Arrow grouped map
     "streaming_wordcount_via_datasource": 12.0,  # Python-source micro-batches
+    "bpe_merge_candidates": 4.0,  # tokenize + vocab pair stats
+    "bpe_second_merge": 5.0,  # two pair-count rounds + merge apply
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

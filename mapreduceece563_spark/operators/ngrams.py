@@ -829,3 +829,194 @@ SELECT count(*) AS n_vocab_union,
          AS jsd_nats
 FROM terms
 """
+
+
+BPE_MERGE_TOP = 20
+
+
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner step of BPE tokenizer TRAINING: the most frequent
+    adjacent symbol pairs over the corpus, weighted by word
+    frequency — iteration one of the merge loop every byte-pair
+    tokenizer is built from (the counts that decide the first merge
+    rule).
+
+    The critical scale property of real BPE training is reproduced
+    exactly: pair statistics are computed over the WORD-FREQUENCY
+    LIST (Zipf-bounded vocabulary rows, each with its count), never
+    over raw tokens — a word seen 10^9 times contributes its pairs
+    once, weighted. Adjacent pairs come straight from substr(word,
+    i, 2) (no char-array explode), a bounded map-side fan-out of
+    len-1 per vocab row; the aggregate is pair-keyed; top-k is
+    TakeOrderedAndProject with a lexical tiebreak."""
+    counts = (
+        _words_per_doc(spark, sf_dir)
+        .select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = counts.select(
+        "cnt",
+        F.explode(
+            F.when(
+                F.length("word") >= 2,
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substr(word, i, 2))"
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_MERGE_TOP)
+    )
+
+
+BPE_MERGE_SQL = f"""
+WITH {_words_cte().lstrip()},
+counts AS (
+  SELECT word, count(*) AS cnt
+  FROM (SELECT unnest(words) AS word FROM w)
+  GROUP BY word
+),
+pairs AS (
+  SELECT unnest(list_transform(range(1, length(word)),
+           i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
+         cnt
+  FROM counts WHERE length(word) >= 2
+)
+SELECT pair, CAST(sum(cnt) AS BIGINT) AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_MERGE_TOP}
+"""
+
+
+def bpe_second_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training, iteration TWO — learn the first merge
+    rule from the corpus, APPLY it to the symbolized vocabulary, and
+    emit the next iteration's top merge candidates. The full
+    declarative shape of the training loop (kmeans_2iter's stance:
+    fixed iterations, unrolled, every step oracle-reproducible).
+
+    Mechanics both engines share bit-for-bit:
+    - words symbolize to space-joined chars ('hello' -> 'h e l l o');
+    - iteration-1 pair counts come off the symbol arrays weighted by
+      word frequency; the best pair is a deterministic top-1
+      ((count DESC, pair ASC)) broadcast back as a 1-row frame —
+      never a driver-side collect;
+    - the merge applies as ``replace(' '||sym||' ', ' '||a||' '||b,
+      ' '||a||b)`` — left-to-right non-overlapping, which IS the BPE
+      application order, and verified identical between Spark and
+      DuckDB ('l l l l' -> 'll ll'). The needle omits the trailing
+      boundary, which is unambiguous at iteration 1 because every
+      symbol is still a single character (documented limit: further
+      iterations would need boundary-aware needles);
+    - iteration-2 candidates aggregate pair-keyed and emit top-20.
+
+    Scale: everything is per-vocab-row string work (Zipf-bounded) +
+    two pair-keyed aggregates; the learned rule is a broadcast."""
+    counts = (
+        _words_per_doc(spark, sf_dir)
+        .select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "cnt",
+            F.trim(
+                F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("sym"),
+        )
+    )
+
+    def pair_counts(df: DataFrame) -> DataFrame:
+        arr = F.split(F.col("sym"), " ")
+        pairs = F.when(
+            F.size(arr) >= 2,
+            F.expr(
+                "transform(sequence(1, size(split(sym, ' ')) - 1),"
+                " i -> concat(element_at(split(sym, ' '), i), '+',"
+                " element_at(split(sym, ' '), i + 1)))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return (
+            df.select("cnt", F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("n_occurrences"))
+        )
+
+    best = (
+        pair_counts(counts)
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(1)
+        .select(
+            F.element_at(F.split("pair", r"\+"), 1).alias("_a"),
+            F.element_at(F.split("pair", r"\+"), 2).alias("_b"),
+        )
+    )
+    merged = counts.crossJoin(F.broadcast(best)).select(
+        "cnt",
+        F.trim(
+            F.expr(
+                "replace(concat(' ', sym, ' '),"
+                " concat(' ', _a, ' ', _b), concat(' ', _a, _b))"
+            )
+        ).alias("sym"),
+    )
+    return (
+        pair_counts(merged)
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_MERGE_TOP)
+    )
+
+
+BPE_SECOND_MERGE_SQL = f"""
+WITH {_words_cte().lstrip()},
+counts AS (
+  SELECT cnt,
+         trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym
+  FROM (
+    SELECT word, count(*) AS cnt
+    FROM (SELECT unnest(words) AS word FROM w)
+    GROUP BY word
+  )
+),
+p1 AS (
+  SELECT pair, sum(cnt) AS n
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(string_split(sym, ' '))),
+             i -> string_split(sym, ' ')[i] || '+'
+                  || string_split(sym, ' ')[i + 1])) AS pair
+    FROM counts WHERE len(string_split(sym, ' ')) >= 2
+  ) GROUP BY pair
+),
+best AS (
+  SELECT string_split(pair, '+')[1] AS a,
+         string_split(pair, '+')[2] AS b
+  FROM p1 ORDER BY n DESC, pair ASC LIMIT 1
+),
+merged AS (
+  SELECT cnt,
+         trim(replace(' ' || sym || ' ',
+                      ' ' || a || ' ' || b,
+                      ' ' || a || b)) AS sym
+  FROM counts CROSS JOIN best
+),
+p2 AS (
+  SELECT pair, sum(cnt) AS n
+  FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(string_split(sym, ' '))),
+             i -> string_split(sym, ' ')[i] || '+'
+                  || string_split(sym, ' ')[i + 1])) AS pair
+    FROM merged WHERE len(string_split(sym, ' ')) >= 2
+  ) GROUP BY pair
+)
+SELECT pair, CAST(n AS BIGINT) AS n_occurrences
+FROM p2 ORDER BY n_occurrences DESC, pair ASC
+LIMIT {BPE_MERGE_TOP}
+"""

@@ -585,6 +585,16 @@ register(
     js.STREAMING_JOIN_SQL,
 )
 register(
+    "bpe_merge_candidates",
+    ng.bpe_merge_candidates,
+    ng.BPE_MERGE_SQL,
+)
+register(
+    "bpe_second_merge",
+    ng.bpe_second_merge,
+    ng.BPE_SECOND_MERGE_SQL,
+)
+register(
     "collation_distinct_profile",
     rel.collation_distinct_profile,
     rel.COLLATION_DISTINCT_SQL,
