@@ -1232,3 +1232,50 @@ SELECT doc_id, n_shingles, CAST(n_novel AS BIGINT) AS n_novel,
          AS novelty_rate
 FROM per_doc
 """
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate PER SOURCE — the per-delivery slice of
+    dedup_exact_stats that tells a curator WHICH feed is recycling
+    text. Same digest discipline: texts hash to md5 at the scan and
+    only (source, digest) ever shuffles — payloads never move. One
+    two-key aggregate + a source-keyed rollup; rates in the pure-
+    int64 half-up ppm idiom."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source", F.md5(F.col("text").cast("binary")).alias("_d")
+    )
+    per_digest = docs.groupBy("source", "_d").agg(
+        F.count("*").alias("_n")
+    )
+    return (
+        per_digest.groupBy("source")
+        .agg(
+            F.sum("_n").alias("n_docs"),
+            F.count("*").alias("n_distinct_texts"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct_texts",
+            (
+                F.expr(
+                    "(2 * 1000000 * (n_docs - n_distinct_texts) + n_docs)"
+                    " div (2 * n_docs)"
+                )
+                / 1e6
+            ).alias("dup_rate"),
+        )
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = """
+WITH per_digest AS (
+  SELECT source, md5(text) AS d, count(*) AS n
+  FROM documents GROUP BY source, md5(text)
+)
+SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
+       count(*) AS n_distinct_texts,
+       ((2 * 1000000 * (sum(n) - count(*)) + sum(n)) // (2 * sum(n))) / 1e6
+         AS dup_rate
+FROM per_digest GROUP BY source
+"""

@@ -798,3 +798,63 @@ SELECT source, n_docs, tot_words, tot_sentences, tot_syllables,
        END AS flesch
 FROM agg
 """
+
+
+ENTROPY_SCALE = 1_000_000
+
+
+def doc_lang_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-mix entropy per source (nats) — the diversity metric
+    a curator tracks per delivery: a monolingual crawl and a balanced
+    multilingual one need different downstream handling.
+
+    One (source, lang) aggregate (|sources| x |langs| rows at any
+    corpus size), entropy assembled on that tiny frame: per-cell
+    -p·ln(p) with p a double ratio of exact int64 counts, ln()
+    quantized to micro-nats BEFORE the weighted integer sum — the
+    same cross-engine contract as the JSD and PMI operators."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "lang")
+    cells = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("source")
+    # n_langs needs no DISTINCT window (unsupported in Spark anyway):
+    # every cell already IS one distinct (source, lang), so the final
+    # per-source row count is the language count.
+    scored = cells.select(
+        "source",
+        F.sum("n").over(w).alias("_tot"),
+        F.expr(
+            f"n * CAST(round(ln(CAST(sum(n) OVER"
+            f" (PARTITION BY source) AS DOUBLE) / n)"
+            f" * {ENTROPY_SCALE}) AS BIGINT)"
+        ).alias("_t"),
+    )
+    return scored.groupBy("source").agg(
+        F.max("_tot").alias("n_docs"),
+        F.count("*").alias("n_langs"),
+        (
+            (F.sum("_t") / F.max("_tot")) / float(ENTROPY_SCALE)
+        ).alias("lang_entropy"),
+    )
+
+
+DOC_LANG_ENTROPY_SQL = f"""
+WITH cells AS (
+  SELECT source, lang, count(*) AS n
+  FROM documents GROUP BY source, lang
+),
+scored AS (
+  SELECT source, n,
+         sum(n) OVER (PARTITION BY source) AS tot
+  FROM cells
+),
+terms AS (
+  SELECT source, tot,
+         n * CAST(round(ln(CAST(tot AS DOUBLE) / n)
+                        * {ENTROPY_SCALE}) AS BIGINT) AS t
+  FROM scored
+)
+SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+       count(*) AS n_langs,
+       (sum(t) / CAST(max(tot) AS DOUBLE)) / {ENTROPY_SCALE} AS lang_entropy
+FROM terms GROUP BY source
+"""

@@ -585,6 +585,16 @@ register(
     js.STREAMING_JOIN_SQL,
 )
 register(
+    "doc_lang_entropy_by_source",
+    ts.doc_lang_entropy_by_source,
+    ts.DOC_LANG_ENTROPY_SQL,
+)
+register(
+    "dedup_rate_by_source",
+    dd.dedup_rate_by_source,
+    dd.DEDUP_RATE_BY_SOURCE_SQL,
+)
+register(
     "bpe_merge_candidates",
     ng.bpe_merge_candidates,
     ng.BPE_MERGE_SQL,
