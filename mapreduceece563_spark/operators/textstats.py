@@ -858,3 +858,48 @@ SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
        (sum(t) / CAST(max(tot) AS DOUBLE)) / {ENTROPY_SCALE} AS lang_entropy
 FROM terms GROUP BY source
 """
+
+
+def doc_length_deciles_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length decile table (n_docs, char span
+    per decile) — the context-length planning input for a tokenizer/
+    packing pipeline, and the shape checked before choosing a
+    truncation threshold per language.
+
+    One ntile window per language partition over (n_chars, doc_id)
+    — the unique doc_id tiebreak makes decile membership a total
+    order both engines agree on; the rollup is |langs| x 10 rows.
+    Same stated scale caveat as customer_balance_deciles: exact
+    global ntile serializes each language through one task; at
+    100 TB you'd band against percentile_approx boundaries — the
+    exact form is what the oracle can verify."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars"
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.asc("n_chars"), F.asc("doc_id")
+    )
+    deciled = docs.select(
+        "lang", "n_chars", F.ntile(10).over(w).alias("decile")
+    )
+    return deciled.groupBy("lang", "decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").alias("chars_total"),
+    )
+
+
+DOC_LENGTH_DECILES_SQL = """
+WITH deciled AS (
+  SELECT lang, n_chars,
+         ntile(10) OVER (PARTITION BY lang
+                         ORDER BY n_chars ASC, doc_id ASC) AS decile
+  FROM documents
+)
+SELECT lang, decile, count(*) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS chars_total
+FROM deciled GROUP BY lang, decile
+"""

@@ -585,6 +585,11 @@ register(
     js.STREAMING_JOIN_SQL,
 )
 register(
+    "doc_length_deciles_by_lang",
+    ts.doc_length_deciles_by_lang,
+    ts.DOC_LENGTH_DECILES_SQL,
+)
+register(
     "doc_lang_entropy_by_source",
     ts.doc_lang_entropy_by_source,
     ts.DOC_LANG_ENTROPY_SQL,
