@@ -2416,8 +2416,13 @@ def ship_rate_try_divide(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lines",
             "n_same_day",
             (
+                # _nr = 0 guard (a group whose lines ALL shipped
+                # same-day): Spark's non-ANSI div would return NULL
+                # silently while DuckDB's // raises — make the NULL
+                # explicit in BOTH engines so they cannot diverge.
                 F.expr(
-                    "CASE WHEN _s >= 0 THEN (2 * _s + _nr) div (2 * _nr)"
+                    "CASE WHEN _nr = 0 THEN NULL"
+                    " WHEN _s >= 0 THEN (2 * _s + _nr) div (2 * _nr)"
                     " ELSE -((2 * (-_s) + _nr) div (2 * _nr)) END"
                 )
                 / 1000.0
@@ -2443,7 +2448,8 @@ WITH rated AS (
 SELECT l_returnflag, count(*) AS n_lines,
        CAST(sum(CASE WHEN r_milli IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_same_day,
-       (CASE WHEN sum(r_milli) >= 0
+       (CASE WHEN count(r_milli) = 0 THEN NULL
+             WHEN sum(r_milli) >= 0
              THEN (2 * sum(r_milli) + count(r_milli))
                     // (2 * count(r_milli))
              ELSE -((2 * (-sum(r_milli)) + count(r_milli))
