@@ -39,6 +39,7 @@ from .streaming import join_stream as js
 from .streaming import stateful as sf
 from .streaming import windowed_stream as ws
 from .streaming import wordcount_stream as st
+from .sources import chunktext as ct
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -81,28 +82,252 @@ def oracle_sql() -> dict[str, str]:
 
 # ======================================================================
 # DRIVER-CHECKED WINDOW — the driver's correctness snapshot covers the
-# FIRST 50 registered names only. Round-4 rotation (VERDICT r3 ask #1):
-# positions 0-49 are `wordcount` (THE §2 parity anchor, green every
-# round), `region_nations_agg` (round 3's one red row, now emitting its
-# nation list as an array_join'd STRING), and the 48 ORACLE-PAIRED
-# entries that had never received a driver CORRECTNESS row (the round-3
-# additions recorded in COVERAGE.json.never_green_outside_window).
-# The two no-oracle sketch entries (approx_distinct_sketch,
-# price_percentiles_sketch) stay OUTSIDE the window on purpose: the
-# driver could only ever record a weak rows-only row for them, so a
-# hash-checkable entry gets the slot; their accuracy-vs-exact-tier
-# contract is asserted Spark-side in tests/test_partitioning.py.
+# FIRST 50 registered names only. Round-5 rotation (VERDICT r4 ask #1):
+# positions 0-49 are the 50 ORACLE-PAIRED entries that had never
+# received a driver CORRECTNESS row (COVERAGE.json.never_driver_green
+# after round 4) — the round-4 additions: multimodal byte decoders,
+# BPE merge steps, streaming session/interval-join entries, format
+# round-trips, and the §2 datasource/sink parity entries.
+# One oracled entry stays outside by arithmetic (51 candidates, 50
+# slots): rolling_7d_active_users, chosen because it is shape-identical
+# to the already-driver-green rolling_7d_revenue (same window frame,
+# same events scan), so its local oracle signal carries the most
+# transferable driver evidence. It leads the post-window block for the
+# next rotation. The two no-oracle sketch entries
+# (approx_distinct_sketch, price_percentiles_sketch) stay outside on
+# purpose: the driver could only record a weak rows-only row for them;
+# their accuracy-vs-exact-tier contract is asserted Spark-side in
+# tests/test_partitioning.py.
 # Everything below position 50 already has a green driver row from a
-# prior round and stays pinned by tests/test_registry_oracle.py, which
-# runs the identical oracle comparison for EVERY entry at sf0.001 (and
-# the /verify sweep re-runs it at sf0.01 and sf0.1).
+# prior round (CORRECTNESS_r01-r04) and stays pinned by
+# tests/test_registry_oracle.py, which runs the identical oracle
+# comparison for EVERY entry at sf0.001 (the /verify sweep re-runs it
+# at sf0.01 and sf0.1).
 # ======================================================================
 
-# --- §2 parity anchor + the round-3 red row, fixed ------------------
+register(
+    "audio_decode_energy",
+    mm.audio_decode_energy,
+    mm.AUDIO_DECODE_ENERGY_SQL,
+)
+register(
+    "video_frame_decode",
+    mm.video_frame_decode,
+    mm.VIDEO_FRAME_DECODE_SQL,
+)
+register("rfm_segments", lc.rfm_segments, lc.RFM_SEGMENTS_SQL)
+register("churn_by_segment", lc.churn_by_segment, lc.CHURN_BY_SEGMENT_SQL)
+register(
+    "quarter_revenue_overlap",
+    lc.quarter_revenue_overlap,
+    lc.QUARTER_REVENUE_OVERLAP_SQL,
+)
+register(
+    "readability_by_source",
+    ts.readability_by_source,
+    ts.READABILITY_SQL,
+)
+register("vocab_growth_curve", ng.vocab_growth_curve, ng.VOCAB_GROWTH_SQL)
+register(
+    "ngram_containment_pairs",
+    dd.ngram_containment_pairs,
+    dd.NGRAM_CONTAINMENT_SQL,
+)
+register(
+    "embedding_power_iteration",
+    sim.embedding_power_iteration,
+    sim.EMBEDDING_POWER_SQL,
+)
+register("compaction_plan", stg.compaction_plan, stg.COMPACTION_PLAN_SQL)
+register("copurchase_pairs", mn.copurchase_pairs, mn.COPURCHASE_SQL)
+register(
+    "decayed_engagement", tp.decayed_engagement, tp.DECAYED_ENGAGEMENT_SQL
+)
+register("event_drift_chisq", an.event_drift_chisq, an.EVENT_DRIFT_CHISQ_SQL)
+register("scd2_event_state", mn.scd2_event_state, mn.SCD2_EVENT_STATE_SQL)
+register("k_anonymity_audit", mn.k_anonymity_audit, mn.K_ANONYMITY_SQL)
+register(
+    "session_event_trigrams",
+    ss.session_event_trigrams,
+    ss.SESSION_TRIGRAMS_SQL,
+)
+register(
+    "vocab_overlap_setops",
+    wc.vocab_overlap_setops,
+    wc.VOCAB_OVERLAP_SQL,
+)
+register(
+    "orders_status_unpivot",
+    rel.orders_status_unpivot,
+    rel.ORDERS_UNPIVOT_SQL,
+)
+register(
+    "bucket_prefilter_revenue",
+    sk.bucket_prefilter_revenue,
+    sk.BUCKET_PREFILTER_SQL,
+)
+register(
+    "shingle_novelty_rate",
+    dd.shingle_novelty_rate,
+    dd.SHINGLE_NOVELTY_SQL,
+)
+register(
+    "winsorized_revenue_stats",
+    an.winsorized_revenue_stats,
+    an.WINSORIZED_REVENUE_SQL,
+)
+register("pq_codebook_assign", sim.pq_codebook_assign, sim.PQ_CODEBOOK_SQL)
+register(
+    "pseudonymized_export_audit",
+    tr.pseudonymized_export_audit,
+    tr.PSEUDONYMIZED_EXPORT_SQL,
+)
+register(
+    "streaming_session_windows",
+    ws.streaming_session_windows,
+    ss.SESSION_WINDOW_SQL,
+)
+register(
+    "streaming_purchase_view_join",
+    js.streaming_purchase_view_join,
+    js.STREAMING_JOIN_SQL,
+)
+register(
+    "doc_length_deciles_by_lang",
+    ts.doc_length_deciles_by_lang,
+    ts.DOC_LENGTH_DECILES_SQL,
+)
+register(
+    "doc_lang_entropy_by_source",
+    ts.doc_lang_entropy_by_source,
+    ts.DOC_LANG_ENTROPY_SQL,
+)
+register(
+    "dedup_rate_by_source",
+    dd.dedup_rate_by_source,
+    dd.DEDUP_RATE_BY_SOURCE_SQL,
+)
+register(
+    "bpe_merge_candidates",
+    ng.bpe_merge_candidates,
+    ng.BPE_MERGE_SQL,
+)
+register(
+    "bpe_second_merge",
+    ng.bpe_second_merge,
+    ng.BPE_SECOND_MERGE_SQL,
+)
+register(
+    "collation_distinct_profile",
+    rel.collation_distinct_profile,
+    rel.COLLATION_DISTINCT_SQL,
+)
+register(
+    "ship_rate_try_divide",
+    rel.ship_rate_try_divide,
+    rel.SHIP_RATE_TRY_DIVIDE_SQL,
+)
+register(
+    "cogroup_bucket_reconciliation",
+    mn.cogroup_bucket_reconciliation,
+    mn.COGROUP_RECONCILIATION_SQL,
+)
+register(
+    "events_hourly_local_tz",
+    tp.events_hourly_local_tz,
+    tp.EVENTS_HOURLY_LOCAL_SQL,
+)
+register(
+    "table_expectations_audit",
+    mn.table_expectations_audit,
+    mn.TABLE_EXPECTATIONS_SQL,
+)
+register(
+    "copurchase_degree_distribution",
+    gph.copurchase_degree_distribution,
+    gph.COPURCHASE_DEGREE_SQL,
+)
+register(
+    "embedding_linear_scores",
+    sim.embedding_linear_scores,
+    sim.EMBEDDING_LINEAR_SCORES_SQL,
+)
+register(
+    "customer_order_window_profile",
+    rel.customer_order_window_profile,
+    rel.CUSTOMER_WINDOW_PROFILE_SQL,
+)
+register(
+    "js_divergence_langs",
+    ng.js_divergence_langs,
+    ng.JS_DIVERGENCE_SQL,
+)
+register(
+    "source_overlap_jaccard",
+    cp.source_overlap_jaccard,
+    cp.SOURCE_OVERLAP_SQL,
+)
+register(
+    "embedding_drift_l2",
+    sim.embedding_drift_l2,
+    sim.EMBEDDING_DRIFT_SQL,
+)
+register(
+    "csv_roundtrip_stats",
+    fmt.csv_roundtrip_stats,
+    fmt.CSV_ROUNDTRIP_SQL,
+)
+register(
+    "jsonl_roundtrip_stats",
+    fmt.jsonl_roundtrip_stats,
+    fmt.JSONL_ROUNDTRIP_SQL,
+)
+register(
+    "schema_evolution_read",
+    fmt.schema_evolution_read,
+    fmt.SCHEMA_EVOLUTION_SQL,
+)
+register(
+    "events_variant_stats",
+    fmt.events_variant_stats,
+    fmt.EVENTS_VARIANT_SQL,
+)
+register(
+    "orc_roundtrip_stats",
+    fmt.orc_roundtrip_stats,
+    fmt.ORC_ROUNDTRIP_SQL,
+)
+register("wordcount_via_datasource", ct.wordcount_via_datasource, wc.WORDCOUNT_SQL)
+register(
+    "chunktext_pruned_count",
+    ct.chunktext_pruned_count,
+    ct.chunktext_pruned_sql(),
+)
+register(
+    "wordcount_sink_roundtrip",
+    ct.wordcount_sink_roundtrip,
+    wc.WORDCOUNT_SQL,
+)
+register(
+    "streaming_wordcount_via_datasource",
+    ct.streaming_wordcount_via_datasource,
+    wc.WORDCOUNT_SQL,
+)
+
+# ======================================================================
+# Below position 50: green driver row from a prior round (or no-oracle
+# by design); pinned by the registry-wide local oracle test.
+# rolling_7d_active_users leads: it is first in line for the round-6
+# window rotation.
+# ======================================================================
+
+register(
+    "rolling_7d_active_users",
+    an.rolling_7d_active_users,
+    an.ROLLING_7D_ACTIVE_SQL,
+)
 register("wordcount", wc.wordcount, wc.WORDCOUNT_SQL)
 register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
-
-# --- round-3 additions: first driver check this round ----------------
 register(
     "boilerplate_fraction",
     cp.boilerplate_fraction,
@@ -247,13 +472,6 @@ register(
 )
 register("user_reach_curve", an.user_reach_curve, an.USER_REACH_CURVE_SQL)
 register("basket_brand_lift", mn.basket_brand_lift, mn.BASKET_BRAND_LIFT_SQL)
-
-# ======================================================================
-# Below position 50: every entry here has a green driver row from a
-# prior round (CORRECTNESS_r01/r02/r03); the local registry-wide oracle
-# test keeps them pinned.
-# ======================================================================
-
 register(
     "orders_grouping_sets",
     rel.orders_grouping_sets,
@@ -481,232 +699,3 @@ register(
     sk.EVENTS_TYPE_PROFILE_SQL,
 )
 register("price_percentiles_sketch", sk.price_percentiles_sketch, None)
-
-# --- round-4 additions (positions > 50: first driver check when the
-# window rotates in round 5; pinned locally by test_registry_oracle
-# at sf0.001 and the /verify sweep at sf0.01 + sf0.1 until then) ------
-register(
-    "audio_decode_energy",
-    mm.audio_decode_energy,
-    mm.AUDIO_DECODE_ENERGY_SQL,
-)
-register(
-    "video_frame_decode",
-    mm.video_frame_decode,
-    mm.VIDEO_FRAME_DECODE_SQL,
-)
-register("rfm_segments", lc.rfm_segments, lc.RFM_SEGMENTS_SQL)
-register("churn_by_segment", lc.churn_by_segment, lc.CHURN_BY_SEGMENT_SQL)
-register(
-    "quarter_revenue_overlap",
-    lc.quarter_revenue_overlap,
-    lc.QUARTER_REVENUE_OVERLAP_SQL,
-)
-register(
-    "readability_by_source",
-    ts.readability_by_source,
-    ts.READABILITY_SQL,
-)
-register("vocab_growth_curve", ng.vocab_growth_curve, ng.VOCAB_GROWTH_SQL)
-register(
-    "ngram_containment_pairs",
-    dd.ngram_containment_pairs,
-    dd.NGRAM_CONTAINMENT_SQL,
-)
-register(
-    "embedding_power_iteration",
-    sim.embedding_power_iteration,
-    sim.EMBEDDING_POWER_SQL,
-)
-register("compaction_plan", stg.compaction_plan, stg.COMPACTION_PLAN_SQL)
-register("copurchase_pairs", mn.copurchase_pairs, mn.COPURCHASE_SQL)
-register(
-    "decayed_engagement", tp.decayed_engagement, tp.DECAYED_ENGAGEMENT_SQL
-)
-
-register(
-    "rolling_7d_active_users",
-    an.rolling_7d_active_users,
-    an.ROLLING_7D_ACTIVE_SQL,
-)
-register("event_drift_chisq", an.event_drift_chisq, an.EVENT_DRIFT_CHISQ_SQL)
-register("scd2_event_state", mn.scd2_event_state, mn.SCD2_EVENT_STATE_SQL)
-register("k_anonymity_audit", mn.k_anonymity_audit, mn.K_ANONYMITY_SQL)
-register(
-    "session_event_trigrams",
-    ss.session_event_trigrams,
-    ss.SESSION_TRIGRAMS_SQL,
-)
-register(
-    "vocab_overlap_setops",
-    wc.vocab_overlap_setops,
-    wc.VOCAB_OVERLAP_SQL,
-)
-register(
-    "orders_status_unpivot",
-    rel.orders_status_unpivot,
-    rel.ORDERS_UNPIVOT_SQL,
-)
-register(
-    "bucket_prefilter_revenue",
-    sk.bucket_prefilter_revenue,
-    sk.BUCKET_PREFILTER_SQL,
-)
-
-register(
-    "shingle_novelty_rate",
-    dd.shingle_novelty_rate,
-    dd.SHINGLE_NOVELTY_SQL,
-)
-register(
-    "winsorized_revenue_stats",
-    an.winsorized_revenue_stats,
-    an.WINSORIZED_REVENUE_SQL,
-)
-register("pq_codebook_assign", sim.pq_codebook_assign, sim.PQ_CODEBOOK_SQL)
-register(
-    "pseudonymized_export_audit",
-    tr.pseudonymized_export_audit,
-    tr.PSEUDONYMIZED_EXPORT_SQL,
-)
-register(
-    "streaming_session_windows",
-    ws.streaming_session_windows,
-    ss.SESSION_WINDOW_SQL,
-)
-# streaming_tws_user_profile (transformWithStateInPandas, Spark 4's
-# typed-state API) is implemented in streaming/stateful.py but NOT
-# registered: the API's driver worker needs the `protobuf` package,
-# absent in this environment (no installs). tests/test_tws.py runs it
-# against the same oracle wherever protobuf exists and skips here.
-register(
-    "streaming_purchase_view_join",
-    js.streaming_purchase_view_join,
-    js.STREAMING_JOIN_SQL,
-)
-register(
-    "doc_length_deciles_by_lang",
-    ts.doc_length_deciles_by_lang,
-    ts.DOC_LENGTH_DECILES_SQL,
-)
-register(
-    "doc_lang_entropy_by_source",
-    ts.doc_lang_entropy_by_source,
-    ts.DOC_LANG_ENTROPY_SQL,
-)
-register(
-    "dedup_rate_by_source",
-    dd.dedup_rate_by_source,
-    dd.DEDUP_RATE_BY_SOURCE_SQL,
-)
-register(
-    "bpe_merge_candidates",
-    ng.bpe_merge_candidates,
-    ng.BPE_MERGE_SQL,
-)
-register(
-    "bpe_second_merge",
-    ng.bpe_second_merge,
-    ng.BPE_SECOND_MERGE_SQL,
-)
-register(
-    "collation_distinct_profile",
-    rel.collation_distinct_profile,
-    rel.COLLATION_DISTINCT_SQL,
-)
-register(
-    "ship_rate_try_divide",
-    rel.ship_rate_try_divide,
-    rel.SHIP_RATE_TRY_DIVIDE_SQL,
-)
-register(
-    "cogroup_bucket_reconciliation",
-    mn.cogroup_bucket_reconciliation,
-    mn.COGROUP_RECONCILIATION_SQL,
-)
-register(
-    "events_hourly_local_tz",
-    tp.events_hourly_local_tz,
-    tp.EVENTS_HOURLY_LOCAL_SQL,
-)
-register(
-    "table_expectations_audit",
-    mn.table_expectations_audit,
-    mn.TABLE_EXPECTATIONS_SQL,
-)
-register(
-    "copurchase_degree_distribution",
-    gph.copurchase_degree_distribution,
-    gph.COPURCHASE_DEGREE_SQL,
-)
-register(
-    "embedding_linear_scores",
-    sim.embedding_linear_scores,
-    sim.EMBEDDING_LINEAR_SCORES_SQL,
-)
-register(
-    "customer_order_window_profile",
-    rel.customer_order_window_profile,
-    rel.CUSTOMER_WINDOW_PROFILE_SQL,
-)
-register(
-    "js_divergence_langs",
-    ng.js_divergence_langs,
-    ng.JS_DIVERGENCE_SQL,
-)
-register(
-    "source_overlap_jaccard",
-    cp.source_overlap_jaccard,
-    cp.SOURCE_OVERLAP_SQL,
-)
-register(
-    "embedding_drift_l2",
-    sim.embedding_drift_l2,
-    sim.EMBEDDING_DRIFT_SQL,
-)
-register(
-    "csv_roundtrip_stats",
-    fmt.csv_roundtrip_stats,
-    fmt.CSV_ROUNDTRIP_SQL,
-)
-register(
-    "jsonl_roundtrip_stats",
-    fmt.jsonl_roundtrip_stats,
-    fmt.JSONL_ROUNDTRIP_SQL,
-)
-register(
-    "schema_evolution_read",
-    fmt.schema_evolution_read,
-    fmt.SCHEMA_EVOLUTION_SQL,
-)
-register(
-    "events_variant_stats",
-    fmt.events_variant_stats,
-    fmt.EVENTS_VARIANT_SQL,
-)
-register(
-    "orc_roundtrip_stats",
-    fmt.orc_roundtrip_stats,
-    fmt.ORC_ROUNDTRIP_SQL,
-)
-
-# Custom Python Data Source (the reference's chunked-text layout read
-# through Spark's public DataSource V2 Python API).
-from .sources import chunktext as ct  # noqa: E402
-
-register("wordcount_via_datasource", ct.wordcount_via_datasource, wc.WORDCOUNT_SQL)
-register(
-    "chunktext_pruned_count",
-    ct.chunktext_pruned_count,
-    ct.chunktext_pruned_sql(),
-)
-register(
-    "wordcount_sink_roundtrip",
-    ct.wordcount_sink_roundtrip,
-    wc.WORDCOUNT_SQL,
-)
-register(
-    "streaming_wordcount_via_datasource",
-    ct.streaming_wordcount_via_datasource,
-    wc.WORDCOUNT_SQL,
-)
