@@ -22,8 +22,10 @@ public DataSource V2 Python API (pyspark.sql.datasource, Spark 4):
 Scale posture: the reader never materializes a file list on the
 driver beyond os.listdir (at 10^6 chunks, swap in a manifest file —
 the partition-planning contract is unchanged), and each partition
-streams its file line by line (bounded memory per task regardless of
-chunk size).
+streams its file as bounded Arrow RecordBatches (ARROW_BATCH_LINES
+lines per batch) — the Python-source data path is Arrow-columnar,
+not per-row tuple pickling, so the custom-source ingest is not a
+Python-loop bottleneck at scale.
 """
 
 from __future__ import annotations
@@ -41,6 +43,23 @@ from pyspark.sql.datasource import (
 
 CHUNK_PREFIX = "chunk_"
 CHUNK_SUFFIX = ".txt"
+
+# Arrow-batched read path: lines per RecordBatch. Bounds per-task
+# memory (a batch of 64Ki lines) while amortizing the Python loop and
+# the Arrow->JVM handoff over large batches.
+ARROW_BATCH_LINES = 1 << 16
+
+
+def _arrow_schema():
+    import pyarrow as pa
+
+    return pa.schema(
+        [
+            pa.field("chunk_id", pa.int32()),
+            pa.field("line_no", pa.int64()),
+            pa.field("text", pa.string()),
+        ]
+    )
 
 
 class ChunkFilePartition(InputPartition):
@@ -89,10 +108,36 @@ class ChunkTextReader(DataSourceReader):
             )
         return parts
 
-    def read(self, partition: ChunkFilePartition) -> Iterator[tuple]:
+    def read(self, partition: ChunkFilePartition) -> Iterator:
+        """Yield pyarrow RecordBatches (not per-row tuples): Spark's
+        Python data source forwards Arrow batches to the JVM without
+        per-row pickling, so the read path costs one Python loop per
+        ARROW_BATCH_LINES lines instead of one per line."""
+        import itertools
+
+        import pyarrow as pa
+
+        schema = _arrow_schema()
         with open(partition.path, encoding="utf-8") as fh:
-            for line_no, line in enumerate(fh):
-                yield (partition.chunk_id, line_no, line.rstrip("\n"))
+            base = 0
+            while True:
+                lines = list(itertools.islice(fh, ARROW_BATCH_LINES))
+                if not lines:
+                    break
+                n = len(lines)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([partition.chunk_id] * n, pa.int32()),
+                        pa.array(range(base, base + n), pa.int64()),
+                        pa.array(
+                            [ln[:-1] if ln.endswith("\n") else ln
+                             for ln in lines],
+                            pa.string(),
+                        ),
+                    ],
+                    schema=schema,
+                )
+                base += n
 
 
 class ChunkTextDataSource(DataSource):
@@ -143,13 +188,23 @@ def chunked_corpus_dir(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    tbl = pq.read_table(
-        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-    )
-    docs = sorted(
-        zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()),
-        key=lambda dt: dt[0],
-    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    # The "docs in doc_id order within a chunk" contract needs a
+    # doc_id-ordered scan. Pass 1 reads ONLY the doc_id column (a few
+    # bytes per row) to check sortedness; pass 2 then streams both
+    # columns batch-by-batch, so the text column is never materialized
+    # whole on the driver. Unsorted vintages (none so far) fall back
+    # to a one-shot sorted read.
+    prev = None
+    sorted_scan = True
+    for batch in pq.ParquetFile(src).iter_batches(columns=["doc_id"]):
+        ids = batch.column("doc_id").to_pylist()
+        if any(a > b for a, b in zip([prev, *ids], ids)
+               if a is not None):
+            sorted_scan = False
+            break
+        prev = ids[-1] if ids else prev
+
     out = tempfile.mkdtemp(prefix="chunktext_")
     handles = [
         open(
@@ -160,8 +215,19 @@ def chunked_corpus_dir(sf_dir: str) -> str:
         for k in range(N_CHUNKS)
     ]
     try:
-        for doc_id, text in docs:
-            handles[doc_id % N_CHUNKS].write((text or "") + "\n")
+        if sorted_scan:
+            batches = pq.ParquetFile(src).iter_batches(
+                columns=["doc_id", "text"]
+            )
+        else:
+            tbl = pq.read_table(src, columns=["doc_id", "text"])
+            batches = tbl.sort_by("doc_id").to_batches()
+        for batch in batches:
+            for doc_id, text in zip(
+                batch.column("doc_id").to_pylist(),
+                batch.column("text").to_pylist(),
+            ):
+                handles[doc_id % N_CHUNKS].write((text or "") + "\n")
     finally:
         for h in handles:
             h.close()
@@ -265,13 +331,19 @@ class ChunkTextWriter(DataSourceWriter):
     reports it in its commit message; only the driver-side commit()
     renames temps to their final ``chunk_<pid>.txt`` names, so a
     failed/speculative task attempt can never leave a half-written
-    chunk visible (the reference's writer would)."""
+    chunk visible (the reference's writer would). Overwrite mode is
+    staged the same way: the PRIOR generation's chunk files are left
+    untouched until commit() — new-generation renames land first
+    (same-name chunks replaced atomically), then stale old-generation
+    files are removed — so a failed or aborted job leaves the previous
+    generation intact instead of an empty sink."""
 
-    def __init__(self, options: dict):
+    def __init__(self, options: dict, overwrite: bool = False):
         path = options.get("path")
         if not path:
             raise ValueError("chunktext requires .option('path', <dir>)")
         self.dir = path
+        self.overwrite = overwrite
 
     def write(self, rows) -> ChunkCommit:
         import uuid
@@ -289,13 +361,21 @@ class ChunkTextWriter(DataSourceWriter):
         return ChunkCommit(tmp, pid, n)
 
     def commit(self, messages) -> None:
+        committed = set()
         for m in messages:
-            os.replace(
-                m.tmp_path,
-                os.path.join(
-                    self.dir, f"{CHUNK_PREFIX}{m.chunk_id}{CHUNK_SUFFIX}"
-                ),
-            )
+            final = f"{CHUNK_PREFIX}{m.chunk_id}{CHUNK_SUFFIX}"
+            os.replace(m.tmp_path, os.path.join(self.dir, final))
+            committed.add(final)
+        if self.overwrite:
+            # only AFTER the new generation landed: sweep stale
+            # old-generation chunks the renames didn't replace
+            for name in os.listdir(self.dir):
+                if (
+                    name.startswith(CHUNK_PREFIX)
+                    and name.endswith(CHUNK_SUFFIX)
+                    and name not in committed
+                ):
+                    os.remove(os.path.join(self.dir, name))
 
     def abort(self, messages) -> None:
         for m in messages:
@@ -306,12 +386,7 @@ class ChunkTextWriter(DataSourceWriter):
 
 
 def _writer(self, schema, overwrite: bool) -> ChunkTextWriter:
-    path = self.options.get("path")
-    if overwrite and path and os.path.isdir(path):
-        for name in os.listdir(path):
-            if name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX):
-                os.remove(os.path.join(path, name))
-    return ChunkTextWriter(self.options)
+    return ChunkTextWriter(self.options, overwrite=overwrite)
 
 
 ChunkTextDataSource.writer = _writer

@@ -91,3 +91,80 @@ def test_writer_commit_protocol_leaves_no_temps(spark, tmp_path):
     back = spark.read.format("chunktext").option("path", out).load()
     got = sorted(r["text"] for r in back.collect())
     assert got == ["alpha 2", "beta 3", "gamma 1"]
+
+def test_reader_yields_arrow_batches():
+    """The batch read path must hand Spark pyarrow RecordBatches, not
+    per-row tuples — the Arrow-columnar contract that keeps the
+    custom-source ingest off the per-line Python/pickle path."""
+    import pyarrow as pa
+
+    src = chunked_corpus_dir(SF_DIR)
+    reader = ChunkTextReader({"path": src})
+    part = reader.partitions()[0]
+    batches = list(reader.read(part))
+    assert batches and all(isinstance(b, pa.RecordBatch) for b in batches)
+    assert batches[0].schema.names == ["chunk_id", "line_no", "text"]
+    with open(part.path, encoding="utf-8") as fh:
+        n_lines = sum(1 for _ in fh)
+    assert sum(b.num_rows for b in batches) == n_lines
+    # line_no is contiguous across batches; chunk_id constant
+    first = batches[0]
+    assert first.column("line_no").to_pylist()[0] == 0
+    assert set(first.column("chunk_id").to_pylist()) == {part.chunk_id}
+
+
+def test_overwrite_stages_deletion_until_commit(spark, tmp_path):
+    """A failed overwrite job must leave the PRIOR generation intact:
+    stale-chunk deletion happens inside commit() after the new
+    generation's renames, never at writer construction."""
+    import os
+
+    register_chunktext(spark)
+    out = str(tmp_path / "sink")
+    gen1 = spark.createDataFrame(
+        [("old", 1)], "word STRING, cnt LONG"
+    ).coalesce(1)
+    gen1.write.format("chunktext").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert sorted(os.listdir(out)) == ["chunk_0.txt"]
+
+    # constructing the overwrite writer (what a starting job does
+    # before any task runs) must not touch the existing generation
+    from mapreduceece563_spark.sources.chunktext import ChunkTextDataSource
+
+    ds = ChunkTextDataSource({"path": out})
+    ds.writer(None, True)
+    assert sorted(os.listdir(out)) == ["chunk_0.txt"]
+
+    # a aborted attempt (temp written, then abort) leaves gen1 visible
+    w = ds.writer(None, True)
+    tmp = os.path.join(out, ".tmp_dead")
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write("new 9\n")
+
+    class _M:
+        tmp_path = tmp
+
+    w.abort([_M()])
+    assert sorted(os.listdir(out)) == ["chunk_0.txt"]
+    with open(os.path.join(out, "chunk_0.txt"), encoding="utf-8") as fh:
+        assert fh.read() == "old 1\n"
+
+    # a successful overwrite with FEWER partitions sweeps the stale
+    # old-generation files only after the new ones land
+    gen2 = spark.createDataFrame(
+        [("a", 1), ("b", 2)], "word STRING, cnt LONG"
+    ).repartition(3)
+    gen2.write.format("chunktext").option("path", out).mode(
+        "overwrite"
+    ).save()
+    gen3 = spark.createDataFrame(
+        [("solo", 7)], "word STRING, cnt LONG"
+    ).coalesce(1)
+    gen3.write.format("chunktext").option("path", out).mode(
+        "overwrite"
+    ).save()
+    assert sorted(os.listdir(out)) == ["chunk_0.txt"]
+    with open(os.path.join(out, "chunk_0.txt"), encoding="utf-8") as fh:
+        assert fh.read() == "solo 7\n"
