@@ -2348,7 +2348,15 @@ def collation_distinct_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle expresses the same semantics with lower() — which is
     exactly the equivalence this entry certifies: a collation-aware
     distinct must equal the normalize-then-distinct plan. Both are
-    one groupBy; the collated comparison stays JVM-native."""
+    one groupBy; the collated comparison stays JVM-native.
+
+    ORACLE CONTRACT IS ASCII-ONLY: UTF8_LCASE == lower()-rewrite
+    holds for the ASCII part names in this data but NOT under full
+    Unicode case folding (ς/σ fold together, Turkish İ lowercases to
+    i̇), so a non-ASCII data vintage would surface as a hash mismatch
+    here, not a Spark bug. If p_name ever grows non-ASCII values,
+    guard the column (e.g. filter p_name RLIKE '^[\\x00-\\x7F]*$' on
+    both sides) or switch the oracle to ICU casefolding."""
     part = load_table(spark, sf_dir, "part").select("p_brand", "p_name")
     return part.groupBy("p_brand").agg(
         F.count_distinct(F.col("p_name")).alias("n_binary_distinct"),

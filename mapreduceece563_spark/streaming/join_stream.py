@@ -59,7 +59,14 @@ def _write_time_ordered_chunks(
     df: DataFrame, dest: str, lo: int, hi: int, n_chunks: int
 ) -> None:
     """Sequential time-ranged chunk writes; the file source's
-    mtime-ordered listing then replays them oldest range first."""
+    mtime-ordered listing then replays them oldest range first.
+    Replay order is a CORRECTNESS precondition here (see module
+    docstring), so each chunk's mtime is assigned explicitly and
+    strictly increasing — never left to filesystem timestamp
+    resolution, where sub-second writes can tie and reorder."""
+    from .wordcount_stream import ReplayOrder
+
+    order = ReplayOrder()
     span = max(1, (hi - lo) + 1)
     us = F.unix_micros(F.col("ts"))
     for k in range(n_chunks):
@@ -71,6 +78,7 @@ def _write_time_ordered_chunks(
             .write.mode("append")
             .parquet(dest)
         )
+        order.mark(dest)
 
 
 def _join_drain(spark: SparkSession, sf_dir: str) -> str:

@@ -130,6 +130,13 @@ def _session_window_drain(spark: SparkSession, sf_dir: str) -> str:
             F.unix_micros(F.max("ts")).alias("hi"),
         ).first()
         lo, hi = bounds["lo"], bounds["hi"]
+        # Replay order is load-bearing for the watermark (see
+        # join_stream's module docstring); assign strictly increasing
+        # mtimes per chunk so coarse filesystem timestamps can't tie
+        # and reorder the sequential writes.
+        from .wordcount_stream import ReplayOrder
+
+        order = ReplayOrder()
         if lo is not None:
             span = max(1, (hi - lo) + 1)
             us = F.unix_micros(F.col("ts"))
@@ -142,6 +149,7 @@ def _session_window_drain(spark: SparkSession, sf_dir: str) -> str:
                     .write.mode("append")
                     .parquet(src)
                 )
+                order.mark(src)
         for s_ts in SESSION_SENTINELS:
             (
                 spark.createDataFrame(
@@ -154,6 +162,7 @@ def _session_window_drain(spark: SparkSession, sf_dir: str) -> str:
                 .write.mode("append")
                 .parquet(src)
             )
+            order.mark(src)
         _SESSION_SRC_CACHE[key] = src
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

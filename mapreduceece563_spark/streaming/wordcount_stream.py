@@ -71,6 +71,35 @@ def spill_chunks(df: DataFrame, sf_dir: str, tag: str, n_files: int = 8) -> str:
     return path
 
 
+class ReplayOrder:
+    """Pins a time-ordered chunk replay to EXPLICIT mtimes instead of
+    filesystem timestamp resolution: the file stream source lists
+    files in modification-time order, and sequentially appended
+    chunks can TIE on filesystems with coarse (e.g. 1 s) mtime
+    granularity, replaying out of order and letting the watermark
+    evict state with partners unread. Call ``mark(dest)`` after each
+    chunk write: every new parquet part file gets the next strictly
+    increasing mtime (a fixed past base, so the assignment is also
+    deterministic across runs)."""
+
+    BASE = 946_684_800  # 2000-01-01T00:00:00Z; any fixed past instant
+
+    def __init__(self) -> None:
+        self._seen: set[str] = set()
+        self._n = 0
+
+    def mark(self, dest: str) -> None:
+        import glob
+
+        new = sorted(
+            set(glob.glob(os.path.join(dest, "*.parquet"))) - self._seen
+        )
+        for path in new:
+            self._n += 1
+            os.utime(path, (self.BASE + self._n, self.BASE + self._n))
+        self._seen.update(new)
+
+
 def _partial_files(partials_dir: str) -> list[str]:
     """Parquet part files under batch_id=* — empty when the stream
     completed without a single foreachBatch invocation (empty input
