@@ -25,6 +25,16 @@ TABLES = (
 )
 
 
+# (appId, sf_dir, name, spread) -> DataFrame. A DataFrame is an
+# immutable logical plan, so handing every caller the SAME object is
+# semantically free — and materially cheaper: each spark.read.parquet
+# call re-infers the schema from the footer over py4j (~0.1 s per
+# table per query build, ~0.5 s of the q9 bench number was five of
+# these). The cache also lets Spark reuse the shared relation's file
+# index. Keyed by applicationId so fresh test sessions re-list.
+_TABLE_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+
+
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
@@ -42,12 +52,17 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
+    cached = _TABLE_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         df = _load_events(spark, sf_dir)
     else:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
+    _TABLE_CACHE[key] = df
     return df
 
 
