@@ -296,10 +296,23 @@ def main() -> None:
 # The reference's own harness is a config sweep — run_MapReduce.py:28-70
 # times every (mappers, reducers) combination and its source comments
 # record the per-config table (mpi_mapreduce.c:8-14). The Spark
-# analogue: shuffle partitions x AQE over the headline queries.
+# analogue: shuffle partitions x AQE over the headline queries PLUS
+# the 10 most expensive non-streaming registry entries (per the last
+# BENCH_DETAIL), so budget updates for the slow tail are
+# evidence-based rather than eyeballed. Streaming entries are
+# excluded: their drains are memoized per (app, sf) and a sweep would
+# time the cache, not the config.
 SWEEP_PARTITIONS = (16, 32, 64)
-SWEEP_QUERIES = ("wordcount", "q1_pricing_summary", "q5_region_revenue",
-                 "dedup_minhash")
+SWEEP_QUERIES = (
+    "wordcount", "q1_pricing_summary", "q5_region_revenue",
+    "dedup_minhash",
+    # slow tail, descending r4 cost
+    "winsorized_revenue_stats", "lsh_recall", "basket_brand_lift",
+    "ngram_jaccard_pairs", "wordcount_sink_roundtrip",
+    "quarter_revenue_overlap", "copurchase_degree_distribution",
+    "lsh_precision", "embedding_power_iteration",
+    "ngram_containment_pairs",
+)
 
 
 def conf_sweep(spark, qs) -> dict:

@@ -140,13 +140,25 @@ FROM events GROUP BY user_id
 # partitioned), plus RocksDB puts state on executor disk, so per-key
 # state no longer competes with execution memory at 10^9 keys.
 #
-# DEPENDENCY GATE: the API's state-server protocol needs the
-# `protobuf` Python package, which this container lacks (installs
-# forbidden) — so this operator is NOT in the registry; it is
-# exercised by tests/test_tws.py, which skips without protobuf.
+# DEPENDENCY NOTE: the API's state-server protocol needs the
+# `google.protobuf` runtime, which this container lacks (installs
+# forbidden). vendor/protoshim.py provides a minimal clean-room
+# implementation of exactly the runtime surface the generated
+# StateMessage_pb2 module uses; install() is called at import of THIS
+# module so it is active on the driver (registry import) and on every
+# worker (unpickling TwsUserProfile imports this module before
+# pyspark's state clients do their deferred pb2 imports). A real
+# protobuf installation, if ever present, wins — install() is a no-op
+# then. Exercised end-to-end by tests/test_tws.py; registry
+# registration is deferred until the driver-verification backlog
+# clears (coverage_highwater.json), per the round-4 growth freeze.
 # ----------------------------------------------------------------------
 
-from pyspark.sql.streaming.stateful_processor import (
+from ..vendor.protoshim import install as _install_protoshim
+
+_install_protoshim()
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
     StatefulProcessor,
     StatefulProcessorHandle,
 )

@@ -1,0 +1,132 @@
+"""Wire-format unit tests for vendor/protoshim.py (no Spark, no JVM).
+
+Vectors are hand-computed from the public protobuf encoding spec:
+tag = (field_number << 3) | wire_type; varints are little-endian
+base-128 with the MSB as continuation; length-delimited fields carry
+a varint byte length. The JVM state server is the other end of this
+wire, so these bytes must match what protoc-generated Java emits —
+tests/test_tws.py then certifies that end to end.
+"""
+
+from __future__ import annotations
+
+from mapreduceece563_spark.vendor.protoshim import install
+
+install()
+
+import pyspark.sql.streaming.proto.StateMessage_pb2 as sm  # noqa: E402
+
+
+def test_oneof_submessage_serializes_even_when_empty():
+    """SetHandleState(state=0) is all-defaults (serializes to 0
+    bytes), but the enclosing oneof fields must still appear on the
+    wire or the JVM can't resolve which method was called."""
+    m = sm.StateRequest(
+        statefulProcessorCall=sm.StatefulProcessorCall(
+            setHandleState=sm.SetHandleState(state=sm.PRE_INIT)
+        )
+    )
+    # field 2 (statefulProcessorCall), wt 2, len 2:
+    #   field 1 (setHandleState), wt 2, len 0
+    assert m.SerializeToString() == bytes.fromhex("12020a00")
+
+
+def test_nonzero_enum_serializes():
+    m = sm.SetHandleState(state=sm.CLOSED)  # CLOSED = 5
+    assert m.SerializeToString() == bytes.fromhex("0805")
+
+
+def test_default_scalar_skipped_outside_presence():
+    # statusCode=0 / errorMessage="" / value=b"" -> empty encoding
+    assert sm.StateResponse().SerializeToString() == b""
+    assert (
+        sm.StateResponse(statusCode=0, errorMessage="", value=b"")
+        .SerializeToString()
+        == b""
+    )
+
+
+def test_bytes_and_string_fields():
+    m = sm.StateCallCommand(stateName="agg", schema="n BIGINT")
+    # field1 "agg" + field2 "n BIGINT"
+    assert m.SerializeToString() == (
+        b"\x0a\x03agg" b"\x12\x08n BIGINT"
+    )
+
+
+def test_parse_response_with_missing_fields_defaults():
+    r = sm.StateResponse()
+    r.ParseFromString(bytes.fromhex("1a03616263"))  # value=b"abc" only
+    assert (r.statusCode, r.errorMessage, r.value) == (0, "", b"abc")
+
+
+def test_parse_skips_unknown_fields():
+    r = sm.StateResponse()
+    # unknown field 15 (varint), then statusCode=7
+    r.ParseFromString(bytes.fromhex("782a" "0807"))
+    assert r.statusCode == 7
+
+
+def test_negative_int64_ten_byte_varint():
+    t = sm.RegisterTimer(expiryTimestampMs=-1)
+    enc = t.SerializeToString()
+    # field1 wt0, then ten 0xff..0x01 bytes (two's complement -1)
+    assert enc == bytes.fromhex("08" + "ff" * 9 + "01")
+    back = sm.RegisterTimer()
+    back.ParseFromString(enc)
+    assert back.expiryTimestampMs == -1
+
+
+def test_large_varint_roundtrip():
+    t = sm.RegisterTimer(expiryTimestampMs=1_700_000_000_000)
+    back = sm.RegisterTimer()
+    back.ParseFromString(t.SerializeToString())
+    assert back.expiryTimestampMs == 1_700_000_000_000
+
+
+def test_repeated_bytes_roundtrip():
+    m = sm.StateResponseWithListGet(
+        statusCode=1, value=[b"a", b"", b"ccc"], requireNextFetch=True
+    )
+    back = sm.StateResponseWithListGet()
+    back.ParseFromString(m.SerializeToString())
+    assert back.statusCode == 1
+    assert list(back.value) == [b"a", b"", b"ccc"]
+    assert back.requireNextFetch is True
+
+
+def test_repeated_message_roundtrip():
+    m = sm.StateResponseWithMapIterator(
+        kvPair=[
+            sm.KeyAndValuePair(key=b"k1", value=b"v1"),
+            sm.KeyAndValuePair(key=b"k2", value=b"v2"),
+        ]
+    )
+    back = sm.StateResponseWithMapIterator()
+    back.ParseFromString(m.SerializeToString())
+    assert [(p.key, p.value) for p in back.kvPair] == [
+        (b"k1", b"v1"),
+        (b"k2", b"v2"),
+    ]
+    assert back.requireNextFetch is False
+
+
+def test_utf8_string_roundtrip():
+    m = sm.ParseStringSchema(schema="n BIGINT, s STRING — «café»")
+    back = sm.ParseStringSchema()
+    back.ParseFromString(m.SerializeToString())
+    assert back.schema == "n BIGINT, s STRING — «café»"
+
+
+def test_unset_submessage_read_returns_default_without_presence():
+    cmd = sm.StateCallCommand(stateName="x")
+    assert cmd.ttl.durationMs == 0  # default view
+    assert not cmd.HasField("ttl")
+    # and the read did not create wire presence
+    assert b"\x22" not in cmd.SerializeToString()
+
+
+def test_real_protobuf_wins_when_present():
+    """install() must defer to an installed google.protobuf (here the
+    shim IS the provider, so it reports itself active)."""
+    assert install() is True
