@@ -57,108 +57,111 @@ HEADLINE = (
 # Per-query wall-time budgets at sf0.1 (seconds). A query exceeding its
 # budget is reported in "budget_violations" on the JSON line and fails
 # tests/test_bench_budget.py, so a q3-style silent 3x regression fails
-# the round instead of surfacing in the judge's diff. Budgets are ~2x
-# the observed best-of-3 steady state (r3), rounded up — loose enough
-# for machine noise, tight enough to catch a plan regression.
+# the round instead of surfacing in the judge's diff. Budgets are
+# ~2.5x the observed best-of-3 steady state (ratcheted to the r5
+# bench after the catalog-DataFrame cache sped most entries up) —
+# loose enough for machine noise, tight enough to catch a plan
+# regression. Shared-drain streaming entries keep wide budgets: the
+# drain cost lands on whichever sibling runs first in registry order.
 BUDGET_DEFAULT = 2.0
 BUDGETS = {
     "ngram_jaccard_pairs": 5.0,
     "orders_price_band": 5.0,  # banded BNLJ: best-of-3 varies 1.4-4.1s
 
-    "dedup_groups": 5.0,
-    "tfidf_cosine_pairs": 5.0,
-    "user_gap_stats": 5.0,
-    "wordcount_by_lang": 5.0,
-    "q3_top_unshipped": 3.0,
+    "dedup_groups": 4.0,
+    "tfidf_cosine_pairs": 3.0,
+    "user_gap_stats": 2.0,
+    "wordcount_by_lang": 2.0,
+    "q3_top_unshipped": 2.0,
     "q9_profit_by_nation": 3.0,  # five-table join: 1.5-2.0s steady state
-    "sessionize": 3.0,
-    "session_window_counts": 3.0,
-    "minhash_jaccard_estimate": 5.0,
-    "dedup_edit_distance": 5.0,
+    "sessionize": 2.0,
+    "session_window_counts": 2.0,
+    "minhash_jaccard_estimate": 2.5,
+    "dedup_edit_distance": 2.0,
     "streaming_wordcount": 6.0,
-    "streaming_events_hourly": 10.0,  # multi-micro-batch drain + spill
-    "wordcount": 4.0,
-    "topk_words": 4.0,
-    "distinct_vocab": 4.0,
-    "contamination_check": 4.0,
-    "doc_repetition_stats": 4.0,
-    "boilerplate_fraction": 4.0,
-    "kmeans_2iter": 4.0,
-    "pagerank_2iter": 5.0,  # two join+agg rounds over the edge list
-    "inverted_index": 4.0,
-    "funnel_conversion": 3.0,
-    "bucketed_join_revenue": 8.0,  # includes the once-per-session bucketed write
-    "partition_pruned_purchases": 4.0,  # includes the once-per-session layout write
-    "event_transition_matrix": 3.0,
-    "user_latest_state": 3.0,
-    "events_value_histogram": 3.0,
-    "part_name_match_stats": 4.0,  # collapse-first blocked levenshtein
-    "doc_lm_surprisal": 6.0,  # corpus bigram LM + score-back join
-    "doc_chunk_manifest": 3.0,
-    "streaming_user_profile": 12.0,  # multi-micro-batch stateful drain
-    "oov_rate": 4.0,
-    "word_freq_spectrum": 3.0,
-    "bigram_pmi_top": 5.0,
-    "embedding_covariance": 6.0,  # d^2 map-side explode, tiny shuffle
-    "quality_percentile_by_source": 4.0,
-    "per_source_holdout": 3.0,
-    "table_checksum": 4.0,  # poly-hash fold over every char
-    "fk_integrity_audit": 4.0,  # three anti-join edges
-    "events_profile": 4.0,  # single-pass multi-distinct Expand
-    "events_hourly_incremental": 3.0,
-    "lang_confusion_matrix": 3.0,
-    "triangle_count": 8.0,  # oriented wedge self-join + closure check
-    "part_price_size_skyline": 3.0,
-    "purchase_attribution": 3.0,
-    "lsh_precision": 5.0,  # shared shingle stage + candidate-only verify join
-    "events_value_outliers": 3.0,  # two percentile passes + outlier count
-    "events_heavy_hitters": 3.0,
-    "rolling_7d_revenue": 3.0,
-    "daily_gap_fill": 3.0,
-    "global_doc_ids": 3.0,
-    "sentence_stats": 3.0,
-    "price_percentiles_sketch": 3.0,
+    "streaming_events_hourly": 10.0,  # shared drain: cost lands on whichever sibling drains first (registry-order dependent)
+    "wordcount": 2.0,
+    "topk_words": 2.0,
+    "distinct_vocab": 2.0,
+    "contamination_check": 2.5,
+    "doc_repetition_stats": 2.0,
+    "boilerplate_fraction": 2.5,
+    "kmeans_2iter": 3.0,
+    "pagerank_2iter": 3.0,  # two join+agg rounds over the edge list
+    "inverted_index": 3.0,
+    "funnel_conversion": 2.0,
+    "bucketed_join_revenue": 2.0,  # includes the once-per-session bucketed write
+    "partition_pruned_purchases": 2.0,  # includes the once-per-session layout write
+    "event_transition_matrix": 2.0,
+    "user_latest_state": 2.0,
+    "events_value_histogram": 2.0,
+    "part_name_match_stats": 2.0,  # collapse-first blocked levenshtein
+    "doc_lm_surprisal": 3.5,  # corpus bigram LM + score-back join
+    "doc_chunk_manifest": 2.0,
+    "streaming_user_profile": 12.0,  # shared drain: cost lands on whichever sibling drains first (registry-order dependent)
+    "oov_rate": 2.0,
+    "word_freq_spectrum": 2.0,
+    "bigram_pmi_top": 3.5,
+    "embedding_covariance": 2.5,  # d^2 map-side explode, tiny shuffle
+    "quality_percentile_by_source": 2.0,
+    "per_source_holdout": 2.0,
+    "table_checksum": 2.0,  # poly-hash fold over every char
+    "fk_integrity_audit": 2.0,  # three anti-join edges
+    "events_profile": 2.0,  # single-pass multi-distinct Expand
+    "events_hourly_incremental": 2.0,
+    "lang_confusion_matrix": 2.0,
+    "triangle_count": 3.0,  # oriented wedge self-join + closure check
+    "part_price_size_skyline": 2.0,
+    "purchase_attribution": 2.0,
+    "lsh_precision": 4.5,  # shared shingle stage + candidate-only verify join
+    "events_value_outliers": 2.0,  # two percentile passes + outlier count
+    "events_heavy_hitters": 2.0,
+    "rolling_7d_revenue": 2.0,
+    "daily_gap_fill": 2.0,
+    "global_doc_ids": 2.0,
+    "sentence_stats": 2.0,
+    "price_percentiles_sketch": 2.0,
     "lsh_recall": 5.0,  # ground-truth jaccard side shares the shingle stage
-    "streaming_dedup": 10.0,  # multi-micro-batch drain + dedup state store
-    "order_lineitem_reconciliation": 3.0,
-    "zorder_bucket_stats": 3.0,
+    "streaming_dedup": 10.0,  # shared drain: cost lands on whichever sibling drains first (registry-order dependent)
+    "order_lineitem_reconciliation": 2.0,
+    "zorder_bucket_stats": 2.0,
     "bm25_search": 3.0,  # query-term posting lists off the shared TF stage
     "token_balanced_mixture": 3.0,
-    "user_reach_curve": 3.0,
+    "user_reach_curve": 2.0,
     "basket_brand_lift": 4.0,  # per-order basket self-join
-    "audio_decode_energy": 4.0,  # WAV synth + decode round-trip in Arrow
-    "video_frame_decode": 4.0,  # VF1 synth + frame-seek decode in Arrow
+    "audio_decode_energy": 2.0,  # WAV synth + decode round-trip in Arrow
+    "video_frame_decode": 2.0,  # VF1 synth + frame-seek decode in Arrow
     "quarter_revenue_overlap": 3.0,  # fact x orders join + quarter explode
     "ngram_containment_pairs": 5.0,  # shares the shingle stage + df-cap join
-    "vocab_growth_curve": 4.0,  # min-fold over the shared TF stage
-    "embedding_power_iteration": 6.0,  # d^2 gram pass + two int mat-vec rounds
+    "vocab_growth_curve": 2.0,  # min-fold over the shared TF stage
+    "embedding_power_iteration": 5.5,  # d^2 gram pass + two int mat-vec rounds
     "copurchase_pairs": 4.0,  # basket self-join on the orderkey
-    "wordcount_via_datasource": 4.0,  # Python-source scan + full tokenize
-    "rolling_7d_active_users": 3.0,  # x7 bounded explode of user-days
-    "session_event_trigrams": 3.0,  # one user-keyed exchange, 3 windows
-    "scd2_event_state": 3.0,
-    "shingle_novelty_rate": 5.0,  # shares the persisted shingle stage
-    "pq_codebook_assign": 6.0,  # 8x subvector explode x 16-code probe
-    "csv_roundtrip_stats": 4.0,  # includes the once-per-session CSV write
-    "jsonl_roundtrip_stats": 4.0,  # includes the once-per-session JSON write
-    "schema_evolution_read": 4.0,  # includes the two-batch layout write
-    "bucket_prefilter_revenue": 3.0,
-    "winsorized_revenue_stats": 7.0,  # two exact-percentile passes: 3.5-3.9s
-    "streaming_session_windows": 15.0,  # 6 sequential micro-batches + layout
-    "streaming_purchase_view_join": 15.0,  # two-source watermarked drain
-    "js_divergence_langs": 3.0,
-    "source_overlap_jaccard": 5.0,  # vocab self-join across sources
-    "embedding_drift_l2": 4.0,  # 64x posexplode of the vector table
+    "wordcount_via_datasource": 3.5,  # Python-source scan + full tokenize
+    "rolling_7d_active_users": 2.0,  # x7 bounded explode of user-days
+    "session_event_trigrams": 2.0,  # one user-keyed exchange, 3 windows
+    "scd2_event_state": 2.0,
+    "shingle_novelty_rate": 2.0,  # shares the persisted shingle stage
+    "pq_codebook_assign": 3.0,  # 8x subvector explode x 16-code probe
+    "csv_roundtrip_stats": 2.0,  # includes the once-per-session CSV write
+    "jsonl_roundtrip_stats": 2.0,  # includes the once-per-session JSON write
+    "schema_evolution_read": 2.0,  # includes the two-batch layout write
+    "bucket_prefilter_revenue": 2.0,
+    "winsorized_revenue_stats": 6.5,  # two exact-percentile passes: 3.5-3.9s
+    "streaming_session_windows": 9.5,  # 6 sequential micro-batches + layout
+    "streaming_purchase_view_join": 13.5,  # two-source watermarked drain
+    "js_divergence_langs": 2.0,
+    "source_overlap_jaccard": 2.0,  # vocab self-join across sources
+    "embedding_drift_l2": 2.0,  # 64x posexplode of the vector table
     "wordcount_sink_roundtrip": 5.0,  # custom write path + read-back
     "copurchase_degree_distribution": 4.0,  # basket self-join + Expand
-    "embedding_linear_scores": 3.0,
-    "customer_order_window_profile": 3.0,
-    "orc_roundtrip_stats": 3.0,  # includes the once-per-session ORC write
-    "table_expectations_audit": 3.0,  # six pruned 1-row aggregates
-    "cogroup_bucket_reconciliation": 4.0,  # two-sided Arrow grouped map
-    "streaming_wordcount_via_datasource": 12.0,  # Python-source micro-batches
-    "bpe_merge_candidates": 4.0,  # tokenize + vocab pair stats
-    "bpe_second_merge": 5.0,  # two pair-count rounds + merge apply
+    "embedding_linear_scores": 2.0,
+    "customer_order_window_profile": 2.0,
+    "orc_roundtrip_stats": 2.0,  # includes the once-per-session ORC write
+    "table_expectations_audit": 2.0,  # six pruned 1-row aggregates
+    "cogroup_bucket_reconciliation": 2.0,  # two-sided Arrow grouped map
+    "streaming_wordcount_via_datasource": 10.5,  # Python-source micro-batches
+    "bpe_merge_candidates": 2.0,  # tokenize + vocab pair stats
+    "bpe_second_merge": 2.5,  # two pair-count rounds + merge apply
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

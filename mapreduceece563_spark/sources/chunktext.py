@@ -62,6 +62,37 @@ def _arrow_schema():
     )
 
 
+def _read_chunk_batches(partition):
+    """One chunk file -> bounded pyarrow RecordBatches. Shared by the
+    batch reader and the distributed stream reader (same data path,
+    same fidelity guarantees)."""
+    import itertools
+
+    import pyarrow as pa
+
+    schema = _arrow_schema()
+    with open(partition.path, encoding="utf-8") as fh:
+        base = 0
+        while True:
+            lines = list(itertools.islice(fh, ARROW_BATCH_LINES))
+            if not lines:
+                break
+            n = len(lines)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([partition.chunk_id] * n, pa.int32()),
+                    pa.array(range(base, base + n), pa.int64()),
+                    pa.array(
+                        [ln[:-1] if ln.endswith("\n") else ln
+                         for ln in lines],
+                        pa.string(),
+                    ),
+                ],
+                schema=schema,
+            )
+            base += n
+
+
 class ChunkFilePartition(InputPartition):
     def __init__(self, chunk_id: int, path: str):
         self.chunk_id = chunk_id
@@ -113,31 +144,7 @@ class ChunkTextReader(DataSourceReader):
         Python data source forwards Arrow batches to the JVM without
         per-row pickling, so the read path costs one Python loop per
         ARROW_BATCH_LINES lines instead of one per line."""
-        import itertools
-
-        import pyarrow as pa
-
-        schema = _arrow_schema()
-        with open(partition.path, encoding="utf-8") as fh:
-            base = 0
-            while True:
-                lines = list(itertools.islice(fh, ARROW_BATCH_LINES))
-                if not lines:
-                    break
-                n = len(lines)
-                yield pa.RecordBatch.from_arrays(
-                    [
-                        pa.array([partition.chunk_id] * n, pa.int32()),
-                        pa.array(range(base, base + n), pa.int64()),
-                        pa.array(
-                            [ln[:-1] if ln.endswith("\n") else ln
-                             for ln in lines],
-                            pa.string(),
-                        ),
-                    ],
-                    schema=schema,
-                )
-                base += n
+        return _read_chunk_batches(partition)
 
 
 class ChunkTextDataSource(DataSource):
@@ -435,17 +442,94 @@ def wordcount_sink_roundtrip(spark, sf_dir: str):
 
 
 # --- the STREAMING read path: chunk files as a custom micro-batch
-# source (pyspark.sql.datasource SimpleDataSourceStreamReader). The
-# offset is just {"next": <chunk_id>} — the reference's "which chunk
-# index is next" counter (mpi_mapreduce.c:577-603 task farm) recast
-# as a streaming offset, which also makes replay/recovery exact:
-# readBetweenOffsets re-reads precisely the chunks of a batch.
+# source. The offset is just {"next": <chunk_id>} — the reference's
+# "which chunk index is next" counter (mpi_mapreduce.c:577-603 task
+# farm) recast as a streaming offset, which also makes
+# replay/recovery exact: a batch's partition list is derived from its
+# (start, end) offsets alone.
+#
+# TWO implementations of the same offset contract:
+# - ChunkTextStreamReader (DataSourceStreamReader, the one the source
+#   EXPOSES): plans one InputPartition per chunk per micro-batch, so
+#   chunk reads run ON EXECUTORS in parallel through the same
+#   Arrow-batched read path as the batch reader — the shape that
+#   scales (the driver only does offset arithmetic).
+# - ChunkTextSimpleStreamReader (SimpleDataSourceStreamReader): the
+#   driver-side prefetch variant, kept as API-parity coverage of the
+#   simplified reader surface (unit-tested directly; pyspark prefers
+#   streamReader when both exist).
 
 from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamReader,
     SimpleDataSourceStreamReader,
 )
 
 CHUNKS_PER_MICROBATCH = 2
+
+
+def _dir_chunk_ids(path: str) -> list[int]:
+    out = []
+    for name in sorted(os.listdir(path)):
+        if name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX):
+            out.append(int(name[len(CHUNK_PREFIX): -len(CHUNK_SUFFIX)]))
+    return sorted(out)
+
+
+class ChunkTextStreamReader(DataSourceStreamReader):
+    """Distributed micro-batch reader: the driver plans offsets and
+    per-chunk InputPartitions; executors read their chunk through the
+    same Arrow-batched path as the batch reader. Exactly-once replay
+    falls out of the offset contract: partitions(start, end) is a pure
+    function of the offsets and the (immutable) chunk directory."""
+
+    def __init__(self, options: dict):
+        path = options.get("path")
+        if not path:
+            raise ValueError("chunktext requires .option('path', <dir>)")
+        self.dir = path
+
+    def initialOffset(self) -> dict:
+        return {"next": 0}
+
+    def latestOffset(self) -> dict:
+        ids = _dir_chunk_ids(self.dir)
+        # advance at most CHUNKS_PER_MICROBATCH chunks past the last
+        # reported offset — bounded batches = backpressure, and >1
+        # micro-batch per drain (the property the registry entry pins)
+        nxt = getattr(self, "_last", None)
+        if nxt is None:
+            nxt = 0
+        pending = [c for c in ids if c >= nxt]
+        advance_to = (
+            pending[:CHUNKS_PER_MICROBATCH][-1] + 1 if pending else nxt
+        )
+        self._last = advance_to
+        return {"next": advance_to}
+
+    def partitions(self, start: dict, end: dict):
+        ids = [
+            c
+            for c in _dir_chunk_ids(self.dir)
+            if start["next"] <= c < end["next"]
+        ]
+        return [
+            ChunkFilePartition(
+                cid,
+                os.path.join(self.dir, f"{CHUNK_PREFIX}{cid}{CHUNK_SUFFIX}"),
+            )
+            for cid in ids
+        ]
+
+    def read(self, partition: ChunkFilePartition):
+        # same Arrow RecordBatch generator as the batch reader
+        return _read_chunk_batches(partition)
+
+    def commit(self, end: dict) -> None:
+        # chunks are immutable files - nothing to clean up; but use
+        # the committed offset to fast-forward the latestOffset cursor
+        # after a restart (a fresh reader starts with _last=0 while
+        # the checkpoint may already be past it)
+        self._last = max(getattr(self, "_last", 0), end["next"])
 
 
 class ChunkTextSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -499,10 +583,20 @@ class ChunkTextSimpleStreamReader(SimpleDataSourceStreamReader):
         return self._rows(ids)
 
 
+def _stream_reader(self, schema) -> ChunkTextStreamReader:
+    return ChunkTextStreamReader(self.options)
+
+
 def _simple_stream_reader(self, schema) -> ChunkTextSimpleStreamReader:
     return ChunkTextSimpleStreamReader(self.options)
 
 
+# pyspark prefers streamReader over simpleStreamReader when both are
+# defined (datasource_internal._streamReader) - the distributed
+# executor-side reader is the one real drains use; the simple
+# driver-side variant stays as API-parity coverage, unit-tested in
+# tests/test_sources_chunktext.py.
+ChunkTextDataSource.streamReader = _stream_reader
 ChunkTextDataSource.simpleStreamReader = _simple_stream_reader
 
 

@@ -130,3 +130,62 @@ def test_real_protobuf_wins_when_present():
     """install() must defer to an installed google.protobuf (here the
     shim IS the provider, so it reports itself active)."""
     assert install() is True
+
+
+# --- property-based round-trip fuzz ----------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st_
+    _HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    _HAVE_HYP = False
+
+if _HAVE_HYP:
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        status=st_.integers(min_value=-(2**31), max_value=2**31 - 1),
+        err=st_.text(max_size=40),
+        values=st_.lists(st_.binary(max_size=20), max_size=8),
+        more=st_.booleans(),
+    )
+    def test_fuzz_list_get_roundtrip(status, err, values, more):
+        m = sm.StateResponseWithListGet(
+            statusCode=status,
+            errorMessage=err,
+            value=values,
+            requireNextFetch=more,
+        )
+        back = sm.StateResponseWithListGet()
+        back.ParseFromString(m.SerializeToString())
+        assert back.statusCode == status
+        assert back.errorMessage == err
+        assert list(back.value) == values
+        assert back.requireNextFetch == more
+
+    @settings(max_examples=200, deadline=None)
+    @given(ts=st_.integers(min_value=-(2**63), max_value=2**63 - 1))
+    def test_fuzz_int64_roundtrip(ts):
+        back = sm.RegisterTimer()
+        back.ParseFromString(
+            sm.RegisterTimer(expiryTimestampMs=ts).SerializeToString()
+        )
+        assert back.expiryTimestampMs == ts
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        pairs=st_.lists(
+            st_.tuples(st_.binary(max_size=16), st_.binary(max_size=16)),
+            max_size=6,
+        )
+    )
+    def test_fuzz_repeated_message_roundtrip(pairs):
+        m = sm.StateResponseWithMapIterator(
+            kvPair=[
+                sm.KeyAndValuePair(key=k, value=v) for k, v in pairs
+            ]
+        )
+        back = sm.StateResponseWithMapIterator()
+        back.ParseFromString(m.SerializeToString())
+        assert [(p.key, p.value) for p in back.kvPair] == pairs

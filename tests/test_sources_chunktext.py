@@ -168,3 +168,77 @@ def test_overwrite_stages_deletion_until_commit(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["chunk_0.txt"]
     with open(os.path.join(out, "chunk_0.txt"), encoding="utf-8") as fh:
         assert fh.read() == "solo 7\n"
+
+
+def test_stream_reader_offset_and_partition_planning():
+    """Distributed micro-batch reader: offsets advance by bounded
+    chunk windows; partitions(start, end) is a pure function of the
+    offsets; read() yields the same Arrow batches as the batch path."""
+    import pyarrow as pa
+
+    from mapreduceece563_spark.sources.chunktext import (
+        CHUNKS_PER_MICROBATCH,
+        ChunkTextStreamReader,
+    )
+
+    src = chunked_corpus_dir(SF_DIR)
+    r = ChunkTextStreamReader({"path": src})
+    assert r.initialOffset() == {"next": 0}
+    offs = [0]
+    for _ in range(N_CHUNKS // CHUNKS_PER_MICROBATCH):
+        offs.append(r.latestOffset()["next"])
+    # bounded advance, monotonic, reaches the end
+    assert offs[-1] == N_CHUNKS
+    assert all(
+        0 < b - a <= CHUNKS_PER_MICROBATCH for a, b in zip(offs, offs[1:])
+    )
+    # stable once drained
+    assert r.latestOffset() == {"next": N_CHUNKS}
+    parts = r.partitions({"next": 2}, {"next": 4})
+    assert [p.chunk_id for p in parts] == [2, 3]
+    assert r.partitions({"next": 4}, {"next": 4}) == []
+    batches = list(r.read(parts[0]))
+    assert batches and isinstance(batches[0], pa.RecordBatch)
+    assert set(batches[0].column("chunk_id").to_pylist()) == {2}
+
+
+def test_stream_reader_commit_fast_forwards_cursor():
+    """After a restart the checkpoint may be ahead of a fresh reader's
+    cursor; commit(end) must fast-forward so latestOffset never plans
+    an inverted (start > end) range forever."""
+    from mapreduceece563_spark.sources.chunktext import (
+        ChunkTextStreamReader,
+    )
+
+    src = chunked_corpus_dir(SF_DIR)
+    r = ChunkTextStreamReader({"path": src})
+    r.commit({"next": 6})
+    assert r.latestOffset()["next"] > 6
+
+
+def test_simple_stream_reader_parity():
+    """The SimpleDataSourceStreamReader variant (driver-side prefetch
+    API) must agree with the distributed reader chunk for chunk."""
+    from mapreduceece563_spark.sources.chunktext import (
+        ChunkTextSimpleStreamReader,
+        ChunkTextStreamReader,
+    )
+
+    src = chunked_corpus_dir(SF_DIR)
+    simple = ChunkTextSimpleStreamReader({"path": src})
+    dist = ChunkTextStreamReader({"path": src})
+    it, end = simple.read({"next": 0})
+    rows = list(it)
+    assert end["next"] > 0
+    replay = simple.readBetweenOffsets({"next": 0}, end)
+    assert rows == replay  # exact replay contract
+    # distributed read of the same offset range yields the same rows
+    got = []
+    for p in dist.partitions({"next": 0}, end):
+        for b in dist.read(p):
+            got.extend(zip(
+                b.column("chunk_id").to_pylist(),
+                b.column("line_no").to_pylist(),
+                b.column("text").to_pylist(),
+            ))
+    assert got == rows
