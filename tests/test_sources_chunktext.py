@@ -242,3 +242,40 @@ def test_simple_stream_reader_parity():
                 b.column("text").to_pylist(),
             ))
     assert got == rows
+
+
+def test_chunk_fixture_unsorted_vintage_fallback(tmp_path):
+    """chunked_corpus_dir streams sorted parquet batch-wise; an
+    UNSORTED vintage must fall back to the sorted one-shot read and
+    still produce the doc_id-ordered per-chunk layout."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.sources.chunktext import (
+        _CHUNK_CACHE,
+        chunked_corpus_dir,
+    )
+
+    ids = [7, 2, 9, 0, 5, 1, 8, 3, 6, 4]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([f"doc {i}" for i in ids]),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    out = chunked_corpus_dir(str(tmp_path))
+    try:
+        got = {}
+        for name in sorted(os.listdir(out)):
+            with open(os.path.join(out, name), encoding="utf-8") as fh:
+                got[name] = fh.read().splitlines()
+        # doc i -> chunk i % 8, ascending doc_id within each chunk
+        assert got["chunk_0.txt"] == ["doc 0", "doc 8"]
+        assert got["chunk_1.txt"] == ["doc 1", "doc 9"]
+        assert got["chunk_7.txt"] == ["doc 7"]
+        assert sum(len(v) for v in got.values()) == len(ids)
+    finally:
+        _CHUNK_CACHE.pop(str(tmp_path), None)
