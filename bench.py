@@ -73,7 +73,7 @@ BUDGETS = {
     "user_gap_stats": 2.0,
     "wordcount_by_lang": 2.0,
     "q3_top_unshipped": 2.0,
-    "q9_profit_by_nation": 3.0,  # five-table join: 1.5-2.0s steady state
+    "q9_profit_by_nation": 3.0,  # five-table join: ~1.1s r5 steady state
     "sessionize": 2.0,
     "session_window_counts": 2.0,
     "minhash_jaccard_estimate": 2.5,
@@ -146,8 +146,8 @@ BUDGETS = {
     "jsonl_roundtrip_stats": 2.0,  # includes the once-per-session JSON write
     "schema_evolution_read": 2.0,  # includes the two-batch layout write
     "bucket_prefilter_revenue": 2.0,
-    "winsorized_revenue_stats": 6.5,  # two exact-percentile passes: 3.5-3.9s
-    "streaming_session_windows": 9.5,  # 6 sequential micro-batches + layout
+    "winsorized_revenue_stats": 6.5,  # two exact-percentile passes: ~2.5s r5
+    "streaming_session_windows": 10.0,  # 6 sequential micro-batches + layout; 3.6-3.9s r5
     "streaming_purchase_view_join": 13.5,  # two-source watermarked drain
     "js_divergence_langs": 2.0,
     "source_overlap_jaccard": 2.0,  # vocab self-join across sources

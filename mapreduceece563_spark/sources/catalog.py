@@ -52,10 +52,17 @@ def load_table(
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
-    key = (spark.sparkContext.applicationId, sf_dir, name, spread)
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name, spread)
     cached = _TABLE_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict entries from other (stopped) applications: their keys are
+    # unreachable — a new session gets a new applicationId — and would
+    # otherwise pin whole DataFrame plans and py4j handles to dead
+    # JVMs for the process lifetime (pytest creates many sessions)
+    for stale in [k for k in _TABLE_CACHE if k[0] != app]:
+        del _TABLE_CACHE[stale]
     if name == "events":
         df = _load_events(spark, sf_dir)
     else:

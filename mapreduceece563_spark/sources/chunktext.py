@@ -469,7 +469,7 @@ CHUNKS_PER_MICROBATCH = 2
 
 def _dir_chunk_ids(path: str) -> list[int]:
     out = []
-    for name in sorted(os.listdir(path)):
+    for name in os.listdir(path):
         if name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX):
             out.append(int(name[len(CHUNK_PREFIX): -len(CHUNK_SUFFIX)]))
     return sorted(out)
@@ -478,9 +478,24 @@ def _dir_chunk_ids(path: str) -> list[int]:
 class ChunkTextStreamReader(DataSourceStreamReader):
     """Distributed micro-batch reader: the driver plans offsets and
     per-chunk InputPartitions; executors read their chunk through the
-    same Arrow-batched path as the batch reader. Exactly-once replay
-    falls out of the offset contract: partitions(start, end) is a pure
-    function of the offsets and the (immutable) chunk directory."""
+    same Arrow-batched path as the batch reader.
+
+    RESTART CORRECTNESS over rate limiting: ``latestOffset()`` is a
+    PURE function of the (immutable, append-only) chunk directory —
+    {"next": max chunk id + 1} — never a mutable reader-side cursor.
+    The Python stream API has no admission control (latestOffset takes
+    no start offset), so a rate-limiting cursor cannot learn the
+    restored checkpoint offset before the first post-restart
+    latestOffset call; a fresh cursor would report an offset BEHIND
+    the committed one, Spark would log that regressed offset, and the
+    following batch would re-plan already-processed chunks (duplicate
+    counts under update mode). A monotone offset derived from the
+    directory alone can never regress, so exactly-once replay holds
+    across restarts: partitions(start, end) is a pure function of the
+    offsets and the directory. Bounded-batch doling (the reference's
+    task-farm cadence) lives in the ``driver-prefetch`` reader below,
+    whose read(start) is handed the checkpointed start offset by the
+    engine and is therefore restart-safe WITH rate limiting."""
 
     def __init__(self, options: dict):
         path = options.get("path")
@@ -493,18 +508,7 @@ class ChunkTextStreamReader(DataSourceStreamReader):
 
     def latestOffset(self) -> dict:
         ids = _dir_chunk_ids(self.dir)
-        # advance at most CHUNKS_PER_MICROBATCH chunks past the last
-        # reported offset — bounded batches = backpressure, and >1
-        # micro-batch per drain (the property the registry entry pins)
-        nxt = getattr(self, "_last", None)
-        if nxt is None:
-            nxt = 0
-        pending = [c for c in ids if c >= nxt]
-        advance_to = (
-            pending[:CHUNKS_PER_MICROBATCH][-1] + 1 if pending else nxt
-        )
-        self._last = advance_to
-        return {"next": advance_to}
+        return {"next": (ids[-1] + 1) if ids else 0}
 
     def partitions(self, start: dict, end: dict):
         ids = [
@@ -525,11 +529,7 @@ class ChunkTextStreamReader(DataSourceStreamReader):
         return _read_chunk_batches(partition)
 
     def commit(self, end: dict) -> None:
-        # chunks are immutable files - nothing to clean up; but use
-        # the committed offset to fast-forward the latestOffset cursor
-        # after a restart (a fresh reader starts with _last=0 while
-        # the checkpoint may already be past it)
-        self._last = max(getattr(self, "_last", 0), end["next"])
+        pass  # chunks are immutable files — nothing to clean up
 
 
 class ChunkTextSimpleStreamReader(SimpleDataSourceStreamReader):
@@ -540,11 +540,7 @@ class ChunkTextSimpleStreamReader(SimpleDataSourceStreamReader):
         self.dir = path
 
     def _chunk_ids(self) -> list[int]:
-        out = []
-        for name in sorted(os.listdir(self.dir)):
-            if name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX):
-                out.append(int(name[len(CHUNK_PREFIX): -len(CHUNK_SUFFIX)]))
-        return sorted(out)
+        return _dir_chunk_ids(self.dir)
 
     def _rows(self, ids) -> list[tuple]:
         # a LIST, not a generator: the prefetching wrapper deep-copies
@@ -584,6 +580,18 @@ class ChunkTextSimpleStreamReader(SimpleDataSourceStreamReader):
 
 
 def _stream_reader(self, schema) -> ChunkTextStreamReader:
+    if self.options.get("reader") == "driver-prefetch":
+        # explicit opt-in to the SimpleDataSourceStreamReader path:
+        # raising here makes pyspark's _streamReader helper fall back
+        # to simpleStreamReader(). That variant IS restart-safe with
+        # bounded batches because its read(start) receives the
+        # checkpointed start offset from the engine.
+        from pyspark.errors import PySparkNotImplementedError
+
+        raise PySparkNotImplementedError(
+            errorClass="NOT_IMPLEMENTED",
+            messageParameters={"feature": "streamReader"},
+        )
     return ChunkTextStreamReader(self.options)
 
 
@@ -637,6 +645,14 @@ def streaming_wordcount_via_datasource(spark, sf_dir: str):
             lines = (
                 spark.readStream.format("chunktext")
                 .option("path", src)
+                # the rate-limited driver-prefetch reader: its
+                # read(start) is handed the checkpointed offset by the
+                # engine, so bounded 2-chunk batches (the reference's
+                # task-farm doling, >1 micro-batch per drain) are
+                # restart-safe. The default distributed reader takes
+                # everything available per trigger (restart-correct by
+                # pure-function offsets; see ChunkTextStreamReader).
+                .option("reader", "driver-prefetch")
                 .load()
                 .select(F.col("text"))
             )

@@ -143,61 +143,20 @@ FROM events GROUP BY user_id
 # DEPENDENCY NOTE: the API's state-server protocol needs the
 # `google.protobuf` runtime, which this container lacks (installs
 # forbidden). vendor/protoshim.py provides a minimal clean-room
-# implementation of exactly the runtime surface the generated
-# StateMessage_pb2 module uses; install() is called at import of THIS
-# module so it is active on the driver (registry import) and on every
-# worker (unpickling TwsUserProfile imports this module before
-# pyspark's state clients do their deferred pb2 imports). A real
-# protobuf installation, if ever present, wins — install() is a no-op
-# then. Exercised end-to-end by tests/test_tws.py; registry
-# registration is deferred until the driver-verification backlog
-# clears (coverage_highwater.json), per the round-4 growth freeze.
+# implementation; it is installed at import of tws_processor.py — the
+# module that defines the processor — so the side effect is scoped to
+# the TWS code path: the driver imports it lazily in _tws_drain, and
+# workers import it when unpickling TwsUserProfile, both before
+# pyspark's deferred StateMessage_pb2 imports run. A real protobuf
+# installation, if ever present, wins. Exercised end-to-end by
+# tests/test_tws.py; registry registration is deferred until the
+# driver-verification backlog clears (coverage_highwater.json), per
+# the round-4 growth freeze.
 # ----------------------------------------------------------------------
-
-from ..vendor.protoshim import install as _install_protoshim
-
-_install_protoshim()
-
-from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
-    StatefulProcessor,
-    StatefulProcessorHandle,
-)
 
 ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
-
-
-class TwsUserProfile(StatefulProcessor):
-    def init(self, handle: StatefulProcessorHandle) -> None:
-        self._agg = handle.getValueState("agg", "n BIGINT, vc BIGINT")
-        self._types = handle.getMapState("types", "t STRING", "c BIGINT")
-
-    def handleInputRows(self, key, rows, timerValues):
-        n, vc = self._agg.get() if self._agg.exists() else (0, 0)
-        for pdf in rows:
-            n += len(pdf)
-            vc += int(pdf["value"].mul(100).round(0).astype("int64").sum())
-            for t, c in pdf["event_type"].value_counts().items():
-                prev = (
-                    self._types.getValue((t,))[0]
-                    if self._types.containsKey((t,))
-                    else 0
-                )
-                self._types.updateValue((t,), (prev + int(c),))
-        self._agg.update((n, vc))
-        n_types = sum(1 for _ in self._types.keys())
-        yield pd.DataFrame(
-            {
-                "user_id": [key[0]],
-                "n_events": [n],
-                "value_sum": [vc / 100.0],
-                "n_types": [n_types],
-            }
-        )
-
-    def close(self) -> None:
-        pass
 
 
 # (appId, sf_dir) -> emissions dir
@@ -244,6 +203,8 @@ def _tws_drain(spark, sf_dir: str) -> str:
             .option("maxFilesPerTrigger", 2)
             .parquet(src)
         )
+        from .tws_processor import TwsUserProfile
+
         out = stream.groupBy("user_id").transformWithStateInPandas(
             statefulProcessor=TwsUserProfile(),
             outputStructType=(

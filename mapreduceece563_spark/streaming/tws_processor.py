@@ -1,0 +1,68 @@
+"""The transformWithStateInPandas processor, in its own module so the
+protobuf-shim side effect is scoped to the TWS code path.
+
+IMPORT-TIME CONTRACT: importing this module installs the vendored
+``google.protobuf`` shim (vendor/protoshim.py) when no real runtime is
+present. That covers both processes that need it, and nothing else:
+
+* the driver — ``stateful._tws_drain`` imports this module (lazily)
+  right before building the streaming query;
+* every worker — unpickling ``TwsUserProfile`` imports this module
+  before pyspark's state clients perform their deferred
+  ``StateMessage_pb2`` imports.
+
+A plain batch query importing the registry never touches this module,
+so ``sys.modules['google.protobuf']`` stays untouched for code that
+probes protobuf availability the standard way. A real protobuf
+installation always wins inside install() itself.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from ..vendor.protoshim import install as _install_protoshim
+
+_install_protoshim()
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class TwsUserProfile(StatefulProcessor):
+    """Per-user running profile on TYPED state primitives: a
+    ValueState (n_events, value_cents) plus a MapState of per-type
+    counts — both primitive kinds exercised against the RocksDB state
+    store; value math stays in int64 cents until the final emit."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._agg = handle.getValueState("agg", "n BIGINT, vc BIGINT")
+        self._types = handle.getMapState("types", "t STRING", "c BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        n, vc = self._agg.get() if self._agg.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            vc += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+            for t, c in pdf["event_type"].value_counts().items():
+                prev = (
+                    self._types.getValue((t,))[0]
+                    if self._types.containsKey((t,))
+                    else 0
+                )
+                self._types.updateValue((t,), (prev + int(c),))
+        self._agg.update((n, vc))
+        n_types = sum(1 for _ in self._types.keys())
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [vc / 100.0],
+                "n_types": [n_types],
+            }
+        )
+
+    def close(self) -> None:
+        pass

@@ -126,10 +126,31 @@ def test_unset_submessage_read_returns_default_without_presence():
     assert b"\x22" not in cmd.SerializeToString()
 
 
-def test_real_protobuf_wins_when_present():
-    """install() must defer to an installed google.protobuf (here the
-    shim IS the provider, so it reports itself active)."""
-    assert install() is True
+def test_install_reports_active_provider():
+    """install() is idempotent and must report whichever provider is
+    active: True iff the shim owns google.protobuf, False when a real
+    runtime is installed (the shim defers). Phrased this way the test
+    passes on BOTH environments."""
+    import sys
+
+    result = install()
+    active = sys.modules["google.protobuf"]
+    assert result == getattr(active, "__protoshim__", False)
+    assert install() == result  # idempotent
+
+
+def test_unset_submessage_default_is_frozen():
+    """The shim does not auto-vivify nested assignment (real protobuf
+    does); writing through an unset sub-message default must raise
+    rather than silently discard the write."""
+    import pytest as _pytest
+
+    cmd = sm.StateCallCommand(stateName="x")
+    with _pytest.raises(AttributeError, match="auto-vivify"):
+        cmd.ttl.durationMs = 5
+    # reads stay safe and presence-free
+    assert cmd.ttl.durationMs == 0
+    assert not cmd.HasField("ttl")
 
 
 # --- property-based round-trip fuzz ----------------------------------

@@ -171,29 +171,26 @@ def test_overwrite_stages_deletion_until_commit(spark, tmp_path):
 
 
 def test_stream_reader_offset_and_partition_planning():
-    """Distributed micro-batch reader: offsets advance by bounded
-    chunk windows; partitions(start, end) is a pure function of the
-    offsets; read() yields the same Arrow batches as the batch path."""
+    """Distributed micro-batch reader: latestOffset is a PURE function
+    of the chunk directory (the full frontier — restart-correct by
+    construction, see the class docstring); partitions(start, end) is
+    a pure function of the offsets; read() yields the same Arrow
+    batches as the batch path."""
     import pyarrow as pa
 
     from mapreduceece563_spark.sources.chunktext import (
-        CHUNKS_PER_MICROBATCH,
         ChunkTextStreamReader,
     )
 
     src = chunked_corpus_dir(SF_DIR)
     r = ChunkTextStreamReader({"path": src})
     assert r.initialOffset() == {"next": 0}
-    offs = [0]
-    for _ in range(N_CHUNKS // CHUNKS_PER_MICROBATCH):
-        offs.append(r.latestOffset()["next"])
-    # bounded advance, monotonic, reaches the end
-    assert offs[-1] == N_CHUNKS
-    assert all(
-        0 < b - a <= CHUNKS_PER_MICROBATCH for a, b in zip(offs, offs[1:])
-    )
-    # stable once drained
     assert r.latestOffset() == {"next": N_CHUNKS}
+    # pure: a FRESH reader (as after a checkpoint restart) reports the
+    # same frontier — it can never regress behind a committed offset
+    assert ChunkTextStreamReader({"path": src}).latestOffset() == {
+        "next": N_CHUNKS
+    }
     parts = r.partitions({"next": 2}, {"next": 4})
     assert [p.chunk_id for p in parts] == [2, 3]
     assert r.partitions({"next": 4}, {"next": 4}) == []
@@ -202,18 +199,26 @@ def test_stream_reader_offset_and_partition_planning():
     assert set(batches[0].column("chunk_id").to_pylist()) == {2}
 
 
-def test_stream_reader_commit_fast_forwards_cursor():
-    """After a restart the checkpoint may be ahead of a fresh reader's
-    cursor; commit(end) must fast-forward so latestOffset never plans
-    an inverted (start > end) range forever."""
+def test_stream_reader_mode_option_selects_simple_reader(spark):
+    """.option('reader', 'driver-prefetch') must route the query
+    through the SimpleDataSourceStreamReader fallback (streamReader
+    raises PySparkNotImplementedError), which rate-limits safely
+    because its read(start) receives the checkpointed offset."""
+    import pytest as _pytest
+    from pyspark.errors import PySparkNotImplementedError
+
     from mapreduceece563_spark.sources.chunktext import (
+        ChunkTextDataSource,
         ChunkTextStreamReader,
     )
 
     src = chunked_corpus_dir(SF_DIR)
-    r = ChunkTextStreamReader({"path": src})
-    r.commit({"next": 6})
-    assert r.latestOffset()["next"] > 6
+    ds = ChunkTextDataSource({"path": src, "reader": "driver-prefetch"})
+    with _pytest.raises(PySparkNotImplementedError):
+        ds.streamReader(None)
+    assert ds.simpleStreamReader(None) is not None
+    default_ds = ChunkTextDataSource({"path": src})
+    assert isinstance(default_ds.streamReader(None), ChunkTextStreamReader)
 
 
 def test_simple_stream_reader_parity():
