@@ -210,3 +210,29 @@ if _HAVE_HYP:
         back = sm.StateResponseWithMapIterator()
         back.ParseFromString(m.SerializeToString())
         assert [(p.key, p.value) for p in back.kvPair] == pairs
+
+
+def test_registry_import_does_not_claim_google_protobuf():
+    """The shim's side effect is scoped to the TWS code path: a plain
+    registry import must leave sys.modules['google.protobuf'] alone so
+    standard availability probes elsewhere keep working. Subprocess so
+    this file's own install() doesn't contaminate the check."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '.');"
+        "import mapreduceece563_spark.registry;"
+        "assert 'google.protobuf' not in sys.modules, 'shim leaked';"
+        "import mapreduceece563_spark.streaming.tws_processor;"
+        "assert 'google.protobuf' in sys.modules;"
+        "print('scoped-ok')"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "scoped-ok" in out.stdout
