@@ -284,3 +284,26 @@ def test_chunk_fixture_unsorted_vintage_fallback(tmp_path):
         assert sum(len(v) for v in got.values()) == len(ids)
     finally:
         _CHUNK_CACHE.pop(str(tmp_path), None)
+
+
+def test_arrow_batching_splits_large_chunks(tmp_path):
+    """A chunk longer than ARROW_BATCH_LINES must stream as multiple
+    bounded RecordBatches with contiguous line numbers — the branch
+    that bounds per-task memory on big files."""
+    from mapreduceece563_spark.sources.chunktext import (
+        ARROW_BATCH_LINES,
+        ChunkFilePartition,
+        _read_chunk_batches,
+    )
+
+    n_lines = ARROW_BATCH_LINES + 1234
+    path = tmp_path / "chunk_0.txt"
+    with open(path, "w", encoding="utf-8") as fh:
+        for i in range(n_lines):
+            fh.write(f"line {i}\n")
+    batches = list(_read_chunk_batches(ChunkFilePartition(0, str(path))))
+    assert len(batches) == 2
+    assert batches[0].num_rows == ARROW_BATCH_LINES
+    assert batches[1].num_rows == 1234
+    assert batches[1].column("line_no").to_pylist()[0] == ARROW_BATCH_LINES
+    assert batches[1].column("text").to_pylist()[-1] == f"line {n_lines - 1}"
