@@ -307,3 +307,50 @@ def test_arrow_batching_splits_large_chunks(tmp_path):
     assert batches[1].num_rows == 1234
     assert batches[1].column("line_no").to_pylist()[0] == ARROW_BATCH_LINES
     assert batches[1].column("text").to_pylist()[-1] == f"line {n_lines - 1}"
+
+
+def test_default_distributed_stream_reader_end_to_end(spark, tmp_path):
+    """The DEFAULT streaming path (no reader option) goes through the
+    distributed ChunkTextStreamReader: executors read Arrow batches
+    per chunk partition. Drain it and check the full corpus arrives
+    exactly once (same rows as the batch reader)."""
+    from pyspark.sql import functions as F
+
+    register_chunktext(spark)
+    src = chunked_corpus_dir(SF_DIR)
+    sink = str(tmp_path / "out")
+    q = (
+        spark.readStream.format("chunktext")
+        .option("path", src)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(sink)
+    batch = spark.read.format("chunktext").option("path", src).load()
+    assert streamed.count() == batch.count()
+    # exactly-once per (chunk, line): no duplicates, no gaps
+    assert (
+        streamed.groupBy("chunk_id", "line_no")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+        == 0
+    )
+    got = {
+        r["chunk_id"]: r["n"]
+        for r in streamed.groupBy("chunk_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    exp = {
+        r["chunk_id"]: r["n"]
+        for r in batch.groupBy("chunk_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == exp
