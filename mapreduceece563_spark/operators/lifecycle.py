@@ -52,7 +52,17 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     r=1 is the most recently active quartile; f=1 / m=1 the most
     frequent / highest-spend quartiles (ORDER BY ... DESC for f and
     m). Only customers with >= 1 order appear — recency is undefined
-    for the rest."""
+    for the rest.
+
+    Scale caveat (same trade as customer_balance_deciles): the three
+    unpartitioned ntiles funnel the per-customer aggregate through
+    one task — exact global quartiles serialize by nature. The input
+    is already collapsed to one row per customer (never the order
+    facts), which bounds it to dim scale; at 10^8+ customers you'd
+    compute approximate quartile cutoffs (percentile_approx on
+    r/f/m, one pass, mergeable) and band-join customers to them.
+    The exact form stays because the oracle needs the exact
+    answer."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", _cents(F.col("o_totalprice")).alias("_tc")
     )
