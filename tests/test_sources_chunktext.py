@@ -354,3 +354,61 @@ def test_default_distributed_stream_reader_end_to_end(spark, tmp_path):
         .collect()
     }
     assert got == exp
+
+
+def test_stream_reader_checkpoint_restart_no_duplicates(spark, tmp_path):
+    """Checkpoint-restart correctness for the distributed reader: a
+    second run against the same checkpoint must process ONLY chunks
+    appended after the first drain — the rate-limited-cursor bug this
+    replaced would regress the offset log and re-plan processed
+    chunks into duplicates."""
+    from pyspark.sql import functions as F
+
+    register_chunktext(spark)
+    src = tmp_path / "chunks"
+    src.mkdir()
+
+    def write_chunk(cid, lines):
+        with open(src / f"chunk_{cid}.txt", "w", encoding="utf-8") as fh:
+            fh.writelines(f"{ln}\n" for ln in lines)
+
+    for cid in range(4):
+        write_chunk(cid, [f"c{cid} l{i}" for i in range(3)])
+
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("chunktext")
+            .option("path", str(src))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(sink)
+    assert first.count() == 12
+
+    for cid in (4, 5):
+        write_chunk(cid, [f"c{cid} l{i}" for i in range(3)])
+    drain()
+
+    final = spark.read.parquet(sink)
+    assert final.count() == 18  # 12 old + 6 new, nothing re-read
+    dupes = (
+        final.groupBy("chunk_id", "line_no")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") != 1)
+        .count()
+    )
+    assert dupes == 0
+    assert sorted(
+        r["chunk_id"]
+        for r in final.select("chunk_id").distinct().collect()
+    ) == [0, 1, 2, 3, 4, 5]
