@@ -47,21 +47,33 @@ def normalize_word(token: Column) -> Column:
     return F.when(stripped == "", lowered).otherwise(stripped)
 
 
+def normalized_words_array(text: Column) -> Column:
+    """split -> normalize -> filter as ARRAY lambda functions, so the
+    regex evaluates exactly once per token: with the scalar
+    explode-project-filter chain, Catalyst pushes the survivor
+    predicates below the projection and re-inlines the whole
+    normalize expression into them (2-3 regex evaluations per token
+    — measured ~25% of the 13 MB wordcount wall). Array elements are
+    materialized values; the filter touches computed strings only."""
+    normalized = F.transform(F.split(text, " "), normalize_word)
+    return F.filter(
+        normalized,
+        lambda w: (w != "") & (F.length(w) <= MAX_WORD_LEN),
+    )
+
+
 def tokenize_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
     """lines -> one row per surviving normalized word (column ``word``).
 
     Blank lines are skipped (reference F1), tokens split on single
     space (F2), normalized (F4), then empty (F3) and over-length (F5)
-    words dropped. Catalyst fuses the whole chain into one codegen
-    stage over the scan.
+    words dropped — F2-F5 inside one array expression (see
+    :func:`normalized_words_array`) so normalization runs once per
+    token, then a bare explode.
     """
     lines = df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
-    tokens = lines.select(
-        F.explode(F.split(F.col(text_col), " ")).alias("token")
-    )
-    words = tokens.select(normalize_word(F.col("token")).alias("word"))
-    return words.filter(
-        (F.col("word") != "") & (F.length("word") <= MAX_WORD_LEN)
+    return lines.select(
+        F.explode(normalized_words_array(F.col(text_col))).alias("word")
     )
 
 
@@ -72,14 +84,9 @@ def words_from_documents(df: DataFrame, *extra_cols: str) -> DataFrame:
     document columns (e.g. ``doc_id``) alongside each word.
     """
     lines = df.filter(F.col("text").isNotNull() & (F.col("text") != ""))
-    tokens = lines.select(
-        *extra_cols, F.explode(F.split(F.col("text"), " ")).alias("token")
-    )
-    words = tokens.select(
-        *extra_cols, normalize_word(F.col("token")).alias("word")
-    )
-    return words.filter(
-        (F.col("word") != "") & (F.length("word") <= MAX_WORD_LEN)
+    return lines.select(
+        *extra_cols,
+        F.explode(normalized_words_array(F.col("text"))).alias("word"),
     )
 
 
