@@ -382,3 +382,17 @@ def test_orc_roundtrip_predicate_pushed(spark):
     pushed predicate — columnar pushdown parity with parquet."""
     rep = plan_report(Q["orc_roundtrip_stats"](spark, SF_DIR))
     assert rep.pushed_filters, "s_acctbal > 0 must reach the ORC scan"
+
+
+def test_wordcount_normalize_evaluates_once(spark):
+    """Round-5 regression pin: the tokenize chain must keep
+    normalization inside array lambdas (one transform holding the
+    regex = 2 plan-string occurrences, condition + branch of the
+    rule-3 CASE) and must never let a Filter node carry the regex —
+    the scalar chain's pushed survivor predicates re-inlined the
+    normalize expression 2-3x per token (~25% of the 13 MB wall)."""
+    plan = plan_string(Q["wordcount"](spark, SF_DIR), "formatted")
+    assert plan.count("regexp_replace") <= 2, plan.count("regexp_replace")
+    for block in plan.split("\n\n"):
+        if block.lstrip().startswith(("(", " ")) and "Filter" in block[:40]:
+            assert "regexp_replace" not in block, block[:300]
