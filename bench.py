@@ -120,7 +120,6 @@ BUDGETS = {
     "daily_gap_fill": 2.0,
     "global_doc_ids": 2.0,
     "sentence_stats": 2.0,
-    "price_percentiles_sketch": 2.0,
     "lsh_recall": 5.0,  # ground-truth jaccard side shares the shingle stage
     "streaming_dedup": 10.0,  # shared drain: cost lands on whichever sibling drains first (registry-order dependent)
     "order_lineitem_reconciliation": 2.0,
@@ -162,6 +161,8 @@ BUDGETS = {
     "streaming_wordcount_via_datasource": 10.5,  # Python-source micro-batches
     "bpe_merge_candidates": 2.0,  # tokenize + vocab pair stats
     "bpe_second_merge": 2.5,  # two pair-count rounds + merge apply
+    "streaming_tws_user_profile": 15.0,  # multi-batch RocksDB TWS drain
+    "price_percentiles_sketch": 2.5,  # sketch + exact certification pass
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -157,14 +157,40 @@ def approx_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketched distinct users per event_type — the 100 TB path.
 
     Exact count(DISTINCT) shuffles the full composite key; HLL++
-    sketches are fixed-size and merge map-side, one pass. No DuckDB
-    oracle (sketch internals are engine-specific); the driver records
-    the weaker rows-only check, and tests/test_partitioning.py asserts
-    the sketch lands within APPROX_TOL of the exact count."""
+    sketches are fixed-size and merge map-side, one pass.
+
+    Oracle contract (VERDICT r5 ask #7): the raw sketch value is
+    engine-specific, so it never appears in the output. Instead the
+    query SELF-CERTIFIES — it computes the sketch AND the exact count
+    in one Spark aggregate and exports ``sketch_ok`` = "sketch within
+    APPROX_TOL of exact". DuckDB never computes a sketch (the ADVICE
+    r1 hazard was comparing two engines' independent sketches); its
+    oracle emits the exact count plus a constant TRUE, so a Spark
+    sketch drifting out of tolerance hash-mismatches the driver row.
+    The exact tier here exists only for certification; the 100 TB
+    deployment runs the sketch alone (see approx_distinct_users for
+    the exact tier's own entry)."""
     ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("n_approx")
+    agg = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("_n_approx"),
+        F.countDistinct("user_id").alias("n_exact"),
     )
+    return agg.select(
+        "event_type",
+        "n_exact",
+        (
+            F.abs(F.col("_n_approx") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(APPROX_TOL)
+        ).alias("sketch_ok"),
+    )
+
+
+APPROX_DISTINCT_SKETCH_SQL = """
+SELECT event_type,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS sketch_ok
+FROM events GROUP BY event_type
+"""
 
 
 def events_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,26 +252,46 @@ def price_percentiles_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exact `percentile` buffers and sorts every group value on one
     reducer per group; `approx_percentile` (t-digest-style quantile
-    summary) is fixed-size and merges map-side, one pass, no sort. No
-    DuckDB oracle (summary internals are engine-specific); the driver
-    records the rows-only check and tests/test_partitioning.py asserts
-    each sketched percentile lands within APPROX_PCT_TOL (relative) of
-    the exact tier's answer."""
+    summary) is fixed-size and merges map-side, one pass, no sort.
+
+    Oracle contract (VERDICT r5 ask #7): same self-certification shape
+    as approx_distinct_sketch — the raw sketched quantiles are
+    engine-specific and never exported; the query computes sketch and
+    exact percentiles in one Spark aggregate and exports per-quantile
+    within-APPROX_PCT_TOL booleans, which the DuckDB oracle pins to
+    TRUE. A sketch drifting out of tolerance hash-mismatches the
+    driver row instead of hiding behind a rows-only check."""
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderpriority", "o_totalprice"
     )
     agg = orders.groupBy("o_orderpriority").agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.5, 0.95), 10000)"
-        ).alias("_p"),
+        ).alias("_a"),
+        F.expr("percentile(o_totalprice, array(0.5, 0.95))").alias("_e"),
         F.count("*").alias("n_orders"),
     )
     return agg.select(
         "o_orderpriority",
-        F.round(F.col("_p")[0], 4).alias("p50_price"),
-        F.round(F.col("_p")[1], 4).alias("p95_price"),
         "n_orders",
+        (
+            F.abs(F.col("_a")[0] - F.col("_e")[0])
+            <= F.col("_e")[0] * F.lit(APPROX_PCT_TOL)
+        ).alias("p50_ok"),
+        (
+            F.abs(F.col("_a")[1] - F.col("_e")[1])
+            <= F.col("_e")[1] * F.lit(APPROX_PCT_TOL)
+        ).alias("p95_ok"),
     )
+
+
+PRICE_PERCENTILES_SKETCH_SQL = """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       TRUE AS p50_ok,
+       TRUE AS p95_ok
+FROM orders GROUP BY o_orderpriority
+"""
 
 
 APPROX_PCT_TOL = 0.02  # sketched percentile within 2% of exact

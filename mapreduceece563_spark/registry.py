@@ -82,28 +82,46 @@ def oracle_sql() -> dict[str, str]:
 
 # ======================================================================
 # DRIVER-CHECKED WINDOW — the driver's correctness snapshot covers the
-# FIRST 50 registered names only. Round-5 rotation (VERDICT r4 ask #1):
-# positions 0-49 are the 50 ORACLE-PAIRED entries that had never
-# received a driver CORRECTNESS row (COVERAGE.json.never_driver_green
-# after round 4) — the round-4 additions: multimodal byte decoders,
-# BPE merge steps, streaming session/interval-join entries, format
-# round-trips, and the §2 datasource/sink parity entries.
-# One oracled entry stays outside by arithmetic (51 candidates, 50
-# slots): rolling_7d_active_users, chosen because it is shape-identical
-# to the already-driver-green rolling_7d_revenue (same window frame,
-# same events scan), so its local oracle signal carries the most
-# transferable driver evidence. It leads the post-window block for the
-# next rotation. The two no-oracle sketch entries
-# (approx_distinct_sketch, price_percentiles_sketch) stay outside on
-# purpose: the driver could only record a weak rows-only row for them;
-# their accuracy-vs-exact-tier contract is asserted Spark-side in
-# tests/test_partitioning.py.
+# FIRST 50 registered names only. Round-6 rotation (VERDICT r5 asks
+# #1/#3/#7): the window leads with the entire remaining backlog —
+# rolling_7d_active_users (the round-5 arithmetic deferral),
+# streaming_tws_user_profile (registration unfrozen now the backlog
+# cleared), and the two sketch tiers, which self-certify against their
+# exact twins since round 6 and therefore carry full oracles — followed
+# by the round-6 additions. The remaining window slots are backfilled
+# with round-5-green entries (allowed when backlog <= window;
+# tests/test_coverage_debt.py::test_window_is_rotated_onto_backlog).
 # Everything below position 50 already has a green driver row from a
-# prior round (CORRECTNESS_r01-r04) and stays pinned by
+# prior round (CORRECTNESS_r01-r05) and stays pinned by
 # tests/test_registry_oracle.py, which runs the identical oracle
 # comparison for EVERY entry at sf0.001 (the /verify sweep re-runs it
 # at sf0.01 and sf0.1).
 # ======================================================================
+
+register(
+    "rolling_7d_active_users",
+    an.rolling_7d_active_users,
+    an.ROLLING_7D_ACTIVE_SQL,
+)
+register(
+    "streaming_tws_user_profile",
+    sf.streaming_tws_user_profile,
+    sf.STREAMING_TWS_SQL,
+)
+register(
+    "approx_distinct_sketch",
+    sk.approx_distinct_sketch,
+    sk.APPROX_DISTINCT_SKETCH_SQL,
+)
+register(
+    "price_percentiles_sketch",
+    sk.price_percentiles_sketch,
+    sk.PRICE_PERCENTILES_SKETCH_SQL,
+)
+
+# ---- round-6 additions (new operator classes, VERDICT r5 ask #3) ----
+
+# ---- window backfill: round-5-green entries ----
 
 register(
     "audio_decode_energy",
@@ -315,17 +333,10 @@ register(
 )
 
 # ======================================================================
-# Below position 50: green driver row from a prior round (or no-oracle
-# by design); pinned by the registry-wide local oracle test.
-# rolling_7d_active_users leads: it is first in line for the round-6
-# window rotation.
+# Below position 50: green driver row from a prior round; pinned by
+# the registry-wide local oracle test.
 # ======================================================================
 
-register(
-    "rolling_7d_active_users",
-    an.rolling_7d_active_users,
-    an.ROLLING_7D_ACTIVE_SQL,
-)
 register("wordcount", wc.wordcount, wc.WORDCOUNT_SQL)
 register("region_nations_agg", rel.region_nations_agg, rel.REGION_NATIONS_SQL)
 register(
@@ -583,7 +594,6 @@ register(
 register("wordcount_by_lang", wc.wordcount_by_lang, wc.WORDCOUNT_BY_LANG_SQL)
 register("distinct_vocab", wc.distinct_vocab, wc.DISTINCT_VOCAB_SQL)
 register("topk_words", wc.topk_words, wc.TOPK_WORDS_SQL)
-register("approx_distinct_sketch", sk.approx_distinct_sketch, None)
 register("q1_pricing_summary", rel.q1_pricing_summary, rel.Q1_SQL)
 register("q3_top_unshipped", rel.q3_top_unshipped, rel.Q3_SQL)
 register("q5_region_revenue", rel.q5_region_revenue, rel.Q5_SQL)
@@ -698,4 +708,3 @@ register(
     sk.events_type_profile,
     sk.EVENTS_TYPE_PROFILE_SQL,
 )
-register("price_percentiles_sketch", sk.price_percentiles_sketch, None)

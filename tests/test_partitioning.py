@@ -74,11 +74,11 @@ def test_bucketed_join_has_no_exchange(spark):
 
 def test_approx_distinct_sketch_within_tol(spark):
     """The HLL++ sketch path must land within APPROX_TOL of the exact
-    distinct count per group — asserted Spark-side only, because sketch
-    internals are engine-specific and a cross-engine-compared
-    sketch-derived column can break spuriously (ADVICE r1)."""
+    distinct count per group. Since round 6 the query self-certifies
+    (exports ``sketch_ok`` instead of the engine-specific raw sketch,
+    VERDICT r5 ask #7), so the assertion is that every group certifies
+    and the exported exact counts match the exact tier's entry."""
     from mapreduceece563_spark.operators.skew import (
-        APPROX_TOL,
         approx_distinct_sketch,
         approx_distinct_users,
     )
@@ -87,37 +87,34 @@ def test_approx_distinct_sketch_within_tol(spark):
         r["event_type"]: r["n_exact"]
         for r in approx_distinct_users(spark, SF_DIR).collect()
     }
-    approx = {
-        r["event_type"]: r["n_approx"]
-        for r in approx_distinct_sketch(spark, SF_DIR).collect()
-    }
-    assert set(exact) == set(approx)
-    for et, n in exact.items():
-        assert abs(approx[et] - n) <= n * APPROX_TOL, (
-            f"{et}: sketch {approx[et]} outside {APPROX_TOL:.0%} of exact {n}"
+    rows = approx_distinct_sketch(spark, SF_DIR).collect()
+    assert {r["event_type"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["n_exact"] == exact[r["event_type"]]
+        assert r["sketch_ok"], (
+            f"{r['event_type']}: HLL++ sketch outside tolerance of exact "
+            f"{r['n_exact']}"
         )
 
 
 def test_price_percentiles_sketch_within_tol(spark):
     """The approx_percentile sketch path must land within
-    APPROX_PCT_TOL of the exact interpolated percentiles per priority
-    — Spark-side only, same reasoning as the HLL sketch test."""
+    APPROX_PCT_TOL of the exact interpolated percentiles per priority.
+    Self-certifying since round 6: every group's p50_ok/p95_ok must
+    hold, and the group keys must match the exact tier's entry."""
     from mapreduceece563_spark.operators.relational import price_percentiles
     from mapreduceece563_spark.operators.skew import (
-        APPROX_PCT_TOL,
         price_percentiles_sketch,
     )
 
-    exact = {
-        r["o_orderpriority"]: (r["p50_price"], r["p95_price"])
+    exact_keys = {
+        r["o_orderpriority"]
         for r in price_percentiles(spark, SF_DIR).collect()
     }
-    approx = {
-        r["o_orderpriority"]: (r["p50_price"], r["p95_price"])
-        for r in price_percentiles_sketch(spark, SF_DIR).collect()
-    }
-    assert set(exact) == set(approx)
-    for prio, (e50, e95) in exact.items():
-        a50, a95 = approx[prio]
-        assert abs(a50 - e50) <= e50 * APPROX_PCT_TOL
-        assert abs(a95 - e95) <= e95 * APPROX_PCT_TOL
+    rows = price_percentiles_sketch(spark, SF_DIR).collect()
+    assert {r["o_orderpriority"] for r in rows} == exact_keys
+    for r in rows:
+        assert r["p50_ok"] and r["p95_ok"], (
+            f"{r['o_orderpriority']}: sketched percentile outside "
+            f"tolerance ({r['p50_ok']=}, {r['p95_ok']=})"
+        )
