@@ -25,20 +25,30 @@ TABLES = (
 )
 
 
-# (appId, sf_dir, name, spread) -> DataFrame. A DataFrame is an
-# immutable logical plan, so handing every caller the SAME object is
-# semantically free — and materially cheaper: each spark.read.parquet
-# call re-infers the schema from the footer over py4j (~0.1 s per
-# table per query build, ~0.5 s of the q9 bench number was five of
-# these). The cache also lets Spark reuse the shared relation's file
-# index. Keyed by applicationId so fresh test sessions re-list.
-_TABLE_CACHE: dict[tuple[str, str, str, bool], DataFrame] = {}
+# (appId, sf_dir, name) -> raw parquet read schema (DDL string). The
+# expensive part of spark.read.parquet is the footer schema inference
+# over py4j (~0.1 s per table per query build, ~0.5 s of the q9 bench
+# number was five of these) — so cache ONLY the schema and rebuild a
+# fresh DataFrame per call. Handing every caller the identical
+# DataFrame object (rounds 4-5) pinned the file index at first load
+# (same-session rewrites served stale data) and turned independent
+# loads into same-object self-joins that only worked through Spark's
+# DeduplicateRelations (ADVICE r5, medium). Keyed by applicationId so
+# fresh test sessions re-infer.
+_SCHEMA_CACHE: dict[tuple[str, str, str], str] = {}
+
+
+def invalidate_table_cache() -> None:
+    """Drop every cached schema (call after rewriting a table's
+    parquet in place within one session)."""
+    _SCHEMA_CACHE.clear()
 
 
 def load_table(
     spark: SparkSession, sf_dir: str, name: str, spread: bool = False
 ) -> DataFrame:
-    """Read one catalog table.
+    """Read one catalog table — a FRESH DataFrame per call (fresh
+    attribute IDs, fresh file index) over a cached footer schema.
 
     ``spread=True`` repartitions to the session's default parallelism
     right after the scan. Use it for CPU-heavy downstream pipelines
@@ -53,24 +63,32 @@ def load_table(
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     app = spark.sparkContext.applicationId
-    key = (app, sf_dir, name, spread)
-    cached = _TABLE_CACHE.get(key)
-    if cached is not None:
-        return cached
-    # evict entries from other (stopped) applications: their keys are
-    # unreachable — a new session gets a new applicationId — and would
-    # otherwise pin whole DataFrame plans and py4j handles to dead
-    # JVMs for the process lifetime (pytest creates many sessions)
-    for stale in [k for k in _TABLE_CACHE if k[0] != app]:
-        del _TABLE_CACHE[stale]
+    # evict entries from other (stopped) applications so dead-JVM keys
+    # don't accumulate for the process lifetime (pytest creates many
+    # sessions)
+    for stale in [k for k in _SCHEMA_CACHE if k[0] != app]:
+        del _SCHEMA_CACHE[stale]
     if name == "events":
         df = _load_events(spark, sf_dir)
     else:
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        df = _read_with_cached_schema(spark, sf_dir, name)
     if spread:
         df = df.repartition(spark.sparkContext.defaultParallelism)
-    _TABLE_CACHE[key] = df
     return df
+
+
+def _read_with_cached_schema(
+    spark: SparkSession, sf_dir: str, name: str
+) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    ddl = _SCHEMA_CACHE.get(key)
+    if ddl is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema.toDDL()
+        return df
+    return spark.read.schema(ddl).parquet(path)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,7 +107,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       ``epoch_us`` on the same naive values.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = _read_with_cached_schema(spark, sf_dir, "events")
     from pyspark.sql import functions as F
 
     ts_type = dict(df.dtypes).get("ts")

@@ -66,7 +66,7 @@ def _write_time_ordered_chunks(
     resolution, where sub-second writes can tie and reorder."""
     from .wordcount_stream import ReplayOrder
 
-    order = ReplayOrder()
+    order = ReplayOrder(dest)
     span = max(1, (hi - lo) + 1)
     us = F.unix_micros(F.col("ts"))
     for k in range(n_chunks):

@@ -136,7 +136,7 @@ def _session_window_drain(spark: SparkSession, sf_dir: str) -> str:
         # and reorder the sequential writes.
         from .wordcount_stream import ReplayOrder
 
-        order = ReplayOrder()
+        order = ReplayOrder(src)
         if lo is not None:
             span = max(1, (hi - lo) + 1)
             us = F.unix_micros(F.col("ts"))

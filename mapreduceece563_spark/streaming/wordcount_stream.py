@@ -84,9 +84,20 @@ class ReplayOrder:
 
     BASE = 946_684_800  # 2000-01-01T00:00:00Z; any fixed past instant
 
-    def __init__(self) -> None:
+    def __init__(self, dest: str | None = None) -> None:
+        """Seed ``_seen`` (and the mtime counter) from ``dest``'s
+        existing ``*.parquet`` files so a second ReplayOrder built
+        against a directory holding a prior generation's chunks does
+        NOT re-stamp them from BASE in lexical order and scramble the
+        earlier replay (ADVICE r5). Call sites pass the directory they
+        will mark into."""
+        import glob
+
         self._seen: set[str] = set()
         self._n = 0
+        if dest is not None:
+            self._seen = set(glob.glob(os.path.join(dest, "*.parquet")))
+            self._n = len(self._seen)
 
     def mark(self, dest: str) -> None:
         import glob

@@ -236,3 +236,56 @@ def test_registry_import_does_not_claim_google_protobuf():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "scoped-ok" in out.stdout
+
+
+def test_install_defers_to_real_protobuf_runtime():
+    """VERDICT r5 ask #8: the code claims "a real protobuf
+    installation wins" — pin it. In a subprocess, fake a REAL runtime
+    (a google.protobuf with an importable descriptor module and no
+    __protoshim__ marker) before calling install(); install() must
+    return False and leave the fake as the active provider."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys, types\n"
+        "g = types.ModuleType('google'); g.__path__ = []\n"
+        "pb = types.ModuleType('google.protobuf'); pb.__path__ = []\n"
+        "d = types.ModuleType('google.protobuf.descriptor')\n"
+        "d._USE_C_DESCRIPTORS = False\n"
+        "g.protobuf = pb; pb.descriptor = d\n"
+        "sys.modules['google'] = g\n"
+        "sys.modules['google.protobuf'] = pb\n"
+        "sys.modules['google.protobuf.descriptor'] = d\n"
+        "sys.path.insert(0, '.')\n"
+        "from mapreduceece563_spark.vendor.protoshim import install\n"
+        "assert install() is False, 'shim claimed an occupied runtime'\n"
+        "assert sys.modules['google.protobuf'] is pb, 'shim replaced it'\n"
+        "assert not getattr(sys.modules['google.protobuf'],"
+        " '__protoshim__', False)\n"
+        "print('real-wins-ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd=__file__.rsplit("/tests/", 1)[0],
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "real-wins-ok" in out.stdout
+
+
+def test_packed_repeated_scalar_descriptor_rejected():
+    """proto3 packs repeated scalars (wire type 2); the shim's parse
+    path assumes unpacked varints, so a descriptor that declares a
+    repeated scalar field must be rejected at build time rather than
+    silently mis-decoding bytes (ADVICE r5)."""
+    import pytest
+
+    from mapreduceece563_spark.vendor import protoshim as ps
+
+    # minimal FieldDescriptorProto raw dict: name=1, number=3,
+    # label=4 (3 = LABEL_REPEATED), type=5 (3 = TYPE_INT64)
+    raw = {1: [b"bad_field"], 3: [7], 4: [3], 5: [3]}
+    with pytest.raises(NotImplementedError, match="packed"):
+        ps._FieldSpec(raw)
