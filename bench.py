@@ -161,7 +161,13 @@ BUDGETS = {
     "streaming_wordcount_via_datasource": 10.5,  # Python-source micro-batches
     "bpe_merge_candidates": 2.0,  # tokenize + vocab pair stats
     "bpe_second_merge": 2.5,  # two pair-count rounds + merge apply
-    "streaming_tws_user_profile": 15.0,  # multi-batch RocksDB TWS drain
+    "streaming_tws_user_profile": 24.0,  # multi-batch RocksDB TWS drain: 9-12s
+    "semdedup_prune_stats": 9.0,  # within-cluster exact cosine pairs: ~4.4s
+    "ivf_recall_tuning": 4.5,  # brute-force GT + 3-probe IVF rank: ~2.0s
+    "rle_compression_estimate": 6.5,  # 3x unpivot + block windows: ~3.2s
+    "streaming_foreachbatch_upsert": 8.0,  # multi-batch MERGE drain: ~3.8s
+    "domain_quality_rollup": 2.5,  # tokenize + digest pass: ~1.2s
+    "binaryfile_manifest": 3.0,  # first pass writes the 64-file layout
     "price_percentiles_sketch": 2.5,  # sketch + exact certification pass
 }
 

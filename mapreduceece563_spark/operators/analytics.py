@@ -545,3 +545,102 @@ SELECT l_returnflag, count(*) AS n_items,
          AS mean_winsorized
 FROM clamped GROUP BY l_returnflag
 """
+
+
+# --- grouped-map OLS regression ----------------------------------------
+
+REG_MILLI = 1000
+
+
+def events_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type OLS regression of event value (cents) on
+    hour-of-day, computed in an Arrow ``applyInPandas`` grouped map —
+    the "fit a small model per group" shape (per-domain trend fits,
+    per-segment elasticities) that genuinely needs imperative numeric
+    code per group rather than a SQL aggregate.
+
+    Cross-engine determinism contract: inside the pandas function all
+    sums are exact int64 (hour <= 23, cents <= ~10^6, n <= ~10^5 per
+    group keeps every product under 2^63); slope and intercept are
+    then derived with a FIXED float operation order — slope =
+    double(n*sxy - sx*sy) / double(n*sxx - sx*sx), intercept =
+    (sy - slope*sx)/n — that the DuckDB oracle repeats verbatim, so
+    the doubles are bit-identical and the final half-up milli
+    quantization (floor(x*1000+0.5), identical on identical doubles)
+    cannot split. Output is all-integer.
+
+    Scale posture: the exchange carries (event_type, hour, cents)
+    triples — at 100 TB you would pre-aggregate per (type, hour)
+    before the grouped map (24 rows per group regardless of corpus
+    size); here the raw rows flow so the grouped map does real work
+    per group."""
+    import math
+
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("h"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    )
+
+    def _ols(pdf: pd.DataFrame) -> pd.DataFrame:
+        x = pdf["h"].to_numpy()
+        y = pdf["vc"].to_numpy()
+        n = len(pdf)
+        sx = int(x.sum())
+        sy = int(y.sum())
+        sxx = int((x * x).sum())
+        sxy = int((x * y).sum())
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = float(num) / float(den) if den != 0 else 0.0
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n_events": [n],
+                "slope_millicents": [
+                    int(math.floor(slope * REG_MILLI + 0.5))
+                ],
+                "intercept_cents": [int(math.floor(intercept + 0.5))],
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        _ols,
+        "event_type STRING, n_events BIGINT, slope_millicents BIGINT,"
+        " intercept_cents BIGINT",
+    )
+
+
+EVENTS_REGRESSION_SQL = f"""
+WITH per AS (
+  SELECT event_type,
+         CAST(extract(hour FROM ts) AS BIGINT) AS h,
+         CAST(round(value * 100, 0) AS BIGINT) AS vc
+  FROM events
+),
+sums AS (
+  SELECT event_type, count(*) AS n,
+         sum(h) AS sx, sum(vc) AS sy,
+         sum(h * h) AS sxx, sum(h * vc) AS sxy
+  FROM per GROUP BY event_type
+),
+fit AS (
+  SELECT event_type, n,
+         CASE WHEN (n * sxx - sx * sx) <> 0
+              THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+              ELSE 0.0 END AS slope,
+         sx, sy
+  FROM sums
+)
+SELECT event_type,
+       n AS n_events,
+       CAST(floor(slope * {REG_MILLI} + 0.5) AS BIGINT)
+         AS slope_millicents,
+       CAST(floor((sy - slope * sx) / n + 0.5) AS BIGINT)
+         AS intercept_cents
+FROM fit
+"""

@@ -159,3 +159,141 @@ SELECT cid AS cluster_id, count(*) AS n_vectors,
          AS inertia
 FROM a2 GROUP BY cid
 """
+
+
+# --- SemDeDup: semantic dedup via embedding-cluster pruning -----------
+
+SEMDEDUP_TAU = 0.3  # cosine cutoff; synthetic embeddings peak ~0.48
+
+
+def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): k-means
+    cluster the embeddings, then compare pairs ONLY within a cluster
+    and prune every vector whose cosine similarity to a lower-id
+    cluster-mate reaches SEMDEDUP_TAU (keep-lowest-id rule — a
+    deterministic stand-in for the paper's keep-farthest-from-centroid
+    tie-break). Returns per-cluster totals: members, pruned, kept.
+
+    This is the missing tier between MinHash (lexical overlap) and
+    sign-LSH bucketing: near-duplicate MEANING with different surface
+    forms. Scale posture (100 TB): the quadratic pair search is fenced
+    inside k-means cells — cost is sum over clusters of |c|^2, not
+    corpus^2 (the same bucketing discipline as every other
+    pair-producing operator here); the cluster assignment itself is a
+    broadcast-centroid map pass, and the pair join shuffles on the
+    cluster id. Skewed cells would be split by a secondary
+    sub-cluster key before the self-join.
+
+    Determinism: reuses the fixed 2-iteration k-means (identical
+    int64-exact centroids in both engines) and the explicit left-fold
+    dot product, so cosines are bit-identical and the TAU comparison
+    can't straddle engines."""
+    vecs = _vecs(spark, sf_dir)
+    c0 = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _assign(vecs, c0)
+    c1 = _update(a1)
+    a2 = _assign(vecs, c1)
+    members = a2.select(
+        "cid",
+        "vec_id",
+        "v",
+        F.sqrt(_sqdist_dot(F.col("v"), F.col("v"))).alias("nrm"),
+    )
+    a = members.select(
+        "cid",
+        F.col("vec_id").alias("i"),
+        F.col("v").alias("vi"),
+        F.col("nrm").alias("ni"),
+    )
+    b = members.select(
+        "cid",
+        F.col("vec_id").alias("j"),
+        F.col("v").alias("vj"),
+        F.col("nrm").alias("nj"),
+    )
+    pruned = (
+        a.join(b, "cid")
+        .filter(F.col("i") < F.col("j"))
+        .filter(
+            _sqdist_dot(F.col("vi"), F.col("vj"))
+            / (F.col("ni") * F.col("nj"))
+            >= F.lit(SEMDEDUP_TAU)
+        )
+        .select("cid", "j")
+        .distinct()
+        .groupBy("cid")
+        .agg(F.count("*").alias("n_pruned"))
+    )
+    return (
+        members.groupBy(F.col("cid").alias("cluster_id"))
+        .agg(F.count("*").alias("n_vectors"))
+        .join(
+            pruned.withColumnRenamed("cid", "cluster_id"),
+            "cluster_id",
+            "left",
+        )
+        .select(
+            "cluster_id",
+            "n_vectors",
+            F.coalesce("n_pruned", F.lit(0)).alias("n_pruned"),
+            (
+                F.col("n_vectors") - F.coalesce("n_pruned", F.lit(0))
+            ).alias("n_kept"),
+        )
+    )
+
+
+def _sqdist_dot(a: Column, b: Column) -> Column:
+    """Plain dot product with the same explicit left-fold evaluation
+    order as _sqdist (and the DuckDB list_reduce mirror)."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+_DOT_FOLD_SQL = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x)"
+)
+
+SEMDEDUP_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {K}),
+{_assign_sql('v', 'c0', 'a1').lstrip()},
+e1 AS (
+  SELECT cid, d.dim AS dim,
+         CAST(round(v[d.dim] * {SCALE}, 0) AS BIGINT) AS xs
+  FROM a1 CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS dim) d
+),
+m1 AS (
+  SELECT cid, dim, (CAST(sum(xs) AS DOUBLE) / {SCALE}) / count(*) AS m
+  FROM e1 GROUP BY cid, dim
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+{_assign_sql('v', 'c1', 'a2').lstrip()},
+members AS (
+  SELECT cid, vec_id, v,
+         sqrt({_DOT_FOLD_SQL.format(a='v', b='v')}) AS nrm
+  FROM a2
+),
+pruned AS (
+  SELECT cid, count(*) AS n_pruned FROM (
+    SELECT DISTINCT a.cid, b.vec_id AS j
+    FROM members a JOIN members b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_DOT_FOLD_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)
+            >= {SEMDEDUP_TAU}
+  ) GROUP BY cid
+)
+SELECT m.cid AS cluster_id,
+       count(*) AS n_vectors,
+       COALESCE(any_value(p.n_pruned), 0) AS n_pruned,
+       count(*) - COALESCE(any_value(p.n_pruned), 0) AS n_kept
+FROM members m LEFT JOIN pruned p ON m.cid = p.cid
+GROUP BY m.cid
+"""

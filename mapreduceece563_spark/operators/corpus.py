@@ -39,6 +39,7 @@ from ..functions.hashing import HASH_MOD, poly_hash, poly_hash_sql
 from ..sources.catalog import load_table
 from .dedup import doc_shingle_hashes, shingle_hashes_cte_sql, words_array
 from .ngrams import _words_cte
+from .textstats import _words_sql
 
 # Boilerplate document-frequency threshold: a shingle present in at
 # least max(4, ceil(0.0025 * n_docs)) documents is "boilerplate"
@@ -490,3 +491,198 @@ FROM scored
 ORDER BY jppm DESC, src_a ASC, src_b ASC
 LIMIT {SOURCE_OVERLAP_TOP}
 """
+
+
+# --- URL/domain-level curation (the CommonCrawl shape) ----------------
+#
+# The documents fixture has no URL column, so each doc's URL is
+# DERIVED deterministically from (source, lang, doc_id) — documented
+# here because the DuckDB oracle recomputes the canonical form
+# analytically from the same columns while the Spark side does the
+# real work (parse_url host/path extraction, www-strip, query-string
+# drop). On a real crawl the url column exists and the derivation
+# disappears; every downstream expression is unchanged.
+
+URL_PATH_BUCKETS = 37
+
+
+def _doc_url() -> Column:
+    return F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.lit(".example.com/"),
+        F.col("lang"),
+        F.lit("/p"),
+        (F.col("doc_id") % URL_PATH_BUCKETS).cast("string"),
+        F.lit("?sid="),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host-level dedup: lowercase host, strip
+    the www. prefix, drop query string and fragment, then count
+    distinct canonical URLs per domain — the first pass of every
+    crawl-curation pipeline (the same page crawled under tracking
+    parameters must collapse before content dedup even starts).
+
+    Spark side uses the real URL machinery (``parse_url`` HOST/PATH
+    against the assembled string); the oracle recomputes the canonical
+    form from the generating columns. Map-only until a single
+    domain-keyed exchange; the distinct count shuffles (domain,
+    canonical-hash), never the document payload."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "lang"
+    )
+    url = _doc_url()
+    host = F.parse_url(url, F.lit("HOST"))
+    domain = F.regexp_replace(F.lower(host), r"^www\.", "")
+    canonical = F.concat(
+        F.lit("https://"), domain, F.parse_url(url, F.lit("PATH"))
+    )
+    per = docs.select(
+        domain.alias("domain"), canonical.alias("canonical")
+    )
+    return per.groupBy("domain").agg(
+        F.count("*").alias("n_urls"),
+        F.countDistinct("canonical").alias("n_canonical"),
+        (F.count("*") - F.countDistinct("canonical")).alias("n_dup_urls"),
+        (
+            (F.count("*") - F.countDistinct("canonical")).cast("double")
+            / F.count("*").cast("double")
+        ).alias("dup_rate"),
+    )
+
+
+URL_CANONICAL_SQL = f"""
+WITH per AS (
+  SELECT source || '.example.com' AS domain,
+         'https://' || source || '.example.com/' || lang || '/p'
+           || CAST(doc_id % {URL_PATH_BUCKETS} AS VARCHAR) AS canonical
+  FROM documents
+)
+SELECT domain,
+       count(*) AS n_urls,
+       count(DISTINCT canonical) AS n_canonical,
+       count(*) - count(DISTINCT canonical) AS n_dup_urls,
+       CAST(count(*) - count(DISTINCT canonical) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_rate
+FROM per GROUP BY domain
+"""
+
+
+def domain_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup: document count, exact-duplicate
+    rate (portable text digests), token volume, and mean tokens per
+    document — the table a crawl pipeline ranks domains by before
+    assigning per-domain quality weights or crawl budgets.
+
+    One pass over documents (tokenize + digest map-side), one
+    domain-keyed exchange. The duplicate rate shuffles only (domain,
+    digest); the mean divides once from int64 sums (half-up in pure
+    int64, the cross-engine rounding contract)."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source", "text"
+    )
+    per = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"),
+        poly_hash(F.col("text")).alias("digest"),
+        F.size(words_array(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return per.groupBy("domain").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("digest").alias("n_unique_texts"),
+        (F.count("*") - F.countDistinct("digest")).alias("n_exact_dups"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (
+            F.expr(
+                "(2 * 1000 * sum(n_tokens) + count(*)) div (2 * count(*))"
+            )
+            / 1000.0
+        ).alias("mean_doc_tokens"),
+    )
+
+
+DOMAIN_QUALITY_SQL = f"""
+WITH per AS (
+  SELECT source || '.example.com' AS domain,
+         {poly_hash_sql('text')} AS digest,
+         CAST(len({{words}}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT domain,
+       count(*) AS n_docs,
+       count(DISTINCT digest) AS n_unique_texts,
+       count(*) - count(DISTINCT digest) AS n_exact_dups,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       ((2 * 1000 * sum(n_tokens) + count(*)) // (2 * count(*))) / 1000.0
+         AS mean_doc_tokens
+FROM per GROUP BY domain
+"""
+
+
+def dataset_card_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row dataset card: corpus-level totals a training run
+    records next to its data manifest (doc/source/language counts,
+    token and char volume, exact-duplicate rate). Single global
+    aggregate over the same map-side (digest, tokens) pass as the
+    per-domain rollup; distinct counts ride the one Expand exchange.
+
+    At 100 TB this is the cheapest query in the family: all-integer
+    partial aggregates, a one-row result, no payload shuffle."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source", "lang", "text", "n_chars"
+    )
+    per = docs.select(
+        "source",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        poly_hash(F.col("text")).alias("digest"),
+        F.size(words_array(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    return per.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("digest").alias("n_unique_texts"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        (
+            F.expr(
+                "(2 * 1000000 * (count(*) - count(DISTINCT digest))"
+                " + count(*)) div (2 * count(*))"
+            )
+            / 1000000.0
+        ).alias("dup_rate"),
+        (
+            F.expr(
+                "(2 * 1000 * sum(n_tokens) + count(*)) div (2 * count(*))"
+            )
+            / 1000.0
+        ).alias("tokens_per_doc"),
+    )
+
+
+DATASET_CARD_SQL = f"""
+WITH per AS (
+  SELECT source, lang, CAST(n_chars AS BIGINT) AS n_chars,
+         {poly_hash_sql('text')} AS digest,
+         CAST(len({{words}}) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT count(*) AS n_docs,
+       count(DISTINCT source) AS n_sources,
+       count(DISTINCT lang) AS n_langs,
+       count(DISTINCT digest) AS n_unique_texts,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       ((2 * 1000000 * (count(*) - count(DISTINCT digest)) + count(*))
+          // (2 * count(*))) / 1000000.0 AS dup_rate,
+       ((2 * 1000 * sum(n_tokens) + count(*)) // (2 * count(*))) / 1000.0
+         AS tokens_per_doc
+FROM per
+"""
+
+
+DOMAIN_QUALITY_SQL = DOMAIN_QUALITY_SQL.format(words=_words_sql())
+DATASET_CARD_SQL = DATASET_CARD_SQL.format(words=_words_sql())

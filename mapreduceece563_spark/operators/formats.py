@@ -314,3 +314,135 @@ SELECT s_nationkey, count(*) AS n_suppliers,
        sum({_cents_sql('s_acctbal')}) / 100.0 AS acctbal_total
 FROM supplier WHERE s_acctbal > 0 GROUP BY s_nationkey
 """
+
+
+# --- whole-file binary ingest (the multimodal landing pattern) ---------
+
+BINARYFILE_MAX_DOC = 64  # docs materialized as individual files
+
+
+def _binary_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize one UTF-8 text file per document (doc_id < 64)
+    under doc_id=<k>/ dirs, once per (session, sf) — the on-disk shape
+    of a raw multimodal landing zone (one object per asset) before
+    compaction into parquet."""
+    key = (spark.sparkContext.applicationId, sf_dir, "binfiles")
+    if key in _FMT_CACHE:
+        return _FMT_CACHE[key]
+    path = _scratch(spark, sf_dir, "binfiles")
+    (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < BINARYFILE_MAX_DOC)
+        .select("doc_id", "text")
+        .repartition("doc_id")
+        .write.mode("overwrite")
+        .partitionBy("doc_id")
+        .text(path)
+    )
+    _FMT_CACHE[key] = path
+    return path
+
+
+def binaryfile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest a directory of raw files through Spark's ``binaryFile``
+    source and build the asset manifest (id parsed from the path,
+    byte length, content digest) — the first stage of every
+    multimodal pipeline: scattered objects -> one manifest table the
+    decode/feature operators (operators/multimodal.py) then consume.
+
+    The files are per-doc text materializations, so the oracle derives
+    the expected bytes from the documents table: the text writer emits
+    the UTF-8 payload plus one trailing newline, hence length =
+    octet_length(text) + 1 and the digest folds over text || chr(10).
+    Scale posture: binaryFile lists and reads whole objects in
+    parallel partitions with a configurable maxPartitionBytes — no
+    driver-side listing loop; the digest is the engine's portable
+    poly hash evaluated on the DECODED payload JVM-side."""
+    from ..functions.hashing import poly_hash
+
+    path = _binary_dir(spark, sf_dir)
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .load(path)
+        .select("path", "length", "content")
+    )
+    doc_id = F.regexp_extract(
+        F.col("path"), r"doc_id=(\d+)/", 1
+    ).cast("long")
+    payload = F.decode(F.col("content"), "UTF-8")
+    return files.select(
+        doc_id.alias("doc_id"),
+        F.col("length").alias("n_bytes"),
+        poly_hash(payload).alias("digest"),
+    )
+
+
+def _binaryfile_sql() -> str:
+    from ..functions.hashing import poly_hash_sql
+
+    return f"""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
+       {poly_hash_sql("(text || chr(10))")} AS digest
+FROM documents WHERE doc_id < {BINARYFILE_MAX_DOC}
+"""
+
+
+# --- XML round-trip (Spark 4 native XML source) -------------------------
+
+
+def _xml_dir(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir, "xml")
+    if key in _FMT_CACHE:
+        return _FMT_CACHE[key]
+    path = _scratch(spark, sf_dir, "xml")
+    (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rootTag", "suppliers")
+        .option("rowTag", "supplier")
+        .save(path)
+    )
+    _FMT_CACHE[key] = path
+    return path
+
+
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier account balances through Spark 4's NATIVE XML source
+    (rowTag row-to-record mapping, the spark-xml package folded into
+    core): write suppliers as an XML document tree, read back under an
+    EXPLICIT schema (inference on XML is an extra full pass, same rule
+    as CSV), aggregate per nation. A quoting/escaping defect in either
+    direction (XML entity encoding of supplier names, numeric
+    round-trip of balances) breaks the value hash against the raw
+    table's oracle. Money quantizes to int64 cents right after the
+    read; acctbal can be negative, so the cents rounding uses the
+    sign-symmetric half-away form both engines share."""
+    path = _xml_dir(spark, sf_dir)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(
+            "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT,"
+            " s_acctbal DOUBLE"
+        )
+        .load(path)
+    )
+    cents = F.round(F.col("s_acctbal") * 100, 0).cast("long")
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum(F.length("s_name")).alias("name_chars"),
+        (F.sum(cents) / 100.0).alias("acctbal_sum"),
+    )
+
+
+XML_ROUNDTRIP_SQL = """
+SELECT s_nationkey, count(*) AS n_suppliers,
+       CAST(sum(length(s_name)) AS BIGINT) AS name_chars,
+       sum(CAST(round(s_acctbal * 100, 0) AS BIGINT)) / 100.0
+         AS acctbal_sum
+FROM supplier GROUP BY s_nationkey
+"""

@@ -819,3 +819,96 @@ FROM ho
 LEFT JOIN wl ON wl.bucket = ho.bucket
 LEFT JOIN dt ON dt.bucket = ho.bucket
 """
+
+
+# --- snapshot CDC diff ---------------------------------------------------
+
+CDC_OLD_CUTOFF = "1996-01-01"
+CDC_NEW_CUTOFF = "1997-01-01"
+CDC_UPDATE_MOD = 13   # keys simulated as price-updated in the new snapshot
+CDC_DELETE_MOD = 29   # keys simulated as churned out of the new snapshot
+
+
+def snapshot_cdc_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-capture between two table snapshots: classify every
+    key as insert / delete / update / unchanged and report per-class
+    row counts and int64-cents price volume. This is the diff a lake
+    ingestion job computes to emit a CDC log (or to validate one)
+    when the upstream only ships full snapshots.
+
+    The two snapshots are derived deterministically from orders: the
+    old snapshot is everything before {CDC_OLD_CUTOFF}; the new one is
+    everything before {CDC_NEW_CUTOFF} minus churned keys (orderkey %
+    {CDC_DELETE_MOD} = 0) with simulated price updates (orderkey %
+    {CDC_UPDATE_MOD} = 0 doubled). Scale posture: one full outer join
+    on the snapshot key — shuffle is (key, cents) pairs only, and at
+    100 TB the join prunes to changed partitions when snapshots are
+    date-partitioned; the classification itself is a map over the
+    joined row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    old = orders.filter(
+        F.col("o_orderdate") < F.lit(CDC_OLD_CUTOFF).cast("timestamp")
+    ).select(F.col("o_orderkey").alias("k"), cents.alias("old_cents"))
+    new = (
+        orders.filter(
+            F.col("o_orderdate") < F.lit(CDC_NEW_CUTOFF).cast("timestamp")
+        )
+        .filter(F.col("o_orderkey") % CDC_DELETE_MOD != 0)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.when(
+                F.col("o_orderkey") % CDC_UPDATE_MOD == 0, cents * 2
+            ).otherwise(cents).alias("new_cents"),
+        )
+    )
+    diff = old.join(new, "k", "full_outer").select(
+        F.when(F.col("old_cents").isNull(), F.lit("insert"))
+        .when(F.col("new_cents").isNull(), F.lit("delete"))
+        .when(
+            F.col("old_cents") != F.col("new_cents"), F.lit("update")
+        )
+        .otherwise(F.lit("unchanged"))
+        .alias("change_type"),
+        F.coalesce("new_cents", F.lit(0)).alias("new_cents"),
+        F.coalesce("old_cents", F.lit(0)).alias("old_cents"),
+    )
+    return diff.groupBy("change_type").agg(
+        F.count("*").alias("n_rows"),
+        (F.sum(F.col("new_cents") - F.col("old_cents")) / 100.0).alias(
+            "price_delta"
+        ),
+    )
+
+
+SNAPSHOT_CDC_SQL = f"""
+WITH old AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS old_cents
+  FROM orders WHERE o_orderdate < TIMESTAMP '{CDC_OLD_CUTOFF}'
+),
+new AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % {CDC_UPDATE_MOD} = 0
+              THEN CAST(round(o_totalprice * 100, 0) AS BIGINT) * 2
+              ELSE CAST(round(o_totalprice * 100, 0) AS BIGINT) END
+           AS new_cents
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '{CDC_NEW_CUTOFF}'
+    AND o_orderkey % {CDC_DELETE_MOD} <> 0
+),
+diff AS (
+  SELECT CASE WHEN old.old_cents IS NULL THEN 'insert'
+              WHEN new.new_cents IS NULL THEN 'delete'
+              WHEN old.old_cents <> new.new_cents THEN 'update'
+              ELSE 'unchanged' END AS change_type,
+         COALESCE(new.new_cents, 0) AS new_cents,
+         COALESCE(old.old_cents, 0) AS old_cents
+  FROM old FULL OUTER JOIN new ON old.k = new.k
+)
+SELECT change_type, count(*) AS n_rows,
+       sum(new_cents - old_cents) / 100.0 AS price_delta
+FROM diff GROUP BY change_type
+"""

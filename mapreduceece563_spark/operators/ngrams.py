@@ -1020,3 +1020,57 @@ SELECT pair, CAST(n AS BIGINT) AS n_occurrences
 FROM p2 ORDER BY n_occurrences DESC, pair ASC
 LIMIT {BPE_MERGE_TOP}
 """
+
+
+def tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility (BPE-ish tokens per whitespace word) per
+    language — the metric a multilingual tokenizer is graded on
+    (fertility >> 1 for a language means its text costs that many
+    times more sequence length per word). Extends bpe_token_count's
+    per-doc accounting to the per-language corpus view: one map pass,
+    one tiny lang-keyed exchange, fertility from int64 sums with one
+    half-up milli division."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang", "text"
+    )
+    lowered = F.lower(F.col("text"))
+    per = docs.select(
+        "lang",
+        F.size(F.filter(F.split(F.col("text"), " "), lambda t: t != ""))
+        .cast("long")
+        .alias("_ws"),
+        F.size(F.regexp_extract_all(lowered, F.lit(BPE_PATTERN), 0))
+        .cast("long")
+        .alias("_bpe"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_ws").alias("n_ws_tokens"),
+        F.sum("_bpe").alias("n_bpe_tokens"),
+        (
+            F.expr(
+                "(2 * 1000 * sum(_bpe) + sum(_ws)) div (2 * sum(_ws))"
+            )
+            / 1000.0
+        ).alias("fertility"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = f"""
+WITH per AS (
+  SELECT lang,
+         CAST(len(list_filter(string_split(text, ' '), t -> t <> ''))
+              AS BIGINT) AS _ws,
+         CAST(len(regexp_extract_all(lower(text), '{BPE_PATTERN}'))
+              AS BIGINT) AS _bpe
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(_ws) AS BIGINT) AS n_ws_tokens,
+       CAST(sum(_bpe) AS BIGINT) AS n_bpe_tokens,
+       ((2 * 1000 * sum(_bpe) + sum(_ws)) // (2 * sum(_ws))) / 1000.0
+         AS fertility
+FROM per GROUP BY lang
+"""

@@ -1067,3 +1067,307 @@ SELECT label, count(*) AS n_vectors,
        max(s) / {SCORE_SCALE}.0 AS max_score
 FROM scored GROUP BY label
 """
+
+
+# --- IVF tuning loop ---------------------------------------------------
+
+RECALL_NPROBES = (1, 2, 3)
+RECALL_SCALE = 1_000_000
+
+
+def ivf_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index versus the exact brute-force top-k,
+    for each probe budget — the tuning loop you run BEFORE deploying
+    an ANN index (the lsh_precision/lsh_recall analogue for the IVF
+    tier). Returns one row per nprobe with the measured recall.
+
+    Scale posture (100 TB): the ground truth is computed once for the
+    tiny query set (broadcast queries x corpus scan); the IVF side
+    scores only probed cells, and the per-nprobe expansion happens on
+    the CELL RANKING (queries x cells x |nprobes| rows), never on the
+    corpus. Recall is an exact integer hit count divided once at the
+    end, so both engines agree bit-for-bit.
+    """
+    n = _norms(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label"
+    )
+    nl = n.join(emb, "vec_id")
+
+    # exact ground truth: brute-force top-k ids per query
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand_all = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    gt_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    gt = (
+        cand_all.join(
+            F.broadcast(q), F.col("neighbor_id") != F.col("query_id")
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("_cos"),
+        )
+        .withColumn("_rk", F.row_number().over(gt_w))
+        .filter(F.col("_rk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    # IVF cells = label-mean centroids (the ivf_ann coarse quantizer);
+    # rank cells per query once, expand per probe budget, score only
+    # the probed cells' members.
+    cent_rows = (
+        nl.select("label", F.posexplode("v").alias("pos", "x"))
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("x") * 1_000_000, 0).cast("long").alias("_xs"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("_xs").alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "label",
+            "pos",
+            ((F.col("_s") / 1_000_000.0) / F.col("_n")).alias("cval"),
+        )
+    )
+    centroids = (
+        cent_rows.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+        .withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+    )
+    cell_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_ccos"), F.asc("label")
+    )
+    max_probe = max(RECALL_NPROBES)
+    cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .select(
+            "query_id",
+            "qv",
+            "qn",
+            "label",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cnrm"))
+            ).alias("_ccos"),
+        )
+        .withColumn("_pr", F.row_number().over(cell_w))
+        .filter(F.col("_pr") <= max_probe)
+        .select("query_id", "qv", "qn", "label", "_pr")
+    )
+    members = nl.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn"),
+        "label",
+    )
+    scored = (
+        cells.join(members, "label")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "_pr",
+            (
+                _dot(F.col("qv"), F.col("cv2"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("_cos"),
+        )
+    )
+    nprobes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(p) for p in RECALL_NPROBES])).alias(
+            "nprobe"
+        )
+    )
+    per_probe_w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    ann = (
+        scored.join(
+            F.broadcast(nprobes), F.col("_pr") <= F.col("nprobe")
+        )
+        .withColumn("_rk", F.row_number().over(per_probe_w))
+        .filter(F.col("_rk") <= TOP_K)
+        .select("nprobe", "query_id", "neighbor_id")
+    )
+    hits = ann.join(gt, ["query_id", "neighbor_id"]).groupBy(
+        "nprobe"
+    ).agg(F.count("*").alias("n_hits"))
+    denom = N_QUERIES * TOP_K
+    return (
+        F.broadcast(nprobes)
+        .join(hits, "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.lit(float(denom))
+            ).alias("recall_at_k"),
+        )
+    )
+
+
+_RECALL_PROBES_SQL = ", ".join(str(p) for p in RECALL_NPROBES)
+
+IVF_RECALL_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+nl AS (
+  SELECT n.vec_id, n.v, n.nrm, e.label
+  FROM n JOIN embeddings e ON n.vec_id = e.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+  WHERE vec_id < {N_QUERIES}
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DOT_SQL.format(a='q.qv', b='c.v')} / (q.qn * c.nrm)
+                        DESC,
+                      c.vec_id ASC) AS _rk
+    FROM q CROSS JOIN n c WHERE c.vec_id <> q.query_id
+  ) WHERE _rk <= {TOP_K}
+),
+cent_rows AS (
+  SELECT label, d.pos AS pos,
+         (sum(CAST(round(v[d.pos] * 1000000, 0) AS BIGINT)) / 1000000.0)
+           / count(*) AS cval
+  FROM nl CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+  GROUP BY label, d.pos
+),
+centroids AS (
+  SELECT label, list(cval ORDER BY pos) AS cv FROM cent_rows GROUP BY label
+),
+centroids_n AS (
+  SELECT label, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cnrm
+  FROM centroids
+),
+cells AS (
+  SELECT query_id, qv, qn, label, _pr FROM (
+    SELECT q.query_id, q.qv, q.qn, c.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DOT_SQL.format(a='q.qv', b='c.cv')} / (q.qn * c.cnrm)
+                        DESC,
+                      c.label ASC) AS _pr
+    FROM q CROSS JOIN centroids_n c
+  ) WHERE _pr <= {max(RECALL_NPROBES)}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, p._pr,
+         {_DOT_SQL.format(a='p.qv', b='c.v')} / (p.qn * c.nrm) AS _cos
+  FROM cells p JOIN nl c ON p.label = c.label
+  WHERE c.vec_id <> p.query_id
+),
+probes AS (SELECT unnest([{_RECALL_PROBES_SQL}]) AS nprobe),
+ann AS (
+  SELECT nprobe, query_id, neighbor_id FROM (
+    SELECT pr.nprobe, s.query_id, s.neighbor_id,
+           row_number() OVER (
+             PARTITION BY pr.nprobe, s.query_id
+             ORDER BY s._cos DESC, s.neighbor_id ASC) AS _rk
+    FROM scored s JOIN probes pr ON s._pr <= pr.nprobe
+  ) WHERE _rk <= {TOP_K}
+),
+hits AS (
+  SELECT a.nprobe, count(*) AS n_hits
+  FROM ann a JOIN gt g
+    ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+  GROUP BY a.nprobe
+)
+SELECT p.nprobe,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {N_QUERIES * TOP_K}.0
+         AS recall_at_k
+FROM probes p LEFT JOIN hits h ON p.nprobe = h.nprobe
+"""
+
+
+# --- embedding hygiene audit -------------------------------------------
+
+NORM_SCALE = 1_000_000
+
+
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding hygiene: vector count, zero-norm vectors,
+    NaN-containing vectors, and min/max/mean L2 norm — the data-quality
+    audit you run over an embedding column BEFORE building an ANN
+    index on it (zero/NaN vectors poison cosine math silently).
+
+    Map-only + one exchange on the 1-byte label key. Norms are
+    quantized to int64 micros per row BEFORE the mean's sum so the
+    distributed aggregate is exact integer math (order-free); min/max
+    round the identical doubles via floor(x*1e6+0.5), which both
+    engines evaluate identically."""
+    n = _norms(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", "embedding"
+    )
+    nl = n.join(emb, "vec_id").select(
+        "label",
+        "nrm",
+        F.exists(
+            "embedding", lambda x: F.isnan(x.cast("double"))
+        ).alias("_has_nan"),
+        F.floor(F.col("nrm") * NORM_SCALE + F.lit(0.5))
+        .cast("long")
+        .alias("_nq"),
+    )
+    return nl.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.sum(F.when(F.col("nrm") == 0.0, 1).otherwise(0)).alias(
+            "n_zero_norm"
+        ),
+        F.sum(F.when(F.col("_has_nan"), 1).otherwise(0)).alias(
+            "n_nan_vectors"
+        ),
+        (F.min("_nq") / float(NORM_SCALE)).alias("min_norm"),
+        (F.max("_nq") / float(NORM_SCALE)).alias("max_norm"),
+        (
+            F.expr("(2 * sum(_nq) + count(*)) div (2 * count(*))")
+            / float(NORM_SCALE)
+        ).alias("mean_norm"),
+    )
+
+
+EMBEDDING_NORM_AUDIT_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+nl AS (
+  SELECT e.label, n.nrm,
+         len(list_filter(n.v, x -> isnan(x))) > 0 AS _has_nan,
+         CAST(floor(n.nrm * {NORM_SCALE} + 0.5) AS BIGINT) AS _nq
+  FROM n JOIN embeddings e ON n.vec_id = e.vec_id
+)
+SELECT label,
+       count(*) AS n_vectors,
+       CAST(sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_zero_norm,
+       CAST(sum(CASE WHEN _has_nan THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_nan_vectors,
+       min(_nq) / {NORM_SCALE}.0 AS min_norm,
+       max(_nq) / {NORM_SCALE}.0 AS max_norm,
+       ((2 * sum(_nq) + count(*)) // (2 * count(*))) / {NORM_SCALE}.0
+         AS mean_norm
+FROM nl GROUP BY label
+"""

@@ -375,3 +375,55 @@ SELECT month(CAST(l.l_shipdate AS DATE)) AS ship_month,
 FROM lineitem l JOIN dim d ON l.l_orderkey = d.o_orderkey
 GROUP BY 1
 """
+
+
+HLL_TOL = 0.10  # weekly union estimate within 10% of exact
+
+
+def hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup: per-day HLL sketches of active users,
+    UNIONED up to per-week estimates — the re-aggregation pattern that
+    makes sketches the 100 TB cardinality path (daily sketches are a
+    few KB each; the weekly/monthly rollup unions sketches instead of
+    re-scanning the lake, which exact distinct counts cannot do).
+
+    Two aggregate levels: groupBy(week, day) builds the daily
+    sketches map-side; groupBy(week) merges them with hll_union_agg
+    and estimates. Self-certified like the other sketch tiers
+    (VERDICT r5 ask #7): the exact weekly distinct count is computed
+    alongside and only the within-HLL_TOL boolean is exported — the
+    sketch blob and estimate are engine-specific and never leave the
+    query."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+        F.to_date("ts").alias("day"),
+        "user_id",
+    )
+    daily = ev.groupBy("week", "day").agg(
+        F.hll_sketch_agg("user_id").alias("_sk")
+    )
+    weekly_est = daily.groupBy("week").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk")).alias("_est"),
+        F.count("*").alias("n_days"),
+    )
+    weekly_exact = ev.groupBy("week").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return weekly_est.join(weekly_exact, "week").select(
+        "week",
+        "n_days",
+        "n_exact",
+        (
+            F.abs(F.col("_est") - F.col("n_exact"))
+            <= F.col("n_exact") * F.lit(HLL_TOL)
+        ).alias("sketch_ok"),
+    )
+
+
+HLL_UNION_ROLLUP_SQL = """
+SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       count(DISTINCT user_id) AS n_exact,
+       TRUE AS sketch_ok
+FROM events GROUP BY 1
+"""

@@ -417,3 +417,103 @@ SELECT source, CAST(bin AS BIGINT) AS bin, count(*) AS n_files,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM binned GROUP BY source, bin
 """
+
+
+# --- run-length layout analysis ----------------------------------------
+
+RLE_BLOCK = 256  # rows per run-counting block (l_orderkey div 256)
+
+
+def rle_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate the run-length-encoding benefit of sorting lineitem by
+    its natural key for each low-cardinality column — the layout
+    decision (which columns reward an RLE_DICTIONARY parquet encoding
+    under a given sort order) a lakehouse compaction job makes before
+    rewriting 100 TB.
+
+    Runs are counted within fixed key-range blocks (l_orderkey div
+    RLE_BLOCK, ordered by (l_orderkey, l_linenumber) inside a block)
+    rather than one global window: block boundaries break at most one
+    run each, the block key makes the window partition-parallel
+    instead of single-reducer, and the SAME block rule in the oracle
+    keeps the count engine-exact. One unpivot explode (3 rows per
+    lineitem), one (block, column) window, one tiny final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").cast("string").alias("l_quantity"),
+    )
+    cols = ("l_returnflag", "l_linestatus", "l_quantity")
+    long = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(f"l_orderkey div {RLE_BLOCK}").alias("blk"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("col_name"), F.col(c).alias("val")
+                )
+                for c in cols
+            ])
+        ).alias("cv"),
+    ).select(
+        "l_orderkey", "l_linenumber", "blk",
+        F.col("cv.col_name").alias("col_name"),
+        F.col("cv.val").alias("val"),
+    )
+    from pyspark.sql import Window
+
+    # the fixture has duplicate (l_orderkey, l_linenumber) pairs, so
+    # val is the final tiebreak: rows equal on all three are
+    # interchangeable and the run count becomes order-independent
+    w = Window.partitionBy("col_name", "blk").orderBy(
+        "l_orderkey", "l_linenumber", "val"
+    )
+    runs = long.withColumn(
+        "_new_run",
+        F.when(
+            F.lag("val").over(w).isNull()
+            | (F.lag("val").over(w) != F.col("val")),
+            1,
+        ).otherwise(0),
+    )
+    return runs.groupBy("col_name").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("_new_run").alias("n_runs"),
+        (
+            F.expr("(2 * 1000 * count(*) + sum(_new_run))"
+                   " div (2 * sum(_new_run))")
+            / 1000.0
+        ).alias("avg_run_len"),
+    )
+
+
+RLE_ESTIMATE_SQL = f"""
+WITH long AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(l_orderkey // {RLE_BLOCK} AS BIGINT) AS blk,
+         u.col_name, u.val
+  FROM lineitem,
+       LATERAL (VALUES ('l_returnflag', l_returnflag),
+                       ('l_linestatus', l_linestatus),
+                       ('l_quantity',
+                        CAST(CAST(l_quantity AS BIGINT) AS VARCHAR)))
+         AS u(col_name, val)
+),
+runs AS (
+  SELECT col_name,
+         CASE WHEN lag(val) OVER w IS NULL
+                   OR lag(val) OVER w <> val THEN 1 ELSE 0 END AS _new_run
+  FROM long
+  WINDOW w AS (PARTITION BY col_name, blk
+               ORDER BY l_orderkey, l_linenumber, val)
+)
+SELECT col_name,
+       count(*) AS n_rows,
+       CAST(sum(_new_run) AS BIGINT) AS n_runs,
+       ((2 * 1000 * count(*) + sum(_new_run)) // (2 * sum(_new_run)))
+         / 1000.0 AS avg_run_len
+FROM runs GROUP BY col_name
+"""

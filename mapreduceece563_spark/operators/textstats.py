@@ -903,3 +903,75 @@ SELECT lang, decile, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS chars_total
 FROM deciled GROUP BY lang, decile
 """
+
+
+# --- CCNet-style quality bucketing ------------------------------------
+
+QUALITY_BUCKETS = ("head", "middle", "tail")
+
+
+def ccnet_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: within each language,
+    rank documents by the quality heuristic and split into terciles —
+    the curation tiering CCNet applies with LM perplexity (quality
+    proxies it here; doc_lm_surprisal is the perplexity tier). Heads
+    feed training unfiltered, middles get sampled, tails get dropped
+    or routed to a cleaning pass.
+
+    One map pass for the quality features, one lang-keyed window for
+    the tercile split (deterministic: ntile over quality DESC with
+    doc_id tiebreak — both engines define ntile's uneven split the
+    same way), then a tiny (lang, bucket) aggregate. Mean quality is
+    micro-quantized int64 before summing (order-free), divided once,
+    half-up."""
+    from pyspark.sql import Window
+
+    q = quality_score(spark, sf_dir).select("doc_id", "quality")
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    scored = q.join(lang, "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    bucketed = scored.withColumn("_t", F.ntile(3).over(w)).select(
+        "lang",
+        F.when(F.col("_t") == 1, QUALITY_BUCKETS[0])
+        .when(F.col("_t") == 2, QUALITY_BUCKETS[1])
+        .otherwise(QUALITY_BUCKETS[2])
+        .alias("bucket"),
+        F.floor(F.col("quality") * 1_000_000 + F.lit(0.5))
+        .cast("long")
+        .alias("_qq"),
+    )
+    return bucketed.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        (
+            F.expr("(2 * sum(_qq) + count(*)) div (2 * count(*))")
+            / 1_000_000.0
+        ).alias("mean_quality"),
+        (F.min("_qq") / 1_000_000.0).alias("min_quality"),
+        (F.max("_qq") / 1_000_000.0).alias("max_quality"),
+    )
+
+
+CCNET_BUCKETS_SQL = f"""
+WITH q AS ({QUALITY_SQL.strip()}),
+scored AS (
+  SELECT d.lang, q.quality,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY q.quality DESC, q.doc_id ASC) AS _t
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+bucketed AS (
+  SELECT lang,
+         CASE _t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                 ELSE 'tail' END AS bucket,
+         CAST(floor(quality * 1000000 + 0.5) AS BIGINT) AS _qq
+  FROM scored
+)
+SELECT lang, bucket, count(*) AS n_docs,
+       ((2 * sum(_qq) + count(*)) // (2 * count(*))) / 1000000.0
+         AS mean_quality,
+       min(_qq) / 1000000.0 AS min_quality,
+       max(_qq) / 1000000.0 AS max_quality
+FROM bucketed GROUP BY lang, bucket
+"""

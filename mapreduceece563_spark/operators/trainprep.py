@@ -633,3 +633,121 @@ SELECT c_nationkey, count(*) AS n_customers,
        max(bal_bucket) AS max_bucket
 FROM masked GROUP BY c_nationkey
 """
+
+
+# --- epoch scheduling for a target mixture -----------------------------
+
+EPOCH_SCALE = 1000  # milli-precision repeat factors
+
+
+def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn mixture weights into an executable epoch schedule: for a
+    UNIFORM target mixture, each source's repeat factor (how many
+    times its documents are seen per training epoch, milli-precision),
+    the integer epoch ceiling the loader must materialize, and the
+    token count the source contributes after weighting. This is the
+    planning step between `source_mixture_weights` (diagnosis) and
+    `token_balanced_mixture` (materialization).
+
+    All schedule arithmetic is pure int64 (half-up milli rounding,
+    ceiling division), so both engines agree exactly; one exchange on
+    the tiny per-source aggregate."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.select("source", _ws_tokens(F.col("text")).alias("_t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    total = per.agg(
+        F.count("*").alias("_ns"), F.sum("n_tokens").alias("_tot")
+    )
+    # repeat_milli = round_half_up(1000 * _tot / (_ns * n_tokens));
+    # contributes round_half_up(n_tokens * repeat_milli / 1000) tokens.
+    return (
+        per.crossJoin(F.broadcast(total))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr(
+                "(2 * 1000 * _tot + _ns * n_tokens)"
+                " div (2 * _ns * n_tokens)"
+            ).alias("repeat_milli"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "repeat_milli",
+            F.expr("(repeat_milli + 999) div 1000").alias("n_epochs"),
+            F.expr(
+                "(2 * n_tokens * repeat_milli + 1000) div (2 * 1000)"
+            ).alias("tokens_weighted"),
+        )
+    )
+
+
+MIXTURE_EPOCH_SQL = f"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({_WS_TOKENS_SQL}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT count(*) AS _ns, CAST(sum(n_tokens) AS BIGINT) AS _tot FROM per
+),
+sched AS (
+  SELECT source, n_docs, n_tokens,
+         (2 * 1000 * _tot + _ns * n_tokens) // (2 * _ns * n_tokens)
+           AS repeat_milli
+  FROM per CROSS JOIN tot
+)
+SELECT source, n_docs, n_tokens, repeat_milli,
+       (repeat_milli + 999) // 1000 AS n_epochs,
+       (2 * n_tokens * repeat_milli + 1000) // (2 * 1000)
+         AS tokens_weighted
+FROM sched
+"""
+
+
+# --- deterministic k-fold assignment -----------------------------------
+
+KFOLD_K = 5
+
+
+def stratified_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment: fold =
+    affine-scrambled portable hash of doc_id mod K, reported as fold x
+    lang counts (the stratification audit — folds should be balanced
+    within every language). No sampling state, no rand(): the same
+    document lands in the same fold on any cluster layout, which is
+    the property that makes CV reproducible at 100 TB. Map-only +
+    one tiny exchange."""
+    from ..functions.hashing import HASH_MOD, poly_hash
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    h = poly_hash(F.col("doc_id").cast("string"))
+    fold = (
+        (h * SAMPLE_A_KF + SAMPLE_B_KF) % HASH_MOD % KFOLD_K
+    ).alias("fold")
+    return (
+        docs.select(fold, "lang")
+        .groupBy("fold", "lang")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+SAMPLE_A_KF = 1205640943
+SAMPLE_B_KF = 306977627
+
+
+def _kfold_sql() -> str:
+    from ..functions.hashing import HASH_MOD, poly_hash_sql
+
+    h = poly_hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT (({h}) * {SAMPLE_A_KF} + {SAMPLE_B_KF}) % {HASH_MOD} % {KFOLD_K}
+         AS fold,
+       lang, count(*) AS n_docs
+FROM documents GROUP BY 1, 2
+"""

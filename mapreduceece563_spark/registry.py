@@ -36,6 +36,7 @@ from .operators import trainprep as tr
 from .operators import wordcount as wc
 from .session import ship_package
 from .streaming import join_stream as js
+from .streaming import upsert_stream as us
 from .streaming import stateful as sf
 from .streaming import windowed_stream as ws
 from .streaming import wordcount_stream as st
@@ -120,6 +121,92 @@ register(
 )
 
 # ---- round-6 additions (new operator classes, VERDICT r5 ask #3) ----
+
+register(
+    "semdedup_prune_stats",
+    cl.semdedup_prune_stats,
+    cl.SEMDEDUP_SQL,
+)
+register(
+    "ivf_recall_tuning",
+    sim.ivf_recall_tuning,
+    sim.IVF_RECALL_SQL,
+)
+register(
+    "embedding_norm_audit",
+    sim.embedding_norm_audit,
+    sim.EMBEDDING_NORM_AUDIT_SQL,
+)
+register(
+    "url_canonical_dedup",
+    cp.url_canonical_dedup,
+    cp.URL_CANONICAL_SQL,
+)
+register(
+    "domain_quality_rollup",
+    cp.domain_quality_rollup,
+    cp.DOMAIN_QUALITY_SQL,
+)
+register(
+    "dataset_card_rollup",
+    cp.dataset_card_rollup,
+    cp.DATASET_CARD_SQL,
+)
+register(
+    "mixture_epoch_schedule",
+    tr.mixture_epoch_schedule,
+    tr.MIXTURE_EPOCH_SQL,
+)
+register(
+    "stratified_kfold_assign",
+    tr.stratified_kfold_assign,
+    tr._kfold_sql(),
+)
+register(
+    "rle_compression_estimate",
+    stg.rle_compression_estimate,
+    stg.RLE_ESTIMATE_SQL,
+)
+register(
+    "snapshot_cdc_diff",
+    mn.snapshot_cdc_diff,
+    mn.SNAPSHOT_CDC_SQL,
+)
+register(
+    "hll_union_rollup",
+    sk.hll_union_rollup,
+    sk.HLL_UNION_ROLLUP_SQL,
+)
+register(
+    "streaming_foreachbatch_upsert",
+    us.streaming_foreachbatch_upsert,
+    us.STREAMING_UPSERT_SQL,
+)
+register(
+    "tokenizer_fertility_by_lang",
+    ng.tokenizer_fertility_by_lang,
+    ng.TOKENIZER_FERTILITY_SQL,
+)
+register(
+    "ccnet_quality_buckets",
+    ts.ccnet_quality_buckets,
+    ts.CCNET_BUCKETS_SQL,
+)
+register(
+    "events_value_regression",
+    an.events_value_regression,
+    an.EVENTS_REGRESSION_SQL,
+)
+register(
+    "binaryfile_manifest",
+    fmt.binaryfile_manifest,
+    fmt._binaryfile_sql(),
+)
+register(
+    "xml_roundtrip_stats",
+    fmt.xml_roundtrip_stats,
+    fmt.XML_ROUNDTRIP_SQL,
+)
 
 # ---- window backfill: round-5-green entries ----
 

@@ -45,6 +45,9 @@ def reset() -> None:
     windowed_stream.reset_session_windows()
     join_stream.reset_join_stream()
     stateful.reset_tws()
+    from . import upsert_stream
+
+    upsert_stream.reset_upsert()
     from ..sources import chunktext
 
     chunktext.reset_stream_wc()
