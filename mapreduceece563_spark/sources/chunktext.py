@@ -99,12 +99,37 @@ class ChunkFilePartition(InputPartition):
         self.path = path
 
 
+class ChunkFilesPartition(InputPartition):
+    """Several small chunk files bin-packed into one task (the
+    packBytes read path)."""
+
+    def __init__(self, files: list):
+        self.files = files  # [(chunk_id, path), ...]
+
+
+# Charged per file when bin-packing, like Spark's
+# spark.sql.files.openCostInBytes: a tiny file still costs an open +
+# a Python iterator spin-up, so packing by raw bytes alone would
+# put thousands of 1 KB files in one bin.
+PACK_OPEN_COST = 64 * 1024
+
+
 class ChunkTextReader(DataSourceReader):
     def __init__(self, options: dict):
         path = options.get("path")
         if not path:
             raise ValueError("chunktext requires .option('path', <dir>)")
         self.dir = path
+        # packBytes > 0 switches partition planning from one-task-per-
+        # chunk (the reference's reader-rank granularity, the default)
+        # to Spark-file-source-style bin-packing: chunks fill a bin up
+        # to packBytes of (size + open-cost) before a new task opens.
+        # At 100 TB-scale chunk counts (millions of small files) the
+        # per-chunk default pays one Python worker round-trip per
+        # file; packing amortizes it ~(packBytes / chunk size)-fold.
+        self.pack_bytes = int(
+            options.get("packbytes") or options.get("packBytes") or 0
+        )
         self._wanted: set[int] | None = None  # None = all chunks
 
     def pushFilters(self, filters):  # noqa: N802 (API name)
@@ -124,8 +149,8 @@ class ChunkTextReader(DataSourceReader):
             )
         return remaining
 
-    def partitions(self) -> Sequence[InputPartition]:
-        parts = []
+    def _chunk_files(self) -> list:
+        files = []
         for name in sorted(os.listdir(self.dir)):
             if not (
                 name.startswith(CHUNK_PREFIX) and name.endswith(CHUNK_SUFFIX)
@@ -134,17 +159,42 @@ class ChunkTextReader(DataSourceReader):
             chunk_id = int(name[len(CHUNK_PREFIX): -len(CHUNK_SUFFIX)])
             if self._wanted is not None and chunk_id not in self._wanted:
                 continue
-            parts.append(
-                ChunkFilePartition(chunk_id, os.path.join(self.dir, name))
-            )
+            files.append((chunk_id, os.path.join(self.dir, name)))
+        return files
+
+    def partitions(self) -> Sequence[InputPartition]:
+        files = self._chunk_files()
+        if self.pack_bytes <= 0:
+            return [ChunkFilePartition(cid, p) for cid, p in files]
+        # greedy first-fit in chunk order; every bin holds at least one
+        # file, so a single oversized chunk still gets its own task
+        parts: list[InputPartition] = []
+        bin_files: list = []
+        bin_cost = 0
+        for cid, p in files:
+            cost = os.path.getsize(p) + PACK_OPEN_COST
+            if bin_files and bin_cost + cost > self.pack_bytes:
+                parts.append(ChunkFilesPartition(bin_files))
+                bin_files, bin_cost = [], 0
+            bin_files.append((cid, p))
+            bin_cost += cost
+        if bin_files:
+            parts.append(ChunkFilesPartition(bin_files))
         return parts
 
-    def read(self, partition: ChunkFilePartition) -> Iterator:
+    def read(self, partition) -> Iterator:
         """Yield pyarrow RecordBatches (not per-row tuples): Spark's
         Python data source forwards Arrow batches to the JVM without
         per-row pickling, so the read path costs one Python loop per
         ARROW_BATCH_LINES lines instead of one per line."""
+        if isinstance(partition, ChunkFilesPartition):
+            return self._read_packed(partition)
         return _read_chunk_batches(partition)
+
+    @staticmethod
+    def _read_packed(partition: ChunkFilesPartition) -> Iterator:
+        for cid, path in partition.files:
+            yield from _read_chunk_batches(ChunkFilePartition(cid, path))
 
 
 class ChunkTextDataSource(DataSource):

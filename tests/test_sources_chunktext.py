@@ -412,3 +412,60 @@ def test_stream_reader_checkpoint_restart_no_duplicates(spark, tmp_path):
         r["chunk_id"]
         for r in final.select("chunk_id").distinct().collect()
     ) == [0, 1, 2, 3, 4, 5]
+
+
+def test_packed_partitions_cover_all_chunks_once():
+    """packBytes bin-packing (round 6): every chunk appears in exactly
+    one bin, bins respect the size+open-cost cap, order is preserved,
+    and packBytes=0 keeps the per-chunk default."""
+    import os
+
+    from mapreduceece563_spark.sources.chunktext import (
+        PACK_OPEN_COST,
+        ChunkFilesPartition,
+    )
+
+    src = chunked_corpus_dir(SF_DIR)
+    pack = 256 * 1024
+    reader = ChunkTextReader({"path": src, "packbytes": str(pack)})
+    parts = reader.partitions()
+    assert all(isinstance(p, ChunkFilesPartition) for p in parts)
+    seen = [cid for p in parts for cid, _ in p.files]
+    assert seen == list(range(N_CHUNKS))  # all chunks, chunk order
+    assert 1 <= len(parts) < N_CHUNKS  # actually packed something
+    for p in parts:
+        if len(p.files) > 1:
+            cost = sum(
+                os.path.getsize(path) + PACK_OPEN_COST
+                for _, path in p.files
+            )
+            assert cost <= pack
+
+
+def test_packed_read_matches_per_chunk_read(spark):
+    """The packed path must be byte-identical to the per-chunk path —
+    same (chunk_id, line_no, text) multiset."""
+    src = chunked_corpus_dir(SF_DIR)
+    base = (
+        spark.read.format("chunktext").option("path", src).load()
+    )
+    packed = (
+        spark.read.format("chunktext")
+        .option("path", src)
+        .option("packBytes", str(256 * 1024))
+        .load()
+    )
+    a = sorted(map(tuple, base.collect()))
+    b = sorted(map(tuple, packed.collect()))
+    assert a == b
+
+
+def test_packed_read_composes_with_pushdown():
+    """chunk_id pruning applies BEFORE packing: a pruned packed scan
+    plans bins over the single surviving file."""
+    src = chunked_corpus_dir(SF_DIR)
+    reader = ChunkTextReader({"path": src, "packbytes": str(1 << 20)})
+    reader.pushFilters([EqualTo(("chunk_id",), PRUNED_CHUNK)])
+    parts = reader.partitions()
+    files = [cid for p in parts for cid, _ in p.files]
+    assert files == [PRUNED_CHUNK]
