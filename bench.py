@@ -50,7 +50,7 @@ HEADLINE = (
     "corpus_stats", "multimodal_features", "ivf_ann", "knn_brute_force",
     "sessionize", "user_gap_stats", "events_hourly_anomalies",
     "training_data_filter", "simhash_hamming_pairs", "user_trailing_value",
-    "doc_repetition_stats",
+    "doc_repetition_stats", "semdedup_prune_stats",
 )
 
 
@@ -168,6 +168,7 @@ BUDGETS = {
     "streaming_foreachbatch_upsert": 8.0,  # multi-batch MERGE drain: ~3.8s
     "domain_quality_rollup": 2.5,  # tokenize + digest pass: ~1.2s
     "binaryfile_manifest": 3.0,  # first pass writes the 64-file layout
+    "wordcount_via_datasource_packed": 3.5,  # packed-bin Python source scan
     "price_percentiles_sketch": 2.5,  # sketch + exact certification pass
 }
 

@@ -207,6 +207,11 @@ register(
     fmt.xml_roundtrip_stats,
     fmt.XML_ROUNDTRIP_SQL,
 )
+register(
+    "wordcount_via_datasource_packed",
+    ct.wordcount_via_datasource_packed,
+    wc.WORDCOUNT_SQL,
+)
 
 # ---- window backfill: round-5-green entries ----
 

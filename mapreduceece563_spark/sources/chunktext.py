@@ -740,3 +740,29 @@ def streaming_wordcount_via_datasource(spark, sf_dir: str):
         F.max(F.struct("batch_id", "cnt")).alias("_s")
     )
     return last.select("word", F.col("_s.cnt").alias("cnt"))
+
+
+def wordcount_via_datasource_packed(spark, sf_dir: str):
+    """The same end-to-end custom-source wordcount as
+    ``wordcount_via_datasource``, but through the bin-packed partition
+    planner (``packBytes``, round 6) — the small-files scale path.
+    Matching the same WORDCOUNT_SQL oracle certifies that packing
+    changes the TASK LAYOUT only, never the bytes: same tokenize
+    chain, same counts, ~n_chunks/bin fewer Python worker
+    round-trips (the 10x probe in SCALE.md: 1300 chunks 10.03 s ->
+    1.92 s)."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import tokenize_lines
+
+    register_chunktext(spark)
+    src = chunked_corpus_dir(sf_dir)
+    lines = (
+        spark.read.format("chunktext")
+        .option("path", src)
+        .option("packBytes", str(1 << 20))
+        .load()
+        .select("text")
+    )
+    words = tokenize_lines(lines)
+    return words.groupBy("word").agg(F.count("*").alias("cnt"))
