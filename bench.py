@@ -69,7 +69,7 @@ BUDGETS = {
     "orders_price_band": 5.0,  # banded BNLJ: best-of-3 varies 1.4-4.1s
 
     "dedup_groups": 4.0,
-    "tfidf_cosine_pairs": 3.0,
+    "tfidf_cosine_pairs": 4.0,
     "user_gap_stats": 2.0,
     "wordcount_by_lang": 2.0,
     "q3_top_unshipped": 2.0,
@@ -113,7 +113,7 @@ BUDGETS = {
     "triangle_count": 3.0,  # oriented wedge self-join + closure check
     "part_price_size_skyline": 2.0,
     "purchase_attribution": 2.0,
-    "lsh_precision": 4.5,  # shared shingle stage + candidate-only verify join
+    "lsh_precision": 5.5,  # shared shingle stage + candidate-only verify join
     "events_value_outliers": 2.0,  # two percentile passes + outlier count
     "events_heavy_hitters": 2.0,
     "rolling_7d_revenue": 2.0,
@@ -127,10 +127,10 @@ BUDGETS = {
     "bm25_search": 3.0,  # query-term posting lists off the shared TF stage
     "token_balanced_mixture": 3.0,
     "user_reach_curve": 2.0,
-    "basket_brand_lift": 4.0,  # per-order basket self-join
+    "basket_brand_lift": 5.0,  # per-order basket self-join
     "audio_decode_energy": 2.0,  # WAV synth + decode round-trip in Arrow
     "video_frame_decode": 2.0,  # VF1 synth + frame-seek decode in Arrow
-    "quarter_revenue_overlap": 3.0,  # fact x orders join + quarter explode
+    "quarter_revenue_overlap": 5.5,  # fact x orders join + quarter explode: 2.4s r6
     "ngram_containment_pairs": 5.0,  # shares the shingle stage + df-cap join
     "vocab_growth_curve": 2.0,  # min-fold over the shared TF stage
     "embedding_power_iteration": 5.5,  # d^2 gram pass + two int mat-vec rounds
@@ -147,12 +147,12 @@ BUDGETS = {
     "bucket_prefilter_revenue": 2.0,
     "winsorized_revenue_stats": 6.5,  # two exact-percentile passes: ~2.5s r5
     "streaming_session_windows": 10.0,  # 6 sequential micro-batches + layout; 3.6-3.9s r5
-    "streaming_purchase_view_join": 13.5,  # two-source watermarked drain
+    "streaming_purchase_view_join": 14.5,  # two-source watermarked drain
     "js_divergence_langs": 2.0,
     "source_overlap_jaccard": 2.0,  # vocab self-join across sources
     "embedding_drift_l2": 2.0,  # 64x posexplode of the vector table
     "wordcount_sink_roundtrip": 5.0,  # custom write path + read-back
-    "copurchase_degree_distribution": 4.0,  # basket self-join + Expand
+    "copurchase_degree_distribution": 5.0,  # basket self-join + Expand
     "embedding_linear_scores": 2.0,
     "customer_order_window_profile": 2.0,
     "orc_roundtrip_stats": 2.0,  # includes the once-per-session ORC write
@@ -161,7 +161,7 @@ BUDGETS = {
     "streaming_wordcount_via_datasource": 10.5,  # Python-source micro-batches
     "bpe_merge_candidates": 2.0,  # tokenize + vocab pair stats
     "bpe_second_merge": 2.5,  # two pair-count rounds + merge apply
-    "streaming_tws_user_profile": 24.0,  # multi-batch RocksDB TWS drain: 9-12s
+    "streaming_tws_user_profile": 25.5,  # multi-batch RocksDB TWS drain: 9-12.4s
     "semdedup_prune_stats": 9.0,  # within-cluster exact cosine pairs: ~4.4s
     "ivf_recall_tuning": 4.5,  # brute-force GT + 3-probe IVF rank: ~2.0s
     "rle_compression_estimate": 6.5,  # 3x unpivot + block windows: ~3.2s
@@ -169,6 +169,10 @@ BUDGETS = {
     "domain_quality_rollup": 2.5,  # tokenize + digest pass: ~1.2s
     "binaryfile_manifest": 3.0,  # first pass writes the 64-file layout
     "wordcount_via_datasource_packed": 3.5,  # packed-bin Python source scan
+    "q21_waiting_suppliers": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
+    "vocab_overlap_setops": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
+    "ship_rate_try_divide": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
+    "q16_supplier_counts": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
     "price_percentiles_sketch": 2.5,  # sketch + exact certification pass
 }
 
