@@ -1212,9 +1212,11 @@ def ivf_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nprobe"
     ).agg(F.count("*").alias("n_hits"))
     denom = N_QUERIES * TOP_K
+    # broadcast the RIGHT side: a left-outer join can only build its
+    # probe-preserving side's opposite (build-left is unsupported and
+    # Spark logs a hint warning)
     return (
-        F.broadcast(nprobes)
-        .join(hits, "nprobe", "left")
+        nprobes.join(F.broadcast(hits), "nprobe", "left")
         .select(
             "nprobe",
             F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
