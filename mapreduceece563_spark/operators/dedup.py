@@ -1279,3 +1279,83 @@ SELECT source, CAST(sum(n) AS BIGINT) AS n_docs,
          AS dup_rate
 FROM per_digest GROUP BY source
 """
+
+
+# --- cascade accounting ------------------------------------------------
+
+def dedup_cascade_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage accounting for the standard dedup cascade —
+    exact (keep-first by digest) THEN MinHash-LSH near-dup over the
+    exact survivors — reported as one row per stage with docs in /
+    removed / out. This is the table every curation run publishes
+    next to its corpus: how much each tier removed, in order (the
+    cheap exact tier must run first so the quadratic-ish tier never
+    sees trivial copies).
+
+    Stage-2 removal rule: an exact survivor is removed if ANY LSH
+    candidate pair links it to a lower-id exact survivor (the same
+    deterministic keep-lowest convention as semdedup_prune_stats;
+    the transitive-closure variant is dedup_groups' territory).
+    Scale posture: stage totals ride the digest exchange and the
+    banded pair join that the shared stages already plan — the
+    accounting itself adds three 1-row aggregates and a broadcast
+    combine, nothing corpus-sized."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    surv = dedup_exact_survivors(spark, sf_dir)
+    pairs = dedup_minhash(spark, sf_dir)
+    sa = surv.select(F.col("doc_id").alias("doc_a"))
+    sb = surv.select(F.col("doc_id").alias("doc_b"))
+    removed2 = (
+        pairs.join(sa, "doc_a").join(sb, "doc_b")
+        .select("doc_b")
+        .distinct()
+    )
+    totals = (
+        docs.agg(F.count("*").alias("n_docs"))
+        .crossJoin(surv.agg(F.count("*").alias("n_surv")))
+        .crossJoin(removed2.agg(F.count("*").alias("n_rm2")))
+    )
+    staged = totals.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("1_exact").alias("stage"),
+                    F.col("n_docs").alias("docs_in"),
+                    (F.col("n_docs") - F.col("n_surv")).alias(
+                        "docs_removed"
+                    ),
+                    F.col("n_surv").alias("docs_out"),
+                ),
+                F.struct(
+                    F.lit("2_minhash").alias("stage"),
+                    F.col("n_surv").alias("docs_in"),
+                    F.col("n_rm2").alias("docs_removed"),
+                    (F.col("n_surv") - F.col("n_rm2")).alias("docs_out"),
+                ),
+            )
+        ).alias("s")
+    )
+    return staged.select("s.stage", "s.docs_in", "s.docs_removed", "s.docs_out")
+
+
+DEDUP_CASCADE_SQL = f"""
+WITH surv AS ({DEDUP_EXACT_SURVIVORS_SQL.strip()}),
+pairs AS ({DEDUP_MINHASH_SQL.strip()}),
+rm2 AS (
+  SELECT DISTINCT p.doc_b FROM pairs p
+  JOIN surv a ON p.doc_a = a.doc_id
+  JOIN surv b ON p.doc_b = b.doc_id
+),
+tot AS (
+  SELECT (SELECT count(*) FROM documents) AS n_docs,
+         (SELECT count(*) FROM surv) AS n_surv,
+         (SELECT count(*) FROM rm2) AS n_rm2
+)
+SELECT '1_exact' AS stage, n_docs AS docs_in,
+       n_docs - n_surv AS docs_removed, n_surv AS docs_out
+FROM tot
+UNION ALL
+SELECT '2_minhash' AS stage, n_surv AS docs_in,
+       n_rm2 AS docs_removed, n_surv - n_rm2 AS docs_out
+FROM tot
+"""

@@ -387,3 +387,109 @@ ends AS (
 degrees AS (SELECT part, count(*) AS degree FROM ends GROUP BY part)
 SELECT degree, count(*) AS n_parts FROM degrees GROUP BY degree
 """
+
+
+# --- label propagation communities -------------------------------------
+
+LPA_MIN_SUPPORT = 2
+
+
+def label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the co-purchase graph by LABEL
+    PROPAGATION, two unrolled synchronous rounds: every part starts
+    as its own label; each round a part adopts the MOST FREQUENT
+    label among its neighbors (tie -> smallest label; isolated parts
+    keep their own). Reported as the community-size histogram.
+
+    This is the mode-based relative of dedup_groups' min-label
+    connected components — LPA finds denser-than-neighborhood
+    communities rather than mere connectivity, and the fixed
+    iteration count makes the whole computation one deterministic
+    dataflow the oracle reproduces (same posture as kmeans_2iter /
+    pagerank_2iter). Scale: each round is one edges-join-labels
+    shuffle on the node key plus a (node, label) count — no
+    per-node driver state; the frequency window runs per node over
+    its neighbor-label counts, bounded by degree."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    # support >= LPA_MIN_SUPPORT baskets: single-basket co-occurrence
+    # is noise for community structure, and pruning it first shrinks
+    # the propagation graph by an order of magnitude (the same
+    # min-support discipline as basket_brand_lift)
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= LPA_MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = half.union(
+        half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    )
+    nodes = edges.select(F.col("pa").alias("part")).distinct()
+    labels = nodes.select("part", F.col("part").alias("lbl"))
+
+    def one_round(labels: DataFrame) -> DataFrame:
+        nbr = edges.join(
+            labels.withColumnRenamed("part", "pb"), "pb"
+        ).select(F.col("pa").alias("part"), "lbl")
+        counts = nbr.groupBy("part", "lbl").agg(F.count("*").alias("c"))
+        w = Window.partitionBy("part").orderBy(
+            F.desc("c"), F.asc("lbl")
+        )
+        return (
+            counts.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("part", "lbl")
+        )
+
+    l2 = one_round(one_round(labels))
+    sizes = l2.groupBy("lbl").agg(F.count("*").alias("community_size"))
+    return sizes.groupBy("community_size").agg(
+        F.count("*").alias("n_communities")
+    )
+
+
+_LPA_ROUND_SQL = """
+{out} AS (
+  SELECT part, lbl FROM (
+    SELECT e.pa AS part, l.lbl, count(*) AS c,
+           row_number() OVER (PARTITION BY e.pa
+                              ORDER BY count(*) DESC, l.lbl ASC) AS _rn
+    FROM edges e JOIN {prev} l ON e.pb = l.part
+    GROUP BY e.pa, l.lbl
+  ) WHERE _rn = 1
+)"""
+
+LABEL_PROPAGATION_SQL = f"""
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT pa, pb FROM (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS _n
+    FROM li a JOIN li b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+  ) WHERE _n >= {LPA_MIN_SUPPORT}
+),
+edges AS (
+  SELECT pa, pb FROM half
+  UNION ALL SELECT pb AS pa, pa AS pb FROM half
+),
+l0 AS (SELECT DISTINCT pa AS part, pa AS lbl FROM edges),
+{_LPA_ROUND_SQL.format(out='l1', prev='l0').lstrip()},
+{_LPA_ROUND_SQL.format(out='l2', prev='l1').lstrip()},
+sizes AS (SELECT lbl, count(*) AS community_size FROM l2 GROUP BY lbl)
+SELECT community_size, count(*) AS n_communities
+FROM sizes GROUP BY community_size
+"""

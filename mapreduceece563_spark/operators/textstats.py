@@ -975,3 +975,107 @@ SELECT lang, bucket, count(*) AS n_docs,
        max(_qq) / 1000000.0 AS max_quality
 FROM bucketed GROUP BY lang, bucket
 """
+
+
+# --- quality-classifier feature assembly -------------------------------
+
+def quality_classifier_features(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The per-document feature vector a fastText-style quality
+    classifier trains on — token count, stopword/alpha/digit/upper
+    ratios, mean word length, terminal punctuation — assembled in ONE
+    map pass (no shuffle at all: this is the feature-extraction stage
+    that runs as a pure map over 100 TB and feeds the classifier
+    trainer downstream).
+
+    Ratios divide int64 counters once (single IEEE division, both
+    engines identical); mean word length is half-up milli from int64
+    sums. Rounding uses floor(x*1e6+0.5) on identically-derived
+    doubles — the cross-engine-safe form."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    docs = docs.select(
+        "doc_id", "text", words_array(F.col("text")).alias("_words")
+    )
+    words = F.col("_words")
+    n = F.size(words).cast("long")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    alpha = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    ).cast("long")
+    digits = F.length(
+        F.regexp_replace(F.col("text"), "[^0-9]", "")
+    ).cast("long")
+    uppers = F.length(
+        F.regexp_replace(F.col("text"), "[^A-Z]", "")
+    ).cast("long")
+    def ratio(num, den):
+        return F.when(
+            den > 0,
+            F.floor(
+                (num.cast("double") / den.cast("double")) * 1_000_000
+                + F.lit(0.5)
+            ).cast("long")
+            / 1_000_000.0,
+        ).otherwise(0.0)
+
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ratio(stop_hits, n).alias("stopword_ratio"),
+        ratio(alpha, n_chars).alias("alpha_ratio"),
+        ratio(digits, n_chars).alias("digit_ratio"),
+        ratio(uppers, n_chars).alias("upper_ratio"),
+        F.when(
+            n > 0,
+            F.expr("(2 * 1000 * aggregate(_words, 0L, (a, w) ->"
+                   " a + length(w)) + size(_words))"
+                   " div (2 * size(_words))") / 1000.0,
+        ).otherwise(0.0).alias("mean_word_len"),
+        F.col("text").rlike(r"[.!?]\s*$").alias("ends_with_punct"),
+    )
+
+
+QUALITY_FEATURES_SQL = f"""
+WITH w AS (SELECT doc_id, text, {_words_sql()} AS words FROM documents),
+m AS (
+  SELECT doc_id, text, words,
+         CAST(len(words) AS BIGINT) AS n,
+         CAST(len(list_filter(words, x -> x IN ({_STOP_IN}))) AS BIGINT)
+           AS stop_hits,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS BIGINT) AS alpha,
+         CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+           AS digits,
+         CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS BIGINT)
+           AS uppers,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+             list_transform(words, x -> CAST(length(x) AS BIGINT))),
+             (a, b) -> a + b) AS word_chars
+  FROM w
+)
+SELECT doc_id,
+       n AS n_tokens,
+       CASE WHEN n > 0 THEN CAST(floor((CAST(stop_hits AS DOUBLE)
+              / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+              / 1000000.0 ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN n_chars > 0 THEN CAST(floor((CAST(alpha AS DOUBLE)
+              / CAST(n_chars AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+              / 1000000.0 ELSE 0.0 END AS alpha_ratio,
+       CASE WHEN n_chars > 0 THEN CAST(floor((CAST(digits AS DOUBLE)
+              / CAST(n_chars AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+              / 1000000.0 ELSE 0.0 END AS digit_ratio,
+       CASE WHEN n_chars > 0 THEN CAST(floor((CAST(uppers AS DOUBLE)
+              / CAST(n_chars AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+              / 1000000.0 ELSE 0.0 END AS upper_ratio,
+       CASE WHEN n > 0 THEN ((2 * 1000 * word_chars + n) // (2 * n))
+              / 1000.0 ELSE 0.0 END AS mean_word_len,
+       regexp_matches(text, '[.!?]\\s*$') AS ends_with_punct
+FROM m
+"""

@@ -212,6 +212,21 @@ register(
     ct.wordcount_via_datasource_packed,
     wc.WORDCOUNT_SQL,
 )
+register(
+    "dedup_cascade_accounting",
+    dd.dedup_cascade_accounting,
+    dd.DEDUP_CASCADE_SQL,
+)
+register(
+    "label_propagation_2iter",
+    gph.label_propagation_2iter,
+    gph.LABEL_PROPAGATION_SQL,
+)
+register(
+    "quality_classifier_features",
+    ts.quality_classifier_features,
+    ts.QUALITY_FEATURES_SQL,
+)
 
 # ---- window backfill: round-5-green entries ----
 
