@@ -396,3 +396,52 @@ def test_wordcount_normalize_evaluates_once(spark):
     for block in plan.split("\n\n"):
         if block.lstrip().startswith(("(", " ")) and "Filter" in block[:40]:
             assert "regexp_replace" not in block, block[:300]
+
+
+def test_rle_windows_are_block_parallel(spark):
+    """The run-length windows must partition on (col_name, blk) — a
+    window with an empty partition spec would funnel the whole table
+    through one task at any scale."""
+    plan = plan_string(Q["rle_compression_estimate"](spark, SF_DIR), "simple")
+    assert "windowspecdefinition(col_name" in plan
+    assert "Exchange hashpartitioning(col_name" in plan
+    # an empty partition spec would read "windowspecdefinition(l_orderkey
+    # ASC" (order columns only) — the block key must come first
+    assert "windowspecdefinition(l_orderkey" not in plan
+
+
+def test_semdedup_pairs_keyed_on_cluster(spark):
+    """The SemDeDup pair join must be an equi-join on the cluster id
+    (pairs fenced inside cells), never a cartesian or broadcast
+    nested loop over the corpus."""
+    plan = plan_string(Q["semdedup_prune_stats"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "Exchange hashpartitioning(cid" in plan
+
+
+def test_ivf_recall_broadcasts_small_sides(spark):
+    """Centroids and per-probe hit counts are tiny: both must ride
+    broadcast joins; the per-nprobe expansion must join on the 3-row
+    probes frame, never shuffle the scored candidates extra times."""
+    rep = plan_report(Q["ivf_recall_tuning"](spark, SF_DIR))
+    assert rep.n_broadcast_joins >= 2
+    plan = plan_string(Q["ivf_recall_tuning"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+
+
+def test_quality_features_map_only(spark):
+    """Feature assembly is one map pass: no exchange in the plan
+    (spread repartition aside)."""
+    plan = plan_string(
+        Q["quality_classifier_features"](spark, SF_DIR), "simple"
+    )
+    body = plan.split("RoundRobinPartitioning", 1)[-1]
+    assert "Exchange hashpartitioning" not in body
+
+
+def test_lpa_rounds_shuffle_on_node_key(spark):
+    """Each LPA round is one node-keyed exchange for the mode window;
+    the support-pruned edge list must drive equi-joins only."""
+    plan = plan_string(Q["label_propagation_2iter"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(part" in plan
