@@ -162,7 +162,7 @@ BUDGETS = {
     "bpe_merge_candidates": 2.0,  # tokenize + vocab pair stats
     "bpe_second_merge": 2.5,  # two pair-count rounds + merge apply
     "streaming_tws_user_profile": 25.5,  # multi-batch RocksDB TWS drain: 9-12.4s
-    "semdedup_prune_stats": 9.0,  # within-cluster exact cosine pairs: ~4.4s
+    "semdedup_prune_stats": 5.0,  # cached assignment + cell pairs: ~1.2s
     "ivf_recall_tuning": 4.5,  # brute-force GT + 3-probe IVF rank: ~2.0s
     "rle_compression_estimate": 6.5,  # 3x unpivot + block windows: ~3.2s
     "streaming_foreachbatch_upsert": 8.0,  # multi-batch MERGE drain: ~3.8s

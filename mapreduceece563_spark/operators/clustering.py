@@ -195,12 +195,15 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     a1 = _assign(vecs, c0)
     c1 = _update(a1)
     a2 = _assign(vecs, c1)
+    # cached: three consumers (both pair-join sides + the totals)
+    # would otherwise each recompute the whole 2-round assignment
+    # chain — the dedup_minhash bands.cache() precedent
     members = a2.select(
         "cid",
         "vec_id",
         "v",
         F.sqrt(_sqdist_dot(F.col("v"), F.col("v"))).alias("nrm"),
-    )
+    ).cache()
     a = members.select(
         "cid",
         F.col("vec_id").alias("i"),
