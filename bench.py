@@ -171,6 +171,7 @@ BUDGETS = {
     "wordcount_via_datasource_packed": 3.5,  # packed-bin Python source scan
     "label_propagation_2iter": 6.0,  # 2 mode rounds over min-support edges
     "dedup_cascade_accounting": 4.0,  # exact + banded stages, shared frames
+    "udtf_word_chunks": 2.5,  # Arrow UDTF lateral fan-out: ~1.0s
     "q21_waiting_suppliers": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
     "vocab_overlap_setops": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
     "ship_rate_try_divide": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s

@@ -686,3 +686,108 @@ FROM per
 
 DOMAIN_QUALITY_SQL = DOMAIN_QUALITY_SQL.format(words=_words_sql())
 DATASET_CARD_SQL = DATASET_CARD_SQL.format(words=_words_sql())
+
+
+# --- UDTF word-window chunker ------------------------------------------
+#
+# The one Python-execution API surface the engine had not exercised:
+# a user-defined TABLE function (Spark 3.5+/4 `udtf`, Arrow-optimized)
+# consumed through a SQL LATERAL join. Word-window chunking is the
+# natural UDTF shape — one input row fans out to a variable number of
+# chunk rows with per-row imperative logic (slice, join, hash) that a
+# generator expresses directly.
+
+UDTF_CHUNK_WORDS = 100
+UDTF_CHUNK_STRIDE = 80
+
+
+def _py_poly_hash(s: str) -> int:
+    """Pure-Python twin of functions.hashing.poly_hash (codepoint
+    fold, int64-exact); empty string -> 0."""
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % HASH_MOD
+    return acc
+
+
+def udtf_word_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping WORD-window chunks (100 words, stride 80) per
+    document through an Arrow-optimized Python UDTF in a LATERAL
+    join — the RAG/pretrain token-window split as a table function.
+    Output is manifest-shaped (chunk ordinal, word count, portable
+    chunk hash), never the chunk text; the hash is the engine's
+    polynomial fold over the space-joined words, recomputed
+    identically by the oracle with list_slice + array_to_string.
+
+    Scale posture: the UDTF runs per input partition (map-side
+    fan-out, no shuffle at all); Arrow batches carry the word arrays
+    in columnar form; only ~32 bytes/chunk leave the row. Same plan
+    class as doc_chunk_manifest (its char-window, all-native
+    sibling) — this entry certifies the udtf() execution path."""
+    from pyspark.sql.functions import udtf
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    words = docs.select(
+        "doc_id", words_array(F.col("text")).alias("words")
+    )
+    view = "udtf_chunker_src"
+    words.createOrReplaceTempView(view)
+
+    chunk_w, stride = UDTF_CHUNK_WORDS, UDTF_CHUNK_STRIDE
+
+    @udtf(
+        returnType="chunk_no INT, n_words BIGINT, chunk_hash BIGINT",
+        useArrow=True,
+    )
+    class WordChunker:
+        def eval(self, words: list):
+            if not words:
+                return
+            n = len(words)
+            k_max = 0 if n <= chunk_w else (n - chunk_w + stride - 1) // stride
+            for k in range(k_max + 1):
+                chunk = words[k * stride: k * stride + chunk_w]
+                yield (
+                    k,
+                    len(chunk),
+                    _py_poly_hash(" ".join(chunk)),
+                )
+
+    spark.udtf.register("word_chunker", WordChunker)
+    return spark.sql(
+        f"""
+        SELECT w.doc_id, c.chunk_no, c.n_words, c.chunk_hash
+        FROM {view} AS w, LATERAL word_chunker(w.words) AS c
+        """
+    )
+
+
+def _udtf_word_chunks_sql() -> str:
+    cw, st = UDTF_CHUNK_WORDS, UDTF_CHUNK_STRIDE
+    return f"""
+WITH w AS (SELECT doc_id, {_words_sql()} AS words FROM documents),
+base AS (
+  SELECT doc_id, words, len(words) AS n,
+         CASE WHEN len(words) <= {cw} THEN 0
+              ELSE CAST((len(words) - {cw} + {st} - 1) // {st} AS BIGINT)
+         END AS k_max
+  FROM w WHERE len(words) > 0
+),
+expanded AS (
+  SELECT doc_id, words,
+         CAST(unnest(range(0, k_max + 1)) AS INT) AS chunk_no
+  FROM base
+),
+chunks AS (
+  SELECT doc_id, chunk_no,
+         list_slice(words, chunk_no * {st} + 1,
+                    chunk_no * {st} + {cw}) AS chunk
+  FROM expanded
+)
+SELECT doc_id, chunk_no,
+       CAST(len(chunk) AS BIGINT) AS n_words,
+       {poly_hash_sql("array_to_string(chunk, ' ')")} AS chunk_hash
+FROM chunks
+"""

@@ -227,6 +227,11 @@ register(
     ts.quality_classifier_features,
     ts.QUALITY_FEATURES_SQL,
 )
+register(
+    "udtf_word_chunks",
+    cp.udtf_word_chunks,
+    cp._udtf_word_chunks_sql(),
+)
 
 # ---- window backfill: round-5-green entries ----
 
