@@ -200,7 +200,15 @@ def _tws_drain(spark, sf_dir: str) -> str:
             spark.readStream.schema(
                 "user_id BIGINT, event_type STRING, value DOUBLE"
             )
-            .option("maxFilesPerTrigger", 2)
+            # 8 chunks / 4 per trigger = 2 micro-batches: the minimum
+            # that still exercises a real cross-batch state carry (the
+            # signal this entry exists for). Each extra batch re-pays
+            # the state-server spin-up + per-partition RocksDB commit
+            # (~1.5-2 s here), which dominates this operator's cost —
+            # measured 4->2 batches: 11.1 s -> ~6 s at sf0.1. State
+            # partitions stay at 8: halving them SLOWED the drain
+            # (per-key Python state work loses parallelism).
+            .option("maxFilesPerTrigger", 4)
             .parquet(src)
         )
         from .tws_processor import TwsUserProfile

@@ -43,18 +43,22 @@ class TwsUserProfile(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues):
         n, vc = self._agg.get() if self._agg.exists() else (0, 0)
+        fresh: dict = {}
         for pdf in rows:
             n += len(pdf)
             vc += int(pdf["value"].mul(100).round(0).astype("int64").sum())
             for t, c in pdf["event_type"].value_counts().items():
-                prev = (
-                    self._types.getValue((t,))[0]
-                    if self._types.containsKey((t,))
-                    else 0
-                )
-                self._types.updateValue((t,), (prev + int(c),))
+                fresh[t] = fresh.get(t, 0) + int(c)
+        # State-server chattiness, not row volume, dominates this
+        # operator's cost: one paginated iterator() scan of the map
+        # replaces a containsKey+getValue round trip per event type,
+        # and n_types falls out of the same read instead of a second
+        # keys() scan.
+        existing = {t: c for (t,), (c,) in self._types.iterator()}
+        for t, c in fresh.items():
+            self._types.updateValue((t,), (existing.get(t, 0) + c,))
         self._agg.update((n, vc))
-        n_types = sum(1 for _ in self._types.keys())
+        n_types = len(existing.keys() | fresh.keys())
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
