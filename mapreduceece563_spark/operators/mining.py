@@ -912,3 +912,105 @@ SELECT change_type, count(*) AS n_rows,
        sum(new_cents - old_cents) / 100.0 AS price_delta
 FROM diff GROUP BY change_type
 """
+
+
+# ----------------------------------------------------------------------
+# Round-7 queue (implemented + tested ahead of registration — the
+# round-6 freeze left zero slots; see SURVEY.md "Round-7 queue").
+# ----------------------------------------------------------------------
+
+IVM_CUTOFF = "1997-01-01"  # rows at/after this date are "the delta"
+
+# (appId, sf_dir) -> path of the materialized base aggregate
+_IVM_VIEW_CACHE: dict[tuple[str, str], str] = {}
+
+
+def reset_ivm() -> None:
+    _IVM_VIEW_CACHE.clear()
+
+
+def _ivm_base_view(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the pre-cutoff monthly aggregate ONCE per
+    (application, sf_dir) — the stored view an incremental refresh
+    maintains. Subsequent refreshes read THIS parquet, never the
+    base fact rows."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _IVM_VIEW_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="ivm_view_"), "monthly")
+    base = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit(IVM_CUTOFF).cast("timestamp"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("revenue_cents"),
+        )
+    )
+    base.write.mode("overwrite").parquet(path)
+    _IVM_VIEW_CACHE[key] = path
+    return path
+
+
+def ivm_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: refresh a stored monthly-revenue
+    materialized view with a delta batch WITHOUT rescanning the base
+    fact rows, and prove the refreshed view equals a full recompute
+    (the oracle recomputes from scratch; the driver hash pins
+    equality).
+
+    count/sum aggregates are self-maintainable: view ⊎ delta-agg is
+    a keyed merge — a full outer join on the group key with coalesced
+    addition. The plan reads (a) the ~|months|-row stored view and
+    (b) only the delta partition of orders; at 100 TB with a
+    date-partitioned lake the delta scan prunes to the new
+    partitions, so refresh cost is O(delta) + O(|view|) per cycle
+    instead of O(base). Deletions would carry signed deltas through
+    the same merge (count-sum views are invertible); MIN/MAX would
+    not — that distinction is the IVM contract this entry documents.
+    """
+    view = spark.read.parquet(_ivm_base_view(spark, sf_dir))
+    delta_agg = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(IVM_CUTOFF).cast("timestamp"))
+        .groupBy(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+        )
+        .agg(
+            F.count("*").alias("_dn"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("_dc"),
+        )
+    )
+    merged = view.join(delta_agg, "month", "full_outer").select(
+        "month",
+        (
+            F.coalesce("n_orders", F.lit(0)) + F.coalesce("_dn", F.lit(0))
+        ).alias("n_orders"),
+        (
+            (
+                F.coalesce("revenue_cents", F.lit(0))
+                + F.coalesce("_dc", F.lit(0))
+            )
+            / 100.0
+        ).alias("revenue"),
+    )
+    return merged
+
+
+IVM_INCREMENTAL_SQL = """
+SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) / 100.0
+         AS revenue
+FROM orders GROUP BY 1
+"""

@@ -1074,3 +1074,149 @@ SELECT lang, count(*) AS n_docs,
          AS fertility
 FROM per GROUP BY lang
 """
+
+
+# ----------------------------------------------------------------------
+# Round-7 queue (implemented + tested ahead of registration — the
+# round-6 freeze left zero slots; see SURVEY.md "Round-7 queue").
+# ----------------------------------------------------------------------
+
+# cosine threshold as an exact rational: tau = 0.9, tau^2 = 81/100
+# (0.9, not the textbook 0.6: the synthetic corpus is template-generated
+# and over half of ALL pairs clear 0.6 — see the histogram note in
+# tests/test_round7_queue.py)
+ALLPAIRS_TAU_NUM = 81
+ALLPAIRS_TAU_DEN = 100
+
+
+def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs cosine >= 0.9 over TF-IDF vectors via prefix
+    filtering (Bayardo/Chaudhuri AllPairs) — the similarity-join tier
+    between LSH (candidates with false negatives) and brute force
+    (quadratic): provably complete, still never builds the cross
+    product.
+
+    Canonical term order is (df ASC, word) — rarest first. A doc's
+    PREFIX is the shortest head whose remaining tail satisfies
+    tail_sumsq < tau^2 * norm_sumsq; by Cauchy-Schwarz a pair whose
+    shared terms all fall in either doc's tail has cosine < tau, so
+    indexing ONLY prefix terms and self-joining that index loses
+    nothing — the driver hash against the brute-force oracle certifies
+    exactly that (any false negative drops a row and mismatches).
+    The fan-out control is structural: prefixes concentrate on rare
+    (low-df) terms because frequent terms carry low idf weight and
+    sit in the tail, so the per-term join fan-out is small where a
+    raw word-level self-join would square the stopword postings.
+    The prefix test is pure int64 ({ALLPAIRS_TAU_DEN}*tail >=
+    {ALLPAIRS_TAU_NUM}*norm); the final threshold compare squares the
+    integer dot into a double with the identical expression order in
+    both engines. At 100 TB: one window per doc for tails, one
+    self-join keyed on prefix terms, one verify join — all
+    shuffle-bounded by prefix postings, never the corpus squared."""
+    tf = _tf_stage(spark, sf_dir)
+    df = tf.groupBy("word").agg(F.count("*").alias("df"))
+    n_docs = _n_docs(spark, sf_dir)
+    idf3 = F.round(
+        (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")) + 1.0)
+        * 1000, 0
+    ).cast("long")
+    weights = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id", "word", "df", (F.col("tf") * idf3).alias("w")
+        )
+        .cache()
+    )
+    norms = weights.groupBy("doc_id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("_n2")
+    )
+    tail_w = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.asc("df"), F.asc("word"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    flagged = (
+        weights.withColumn("_tail", F.sum(F.col("w") * F.col("w")).over(tail_w))
+        .join(norms, "doc_id")
+        .withColumn(
+            "_in_prefix",
+            F.col("_tail") * ALLPAIRS_TAU_DEN
+            >= F.col("_n2") * ALLPAIRS_TAU_NUM,
+        )
+    )
+    prefix_idx = flagged.filter("_in_prefix").select("doc_id", "word")
+    cands = (
+        prefix_idx.alias("a")
+        .join(prefix_idx.alias("b"), "word")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    wa = weights.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("_wa")
+    )
+    wb = weights.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("_wb")
+    )
+    num = (
+        cands.join(wa, "doc_a")
+        .join(wb, ["doc_b", "word"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_num"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("_n2").alias("_na"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("_n2").alias("_nb"))
+    return (
+        num.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.col("_num").cast("double") * F.col("_num").cast("double")
+            * ALLPAIRS_TAU_DEN
+            >= F.lit(ALLPAIRS_TAU_NUM).cast("double")
+            * F.col("_na")
+            * F.col("_nb")
+        )
+        .select(
+            "doc_a", "doc_b",
+            F.round(
+                F.col("_num") / (F.sqrt("_na") * F.sqrt("_nb")), 6
+            ).alias("cosine"),
+        )
+    )
+
+
+ALLPAIRS_PREFIX_SQL = f"""
+WITH {{words_cte}},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+nd AS (SELECT count(*) AS n_docs FROM w),
+weights AS (
+  SELECT doc_id, word,
+         tf * CAST(round((ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) + 1.0)
+                         * 1000, 0) AS BIGINT) AS w
+  FROM tf JOIN df USING (word) CROSS JOIN nd
+),
+norms AS (
+  SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS _n2
+  FROM weights GROUP BY doc_id
+),
+num AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(sum(a.w * b.w) AS BIGINT) AS _num
+  FROM weights a JOIN weights b
+    ON a.word = b.word AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT n.doc_a, n.doc_b,
+       round(_num / (sqrt(na._n2) * sqrt(nb._n2)), 6) AS cosine
+FROM num n
+JOIN norms na ON na.doc_id = n.doc_a
+JOIN norms nb ON nb.doc_id = n.doc_b
+WHERE CAST(_num AS DOUBLE) * CAST(_num AS DOUBLE) * {ALLPAIRS_TAU_DEN}
+      >= CAST({ALLPAIRS_TAU_NUM} AS DOUBLE) * na._n2 * nb._n2
+"""

@@ -298,3 +298,195 @@ GROUP BY 1
 ORDER BY n_occurrences DESC, trigram ASC
 LIMIT {TRIGRAM_TOP_K}
 """
+
+
+# ----------------------------------------------------------------------
+# Round-7 queue (implemented + tested ahead of registration — the
+# round-6 freeze left zero slots; see SURVEY.md "Round-7 queue").
+# ----------------------------------------------------------------------
+
+
+def _sessions_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_id, s_us, e_us) — interval endpoints in
+    integer microseconds, session definition identical to
+    sessionize()."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    order_w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.lag(us).over(order_w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    with_sess = ev.withColumn("_us", us).withColumn(
+        "session_id",
+        F.sum(is_new).over(
+            order_w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return with_sess.groupBy("user_id", "session_id").agg(
+        F.min("_us").alias("s_us"), F.max("_us").alias("e_us")
+    )
+
+
+def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line computed as a
+    DISTRIBUTED prefix sum: the classic formulation sorts every
+    +1/-1 endpoint into one global running sum (a single-task window
+    at any scale), so instead the timeline is partitioned by calendar
+    day and each day sweeps independently given its carry-in (the
+    sessions already open at midnight).
+
+    carry_in(d) = sessions with s < day_start <= e, counted via a
+    broadcast non-equi join against the tiny day dimension (bounded
+    by the calendar, not the data). Within a day the running sum over
+    (+1 at session start, -1 at session end; starts before ends on a
+    tie, a session active on [s, e] inclusive) is a window
+    partitioned BY DAY — every partition sweeps in parallel, which is
+    the whole point. peak(d) = carry_in + max(0, max prefix sum):
+    the max() clamps to the day-start concurrency when the first
+    in-day motion is a carry-in session ending. A day fully inside
+    one long session has no endpoints at all and still reports
+    peak = carry_in (gap rule means such a day always has events, so
+    it is in the day dimension). Everything is int64 microseconds and
+    counts — no floats to drift cross-engine."""
+    sessions = _sessions_frame(spark, sf_dir)
+
+    days = (
+        load_table(spark, sf_dir, "events")
+        .select(F.to_date("ts").alias("day"))
+        .distinct()
+        .withColumn("day_us", F.unix_micros(F.col("day").cast("timestamp")))
+    )
+
+    carry = (
+        sessions.join(
+            F.broadcast(days),
+            (F.col("s_us") < F.col("day_us"))
+            & (F.col("e_us") >= F.col("day_us")),
+        )
+        .groupBy("day")
+        .agg(F.count("*").alias("carry_in"))
+    )
+
+    deltas = (
+        sessions.select(
+            F.to_date(F.timestamp_micros("s_us")).alias("day"),
+            F.col("s_us").alias("us"),
+            F.lit(1).alias("delta"),
+        )
+        .unionAll(
+            sessions.select(
+                F.to_date(F.timestamp_micros("e_us")).alias("day"),
+                F.col("e_us").alias("us"),
+                F.lit(-1).alias("delta"),
+            )
+        )
+    )
+    sweep_w = (
+        Window.partitionBy("day")
+        .orderBy(F.asc("us"), F.desc("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day_stats = (
+        deltas.withColumn("_run", F.sum("delta").over(sweep_w))
+        .groupBy("day")
+        .agg(
+            F.max("_run").alias("_max_run"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(
+                "n_starts"
+            ),
+            F.sum(F.when(F.col("delta") == -1, 1).otherwise(0)).alias(
+                "n_ends"
+            ),
+        )
+    )
+
+    return (
+        days.select("day")
+        .join(carry, "day", "left")
+        .join(day_stats, "day", "left")
+        .select(
+            "day",
+            F.coalesce("carry_in", F.lit(0)).alias("carry_in"),
+            F.coalesce("n_starts", F.lit(0)).alias("n_starts"),
+            F.coalesce("n_ends", F.lit(0)).alias("n_ends"),
+            (
+                F.coalesce("carry_in", F.lit(0))
+                + F.greatest(
+                    F.lit(0), F.coalesce("_max_run", F.lit(0))
+                )
+            ).alias("peak_concurrency"),
+        )
+    )
+
+
+SESSION_CONCURRENCY_SQL = f"""
+WITH ordered AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts ASC, event_id ASC) AS prev_us
+  FROM events
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > {SESSION_GAP_US}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM ordered
+),
+numbered AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                              ORDER BY ts ASC, event_id ASC
+                              ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+),
+sessions AS (
+  SELECT user_id, session_id, min(us) AS s_us, max(us) AS e_us
+  FROM numbered GROUP BY 1, 2
+),
+days AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day,
+         epoch_us(CAST(CAST(ts AS DATE) AS TIMESTAMP)) AS day_us
+  FROM events
+),
+carry AS (
+  SELECT d.day, count(*) AS carry_in
+  FROM sessions s JOIN days d
+    ON s.s_us < d.day_us AND s.e_us >= d.day_us
+  GROUP BY 1
+),
+deltas AS (
+  SELECT CAST(make_timestamp(s_us) AS DATE) AS day,
+         s_us AS us, 1 AS delta FROM sessions
+  UNION ALL
+  SELECT CAST(make_timestamp(e_us) AS DATE) AS day,
+         e_us AS us, -1 AS delta FROM sessions
+),
+swept AS (
+  SELECT day, delta,
+         sum(delta) OVER (PARTITION BY day
+                          ORDER BY us ASC, delta DESC
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM deltas
+),
+day_stats AS (
+  SELECT day, max(run) AS max_run,
+         CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_starts,
+         CAST(sum(CASE WHEN delta = -1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ends
+  FROM swept GROUP BY 1
+)
+SELECT d.day,
+       CAST(coalesce(c.carry_in, 0) AS BIGINT) AS carry_in,
+       coalesce(s.n_starts, 0) AS n_starts,
+       coalesce(s.n_ends, 0) AS n_ends,
+       CAST(coalesce(c.carry_in, 0)
+            + greatest(0, coalesce(s.max_run, 0)) AS BIGINT)
+         AS peak_concurrency
+FROM days d
+LEFT JOIN carry c ON c.day = d.day
+LEFT JOIN day_stats s ON s.day = d.day
+"""

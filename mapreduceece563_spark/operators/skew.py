@@ -427,3 +427,276 @@ SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
        TRUE AS sketch_ok
 FROM events GROUP BY 1
 """
+
+
+# ----------------------------------------------------------------------
+# Round-7 queue (implemented + tested ahead of registration; the
+# round-6 freeze arithmetic left zero slots — see
+# coverage_highwater.json and SURVEY.md "Round-7 queue").
+# ----------------------------------------------------------------------
+
+CM_ROWS = 4  # depth d: rows 0..3 of the frozen MINHASH_PERMS family
+CM_WIDTH = 512  # width w: buckets per row
+
+
+def _cm_perms():
+    from ..functions.hashing import HASH_MOD, MINHASH_PERMS
+
+    return HASH_MOD, MINHASH_PERMS[:CM_ROWS]
+
+
+def cmsketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch estimates for the top-10 heaviest users,
+    built as per-day sketches MERGED cell-wise — the second mergeable
+    sketch kind next to HLL (`hll_union_rollup`), and unlike HLL it
+    is engine-portable: the hash family is the frozen affine
+    MINHASH_PERMS over int64, so DuckDB reproduces the sketch cell
+    for cell and the driver hash-checks the ESTIMATES themselves, not
+    a tolerance boolean.
+
+    Shape: events explode x CM_ROWS -> groupBy(day, row, bucket)
+    count (map-side partial agg; cells bounded at days x 4 x 512
+    regardless of user cardinality) -> groupBy(row, bucket) sum is
+    the merge (count-min is linear, the property this entry pins).
+    The top-10 exact counts come from one groupBy(user_id) +
+    TakeOrderedAndProject; their estimates look up 4 cells each via a
+    broadcast join against the ~2k-row merged sketch. At 100 TB the
+    sketch build is one pass with fixed-size state per partition and
+    the merge moves 2 KB per day — the exact twin here exists only
+    for certification (overcount >= 0 is the CM invariant).
+    """
+    mod, perms = _cm_perms()
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    cells_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("row"),
+                (
+                    (F.lit(a) * F.col("user_id") + F.lit(b)) % mod % CM_WIDTH
+                ).alias("bucket"),
+            )
+            for i, (a, b) in enumerate(perms)
+        ]
+    )
+    daily = (
+        ev.select("day", F.explode(cells_arr).alias("c"))
+        .groupBy("day", "c.row", "c.bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    merged = daily.groupBy("row", "bucket").agg(F.sum("cnt").alias("cell"))
+
+    top = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.desc("n_exact"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = top.select(
+        "user_id", "n_exact", F.explode(cells_arr).alias("c")
+    ).select("user_id", "n_exact", "c.row", "c.bucket")
+    est = (
+        probes.join(F.broadcast(merged), ["row", "bucket"])
+        .groupBy("user_id", "n_exact")
+        .agg(F.min("cell").alias("cm_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "n_exact",
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("n_exact")).alias("overcount"),
+    )
+
+
+def _cm_perm_values() -> str:
+    mod, perms = _cm_perms()
+    rows = ", ".join(f"({i}, {a}, {b})" for i, (a, b) in enumerate(perms))
+    return f"(VALUES {rows}) AS perms(i, a, b)"
+
+
+def _cm_sql() -> str:
+    from ..functions.hashing import HASH_MOD
+
+    # The oracle builds the GLOBAL cells directly — equal to the
+    # merged per-day sketches exactly because count-min is linear,
+    # which is the property the cross-engine hash certifies.
+    return f"""
+WITH perms AS (SELECT * FROM {_cm_perm_values()}),
+cells AS (
+  SELECT p.i, (p.a * e.user_id + p.b) % {HASH_MOD} % {CM_WIDTH} AS bucket,
+         count(*) AS cell
+  FROM events e CROSS JOIN perms p GROUP BY 1, 2
+),
+top10 AS (
+  SELECT user_id, count(*) AS n_exact FROM events GROUP BY 1
+  ORDER BY n_exact DESC, user_id LIMIT 10
+)
+SELECT t.user_id, t.n_exact,
+       CAST(min(c.cell) AS BIGINT) AS cm_estimate,
+       CAST(min(c.cell) AS BIGINT) - t.n_exact AS overcount
+FROM top10 t
+JOIN perms p ON TRUE
+JOIN cells c
+  ON c.i = p.i
+ AND c.bucket = (p.a * t.user_id + p.b) % {HASH_MOD} % {CM_WIDTH}
+GROUP BY 1, 2
+"""
+
+
+BLOOM_BITS = 63_488  # 1024 words x 62 usable bits
+BLOOM_HASHES = 3  # perms 4..6 of MINHASH_PERMS
+BLOOM_WORD_BITS = 62  # stay clear of the int64 sign bit in BOTH engines
+
+
+def _bloom_perms():
+    from ..functions.hashing import HASH_MOD, MINHASH_PERMS
+
+    return HASH_MOD, MINHASH_PERMS[4 : 4 + BLOOM_HASHES]
+
+
+def bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter semi-join pruning: build a 63 Kbit filter over
+    urgent-1995 order keys, probe every lineitem row through it
+    BEFORE the join, and account exactly what the filter did —
+    the runtime-filter mechanic (Spark's InjectRuntimeFilter /
+    row-level runtime filtering) reconstructed from first principles
+    with the engine-portable hash family so the DuckDB oracle
+    reproduces the bitmap bit for bit.
+
+    Build: distinct build keys explode x 3 hashes -> (word, bit) ->
+    groupBy(word) bit_or(1 << bit) — a ~1024-row bitmap relation.
+    Probe: three BROADCAST joins of the fact against the bitmap on
+    the three word indexes (no fact-side shuffle, no explode of the
+    fact), pass = all three probed bits set. Certification: exact
+    membership via one broadcast semi-join-style left join; the
+    output pins n_pass >= n_match (no false negatives — a Bloom
+    filter's contract) and counts the false positives the 62-bit/key
+    budget leaves. At 100 TB the bitmap stays KBs regardless of fact
+    size and the probe is map-only — the filter drops non-matching
+    rows before they reach the join exchange."""
+    mod, perms = _bloom_perms()
+    build = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.year("o_orderdate") == 1995)
+        )
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    pos = [
+        ((F.lit(a) * F.col("k") + F.lit(b)) % mod % BLOOM_BITS)
+        for (a, b) in perms
+    ]
+    sets_arr = F.array(
+        *[
+            F.struct(
+                (p / BLOOM_WORD_BITS).cast("long").alias("word"),
+                (p % BLOOM_WORD_BITS).cast("int").alias("bit"),
+            )
+            for p in pos
+        ]
+    )
+    bitmap = (
+        build.select(F.explode(sets_arr).alias("s"))
+        .select("s.word", "s.bit")
+        .groupBy("word")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).alias("bits")
+        )
+    )
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k")
+    )
+    probe = li
+    for j, (a, b) in enumerate(perms):
+        p = (F.lit(a) * F.col("k") + F.lit(b)) % mod % BLOOM_BITS
+        probe = probe.withColumn(
+            f"_w{j}", (p / BLOOM_WORD_BITS).cast("long")
+        ).withColumn(f"_b{j}", (p % BLOOM_WORD_BITS).cast("int"))
+    for j in range(len(perms)):
+        bm = F.broadcast(
+            bitmap.select(
+                F.col("word").alias(f"_w{j}"),
+                F.col("bits").alias(f"_bits{j}"),
+            )
+        )
+        probe = probe.join(bm, f"_w{j}", "left")
+    passed = None
+    for j in range(len(perms)):
+        hit = (
+            F.coalesce(F.col(f"_bits{j}"), F.lit(0))
+            .bitwiseAND(F.expr(f"shiftleft(CAST(1 AS BIGINT), _b{j})"))
+            != 0
+        )
+        passed = hit if passed is None else (passed & hit)
+    probe = probe.withColumn("_pass", passed)
+
+    truth = build.select("k", F.lit(True).alias("_match"))
+    joined = probe.join(F.broadcast(truth), "k", "left").select(
+        "_pass", F.coalesce("_match", F.lit(False)).alias("_match")
+    )
+    return joined.agg(
+        F.count("*").alias("n_probe_rows"),
+        F.sum(F.col("_pass").cast("long")).alias("n_bloom_pass"),
+        F.sum(F.col("_match").cast("long")).alias("n_true_match"),
+        F.sum(
+            (F.col("_pass") & ~F.col("_match")).cast("long")
+        ).alias("n_false_positive"),
+        (
+            F.sum((F.col("_match") & ~F.col("_pass")).cast("long")) == 0
+        ).alias("no_false_negatives"),
+    )
+
+
+def _bloom_sql() -> str:
+    from ..functions.hashing import HASH_MOD
+
+    _, perms = _bloom_perms()
+    perm_rows = ", ".join(f"({a}, {b})" for (a, b) in perms)
+    return f"""
+WITH build AS (
+  SELECT DISTINCT o_orderkey AS k FROM orders
+  WHERE o_orderpriority = '1-URGENT'
+    AND year(CAST(o_orderdate AS DATE)) = 1995
+),
+perms AS (SELECT * FROM (VALUES {perm_rows}) AS p(a, b)),
+bitmap AS (
+  SELECT ((p.a * b.k + p.b) % {HASH_MOD} % {BLOOM_BITS})
+           // {BLOOM_WORD_BITS} AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(
+           ((p.a * b.k + p.b) % {HASH_MOD} % {BLOOM_BITS})
+             % {BLOOM_WORD_BITS} AS INTEGER)) AS bits
+  FROM build b CROSS JOIN perms p
+  GROUP BY 1
+),
+probe AS (
+  SELECT l.l_orderkey AS k,
+         (SELECT count(*) FROM perms p
+          WHERE coalesce((SELECT bits FROM bitmap m
+                          WHERE m.word = ((p.a * l.l_orderkey + p.b)
+                            % {HASH_MOD} % {BLOOM_BITS}) // {BLOOM_WORD_BITS}),
+                         0)
+                & (CAST(1 AS BIGINT) << CAST(((p.a * l.l_orderkey + p.b)
+                    % {HASH_MOD} % {BLOOM_BITS}) % {BLOOM_WORD_BITS}
+                    AS INTEGER)) <> 0
+         ) = {BLOOM_HASHES} AS pass,
+         EXISTS (SELECT 1 FROM build b WHERE b.k = l.l_orderkey) AS match
+  FROM lineitem l
+)
+SELECT count(*) AS n_probe_rows,
+       CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bloom_pass,
+       CAST(sum(CASE WHEN match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_match,
+       CAST(sum(CASE WHEN pass AND NOT match THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positive,
+       sum(CASE WHEN match AND NOT pass THEN 1 ELSE 0 END) = 0
+         AS no_false_negatives
+FROM probe
+"""

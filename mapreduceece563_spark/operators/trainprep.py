@@ -18,7 +18,7 @@ Scale discipline:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -750,4 +750,87 @@ SELECT (({h}) * {SAMPLE_A_KF} + {SAMPLE_B_KF}) % {HASH_MOD} % {KFOLD_K}
          AS fold,
        lang, count(*) AS n_docs
 FROM documents GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------------
+# Round-7 queue (implemented + tested ahead of registration — the
+# round-6 freeze left zero slots; see SURVEY.md "Round-7 queue").
+# ----------------------------------------------------------------------
+
+PPS_SAMPLES_PER_LANG = 5
+
+
+def pps_systematic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (probability-proportional-to-size) systematic sample:
+    per language, pick {PPS_SAMPLES_PER_LANG} documents with
+    selection probability proportional to n_chars — the curation
+    move for char-budgeted corpus subsampling ("sample 5 docs per
+    language, long docs proportionally more likely").
+
+    Classic PPS systematic design made engine-exact: order docs by
+    doc_id, take the int64 cumulative weight c_i per language, and
+    select the doc whose (c_i - w_i, c_i] interval contains the
+    stratified position p_k = ((2k+1) * W) div (2K) — the K midpoints
+    of equal weight slices. No RNG, no transcendental math: the whole
+    selection is integer compares, so Spark and DuckDB agree bit for
+    bit (the reason this replaces exponential-clock A-ES keys, whose
+    pow/ln ranking is ulp-sensitive cross-engine). A doc heavier than
+    W/K can legitimately carry several sample slots — multiplicity is
+    part of the design and surfaces as multiple sample_idx rows.
+
+    Scale: the cumulative sum is a window per language — strata sweep
+    in parallel, and within a stratum this is the same
+    one-ordered-pass caveat as customer_balance_deciles (at extreme
+    per-stratum cardinality you would pre-aggregate cumulative
+    weights per shard and prefix-sum the shard totals; the window
+    form is the oracle-exact statement of the semantics)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    cum_w = Window.partitionBy("lang").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot_w = Window.partitionBy("lang")
+    k2 = 2 * PPS_SAMPLES_PER_LANG
+    with_c = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.sum("n_chars").over(cum_w).alias("_c"),
+        F.sum("n_chars").over(tot_w).alias("_w_total"),
+    )
+    ks = F.explode(
+        F.sequence(F.lit(0), F.lit(PPS_SAMPLES_PER_LANG - 1))
+    ).alias("sample_idx")
+    picked = with_c.select("*", ks).filter(
+        (
+            F.expr(f"((2 * sample_idx + 1) * _w_total) div {k2}")
+            >= F.col("_c") - F.col("n_chars")
+        )
+        & (
+            F.expr(f"((2 * sample_idx + 1) * _w_total) div {k2}")
+            < F.col("_c")
+        )
+    )
+    return picked.select(
+        "lang", "sample_idx", "doc_id", "n_chars"
+    )
+
+
+PPS_SYSTEMATIC_SQL = f"""
+WITH c AS (
+  SELECT doc_id, lang, n_chars,
+         sum(n_chars) OVER (PARTITION BY lang ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS c,
+         sum(n_chars) OVER (PARTITION BY lang) AS w_total
+  FROM documents
+),
+ks AS (SELECT unnest(range({PPS_SAMPLES_PER_LANG})) AS sample_idx)
+SELECT lang, CAST(k.sample_idx AS BIGINT) AS sample_idx, doc_id, n_chars
+FROM c CROSS JOIN ks k
+WHERE ((2 * k.sample_idx + 1) * c.w_total) // {2 * PPS_SAMPLES_PER_LANG}
+        >= c.c - c.n_chars
+  AND ((2 * k.sample_idx + 1) * c.w_total) // {2 * PPS_SAMPLES_PER_LANG}
+        < c.c
 """
