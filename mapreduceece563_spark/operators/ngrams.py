@@ -56,6 +56,46 @@ def _tf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tf
 
 
+# (app_id, sf_dir) -> persisted (doc_id, word, tf) over 3-word
+# SHINGLES (Broder w-shingling, w=3). The all-pairs cosine tier runs
+# in shingle space, not unigrams: the synthetic corpus has a 31-word
+# vocabulary, so unigram tf-idf is 31-dimensional and every doc pair
+# co-occurs on rare terms — prefix filtering degenerates to the full
+# quadratic join (measured at sf0.1: 11.5M candidate pairs of 12.5M
+# possible; bigrams were still 2.8M). Trigrams lift the space to
+# ~27k dims with max df 25/5000 at sf0.1, restoring the
+# discrimination the pruning depends on — and w-shingles are the
+# standard document near-dup representation anyway.
+_SHINGLE_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _shingle_tf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SHINGLE_TF_CACHE.get(key)
+    if cached is not None:
+        return cached
+    w = _words_per_doc(spark, sf_dir)
+    n = F.size(F.col("words"))
+    grams = F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(1), n - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("words"), i),
+                F.element_at(F.col("words"), i + 1),
+                F.element_at(F.col("words"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tokens = w.select("doc_id", F.explode(grams).alias("word"))
+    tf = tokens.groupBy("doc_id", "word").agg(
+        F.count("*").alias("tf")
+    ).persist()
+    _SHINGLE_TF_CACHE[key] = tf
+    return tf
+
+
 def _n_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1-row count of documents with non-empty text (the TF-IDF 'N' —
     note: counts docs whose every token filtered out too, matching the
@@ -1090,11 +1130,17 @@ ALLPAIRS_TAU_DEN = 100
 
 
 def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT all-pairs cosine >= 0.9 over TF-IDF vectors via prefix
-    filtering (Bayardo/Chaudhuri AllPairs) — the similarity-join tier
-    between LSH (candidates with false negatives) and brute force
-    (quadratic): provably complete, still never builds the cross
-    product.
+    """EXACT all-pairs cosine >= 0.9 over TF-IDF vectors of 3-word
+    SHINGLES via prefix filtering (Bayardo/Chaudhuri AllPairs) — the
+    similarity-join tier between LSH (candidates with false
+    negatives) and brute force (quadratic): provably complete, still
+    never builds the cross product.
+
+    The feature space is w=3 shingles, not unigrams, for two reasons:
+    (1) word shingles are the standard near-dup representation (order
+    sensitivity); (2) pruning needs dimensionality — see the
+    _SHINGLE_TF_CACHE note for the measured unigram/bigram
+    degeneration on this corpus.
 
     Canonical term order is (df ASC, word) — rarest first. A doc's
     PREFIX is the shortest head whose remaining tail satisfies
@@ -1106,25 +1152,36 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     The fan-out control is structural: prefixes concentrate on rare
     (low-df) terms because frequent terms carry low idf weight and
     sit in the tail, so the per-term join fan-out is small where a
-    raw word-level self-join would square the stopword postings.
+    raw shingle-level self-join would square the frequent postings.
     The prefix test is pure int64 ({ALLPAIRS_TAU_DEN}*tail >=
     {ALLPAIRS_TAU_NUM}*norm); the final threshold compare squares the
     integer dot into a double with the identical expression order in
     both engines. At 100 TB: one window per doc for tails, one
     self-join keyed on prefix terms, one verify join — all
     shuffle-bounded by prefix postings, never the corpus squared."""
-    tf = _tf_stage(spark, sf_dir)
+    tf = _shingle_tf_stage(spark, sf_dir)
     df = tf.groupBy("word").agg(F.count("*").alias("df"))
     n_docs = _n_docs(spark, sf_dir)
     idf3 = F.round(
         (F.log((F.col("n_docs") + 1) / (F.col("df") + 1).cast("double")) + 1.0)
         * 1000, 0
     ).cast("long")
+    # Dense integer vocab ids ride along from the df join: the
+    # verify-stage dot merges two ~60-entry Catalyst maps, and
+    # element_at on ArrayBasedMapData is a LINEAR key scan — with the
+    # 25-char bigram strings as keys that scan measured 0.55 ms per
+    # pair (1525 CPU-s for 2.8M candidates at sf0.1); int64 keys make
+    # it a long-compare scan, ~60x cheaper. The window over 931 vocab
+    # rows is one tiny partition; at 100 TB vocab ids come from a
+    # precomputed dictionary table instead.
+    df = df.withColumn(
+        "wid", F.row_number().over(Window.orderBy("word")).cast("long")
+    )
     weights = (
         tf.join(df, "word")
         .crossJoin(F.broadcast(n_docs))
         .select(
-            "doc_id", "word", "df", (F.col("tf") * idf3).alias("w")
+            "doc_id", "word", "df", "wid", (F.col("tf") * idf3).alias("w")
         )
         .cache()
     )
@@ -1145,28 +1202,80 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("_n2") * ALLPAIRS_TAU_NUM,
         )
     )
-    prefix_idx = flagged.filter("_in_prefix").select("doc_id", "word")
+    prefix_idx = flagged.filter("_in_prefix").select(
+        "doc_id", "word", "_tail", "_n2"
+    )
+    # PPJoin-style pairwise tail filter: for a QUALIFYING pair, its
+    # first shared term (in canonical order) satisfies
+    # tail_a * tail_b >= tau^2 * na2 * nb2 (Cauchy-Schwarz over the
+    # shared-term suffix: every shared term sits at or after it in
+    # BOTH docs' canonical tails), so tuples failing the product test
+    # can be dropped without losing any pair — terms near the prefix
+    # BOUNDARY of both docs fail it (tail ~= tau^2*norm2 each side,
+    # and tau^4 < tau^2). The filter is Spark-internal (the verify
+    # stage below decides membership), so double math is fine; the
+    # 1e-9 slack keeps it conservative against rounding at exact
+    # equality.
+    tail_ok = (
+        F.col("a._tail").cast("double") * F.col("b._tail") * ALLPAIRS_TAU_DEN
+        >= F.col("a._n2").cast("double")
+        * F.col("b._n2")
+        * (ALLPAIRS_TAU_NUM * (1.0 - 1e-9))
+    )
     cands = (
         prefix_idx.alias("a")
         .join(prefix_idx.alias("b"), "word")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter((F.col("a.doc_id") < F.col("b.doc_id")) & tail_ok)
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
         )
         .distinct()
+        # explicit width: AQE sees ~tens of MB of candidate pairs and
+        # would coalesce the verify stage to 1-2 tasks; the per-pair
+        # dot below is the CPU-heavy part, so pin its parallelism.
+        .repartition(32)
     )
-    wa = weights.select(
-        F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("_wa")
-    )
-    wb = weights.select(
-        F.col("doc_id").alias("doc_b"), "word", F.col("w").alias("_wb")
+    # Verification WITHOUT row explosion: joining cands back to the
+    # posting lists (cands x terms x terms) measured 170M intermediate
+    # rows at sf0.1. Instead each doc's sparse vector rides along as a
+    # broadcast word->weight map (one row per doc), and the dot is an
+    # expression-level merge of the two 60-ish-entry maps — the
+    # candidate row count never inflates. At 100 TB the doc-map side
+    # shards by doc_id range instead of broadcasting; the pair table
+    # still never exceeds |candidates|.
+    doc_map = weights.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("wid", "w"))
+        ).alias("_wmap")
     )
     num = (
-        cands.join(wa, "doc_a")
-        .join(wb, ["doc_b", "word"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("_wa") * F.col("_wb")).alias("_num"))
+        cands.join(
+            F.broadcast(doc_map).select(
+                F.col("doc_id").alias("doc_a"), F.col("_wmap").alias("_ma")
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(doc_map).select(
+                F.col("doc_id").alias("doc_b"), F.col("_wmap").alias("_mb")
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.aggregate(
+                F.map_entries("_ma"),
+                F.lit(0).cast("long"),
+                lambda acc, e: acc
+                + F.coalesce(
+                    e["value"] * F.element_at(F.col("_mb"), e["key"]),
+                    F.lit(0).cast("long"),
+                ),
+            ).alias("_num"),
+        )
+        .filter(F.col("_num") > 0)
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("_n2").alias("_na"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("_n2").alias("_nb"))
@@ -1191,7 +1300,14 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ALLPAIRS_PREFIX_SQL = f"""
 WITH {{words_cte}},
-tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+big AS (
+  SELECT doc_id,
+         list_transform(range(1, len(words) - 1),
+                        i -> words[i] || ' ' || words[i+1] || ' ' ||
+                             words[i+2]) AS grams
+  FROM w WHERE len(words) >= 3
+),
+tok AS (SELECT doc_id, unnest(grams) AS word FROM big),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
 df AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
 nd AS (SELECT count(*) AS n_docs FROM w),
