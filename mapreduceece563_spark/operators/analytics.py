@@ -644,3 +644,201 @@ SELECT event_type,
          AS intercept_cents
 FROM fit
 """
+
+
+# --- exact weighted median (round-7 queue) ------------------------------
+
+def weighted_median_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact WEIGHTED lower median of order value (int64 cents) per
+    market segment, weight = the order's lineitem count — the weighted
+    order-statistic class the registry lacks (price_percentiles is
+    unweighted; deciles are ntile buckets, not weight-mass cuts).
+
+    The median is the smallest value v whose cumulative weight over
+    values <= v reaches half the segment's total weight
+    (2*cumw >= W in pure int64, no halving division). The cumulative
+    window uses a RANGE frame ordered by the value itself, so tied
+    values share one cumulative mass and the result is independent of
+    intra-tie row order — the detail that makes the answer
+    engine-deterministic (a ROWS frame would expose each engine's
+    tie order). One shuffle keys the window and the aggregate by
+    segment; at 100 TB segments are few, so the per-segment sort is
+    the classic quantile-by-key shape (and a skewed segment would
+    move to the partial-histogram rewrite price_percentiles uses).
+
+    Weights and values are exact: cents = round(price*100) as int64,
+    weight = count(*)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey",
+        F.round(F.col("o_totalprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    wts = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count("*").alias("w"))
+    )
+    base = orders.join(
+        wts, orders["o_orderkey"] == wts["l_orderkey"]
+    ).join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+    cum_w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("cents")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    whole = Window.partitionBy("c_mktsegment")
+    ranked = base.select(
+        F.col("c_mktsegment").alias("segment"),
+        "cents",
+        "w",
+        F.sum("w").over(cum_w).alias("_cumw"),
+        F.sum("w").over(whole).alias("_tot"),
+    )
+    return (
+        ranked.filter(2 * F.col("_cumw") >= F.col("_tot"))
+        .groupBy("segment")
+        .agg(
+            F.min("cents").alias("w_median_cents"),
+            F.max("_tot").alias("total_weight"),
+        )
+        .join(
+            ranked.groupBy("segment").agg(
+                F.count("*").alias("n_orders")
+            ),
+            "segment",
+        )
+        .select("segment", "n_orders", "total_weight", "w_median_cents")
+    )
+
+
+WEIGHTED_MEDIAN_SQL = """
+WITH base AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         w.w
+  FROM orders o
+  JOIN (SELECT l_orderkey, count(*) AS w FROM lineitem
+        GROUP BY l_orderkey) w ON o.o_orderkey = w.l_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+),
+ranked AS (
+  SELECT segment, cents, w,
+         sum(w) OVER (PARTITION BY segment ORDER BY cents
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS _cumw,
+         sum(w) OVER (PARTITION BY segment) AS _tot
+  FROM base
+)
+SELECT r.segment,
+       n.n_orders,
+       CAST(max(r._tot) AS BIGINT) AS total_weight,
+       min(r.cents) AS w_median_cents
+FROM ranked r
+JOIN (SELECT segment, count(*) AS n_orders FROM ranked GROUP BY segment) n
+  ON r.segment = n.segment
+WHERE 2 * r._cumw >= r._tot
+GROUP BY r.segment, n.n_orders
+"""
+
+
+# --- Benford leading-digit audit (round-7 queue) ------------------------
+
+# round(log10(1 + 1/d) * 1e6) for d = 1..9 — universal constants,
+# embedded as integer literals so neither engine evaluates a log at
+# query time (cross-engine log/pow ulp drift is the known hash killer).
+BENFORD_PPM = {
+    1: 301030, 2: 176091, 3: 124939, 4: 96910, 5: 79181,
+    6: 66947, 7: 57992, 8: 51153, 9: 45757,
+}
+
+
+def benford_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic audit of order values: observed leading
+    digit distribution (ppm, exact int64) against the Benford
+    expectation — the data-forensics class (fraud/synthetic-data
+    screening) next to k_anonymity_audit and table_expectations_audit.
+
+    The leading digit comes from the cents value's decimal string
+    (substring, not floor(v/10^floor(log10 v)) — the float log path
+    misclassifies exact powers of ten at the ulp boundary). Expected
+    shares are compile-time integer constants (see BENFORD_PPM), the
+    observed share is one exact integer division per digit, and every
+    digit 1-9 is emitted even at zero observations (a LEFT join from
+    the literal digit spine) so the output shape is fixed. Map-only
+    until a 9-row aggregate: nothing here moves more than the digit
+    histogram at any scale."""
+    digits = spark.createDataFrame(
+        [(d, BENFORD_PPM[d]) for d in range(1, 10)],
+        "digit INT, expected_ppm BIGINT",
+    )
+    obs = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents")
+        )
+        .filter(F.col("cents") > 0)
+        .select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("int")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count("*").alias("n_obs"))
+    )
+    tot = obs.agg(F.sum("n_obs").alias("_n"))
+    return (
+        F.broadcast(digits)
+        .join(obs, "digit", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.coalesce(F.col("n_obs"), F.lit(0).cast("long")).alias(
+                "n_obs"
+            ),
+            "expected_ppm",
+            F.expr(
+                "CAST(1000000 * coalesce(n_obs, 0) AS BIGINT) div _n"
+            ).alias("obs_ppm"),
+            (
+                F.expr(
+                    "CAST(1000000 * coalesce(n_obs, 0) AS BIGINT) div _n"
+                )
+                - F.col("expected_ppm")
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+_BENFORD_SPINE = " UNION ALL ".join(
+    f"SELECT {d} AS digit, CAST({p} AS BIGINT) AS expected_ppm"
+    for d, p in BENFORD_PPM.items()
+)
+
+BENFORD_SQL = f"""
+WITH spine AS ({_BENFORD_SPINE}),
+obs AS (
+  SELECT CAST(substring(CAST(cents AS VARCHAR), 1, 1) AS INTEGER)
+           AS digit,
+         count(*) AS n_obs
+  FROM (SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents
+        FROM orders) t
+  WHERE cents > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS _n FROM obs)
+SELECT s.digit,
+       CAST(coalesce(o.n_obs, 0) AS BIGINT) AS n_obs,
+       s.expected_ppm,
+       CAST(1000000 * coalesce(o.n_obs, 0) AS BIGINT) // t._n AS obs_ppm,
+       CAST(1000000 * coalesce(o.n_obs, 0) AS BIGINT) // t._n
+         - s.expected_ppm AS dev_ppm
+FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot t
+"""

@@ -493,3 +493,219 @@ sizes AS (SELECT lbl, count(*) AS community_size FROM l2 GROUP BY lbl)
 SELECT community_size, count(*) AS n_communities
 FROM sizes GROUP BY community_size
 """
+
+
+# --- multi-hop BFS distance (round-7 queue) -----------------------------
+
+BFS_MAX_HOPS = 3
+
+
+def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact hop-distance histogram of a BFS over the co-purchase
+    graph, seeded at its highest-degree part (tie -> lowest partkey),
+    capped at BFS_MAX_HOPS hops — the iterative frontier-expansion
+    class (Pregel supersteps) the registry otherwise lacks: pagerank
+    and LPA run a FIXED number of whole-graph rounds, while BFS's
+    per-round work is the FRONTIER, and correctness depends on the
+    visited-set anti-join (a node reached twice must keep its first
+    distance).
+
+    Plan shape per superstep: frontier JOIN arcs (shuffle keyed on
+    part id, frontier-sized, not graph-sized) -> distinct -> anti-join
+    against the visited accumulator. Both sides of every exchange are
+    bounded by the reachable node set; nothing is ever quadratic in
+    nodes. The per-level persist() is what keeps superstep k from
+    recomputing supersteps 1..k-1 through Spark's lazy lineage — the
+    textbook iterative-algorithm trap. At 100 TB the identical loop
+    runs with the arcs table bucketed on pa so every superstep's join
+    is co-located; the visited set stays a fraction of the node set.
+
+    The DuckDB oracle is a recursive CTE (min-dist per node) — a
+    genuinely different evaluation strategy certifying the same
+    fixpoint."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    half = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    arcs = half.union(
+        half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
+    ).persist()
+    deg = arcs.groupBy("pa").agg(F.count("*").alias("deg"))
+    seed = (
+        deg.orderBy(F.desc("deg"), F.asc("pa"))
+        .limit(1)
+        .select(F.col("pa").alias("part"))
+    )
+    visited = seed.select("part", F.lit(0).cast("int").alias("dist")).persist()
+    frontier = visited.select("part")
+    for k in range(1, BFS_MAX_HOPS + 1):
+        # frontier and visited are id sets bounded by the node count,
+        # orders of magnitude under the edge list — broadcasting both
+        # keeps every superstep's heavy side (arcs) shuffle-free; the
+        # giant-frontier fallback is the bucketed shuffle join.
+        nbrs = (
+            arcs.join(F.broadcast(frontier), frontier["part"] == arcs["pa"])
+            .select(F.col("pb").alias("part"))
+            .distinct()
+        )
+        nxt = (
+            nbrs.join(F.broadcast(visited), "part", "left_anti")
+            .select("part", F.lit(k).cast("int").alias("dist"))
+            .persist()
+        )
+        # each level is persisted; the union of cached levels needs
+        # no cache of its own (re-unioning cached frames is free).
+        visited = visited.union(nxt)
+        frontier = nxt.select("part")
+    return (
+        visited.groupBy("dist")
+        .agg(
+            F.count("*").alias("n_parts"),
+            F.sum("part").alias("sum_partkey"),
+            F.min("part").alias("min_partkey"),
+            F.max("part").alias("max_partkey"),
+        )
+    )
+
+
+BFS_HOP_SQL = f"""
+WITH RECURSIVE
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+half AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+arcs AS (
+  SELECT pa, pb FROM half UNION ALL SELECT pb AS pa, pa AS pb FROM half
+),
+deg AS (SELECT pa, count(*) AS deg FROM arcs GROUP BY pa),
+seed AS (SELECT pa AS part FROM deg ORDER BY deg DESC, pa ASC LIMIT 1),
+walk(part, dist) AS (
+  SELECT part, 0 FROM seed
+  UNION
+  SELECT e.pb, w.dist + 1
+  FROM walk w JOIN arcs e ON e.pa = w.part
+  WHERE w.dist < {BFS_MAX_HOPS}
+),
+md AS (SELECT part, min(dist) AS dist FROM walk GROUP BY part)
+SELECT CAST(dist AS INTEGER) AS dist, count(*) AS n_parts,
+       CAST(sum(part) AS BIGINT) AS sum_partkey,
+       min(part) AS min_partkey, max(part) AS max_partkey
+FROM md GROUP BY dist
+"""
+
+
+# --- positional phrase search (round-7 queue) ---------------------------
+
+def phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval over a POSITIONAL inverted index — the
+    IR tier above inverted_index (df + doc postings) and bm25_search
+    (bag-of-words ranking): a phrase query needs token positions, and
+    the match is a positional self-join (pos_b == pos_a + 1), the
+    same plan a search engine runs against positional posting lists.
+
+    The phrase is chosen deterministically IN-QUERY: the corpus's
+    most frequent word bigram (ties -> lexicographically smallest),
+    so the entry exercises index construction, top-1 selection, and
+    phrase matching in one plan without a hardcoded literal that
+    would rot across scale factors.
+
+    Scale posture: postings are filtered to the two phrase terms
+    (broadcast of a 1-row phrase) BEFORE the positional join, so the
+    join is posting-list-sized, never corpus-sized — the classic
+    reason positional indexes carry (doc, pos) sorted by doc: the
+    equi-join key is (doc_id, adjacent position). Occurrences may
+    overlap ("a a a" has two "a a"); both engines count them
+    identically. Output is per-doc occurrence counts of the phrase.
+    """
+    arr = _doc_word_arrays(spark, sf_dir)
+    postings = arr.select(
+        "doc_id", F.posexplode("ws").alias("pos", "word")
+    )
+    n = F.size(F.col("ws"))
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top1 = (
+        arr.select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(1)
+        .select(
+            F.col("bigram").alias("phrase"),
+            F.split("bigram", " ").getItem(0).alias("_w1"),
+            F.split("bigram", " ").getItem(1).alias("_w2"),
+        )
+    )
+    p1 = postings.join(
+        F.broadcast(top1), postings["word"] == top1["_w1"]
+    ).select("doc_id", "pos", "phrase")
+    p2 = postings.join(
+        F.broadcast(top1.select("_w2")), postings["word"] == F.col("_w2")
+    ).select(F.col("doc_id").alias("_d2"), F.col("pos").alias("_p2"))
+    return (
+        p1.join(
+            p2,
+            (p1["doc_id"] == p2["_d2"]) & (p2["_p2"] == p1["pos"] + 1),
+        )
+        .groupBy("doc_id", "phrase")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+PHRASE_SEARCH_SQL = f"""
+WITH {{words_cte}},
+pos AS (
+  SELECT doc_id, t.p - 1 AS pos, t.w AS word
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(words) + 1),
+                                 i -> {{{{'p': i, 'w': words[i]}}}})) AS t
+    FROM w
+  )
+),
+bg AS (
+  SELECT unnest(CASE WHEN len(words) >= 2 THEN
+           list_transform(range(1, len(words)),
+                          i -> words[i] || ' ' || words[i+1])
+         ELSE CAST([] AS VARCHAR[]) END) AS bigram
+  FROM w
+),
+top1 AS (
+  SELECT bigram AS phrase,
+         string_split(bigram, ' ')[1] AS _w1,
+         string_split(bigram, ' ')[2] AS _w2
+  FROM (SELECT bigram, count(*) AS cnt FROM bg GROUP BY bigram
+        ORDER BY cnt DESC, bigram ASC LIMIT 1)
+)
+SELECT p1.doc_id, t.phrase, count(*) AS n_occurrences
+FROM pos p1
+JOIN top1 t ON p1.word = t._w1
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+           AND p2.word = t._w2
+GROUP BY p1.doc_id, t.phrase
+"""

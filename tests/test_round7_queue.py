@@ -7,10 +7,12 @@ registered, plus the semantic pin the oracle compare cannot see.
 Threshold note for allpairs_prefix_filter: tau is 0.9, not the
 textbook 0.6, because the synthetic corpus is template-generated and
 extremely self-similar — at sf0.001 over half of ALL doc pairs clear
-cosine 0.6 (histogram: ~72.8k of ~125k pairs), which would make the
-"similarity join avoids the cross product" demonstration vacuous.
-At 0.9 the result is a sparse 33 pairs and the prefix index prunes
-hard."""
+unigram cosine 0.6 (histogram: ~72.8k of ~125k pairs), which would
+make the "similarity join avoids the cross product" demonstration
+vacuous. The operator runs in 3-word-shingle TF-IDF space for the
+same reason (the unigram space is 31-dimensional here and defeats
+prefix pruning outright — measured numbers in
+operators/ngrams.py::_SHINGLE_TF_CACHE)."""
 
 from __future__ import annotations
 
@@ -114,3 +116,87 @@ def test_allpairs_prefix_filter_is_exact(spark, duck):
     assert_frames_match(sdf, duck.execute(sql), ctx="allpairs_prefix_filter")
     # and the threshold is honest: every surviving pair clears tau
     assert sdf.filter(F.col("cosine") < 0.9).count() == 0
+
+
+def test_bfs_hop_distance_matches_recursive_cte(spark, duck):
+    """The frontier loop's fixpoint equals DuckDB's recursive-CTE
+    min-dist evaluation — a genuinely different strategy for the same
+    definition. Plus the BFS invariants the compare can't see."""
+    from mapreduceece563_spark.operators import graph as gp
+
+    sdf = gp.bfs_hop_distance(spark, SF_DIR)
+    assert_frames_match(sdf, duck.execute(gp.BFS_HOP_SQL), ctx="bfs_hop")
+    rows = {r["dist"]: r for r in sdf.collect()}
+    assert rows[0]["n_parts"] == 1  # the seed alone at distance 0
+    # distances are contiguous from 0 (an empty frontier ends the walk)
+    assert sorted(rows) == list(range(len(rows)))
+    assert all(r["n_parts"] >= 1 for r in rows.values())
+
+
+def test_phrase_search_matches_oracle_and_counts_real_adjacency(
+    spark, duck
+):
+    from mapreduceece563_spark.operators import graph as gp
+    from mapreduceece563_spark.operators import ngrams as ng
+
+    sdf = gp.phrase_search(spark, SF_DIR)
+    sql = gp.PHRASE_SEARCH_SQL.format(words_cte=ng._words_cte().lstrip())
+    assert_frames_match(sdf, duck.execute(sql), ctx="phrase_search")
+    rows = sdf.collect()
+    assert rows, "top bigram must occur somewhere"
+    assert all(r["n_occurrences"] >= 1 for r in rows)
+    # one phrase, one row per matching doc
+    assert len({r["phrase"] for r in rows}) == 1
+    assert len({r["doc_id"] for r in rows}) == len(rows)
+
+
+def test_weighted_median_matches_oracle_and_mass_invariant(spark, duck):
+    from pyspark.sql import functions as SF
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    sdf = an.weighted_median_by_segment(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(an.WEIGHTED_MEDIAN_SQL), ctx="weighted_median"
+    )
+    # independent mass check: for each segment, the weight at or
+    # below the reported median reaches half the total
+    med = {r["segment"]: r for r in sdf.collect()}
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey", "o_custkey",
+        SF.round(SF.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    cust = load_table(spark, SF_DIR, "customer")
+    wts = (
+        load_table(spark, SF_DIR, "lineitem")
+        .groupBy("l_orderkey").agg(SF.count("*").alias("w"))
+    )
+    base = orders.join(
+        wts, orders["o_orderkey"] == wts["l_orderkey"]
+    ).join(cust, orders["o_custkey"] == cust["c_custkey"])
+    for seg, r in med.items():
+        below = (
+            base.filter(
+                (SF.col("c_mktsegment") == seg)
+                & (SF.col("c") <= r["w_median_cents"])
+            ).agg(SF.sum("w")).collect()[0][0]
+        )
+        assert 2 * below >= r["total_weight"]
+
+
+def test_benford_audit_matches_oracle_and_shares_sum(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    sdf = an.benford_digit_audit(spark, SF_DIR)
+    assert_frames_match(sdf, duck.execute(an.BENFORD_SQL), ctx="benford")
+    rows = sdf.collect()
+    assert len(rows) == 9 and sorted(r["digit"] for r in rows) == list(
+        range(1, 10)
+    )
+    # floor-divided shares sum to at most one million and lose at
+    # most 8 ppm of rounding mass
+    s = sum(r["obs_ppm"] for r in rows)
+    assert 1_000_000 - 8 <= s <= 1_000_000
+    # the Benford expectation itself is a distribution (ppm)
+    assert sum(r["expected_ppm"] for r in rows) == 1_000_000
