@@ -45,9 +45,10 @@ def reset() -> None:
     windowed_stream.reset_session_windows()
     join_stream.reset_join_stream()
     stateful.reset_tws()
-    from . import upsert_stream
+    from . import enrich_stream, upsert_stream
 
     upsert_stream.reset_upsert()
+    enrich_stream.reset_enrich()
     from ..sources import chunktext
 
     chunktext.reset_stream_wc()

@@ -200,3 +200,23 @@ def test_benford_audit_matches_oracle_and_shares_sum(spark, duck):
     assert 1_000_000 - 8 <= s <= 1_000_000
     # the Benford expectation itself is a distribution (ppm)
     assert sum(r["expected_ppm"] for r in rows) == 1_000_000
+
+
+def test_streaming_static_enrichment_matches_batch_oracle(spark, duck):
+    """The drained stream-static broadcast join + update-mode segment
+    aggregate equals the batch join — the stateless streaming-join
+    shape (no watermark, no join state). Every event's user exists in
+    customer, so the enriched totals must cover the whole table."""
+    from pyspark.sql import functions as SF
+
+    from mapreduceece563_spark.sources.catalog import load_table
+    from mapreduceece563_spark.streaming import enrich_stream as es
+
+    es.reset_enrich()
+    sdf = es.streaming_static_enrichment(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(es.STREAMING_ENRICH_SQL), ctx="stream_enrich"
+    )
+    total = sdf.agg(SF.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert total == n_events
