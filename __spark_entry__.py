@@ -13,7 +13,23 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, _REPO)
+
+# JVM-spawned Python subprocesses (the transformWithState driver
+# worker, the Python data-source planner) inherit the JVM's
+# environment, not this process's sys.path, and sc.addPyFile only
+# reaches executor task workers. Exporting PYTHONPATH here — before
+# the driving process launches the JVM — is what makes the package
+# importable in those runners when the driver's cwd is not the repo
+# root (the cluster analogue is shipping the wheel in the image or
+# via --py-files + spark.yarn.appMasterEnv.PYTHONPATH).
+if _REPO not in os.environ.get("PYTHONPATH", "").split(os.pathsep):
+    os.environ["PYTHONPATH"] = (
+        _REPO + os.pathsep + os.environ["PYTHONPATH"]
+        if os.environ.get("PYTHONPATH")
+        else _REPO
+    )
 
 from mapreduceece563_spark import registry  # noqa: E402
 

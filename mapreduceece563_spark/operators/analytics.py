@@ -842,3 +842,124 @@ SELECT s.digit,
          - s.expected_ppm AS dev_ppm
 FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot t
 """
+
+
+# --- two-sample Kolmogorov-Smirnov drift test --------------------------
+
+KS_SPLIT = "2024-01-16"  # sample A: before; sample B: at/after
+# c(0.05)^2 for the two-sample KS rejection threshold
+# D > c * sqrt((na+nb)/(na*nb)); both engines compare the SAME
+# integers against the SAME double expression, so the boundary
+# cannot straddle engines.
+KS_C2_005 = 1.8447
+
+
+def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two periods, per event type, as an
+    exact two-sample Kolmogorov-Smirnov statistic.
+
+    D = max_x |F_A(x) - F_B(x)| is computed INTEGER-exactly: values
+    quantized to cents, per-value counts cumulated with a window, and
+    the sup taken over |cum_a * n_b - cum_b * n_a| (the cross-
+    multiplied numerator, so no per-row float division anywhere).
+    Exported as d_num + ks_ppm (floor-scaled) + the alpha=0.05
+    rejection decision — the epoch-over-epoch feature-drift gate a
+    training pipeline runs before trusting new data.
+
+    Scale posture (100 TB): one groupBy (event_type, cents) collapses
+    the stream to distinct values BEFORE the window (map-side partial
+    aggs); the cumulative window partitions by event_type — at most
+    |distinct cents| rows per partition, no global sort. The KS sup
+    and totals ride the same partitioning; output is 5 rows.
+    d_num <= n_a * n_b overflows int64 only past ~3e9 rows per type
+    per period; past that you shard the window by value range and
+    take the max of per-shard sups (same algebra), or bucket the CDF.
+    """
+    mid = F.lit(KS_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("ts") >= mid).cast("long").alias("is_b"),
+    )
+    per_val = ev.groupBy("event_type", "cents").agg(
+        F.sum(1 - F.col("is_b")).alias("da"),
+        F.sum("is_b").alias("db"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    stepped = per_val.select(
+        "event_type",
+        F.sum("da").over(w_cum).alias("cum_a"),
+        F.sum("db").over(w_cum).alias("cum_b"),
+        F.sum("da").over(w_all).alias("n_a"),
+        F.sum("db").over(w_all).alias("n_b"),
+    )
+    return (
+        stepped.groupBy("event_type")
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(
+                F.abs(
+                    F.col("cum_a") * F.col("n_b")
+                    - F.col("cum_b") * F.col("n_a")
+                )
+            ).alias("d_num"),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "d_num",
+            F.expr("d_num * 1000000 div (n_a * n_b)").alias("ks_ppm"),
+            (
+                F.col("d_num") * F.col("d_num")
+                > F.lit(KS_C2_005)
+                * (F.col("n_a") + F.col("n_b"))
+                * F.col("n_a")
+                * F.col("n_b")
+            ).alias("drift_at_005"),
+        )
+    )
+
+
+KS_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_b
+  FROM events
+),
+per_val AS (
+  SELECT event_type, cents,
+         sum(1 - is_b) AS da, sum(is_b) AS db
+  FROM ev GROUP BY event_type, cents
+),
+stepped AS (
+  SELECT event_type,
+         sum(da) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(db) OVER (PARTITION BY event_type ORDER BY cents
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b,
+         sum(da) OVER (PARTITION BY event_type) AS n_a,
+         sum(db) OVER (PARTITION BY event_type) AS n_b
+  FROM per_val
+)
+SELECT event_type,
+       CAST(max(n_a) AS BIGINT) AS n_a,
+       CAST(max(n_b) AS BIGINT) AS n_b,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000
+            // (max(n_a) * max(n_b)) AS BIGINT) AS ks_ppm,
+       max(abs(cum_a * n_b - cum_b * n_a))
+         * max(abs(cum_a * n_b - cum_b * n_a))
+         > {KS_C2_005} * (max(n_a) + max(n_b)) * max(n_a) * max(n_b)
+         AS drift_at_005
+FROM stepped GROUP BY event_type
+"""

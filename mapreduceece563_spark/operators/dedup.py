@@ -1359,3 +1359,109 @@ SELECT '2_minhash' AS stage, n_surv AS docs_in,
        n_rm2 AS docs_removed, n_surv - n_rm2 AS docs_out
 FROM tot
 """
+
+
+# --- incremental MinHash: new-batch banding vs a frozen index --------
+
+# Docs at/above the cutoff are "today's crawl"; everything below is
+# the already-indexed corpus. The cutoff is a pure function of the
+# corpus (last 20% of the dense doc_id range) so both engines agree.
+INCR_NEW_NUM = 4  # cutoff = (max_doc_id + 1) * 4 / 5
+
+
+def minhash_incremental_novelty(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup screening: band ONLY the new batch and
+    probe a frozen LSH index — the production ingest shape (pairs
+    with ivm_incremental_agg: the index is maintained state, the
+    batch is the delta).
+
+    Per new document: does it share a band hash with any indexed
+    document (``dup_vs_index``), and with any EARLIER document of its
+    own batch (``dup_in_batch``)? The two flags drive different
+    actions in a real pipeline (drop vs keep-first within the batch).
+
+    Scale posture (100 TB): the frozen index is precomputed, stored
+    bucketed by (band, band_hash), and NEVER rescanned per batch —
+    here it is built in the same plan (the test corpus has no
+    persisted state), but the join shape is the one that matters:
+    batch bands (|batch| x 4 rows) shuffle-join the index on the
+    band-bucket key, so per-ingest cost is O(|batch| + matches), not
+    O(corpus). The within-batch check is the same banding self-join
+    restricted to the batch. Both joins inherit the LSH guarantee:
+    only same-bucket docs ever meet.
+    """
+    bands = _band_hashes(minhash_signatures(spark, sf_dir))
+    cut = (
+        load_table(spark, sf_dir, "documents")
+        .agg((((F.max("doc_id") + 1) * INCR_NEW_NUM) / 5)
+             .cast("long").alias("cutoff"))
+    )
+    bands = bands.crossJoin(F.broadcast(cut))
+    index = bands.filter(F.col("doc_id") < F.col("cutoff")).select(
+        F.col("doc_id").alias("old_id"), "band", "band_hash"
+    )
+    batch = bands.filter(F.col("doc_id") >= F.col("cutoff")).cache()
+
+    vs_index = (
+        batch.join(index, ["band", "band_hash"])
+        .select("doc_id").distinct()
+        .withColumn("dup_vs_index", F.lit(True))
+    )
+    earlier = batch.select(
+        F.col("doc_id").alias("earlier_id"),
+        F.col("band").alias("e_band"),
+        F.col("band_hash").alias("e_band_hash"),
+    )
+    in_batch = (
+        batch.join(
+            earlier,
+            (F.col("band") == F.col("e_band"))
+            & (F.col("band_hash") == F.col("e_band_hash"))
+            & (F.col("earlier_id") < F.col("doc_id")),
+        )
+        .select("doc_id").distinct()
+        .withColumn("dup_in_batch", F.lit(True))
+    )
+    return (
+        batch.select("doc_id").distinct()
+        .join(vs_index, "doc_id", "left")
+        .join(in_batch, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("dup_vs_index", F.lit(False)).alias("dup_vs_index"),
+            F.coalesce("dup_in_batch", F.lit(False)).alias("dup_in_batch"),
+        )
+    )
+
+
+MINHASH_INCREMENTAL_SQL = f"""
+WITH {_minhash_sig_sql().lstrip()},
+bands AS ({_bands_sql()}),
+cut AS (
+  SELECT (max(doc_id) + 1) * {INCR_NEW_NUM} // 5 AS cutoff FROM documents
+),
+idx AS (
+  SELECT doc_id AS old_id, band, band_hash FROM bands, cut
+  WHERE doc_id < cutoff
+),
+batch AS (
+  SELECT doc_id, band, band_hash FROM bands, cut WHERE doc_id >= cutoff
+),
+vs_index AS (
+  SELECT DISTINCT b.doc_id FROM batch b
+  JOIN idx i ON b.band = i.band AND b.band_hash = i.band_hash
+),
+in_batch AS (
+  SELECT DISTINCT b.doc_id FROM batch b
+  JOIN batch e ON b.band = e.band AND b.band_hash = e.band_hash
+              AND e.doc_id < b.doc_id
+)
+SELECT d.doc_id,
+       v.doc_id IS NOT NULL AS dup_vs_index,
+       i.doc_id IS NOT NULL AS dup_in_batch
+FROM (SELECT DISTINCT doc_id FROM batch) d
+LEFT JOIN vs_index v ON d.doc_id = v.doc_id
+LEFT JOIN in_batch i ON d.doc_id = i.doc_id
+"""

@@ -852,3 +852,173 @@ SELECT doc_id,
        CAST(sum(CASE WHEN i % 3 = 2 THEN v ELSE 0 END) AS BIGINT) AS sum_b
 FROM vals GROUP BY doc_id, w, h, nf, k
 """
+
+
+# --- perceptual-hash (aHash) image near-dup ---------------------------
+# The non-text dedup tier: images that differ only by a uniform
+# brightness shift must collide. Payload groups are deterministic so
+# the DuckDB oracle can replay the hash from the pixel formula while
+# Spark computes it from REAL decoded bytes.
+
+AHASH_VARIANTS = 8    # doc_ids per near-dup group (same base pattern)
+AHASH_OFFSETS = 3     # brightness offset = doc_id % 3
+AHASH_GRID = 4        # 4x4 average-hash grid -> 16-bit hash
+AHASH_PIXEL_MOD = 251  # pixel base kept under 253 so offset never wraps
+
+
+def documents_as_ppm_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): valid binary PPMs in near-duplicate
+    groups. group = doc_id // AHASH_VARIANTS fixes the dimensions
+    (w = 4 + group % 5, h = 3 + group % 4) and the base pattern
+    pixel[i] = (group*31 + i*7) % 251; offset = doc_id % 3 adds a
+    uniform brightness shift (no wrap: base <= 250, offset <= 2), so
+    members of a group are the same image at three exposures."""
+    docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id")
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                grp = int(doc_id // AHASH_VARIANTS)
+                off = int(doc_id % AHASH_OFFSETS)
+                w = 4 + grp % 5
+                h = 3 + grp % 4
+                i = np.arange(w * h * 3, dtype=np.int64)
+                px = (
+                    (grp * PPM_PIXEL_MULT + i * PPM_PIXEL_STEP)
+                    % AHASH_PIXEL_MOD
+                ) + off
+                payloads.append(
+                    encode_ppm(w, h, px.astype(np.uint8).reshape(h, w, 3))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+        ]
+    )
+    return docs.mapInPandas(_encode, schema=schema)
+
+
+def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-hash near-duplicate detection over REAL decoded image
+    bytes: 4x4 nearest-neighbor grid, gray = r+g+b (integer, no
+    division), bit(x,y) = 16*gray(x,y) >= sum(all grays) — pure int64
+    comparisons, so the hash is bit-identical across engines AND
+    exactly invariant under uniform brightness shifts (both sides of
+    the comparison move by 16*3*offset). Emits per-group rollups: a
+    group whose three exposures hash identically has n_hashes = 1 —
+    the perceptual-dedup property itself, certified by the oracle
+    replaying the formula while Spark decodes actual PPM bytes.
+    n_groups_same_hash counts groups colliding on the same 16-bit
+    hash (the bucket a banding near-dup join would use).
+
+    Scale posture (100 TB of images): decode + hash is one
+    Arrow-batched mapInPandas pass emitting 16 bytes per image; the
+    rollup shuffles (group, hash) pairs only; the collision count is
+    a window over the group-level frame (|groups| rows, not
+    |images|). A real pipeline joins on ahash exactly like the
+    simhash/LSH band joins — only same-bucket images ever meet."""
+    media = documents_as_ppm_groups(spark, sf_dir)
+    g = AHASH_GRID
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_ppm(bytes(payload))
+                sy = (np.arange(g) * h) // g
+                sx = (np.arange(g) * w) // g
+                gray = (
+                    px[np.ix_(sy, sx)].astype(np.int64).sum(axis=2)
+                )
+                s = int(gray.sum())
+                bits = (g * g * gray >= s).astype(np.int64)
+                weights = 1 << (
+                    np.arange(g)[:, None] * g + np.arange(g)[None, :]
+                )
+                ids.append(mid)
+                hashes.append(int((bits * weights).sum()))
+            yield pd.DataFrame({"doc_id": ids, "ahash": hashes})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("ahash", T.LongType()),
+        ]
+    )
+    hashed = media.mapInPandas(_hash, schema=schema)
+    per_group = (
+        hashed.groupBy(
+            F.expr(f"doc_id div {AHASH_VARIANTS}").alias("grp")
+        )
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("ahash").alias("n_hashes"),
+            F.min("ahash").alias("ahash"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_hash = Window.partitionBy("ahash")
+    return per_group.select(
+        "grp",
+        "n_images",
+        "n_hashes",
+        "ahash",
+        F.count("*").over(w_hash).alias("n_groups_same_hash"),
+    )
+
+
+_AHASH_IDX = (
+    f"(((y * h) // {AHASH_GRID}) * w + ((x * w) // {AHASH_GRID})) * 3"
+)
+
+IMAGE_AHASH_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id // {AHASH_VARIANTS} AS grp,
+         doc_id % {AHASH_OFFSETS} AS off
+  FROM documents
+),
+dims AS (SELECT *, 4 + grp % 5 AS w, 3 + grp % 4 AS h FROM d),
+cells AS (
+  SELECT doc_id, grp, off, w, h, xs.x AS x, ys.y AS y
+  FROM dims,
+       (SELECT unnest(range(0, {AHASH_GRID})) AS x) xs,
+       (SELECT unnest(range(0, {AHASH_GRID})) AS y) ys
+),
+grays AS (
+  SELECT doc_id, grp, x, y,
+         3 * off
+         + (grp * {PPM_PIXEL_MULT} + ({_AHASH_IDX} + 0) * {PPM_PIXEL_STEP})
+             % {AHASH_PIXEL_MOD}
+         + (grp * {PPM_PIXEL_MULT} + ({_AHASH_IDX} + 1) * {PPM_PIXEL_STEP})
+             % {AHASH_PIXEL_MOD}
+         + (grp * {PPM_PIXEL_MULT} + ({_AHASH_IDX} + 2) * {PPM_PIXEL_STEP})
+             % {AHASH_PIXEL_MOD} AS gray
+  FROM cells
+),
+tot AS (SELECT doc_id, sum(gray) AS s FROM grays GROUP BY doc_id),
+hashed AS (
+  SELECT g.doc_id, g.grp,
+         CAST(sum(CASE WHEN {AHASH_GRID * AHASH_GRID} * g.gray >= t.s
+                       THEN 1 << (g.y * {AHASH_GRID} + g.x)
+                       ELSE 0 END) AS BIGINT) AS ahash
+  FROM grays g JOIN tot t ON g.doc_id = t.doc_id
+  GROUP BY g.doc_id, g.grp
+),
+per_group AS (
+  SELECT grp, count(*) AS n_images,
+         count(DISTINCT ahash) AS n_hashes,
+         min(ahash) AS ahash
+  FROM hashed GROUP BY grp
+)
+SELECT CAST(grp AS BIGINT) AS grp, n_images, n_hashes, ahash,
+       count(*) OVER (PARTITION BY ahash) AS n_groups_same_hash
+FROM per_group
+"""

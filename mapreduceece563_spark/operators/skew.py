@@ -17,7 +17,7 @@ distinct* needs this rewrite at any scale.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.catalog import load_table
@@ -699,4 +699,138 @@ SELECT count(*) AS n_probe_rows,
        sum(CASE WHEN match AND NOT pass THEN 1 ELSE 0 END) = 0
          AS no_false_negatives
 FROM probe
+"""
+
+
+# --- KMV (k-minimum-values) distinct sketch + union merge -------------
+
+KMV_K = 64
+KMV_A = 1_103_515_245   # affine hash h(u) = (a*u + b) % HASH_MOD
+KMV_B = 12_345
+_KMV_MOD = 1_000_000_007  # = functions.hashing.HASH_MOD
+
+
+def kmv_distinct_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch per event type, PLUS the
+    sketch-merge path: the '__union__' row estimates distinct users
+    across ALL types from only the per-type bottom-k hash sets (5k
+    values), never rescanning the events — the mergeability that
+    makes KMV (like HLL) a lake-rollup primitive. Unlike the HLL
+    entries, which self-certify against an exact twin because the
+    JVM sketch is engine-specific, KMV over the engine-portable
+    affine hash is EXACTLY reproducible in DuckDB: the estimate
+    itself is oracle-pinned, bit for bit.
+
+    Estimator: with h_(k) the k-th smallest distinct hash over a
+    space of size M, D ≈ (k-1) * M / h_(k) (Bar-Yossef et al. 2002),
+    floor-divided in int64; groups with fewer than k distinct hashes
+    report the exact count (the sketch IS the distinct set there).
+
+    Scale posture (100 TB): the certification tier computes exact
+    distincts (test scale only). The sketch path shuffles DISTINCT
+    (type, hash) pairs — map-side partial dedup first — then a
+    per-type window over distinct hashes takes the bottom k. In
+    production the pre-aggregation is per-partition bottom-k (a
+    k-row state per task, merged associatively), so the shuffle
+    carries k rows per (task, type) instead of the distinct set;
+    the estimator and merge rule are unchanged — that swap is the
+    same partial-agg discipline as the HLL rollup entry."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        ((F.col("user_id") * KMV_A + KMV_B) % _KMV_MOD).alias("h"),
+        "user_id",
+    )
+    distinct_h = ev.select("event_type", "h").distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    kept = distinct_h.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+
+    def _estimate(grouped: DataFrame) -> DataFrame:
+        return grouped.agg(
+            F.count("*").alias("n_kept"), F.max("h").alias("hk")
+        ).select(
+            "scope",
+            F.when(F.col("n_kept") < KMV_K, F.col("n_kept"))
+            .otherwise(
+                F.expr(f"({KMV_K} - 1) * CAST({_KMV_MOD} AS BIGINT) div hk")
+            )
+            .alias("kmv_estimate"),
+        )
+
+    per_type = _estimate(
+        kept.groupBy(F.col("event_type").alias("scope"))
+    )
+    # merge: union the per-type bottom-k sets, re-take the bottom k
+    merged_kept = (
+        kept.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        .filter(F.col("rn") <= KMV_K)
+        .withColumn("scope", F.lit("__union__"))
+    )
+    merged = _estimate(merged_kept.groupBy("scope"))
+
+    exact_per_type = ev.groupBy(F.col("event_type").alias("scope")).agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    exact_all = ev.agg(
+        F.countDistinct("user_id").alias("n_exact")
+    ).withColumn("scope", F.lit("__union__"))
+
+    est = per_type.unionByName(merged)
+    exact = exact_per_type.unionByName(
+        exact_all.select("scope", "n_exact")
+    )
+    return est.join(exact, "scope").select(
+        "scope",
+        "n_exact",
+        "kmv_estimate",
+        F.expr(
+            "abs(kmv_estimate - n_exact) * 1000000 div n_exact"
+        ).alias("err_ppm"),
+    )
+
+
+KMV_DISTINCT_UNION_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         (user_id * {KMV_A} + {KMV_B}) % {_KMV_MOD} AS h,
+         user_id
+  FROM events
+),
+dh AS (SELECT DISTINCT event_type, h FROM ev),
+kept AS (
+  SELECT event_type AS scope, h FROM (
+    SELECT event_type, h,
+           ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+    FROM dh
+  ) WHERE rn <= {KMV_K}
+),
+merged_kept AS (
+  SELECT '__union__' AS scope, h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+    FROM (SELECT DISTINCT h FROM kept)
+  ) WHERE rn <= {KMV_K}
+),
+est AS (
+  SELECT scope,
+         CASE WHEN count(*) < {KMV_K} THEN count(*)
+              ELSE ({KMV_K} - 1) * CAST({_KMV_MOD} AS BIGINT) // max(h)
+         END AS kmv_estimate
+  FROM (SELECT * FROM kept UNION ALL SELECT * FROM merged_kept)
+  GROUP BY scope
+),
+exact AS (
+  SELECT event_type AS scope, count(DISTINCT user_id) AS n_exact
+  FROM ev GROUP BY event_type
+  UNION ALL
+  SELECT '__union__', count(DISTINCT user_id) FROM ev
+)
+SELECT e.scope,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(e.kmv_estimate AS BIGINT) AS kmv_estimate,
+       CAST(abs(e.kmv_estimate - x.n_exact) * 1000000 // x.n_exact
+            AS BIGINT) AS err_ppm
+FROM est e JOIN exact x ON e.scope = x.scope
 """

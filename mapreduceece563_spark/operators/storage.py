@@ -517,3 +517,161 @@ SELECT col_name,
          / 1000.0 AS avg_run_len
 FROM runs GROUP BY col_name
 """
+
+
+# --- MERGE + compaction round-trip (lakehouse upkeep) -----------------
+
+MERGE_CUTOFF = "1997-01-01"  # rows at/after this date are the delta
+MERGE_SMALL_BUCKETS = 64     # base layout: one small file per bucket
+MERGE_COMPACT_BUCKETS = 8    # compacted layout: 8x fewer, larger files
+
+
+def _count_parquet_files(root: str) -> int:
+    import glob as _glob
+
+    return len(
+        _glob.glob(os.path.join(root, "**", "*.parquet"), recursive=True)
+    )
+
+
+def merge_compaction_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta/Iceberg-style table upkeep as one REAL file round-trip:
+    write a small-files base table, MERGE a delta (updates + deletes
+    + inserts, last-writer-wins on the key), rewrite compacted, read
+    the result back and certify it.
+
+    The base (orders before MERGE_CUTOFF) is written
+    ``partitionBy(bucket)`` after ``repartition("bucket")`` — hash
+    partitioning sends each of the 64 bucket values to exactly one
+    task, so every bucket directory holds exactly ONE file: a
+    deterministic small-files layout (the crawl-ingest pathology).
+    The MERGE is the standard keyed full-outer join: delta op 'U'
+    doubles the price, 'D' drops the row, 'I' appends post-cutoff
+    orders. Compaction rewrites the merged table into 8 buckets the
+    same way — 8x fewer, 8x larger files. Both file counts are
+    MEASURED from the written directories (the manifest listing a
+    lakehouse table keeps in metadata), and the returned revenue is
+    aggregated from the READ-BACK compacted files, so a bug anywhere
+    in write -> merge -> rewrite -> read breaks the oracle hash.
+
+    Scale posture (100 TB): every step is a bucket-parallel shuffle
+    on the key — the merge join shuffles base and delta once each on
+    o_orderkey; compaction shuffles once on the target bucket; no
+    step is driver-side except the O(#files) manifest listing, which
+    is metadata a real table format serves from its manifest without
+    listing. MERGE precedence (D over U) is encoded in disjoint
+    delta predicates, so op order can't matter.
+
+    Cites reference semantics: the reference's output files are
+    per-reducer partitioned text (SURVEY.md S4); this is the columnar
+    lakehouse restatement of the same own-your-layout discipline.
+    """
+    base_dir = _scratch(spark, sf_dir, "merge_base")
+    final_dir = _scratch(spark, sf_dir, "merge_final")
+    cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderdate",
+    )
+    base = orders.filter(F.col("o_orderdate") < cutoff).withColumn(
+        "bucket", F.pmod(F.col("k"), F.lit(MERGE_SMALL_BUCKETS))
+    )
+    (
+        base.select("k", "cents", "bucket")
+        .repartition("bucket")
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(base_dir)
+    )
+    n_base_files = _count_parquet_files(base_dir)
+
+    base_rb = spark.read.parquet(base_dir).select("k", "cents")
+    pre = orders.filter(F.col("o_orderdate") < cutoff)
+    upd = pre.filter(
+        (F.col("k") % 7 == 0) & (F.col("k") % 13 != 0)
+    ).select("k", (F.col("cents") * 2).alias("new_cents"), F.lit("U").alias("op"))
+    dele = pre.filter(F.col("k") % 13 == 0).select(
+        "k", F.lit(None).cast("long").alias("new_cents"), F.lit("D").alias("op")
+    )
+    ins = orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "k", F.col("cents").alias("new_cents"), F.lit("I").alias("op")
+    )
+    delta = upd.unionByName(dele).unionByName(ins)
+
+    merged = (
+        base_rb.join(delta, "k", "full_outer")
+        .filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        .select(
+            "k",
+            F.coalesce("new_cents", "cents").alias("cents"),
+            F.pmod(F.col("k"), F.lit(MERGE_COMPACT_BUCKETS)).alias("cbucket"),
+        )
+    )
+    (
+        merged.repartition("cbucket")
+        .write.mode("overwrite")
+        .partitionBy("cbucket")
+        .parquet(final_dir)
+    )
+    n_final_files = _count_parquet_files(final_dir)
+
+    final_rb = spark.read.parquet(final_dir)
+    op_counts = delta.groupBy().agg(
+        F.sum((F.col("op") == "U").cast("long")).alias("n_updated"),
+        F.sum((F.col("op") == "D").cast("long")).alias("n_deleted"),
+        F.sum((F.col("op") == "I").cast("long")).alias("n_inserted"),
+    )
+    return (
+        final_rb.agg(
+            F.count("*").alias("n_rows"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+        .crossJoin(F.broadcast(op_counts))
+        .select(
+            "n_rows",
+            "revenue_cents",
+            F.lit(n_base_files).cast("long").alias("n_base_files"),
+            F.lit(n_final_files).cast("long").alias("n_final_files"),
+            "n_updated",
+            "n_deleted",
+            "n_inserted",
+        )
+    )
+
+
+MERGE_COMPACTION_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderdate
+  FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '{MERGE_CUTOFF}'),
+ins AS (SELECT * FROM o WHERE o_orderdate >= TIMESTAMP '{MERGE_CUTOFF}'),
+upd AS (SELECT k FROM base WHERE k % 7 = 0 AND k % 13 <> 0),
+del AS (SELECT k FROM base WHERE k % 13 = 0),
+merged AS (
+  SELECT b.k,
+         CASE WHEN u.k IS NOT NULL THEN 2 * b.cents ELSE b.cents END AS cents
+  FROM base b
+  LEFT JOIN upd u ON b.k = u.k
+  LEFT JOIN del d ON b.k = d.k
+  WHERE d.k IS NULL
+  UNION ALL
+  SELECT k, cents FROM ins
+)
+SELECT count(*) AS n_rows,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       (SELECT count(DISTINCT k % {MERGE_SMALL_BUCKETS}) FROM base)
+         AS n_base_files,
+       (SELECT count(DISTINCT k % {MERGE_COMPACT_BUCKETS}) FROM merged)
+         AS n_final_files,
+       (SELECT count(*) FROM upd) AS n_updated,
+       (SELECT count(*) FROM del) AS n_deleted,
+       (SELECT count(*) FROM ins) AS n_inserted
+FROM merged
+"""

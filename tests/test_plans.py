@@ -410,13 +410,14 @@ def test_rle_windows_are_block_parallel(spark):
     assert "windowspecdefinition(l_orderkey" not in plan
 
 
-def test_semdedup_pairs_keyed_on_cluster(spark):
+def test_semdedup_pairs_keyed_on_cluster_and_salt(spark):
     """The SemDeDup pair join must be an equi-join on the cluster id
-    (pairs fenced inside cells), never a cartesian or broadcast
-    nested loop over the corpus."""
+    AND the sub-cell salt (pairs fenced inside capped sub-cells),
+    never a cartesian or broadcast nested loop over the corpus."""
     plan = plan_string(Q["semdedup_prune_stats"](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert "Exchange hashpartitioning(cid" in plan
+    assert "salt" in plan
 
 
 def test_ivf_recall_broadcasts_small_sides(spark):

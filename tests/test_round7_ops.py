@@ -1,0 +1,225 @@
+"""Round-7 operator pins beyond the oracle compare.
+
+The driver's hash check proves Spark == DuckDB; these tests pin the
+properties the compare cannot see (scale fences, invariants).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+def test_semdedup_subcell_sizes_are_capped(spark):
+    """VERDICT r6: the pair join's cell fence must be a hard bound,
+    not a fixed K. Every (cid, salt) sub-cell must hold at most
+    ~CAP members (2x headroom for hash unevenness), every cell over
+    the cap must actually be split, and cells at or under the cap
+    must keep a single salt (unchanged semantics)."""
+    from mapreduceece563_spark.operators import clustering as cl
+
+    members = cl._semdedup_members(spark, SF_DIR)
+    cap = cl.SEMDEDUP_CELL_CAP
+
+    cells = members.groupBy("cid").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("salt").alias("n_salts_seen"),
+        F.max("n_salts").alias("n_salts_planned"),
+    )
+    for r in cells.collect():
+        import math
+
+        planned = math.ceil(r["n"] / cap)
+        assert r["n_salts_planned"] == planned, (
+            f"cell {r['cid']}: planned {r['n_salts_planned']} salts "
+            f"for {r['n']} members, expected {planned}"
+        )
+        if r["n"] <= cap:
+            assert r["n_salts_seen"] == 1
+
+    sub = members.groupBy("cid", "salt").agg(F.count("*").alias("n"))
+    max_sub = sub.agg(F.max("n")).collect()[0][0]
+    assert max_sub <= 2 * cap, (
+        f"a sub-cell holds {max_sub} members; the pair join is only "
+        f"bounded if sub-cells stay near the {cap} cap"
+    )
+    # the split must actually engage at test scale, or this test
+    # pins nothing
+    n_split = cells.filter(F.col("n") > cap).count()
+    assert n_split >= 1, "no cell exceeded the cap; lower the cap"
+
+
+def test_minhash_incremental_matches_oracle_and_index_is_consistent(
+    spark, duck
+):
+    """The incremental probe must agree with the oracle AND with the
+    full-corpus banding: a new doc flagged dup_vs_index must appear in
+    dedup_minhash's full pair set with an old partner (no false
+    positives vs the batch-at-once run)."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import dedup as dd
+
+    sdf = dd.minhash_incremental_novelty(spark, SF_DIR)
+    assert_frames_match(
+        sdf,
+        duck.execute(dd.MINHASH_INCREMENTAL_SQL),
+        ctx="minhash_incremental_novelty",
+    )
+    rows = {r["doc_id"]: r for r in sdf.collect()}
+    full = dd.dedup_minhash(spark, SF_DIR).collect()
+    cutoff = min(rows)  # batch is the contiguous upper id range
+    vs_index_full = {
+        p["doc_b"] for p in full if p["doc_a"] < cutoff and p["doc_b"] in rows
+    }
+    flagged = {d for d, r in rows.items() if r["dup_vs_index"]}
+    assert flagged == vs_index_full
+    in_batch_full = {
+        p["doc_b"] for p in full if p["doc_a"] >= cutoff and p["doc_b"] in rows
+    }
+    assert {d for d, r in rows.items() if r["dup_in_batch"]} == in_batch_full
+
+
+def test_merge_compaction_roundtrip_matches_oracle_and_files(spark, duck):
+    """The one-row stats must match the oracle, the measured file
+    counts must equal the bucket arithmetic (one file per bucket in
+    both layouts), and compaction must actually shrink the file
+    population."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import storage as stg
+
+    sdf = stg.merge_compaction_roundtrip(spark, SF_DIR)
+    assert_frames_match(
+        sdf,
+        duck.execute(stg.MERGE_COMPACTION_SQL),
+        ctx="merge_compaction_roundtrip",
+    )
+    row = sdf.collect()[0]
+    assert row["n_base_files"] == stg.MERGE_SMALL_BUCKETS
+    assert row["n_final_files"] == stg.MERGE_COMPACT_BUCKETS
+    assert row["n_rows"] > 0 and row["n_deleted"] > 0
+
+
+def test_image_ahash_matches_oracle_and_is_brightness_invariant(
+    spark, duck
+):
+    """Spark hashes REAL decoded PPM bytes; the oracle replays the
+    pixel formula. Every near-dup group (same base pattern, three
+    brightness offsets) must collapse to exactly one aHash — the
+    perceptual-dedup property."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    sdf = mm.image_ahash_neardup(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(mm.IMAGE_AHASH_SQL), ctx="image_ahash_neardup"
+    )
+    rows = sdf.collect()
+    assert rows
+    assert all(r["n_hashes"] == 1 for r in rows), (
+        "a brightness-shifted variant broke its group's hash"
+    )
+    assert all(1 <= r["n_images"] <= mm.AHASH_VARIANTS for r in rows)
+
+
+def test_ks_drift_matches_oracle_and_scipy_semantics(spark, duck):
+    """Oracle compare plus an independent per-type recomputation of
+    the KS sup from raw collected values (numpy two-sample KS, exact
+    integer algebra)."""
+    import numpy as np
+
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    sdf = an.ks_drift_by_event_type(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(an.KS_DRIFT_SQL), ctx="ks_drift_by_event_type"
+    )
+    rows = {r["event_type"]: r for r in sdf.collect()}
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+            (F.col("ts") >= F.lit(an.KS_SPLIT).cast("timestamp")).alias(
+                "is_b"
+            ),
+        )
+        .collect()
+    )
+    for et, r in rows.items():
+        a = np.sort([x["cents"] for x in ev if x["event_type"] == et and not x["is_b"]])
+        b = np.sort([x["cents"] for x in ev if x["event_type"] == et and x["is_b"]])
+        grid = np.unique(np.concatenate([a, b]))
+        cum_a = np.searchsorted(a, grid, side="right")
+        cum_b = np.searchsorted(b, grid, side="right")
+        d = np.max(np.abs(cum_a * len(b) - cum_b * len(a)))
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["d_num"] == d, f"{et}: {r['d_num']} != {d}"
+
+
+def test_pii_redaction_matches_oracle_and_injected_ground_truth(
+    spark, duck
+):
+    """Oracle compare plus exact accounting against the injection
+    rule: every doc_id % 3 == 0 doc carries exactly one email whose
+    length we know in closed form; every doc_id % 5 == 0 doc exactly
+    one phone match of 8 chars."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    sdf = cp.pii_redaction_audit(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(cp.PII_REDACTION_SQL), ctx="pii_redaction_audit"
+    )
+    tot = sdf.agg(
+        F.sum("n_email").alias("e"),
+        F.sum("n_phone").alias("p"),
+        F.sum("chars_redacted").alias("c"),
+    ).collect()[0]
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id").collect()
+    ]
+    exp_email = sum(1 for i in ids if i % 3 == 0)
+    exp_phone = sum(1 for i in ids if i % 5 == 0)
+    # email match = 'user<id>@example.com' (16 + len(id) chars);
+    # phone match = '555-0199' (8 chars)
+    exp_chars = sum(
+        16 + len(str(i)) for i in ids if i % 3 == 0
+    ) + 8 * exp_phone
+    assert tot["e"] == exp_email
+    assert tot["p"] == exp_phone
+    assert tot["c"] == exp_chars
+
+
+def test_kmv_matches_oracle_and_estimates_are_sane(spark, duck):
+    """Oracle pins the estimate bit-for-bit (portable hash). Sanity:
+    with k=64 the standard error is ~1/sqrt(k-1) ≈ 12.6%; allow 4
+    sigma. The union row must estimate the cross-type distinct count
+    from merged sketches alone."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import skew as sk
+
+    sdf = sk.kmv_distinct_union(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(sk.KMV_DISTINCT_UNION_SQL), ctx="kmv_distinct"
+    )
+    rows = {r["scope"]: r for r in sdf.collect()}
+    assert "__union__" in rows and len(rows) == 6
+    for scope, r in rows.items():
+        if r["n_exact"] >= sk.KMV_K:
+            assert r["err_ppm"] <= 505_000, (
+                f"{scope}: KMV off by {r['err_ppm']} ppm"
+            )
+        else:
+            assert r["kmv_estimate"] == r["n_exact"]
