@@ -177,6 +177,29 @@ BUDGETS = {
     "ship_rate_try_divide": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
     "q16_supplier_counts": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
     "price_percentiles_sketch": 2.5,  # sketch + exact certification pass
+    # --- round-7 registrations (budgets >= 2x the worst clean r7 pass) ---
+    "allpairs_prefix_filter": 9.0,  # shingle TF-IDF + prefix join: 2.6-4.4s
+    "streaming_static_enrichment": 8.0,  # shared event drain: first pass pays the spill + its own drain (2.9-3.4s steady)
+    "merge_compaction_roundtrip": 7.0,  # two REAL table writes per call: 2.7-2.8s steady
+    "session_concurrency_peak": 3.0,  # boundary sweep + carry-in: ~1.1s
+    "weighted_median_by_segment": 3.0,  # RANGE-frame cumulative mass: ~1.2s
+    "benford_digit_audit": 3.0,  # digit rollup + spine join: ~1.2s
+    "phrase_search": 3.0,  # positional adjacency self-join: ~1.0s
+    "image_ahash_neardup": 3.0,  # PPM encode+decode+hash in Arrow: ~1.0s
+    "bfs_hop_distance": 2.5,  # 4 frontier rounds: ~0.85s
+    "ks_drift_by_event_type": 2.5,  # per-type cumulative windows: ~0.85s
+    "minhash_incremental_novelty": 2.5,  # batch bands vs frozen index: ~0.85s
+    "bloom_join_prune": 2.5,  # bitmap build + probe: ~0.82s
+    # source_blocklist_survivors: 0.7-1.0s standalone (count AND noop
+    # materialize), but 3.8-5.2s inside every full bench pass — the
+    # interference is deterministic (same registry order -> same GC /
+    # broadcast-cleanup point after the streaming drains), so min-of-3
+    # cannot dodge it. Budget covers the in-bench number; the plan
+    # itself is pinned sound by tests/test_plans.py.
+    "source_blocklist_survivors": 8.0,
+    "streaming_sliding_windows": 8.0,  # shared event drain: cost lands on whichever sibling drains first
+    "hard_negative_mining": 2.5,  # broadcast query side + label-filtered scan
+    "merkle_block_sync": 3.0,  # two digest rollups + dirty-block key join
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

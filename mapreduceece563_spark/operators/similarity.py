@@ -1373,3 +1373,90 @@ SELECT label,
          AS mean_norm
 FROM nl GROUP BY label
 """
+
+
+# --- hard-negative mining (contrastive-training data prep) ------------
+
+HN_QUERY_MOD = 50  # query docs: doc_id % 50 == 0
+HN_TOP_K = 5
+
+
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard negatives for contrastive training: for each sampled
+    query document, the top-5 most-similar embeddings whose DOCUMENT
+    carries a DIFFERENT language — near the query in embedding space
+    but provably not a positive, which is exactly what contrastive
+    losses need (random negatives are too easy; same-label neighbors
+    are false negatives). Embeddings join documents on
+    vec_id = doc_id for the label; the metadata filter runs BEFORE
+    ranking so the top-k is over eligible negatives only.
+
+    Scale posture (100 TB): the query side (1/50th sample) is
+    broadcast; the corpus scan is map-side; labels ride a keyed join
+    with the embeddings (both id-partitioned); ranking is a window
+    per query_id. At real scale the corpus scan drops to IVF probing
+    (see ivf_ann) with the SAME label filter applied inside the
+    probed cells; the brute-force tier here is the recall-1.0
+    baseline that certifies that path. Ties break on (cosine desc,
+    neg_id) over identical explicit-fold doubles in both engines."""
+    n = _norms(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    nl = n.join(labels, "vec_id")
+    q = nl.filter(F.col("vec_id") % HN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("lang").alias("qlang"),
+    )
+    c = nl.select(
+        F.col("vec_id").alias("neg_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+        F.col("lang").alias("clang"),
+    )
+    pairs = c.join(
+        F.broadcast(q), F.col("clang") != F.col("qlang")
+    ).select(
+        "query_id",
+        "neg_id",
+        (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")))
+        .alias("_cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neg_id")
+    )
+    return (
+        pairs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= HN_TOP_K)
+        .select(
+            "query_id",
+            "neg_id",
+            F.round(F.col("_cos"), 6).alias("cosine"),
+            "neg_rank",
+        )
+    )
+
+
+HARD_NEGATIVE_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+nl AS (
+  SELECT n.vec_id, n.v, n.nrm, d.lang
+  FROM n JOIN documents d ON n.vec_id = d.doc_id
+),
+pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neg_id,
+         {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS _cos
+  FROM nl q JOIN nl c
+    ON q.vec_id % {HN_QUERY_MOD} = 0 AND c.lang <> q.lang
+),
+ranked AS (
+  SELECT query_id, neg_id, _cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY _cos DESC, neg_id ASC) AS neg_rank
+  FROM pairs
+)
+SELECT query_id, neg_id, round(_cos, 6) AS cosine, neg_rank
+FROM ranked WHERE neg_rank <= {HN_TOP_K}
+"""

@@ -675,3 +675,129 @@ SELECT count(*) AS n_rows,
        (SELECT count(*) FROM ins) AS n_inserted
 FROM merged
 """
+
+
+# --- Merkle-style block diff for snapshot sync -------------------------
+
+MERKLE_BLOCK = 100         # keys per range block (the "file" unit)
+MERKLE_DIRTY_MOD = 16      # blocks with blk % 16 == 0 carry changes
+MERKLE_ROW_MOD = 7         # within a dirty block, keys % 7 == 0 change
+_MERKLE_P = 1_000_003      # row digest: (k * P + cents) % MOD
+_MERKLE_MOD = 1_000_000_007
+
+
+def merkle_block_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-entropy sync between two table snapshots via block-level
+    checksums: digest each key-range block (sum of per-row digests —
+    order-free int64 arithmetic, so any partitioning computes the
+    same checksum), compare the block digests, and run the expensive
+    key-level diff ONLY inside blocks whose checksums disagree.
+
+    The new snapshot differs from the old in a deterministic,
+    CLUSTERED way (keys % {MERKLE_ROW_MOD} == 0 within blocks where
+    blk % {MERKLE_DIRTY_MOD} == 0 get their price doubled) — the
+    realistic shape: churn concentrates in a few files, and checksum
+    trees exist precisely to skip the clean ones. Output: one row per
+    differing block with its row counts and the exact number of
+    changed keys, computed after a broadcast semi-join on the ~1/16
+    dirty-block list.
+
+    Scale posture (100 TB): block digests are a map-side partial sum
+    (shuffle carries |blocks| rows); the key-level join scans only
+    dirty blocks — at a 1/16 dirty fraction that is 94% of the sync
+    I/O saved, which is the entire point of Merkle trees in Dynamo/
+    Cassandra-style replication. Deeper trees (block -> superblock)
+    add levels of the same groupBy; one level suffices to pin the
+    machinery. Digest collisions (two different blocks summing to
+    the same value mod 1e9+7) would skip a dirty block — production
+    uses 128-bit digests; the algebra is identical."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    old = orders.withColumn("blk", F.expr(f"k div {MERKLE_BLOCK}"))
+    new = old.withColumn(
+        "cents",
+        F.when(
+            (F.col("blk") % MERKLE_DIRTY_MOD == 0)
+            & (F.col("k") % MERKLE_ROW_MOD == 0),
+            F.col("cents") * 2,
+        ).otherwise(F.col("cents")),
+    )
+
+    def _digests(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("blk").agg(
+            F.count("*").alias(f"{tag}_rows"),
+            (
+                F.sum(
+                    (F.col("k") * _MERKLE_P + F.col("cents")) % _MERKLE_MOD
+                )
+                % _MERKLE_MOD
+            ).alias(f"{tag}_sum"),
+        )
+
+    dirty = (
+        _digests(old, "old")
+        .join(_digests(new, "new"), "blk")
+        .filter(F.col("old_sum") != F.col("new_sum"))
+        .select("blk", "old_rows", "new_rows")
+    )
+    changed = (
+        old.select("blk", "k", F.col("cents").alias("oc"))
+        .join(F.broadcast(dirty.select("blk")), "blk")
+        .join(
+            new.select("k", F.col("cents").alias("nc")),
+            "k",
+        )
+        .filter(F.col("oc") != F.col("nc"))
+        .groupBy("blk")
+        .agg(F.count("*").alias("n_changed_keys"))
+    )
+    return dirty.join(changed, "blk", "left").select(
+        "blk",
+        "old_rows",
+        "new_rows",
+        F.coalesce("n_changed_keys", F.lit(0)).alias("n_changed_keys"),
+    )
+
+
+MERKLE_BLOCK_SYNC_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS k,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents,
+         o_orderkey // {MERKLE_BLOCK} AS blk
+  FROM orders
+),
+n AS (
+  SELECT k, blk,
+         CASE WHEN blk % {MERKLE_DIRTY_MOD} = 0 AND k % {MERKLE_ROW_MOD} = 0
+              THEN cents * 2 ELSE cents END AS cents
+  FROM o
+),
+od AS (
+  SELECT blk, count(*) AS old_rows,
+         sum((k * {_MERKLE_P} + cents) % {_MERKLE_MOD}) % {_MERKLE_MOD}
+           AS old_sum
+  FROM o GROUP BY blk
+),
+nd AS (
+  SELECT blk, count(*) AS new_rows,
+         sum((k * {_MERKLE_P} + cents) % {_MERKLE_MOD}) % {_MERKLE_MOD}
+           AS new_sum
+  FROM n GROUP BY blk
+),
+dirty AS (
+  SELECT od.blk, od.old_rows, nd.new_rows
+  FROM od JOIN nd ON od.blk = nd.blk
+  WHERE od.old_sum <> nd.new_sum
+),
+changed AS (
+  SELECT o.blk, count(*) AS n_changed_keys
+  FROM o JOIN n ON o.k = n.k
+  WHERE o.blk IN (SELECT blk FROM dirty) AND o.cents <> n.cents
+  GROUP BY o.blk
+)
+SELECT d.blk, d.old_rows, d.new_rows,
+       COALESCE(c.n_changed_keys, 0) AS n_changed_keys
+FROM dirty d LEFT JOIN changed c ON d.blk = c.blk
+"""

@@ -188,6 +188,21 @@ register(
     sk.kmv_distinct_union,
     sk.KMV_DISTINCT_UNION_SQL,
 )
+register(
+    "streaming_sliding_windows",
+    ws.streaming_sliding_windows,
+    ws.STREAMING_SLIDING_SQL,
+)
+register(
+    "hard_negative_mining",
+    sim.hard_negative_mining,
+    sim.HARD_NEGATIVE_SQL,
+)
+register(
+    "merkle_block_sync",
+    stg.merkle_block_sync,
+    stg.MERKLE_BLOCK_SYNC_SQL,
+)
 
 # ---- window backfill: round-6-green entries ----
 

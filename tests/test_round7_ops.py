@@ -223,3 +223,82 @@ def test_kmv_matches_oracle_and_estimates_are_sane(spark, duck):
             )
         else:
             assert r["kmv_estimate"] == r["n_exact"]
+
+
+def test_streaming_sliding_windows_matches_batch_oracle(spark, duck):
+    """Drained sliding-window stream equals the arithmetic window
+    assignment (each event in exactly two 4h/2h windows); total mass
+    across windows is exactly 2x the event count."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.sources.catalog import load_table
+    from mapreduceece563_spark.streaming import windowed_stream as ws
+
+    ws.reset_sliding_windows()
+    sdf = ws.streaming_sliding_windows(spark, SF_DIR)
+    assert_frames_match(
+        sdf,
+        duck.execute(ws.STREAMING_SLIDING_SQL),
+        ctx="streaming_sliding_windows",
+    )
+    total = sdf.agg(F.sum("n_events")).collect()[0][0]
+    n_events = load_table(spark, SF_DIR, "events").count()
+    assert total == 2 * n_events
+
+
+def test_hard_negative_mining_matches_oracle_and_labels_differ(
+    spark, duck
+):
+    """Oracle compare plus the contrastive contract: every mined
+    negative's language differs from its query's, ranks are 1..k
+    per query, and cosines are non-increasing within a query."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    sdf = sim.hard_negative_mining(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(sim.HARD_NEGATIVE_SQL), ctx="hard_negative_mining"
+    )
+    rows = sdf.collect()
+    assert rows
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "lang").collect()
+    }
+    by_q: dict = {}
+    for r in rows:
+        assert langs[r["neg_id"]] != langs[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["neg_rank"])
+        assert [r["neg_rank"] for r in rs] == list(range(1, len(rs) + 1))
+        cosines = [r["cosine"] for r in rs]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_merkle_block_sync_matches_oracle_and_prunes(spark, duck):
+    """Oracle compare plus the pruning contract: every differing
+    block is a planted-dirty block (blk % 16 == 0 holding a k % 7
+    key), and the rescanned-row fraction is well under the whole
+    table."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import storage as stg
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    sdf = stg.merkle_block_sync(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(stg.MERKLE_BLOCK_SYNC_SQL), ctx="merkle_block_sync"
+    )
+    rows = sdf.collect()
+    assert rows, "no dirty blocks found"
+    assert all(r["blk"] % stg.MERKLE_DIRTY_MOD == 0 for r in rows)
+    assert all(r["n_changed_keys"] >= 1 for r in rows)
+    rescanned = sum(r["old_rows"] for r in rows)
+    total = load_table(spark, SF_DIR, "orders").count()
+    assert rescanned * 4 < total, (
+        f"merkle pruning saved too little: {rescanned}/{total}"
+    )
