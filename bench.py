@@ -200,6 +200,8 @@ BUDGETS = {
     "streaming_sliding_windows": 8.0,  # shared event drain: cost lands on whichever sibling drains first
     "hard_negative_mining": 2.5,  # broadcast query side + label-filtered scan
     "merkle_block_sync": 3.0,  # two digest rollups + dirty-block key join
+    "table_versions_diff": 7.0,  # first call may pay the version writes
+    "zonemap_pruning_stats": 3.0,  # zone rollup + broadcast survivor probe
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

@@ -1392,17 +1392,23 @@ def minhash_incremental_novelty(
     restricted to the batch. Both joins inherit the LSH guarantee:
     only same-bucket docs ever meet.
     """
-    bands = _band_hashes(minhash_signatures(spark, sf_dir))
     cut = (
         load_table(spark, sf_dir, "documents")
         .agg((((F.max("doc_id") + 1) * INCR_NEW_NUM) / 5)
              .cast("long").alias("cutoff"))
     )
-    bands = bands.crossJoin(F.broadcast(cut))
+    # cached ONCE: the index side, the batch side, and the batch
+    # key-list all reuse this frame — without the cache each branch
+    # would recompute the whole shingle -> signature -> band chain
+    bands = (
+        _band_hashes(minhash_signatures(spark, sf_dir))
+        .crossJoin(F.broadcast(cut))
+        .cache()
+    )
     index = bands.filter(F.col("doc_id") < F.col("cutoff")).select(
         F.col("doc_id").alias("old_id"), "band", "band_hash"
     )
-    batch = bands.filter(F.col("doc_id") >= F.col("cutoff")).cache()
+    batch = bands.filter(F.col("doc_id") >= F.col("cutoff"))
 
     vs_index = (
         batch.join(index, ["band", "band_hash"])

@@ -953,9 +953,10 @@ def image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hashed = media.mapInPandas(_hash, schema=schema)
     per_group = (
-        hashed.groupBy(
-            F.expr(f"doc_id div {AHASH_VARIANTS}").alias("grp")
+        hashed.select(
+            F.expr(f"doc_id div {AHASH_VARIANTS}").alias("grp"), "ahash"
         )
+        .groupBy("grp")
         .agg(
             F.count("*").alias("n_images"),
             F.countDistinct("ahash").alias("n_hashes"),

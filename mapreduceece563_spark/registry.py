@@ -203,6 +203,16 @@ register(
     stg.merkle_block_sync,
     stg.MERKLE_BLOCK_SYNC_SQL,
 )
+register(
+    "table_versions_diff",
+    stg.table_versions_diff,
+    stg.TABLE_VERSIONS_SQL,
+)
+register(
+    "zonemap_pruning_stats",
+    stg.zonemap_pruning_stats,
+    stg.ZONEMAP_PRUNING_SQL,
+)
 
 # ---- window backfill: round-6-green entries ----
 

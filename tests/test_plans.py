@@ -446,3 +446,66 @@ def test_lpa_rounds_shuffle_on_node_key(spark):
     plan = plan_string(Q["label_propagation_2iter"](spark, SF_DIR), "simple")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(part" in plan
+
+
+def test_minhash_incremental_joins_on_band_buckets(spark):
+    """Both incremental probes (batch vs index, batch vs earlier
+    batch) must be equi-joins on the (band, band_hash) bucket — the
+    LSH guarantee that per-ingest cost is O(batch), never a cross
+    product over the corpus."""
+    plan = plan_string(Q["minhash_incremental_novelty"](spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin [band" in plan
+    # one cached band frame feeds index, batch, and key list: the
+    # signature aggregation must appear ONCE, inside the cached plan
+    assert plan.count("InMemoryRelation [doc_id") >= 1
+
+
+def test_hard_negative_query_side_broadcast(spark):
+    """The sampled query side must broadcast (label-inequality pair
+    join rides a BroadcastNestedLoopJoin over the tiny query frame,
+    never a cartesian over the corpus); the label join is a
+    broadcast hash join."""
+    df = Q["hard_negative_mining"](spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    rep = plan_report(df)
+    assert rep.n_broadcast_joins >= 1
+
+
+def test_ks_drift_windows_partition_by_type(spark):
+    """The cumulative-CDF window must partition by event_type — an
+    empty partition spec would serialize the whole value domain
+    through one task."""
+    plan = plan_string(Q["ks_drift_by_event_type"](spark, SF_DIR), "simple")
+    assert "windowspecdefinition(event_type" in plan
+    assert "Exchange hashpartitioning(event_type" in plan
+
+
+def test_image_ahash_is_arrow_batched_and_group_keyed(spark):
+    """Decode+hash must run as Arrow mapInPandas (never row-at-a-time
+    Python), and the rollup must shuffle on the group key."""
+    plan = plan_string(Q["image_ahash_neardup"](spark, SF_DIR), "simple")
+    assert "MapInPandas" in plan
+    assert "Exchange hashpartitioning(grp" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_merkle_dirty_block_list_broadcast(spark):
+    """The key-level diff must be fenced by a BROADCAST of the tiny
+    dirty-block list — scanning clean blocks at the key level would
+    defeat the checksum tree."""
+    df = Q["merkle_block_sync"](spark, SF_DIR)
+    plan = plan_string(df, "simple")
+    assert "CartesianProduct" not in plan
+    rep = plan_report(df)
+    assert rep.n_broadcast_joins >= 1
+
+
+def test_pii_redaction_single_map_pass(spark):
+    """Injection + scrub + length math is one map-only pass: exactly
+    one hash exchange (the source rollup), regex work JVM-side."""
+    plan = plan_string(Q["pii_redaction_audit"](spark, SF_DIR), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

