@@ -202,6 +202,8 @@ BUDGETS = {
     "merkle_block_sync": 3.0,  # two digest rollups + dirty-block key join
     "table_versions_diff": 7.0,  # first call may pay the version writes
     "zonemap_pruning_stats": 3.0,  # zone rollup + broadcast survivor probe
+    "kmv_join_cardinality": 3.0,  # two bottom-k sketches + exact tier
+    "streaming_outer_join_attribution": 16.0,  # 10-batch two-source watermarked drain + eviction flush
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

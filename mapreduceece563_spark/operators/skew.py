@@ -834,3 +834,179 @@ SELECT e.scope,
             AS BIGINT) AS err_ppm
 FROM est e JOIN exact x ON e.scope = x.scope
 """
+
+
+# --- KMV sketch intersection: join-cardinality estimation -------------
+
+KMV_JOIN_K = 128
+KMV_A_CUTOFF = "1996-01-01"   # side A: custkeys ordering after this
+KMV_B_MIN_BAL = 5000          # side B: customers above this balance
+
+
+def kmv_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate a join's key overlap from two KMV sketches WITHOUT
+    touching the full key sets together — the statistic a planner
+    needs to size a semi-join or pick a broadcast side when the two
+    inputs live in different tables (or different systems; KMV
+    sketches of both can meet on one node, the tables never do).
+
+    Algebra (Beyer et al. 2007): with bottom-k sketches S_A and S_B,
+    tau = k-th smallest of the merged sketch, the union cardinality
+    is (k-1)*M/tau and the Jaccard estimate is |{h in S_A ∩ S_B :
+    h <= tau}| / k; their product estimates |A ∩ B|. Under the
+    engine-portable affine hash every step is int64 arithmetic, so
+    the ESTIMATE is oracle-pinned bit-for-bit (the exact tier rides
+    along for the error accounting, test-scale only).
+
+    Scale posture (100 TB): each side's sketch is a bottom-k over
+    DISTINCT hashes — at scale a per-partition bottom-k partial
+    merged associatively (the kmv_distinct_union posture); the
+    intersection math then runs on two k-row frames, broadcast-sized
+    regardless of table size."""
+    a_keys = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.col("o_orderdate") >= F.lit(KMV_A_CUTOFF).cast("timestamp")
+        )
+        .select(F.col("o_custkey").alias("key"))
+    )
+    b_keys = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > KMV_B_MIN_BAL)
+        .select(F.col("c_custkey").alias("key"))
+    )
+
+    def _sketch(df: DataFrame, tag: str) -> DataFrame:
+        h = ((F.col("key") * KMV_A + KMV_B) % _KMV_MOD).alias("h")
+        dh = df.select(h).distinct()
+        w = Window.orderBy("h")
+        return (
+            dh.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KMV_JOIN_K)
+            .select("h", F.lit(tag).alias("side"))
+        )
+
+    sa = _sketch(a_keys, "a")
+    sb = _sketch(b_keys, "b")
+    both = sa.unionByName(sb)
+    merged = (
+        both.select("h")
+        .distinct()
+        .withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    )
+    tau_f = merged.agg(
+        F.max(F.when(F.col("rn") <= KMV_JOIN_K, F.col("h"))).alias("tau"),
+        F.count("*").alias("n_union_kept"),
+    )
+    common = (
+        sa.select("h")
+        .join(sb.select("h"), "h")
+        .crossJoin(F.broadcast(tau_f))
+        .filter(F.col("h") <= F.col("tau"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    exact = (
+        a_keys.distinct()
+        .join(b_keys.distinct(), "key")
+        .agg(F.count("*").alias("n_intersect_exact"))
+    )
+    counts = (
+        a_keys.agg(F.countDistinct("key").alias("n_a"))
+        .crossJoin(
+            F.broadcast(b_keys.agg(F.countDistinct("key").alias("n_b")))
+        )
+    )
+    return (
+        tau_f.crossJoin(F.broadcast(common))
+        .crossJoin(F.broadcast(exact))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "n_a",
+            "n_b",
+            "n_intersect_exact",
+            F.when(
+                F.col("n_union_kept") < KMV_JOIN_K, F.col("n_common")
+            )
+            .otherwise(
+                F.expr(
+                    f"n_common * (({KMV_JOIN_K} - 1)"
+                    f" * CAST({_KMV_MOD} AS BIGINT) div tau)"
+                    f" div {KMV_JOIN_K}"
+                )
+            )
+            .alias("intersect_est"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "n_intersect_exact",
+            "intersect_est",
+            F.expr(
+                "abs(intersect_est - n_intersect_exact) * 1000000"
+                " div greatest(n_intersect_exact, 1)"
+            ).alias("err_ppm"),
+        )
+    )
+
+
+KMV_JOIN_CARDINALITY_SQL = f"""
+WITH a_keys AS (
+  SELECT o_custkey AS key FROM orders
+  WHERE o_orderdate >= TIMESTAMP '{KMV_A_CUTOFF}'
+),
+b_keys AS (
+  SELECT c_custkey AS key FROM customer WHERE c_acctbal > {KMV_B_MIN_BAL}
+),
+sa AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT (key * {KMV_A} + {KMV_B}) % {_KMV_MOD} AS h
+      FROM a_keys)
+  ) WHERE rn <= {KMV_JOIN_K}
+),
+sb AS (
+  SELECT h FROM (
+    SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM (
+      SELECT DISTINCT (key * {KMV_A} + {KMV_B}) % {_KMV_MOD} AS h
+      FROM b_keys)
+  ) WHERE rn <= {KMV_JOIN_K}
+),
+merged AS (
+  SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+  FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+),
+tau_f AS (
+  SELECT max(CASE WHEN rn <= {KMV_JOIN_K} THEN h END) AS tau,
+         count(*) AS n_union_kept
+  FROM merged
+),
+common AS (
+  SELECT count(*) AS n_common
+  FROM sa JOIN sb ON sa.h = sb.h, tau_f
+  WHERE sa.h <= tau_f.tau
+),
+exact AS (
+  SELECT count(*) AS n_intersect_exact FROM
+    (SELECT DISTINCT key FROM a_keys) a
+    JOIN (SELECT DISTINCT key FROM b_keys) b ON a.key = b.key
+),
+counts AS (
+  SELECT (SELECT count(DISTINCT key) FROM a_keys) AS n_a,
+         (SELECT count(DISTINCT key) FROM b_keys) AS n_b
+),
+est AS (
+  SELECT n_a, n_b, n_intersect_exact,
+         CASE WHEN n_union_kept < {KMV_JOIN_K} THEN n_common
+              ELSE n_common * (({KMV_JOIN_K} - 1)
+                   * CAST({_KMV_MOD} AS BIGINT) // tau) // {KMV_JOIN_K}
+         END AS intersect_est
+  FROM tau_f, common, exact, counts
+)
+SELECT CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       CAST(n_intersect_exact AS BIGINT) AS n_intersect_exact,
+       CAST(intersect_est AS BIGINT) AS intersect_est,
+       CAST(abs(intersect_est - n_intersect_exact) * 1000000
+            // greatest(n_intersect_exact, 1) AS BIGINT) AS err_ppm
+FROM est
+"""

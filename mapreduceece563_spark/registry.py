@@ -37,6 +37,7 @@ from .operators import wordcount as wc
 from .session import ship_package
 from .streaming import enrich_stream as es
 from .streaming import join_stream as js
+from .streaming import outer_join_stream as oj
 from .streaming import upsert_stream as us
 from .streaming import stateful as sf
 from .streaming import windowed_stream as ws
@@ -212,6 +213,16 @@ register(
     "zonemap_pruning_stats",
     stg.zonemap_pruning_stats,
     stg.ZONEMAP_PRUNING_SQL,
+)
+register(
+    "kmv_join_cardinality",
+    sk.kmv_join_cardinality,
+    sk.KMV_JOIN_CARDINALITY_SQL,
+)
+register(
+    "streaming_outer_join_attribution",
+    oj.streaming_outer_join_attribution,
+    oj.STREAMING_OUTER_JOIN_SQL,
 )
 
 # ---- window backfill: round-6-green entries ----

@@ -358,3 +358,58 @@ def test_zonemap_pruning_matches_oracle_and_skips(spark, duck):
     assert row["n_matching_rows"] == direct["n"]
     assert row["revenue_cents"] == (direct["c"] or 0)
     assert row["n_blocks_scanned"] <= row["n_blocks"]
+
+
+def test_kmv_join_cardinality_matches_oracle_and_estimate_sane(
+    spark, duck
+):
+    """The sketch-intersection estimate is oracle-pinned bit-for-bit;
+    sanity: with k=128 the relative error should stay within ~4/sqrt(k)
+    of the exact overlap whenever the overlap is a meaningful
+    fraction of the union."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import skew as sk
+
+    sdf = sk.kmv_join_cardinality(spark, SF_DIR)
+    assert_frames_match(
+        sdf,
+        duck.execute(sk.KMV_JOIN_CARDINALITY_SQL),
+        ctx="kmv_join_cardinality",
+    )
+    r = sdf.collect()[0]
+    assert 0 < r["n_intersect_exact"] < min(r["n_a"], r["n_b"]) + 1
+    if r["n_a"] >= sk.KMV_JOIN_K and r["n_b"] >= sk.KMV_JOIN_K:
+        assert r["err_ppm"] <= 400_000, f"KMV intersection off: {r}"
+
+
+def test_streaming_outer_join_matches_batch_left_join(spark, duck):
+    """The drained LEFT OUTER stream-stream join must equal the batch
+    LEFT JOIN — including the unmatched tail, which only a correct
+    watermark eviction can emit. Consistency vs the inner-join
+    arithmetic: pairs + unmatched accounting must cover every
+    purchase."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.sources.catalog import load_table
+    from mapreduceece563_spark.streaming import outer_join_stream as oj
+
+    oj.reset_outer_join()
+    sdf = oj.streaming_outer_join_attribution(spark, SF_DIR)
+    assert_frames_match(
+        sdf,
+        duck.execute(oj.STREAMING_OUTER_JOIN_SQL),
+        ctx="streaming_outer_join",
+    )
+    rows = sdf.collect()
+    assert rows
+    total_purchases = (
+        load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == total_purchases
+    assert any(r["n_unmatched"] > 0 for r in rows), (
+        "fixture produced no unmatched purchases; the eviction path "
+        "was not exercised"
+    )
