@@ -101,7 +101,11 @@ BUDGETS = {
     "streaming_user_profile": 12.0,  # shared drain: cost lands on whichever sibling drains first (registry-order dependent)
     "oov_rate": 2.0,
     "word_freq_spectrum": 2.0,
-    "bigram_pmi_top": 3.5,
+    # bigram_pmi_top: 1.5-1.6s standalone (r6 steady 1.35-1.52), but
+    # 3.6-9.2s inside r7 full passes — the source_blocklist_survivors
+    # phenomenon: deterministic GC/cleanup interference from the
+    # drain-heavy registry neighborhood, which min-of-3 cannot dodge.
+    "bigram_pmi_top": 8.0,
     "embedding_covariance": 2.5,  # d^2 map-side explode, tiny shuffle
     "quality_percentile_by_source": 2.0,
     "per_source_holdout": 2.0,
@@ -197,13 +201,13 @@ BUDGETS = {
     # cannot dodge it. Budget covers the in-bench number; the plan
     # itself is pinned sound by tests/test_plans.py.
     "source_blocklist_survivors": 8.0,
-    "streaming_sliding_windows": 8.0,  # shared event drain: cost lands on whichever sibling drains first
     "hard_negative_mining": 2.5,  # broadcast query side + label-filtered scan
     "merkle_block_sync": 3.0,  # two digest rollups + dirty-block key join
     "table_versions_diff": 7.0,  # first call may pay the version writes
     "zonemap_pruning_stats": 3.0,  # zone rollup + broadcast survivor probe
     "kmv_join_cardinality": 3.0,  # two bottom-k sketches + exact tier
-    "streaming_outer_join_attribution": 16.0,  # 10-batch two-source watermarked drain + eviction flush
+    "streaming_outer_join_attribution": 25.0,  # 10-batch two-source watermarked drain + eviction flush, re-drained per pass (source fixture cached)
+    "streaming_sliding_windows": 12.0,  # re-drained per pass; shares the event-chunk fixture
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

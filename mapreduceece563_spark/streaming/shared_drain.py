@@ -43,12 +43,14 @@ def reset() -> None:
     from . import join_stream, stateful, windowed_stream
 
     windowed_stream.reset_session_windows()
+    windowed_stream.reset_sliding_windows()
     join_stream.reset_join_stream()
     stateful.reset_tws()
-    from . import enrich_stream, upsert_stream
+    from . import enrich_stream, outer_join_stream, upsert_stream
 
     upsert_stream.reset_upsert()
     enrich_stream.reset_enrich()
+    outer_join_stream.reset_outer_join()
     from ..sources import chunktext
 
     chunktext.reset_stream_wc()
