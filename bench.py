@@ -207,6 +207,7 @@ BUDGETS = {
     "zonemap_pruning_stats": 3.0,  # zone rollup + broadcast survivor probe
     "kmv_join_cardinality": 3.0,  # two bottom-k sketches + exact tier
     "streaming_outer_join_attribution": 25.0,  # 10-batch two-source watermarked drain + eviction flush, re-drained per pass (source fixture cached)
+    "observed_filter_funnel": 2.5,  # round-8 queue: one observed pass + scalar assembly
     "streaming_sliding_windows": 12.0,  # re-drained per pass; shares the event-chunk fixture
 }
 

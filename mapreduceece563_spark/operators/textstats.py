@@ -1079,3 +1079,80 @@ SELECT doc_id,
        regexp_matches(text, '[.!?]\\s*$') AS ends_with_punct
 FROM m
 """
+
+
+# --- in-plan telemetry: the Observation API ----------------------------
+
+FUNNEL_MIN_CHARS = 100
+FUNNEL_LANGS = ("en", "de", "fr")
+
+
+def observed_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stage data-loss accounting for a filter cascade, measured
+    with ``DataFrame.observe`` — Spark's in-plan telemetry: each
+    Observation rides the SINGLE pass the query already makes, so the
+    stage counts cost zero extra scans. That is the 100 TB point: the
+    naive way to audit a 3-stage filter is 3 extra counts (3 more
+    full scans of the lake); observed metrics are free because they
+    accumulate inside the tasks of the one real action.
+
+    The returned frame is assembled from the observed metrics (the
+    same driver-side scalar class as the merge entry's manifest file
+    counts); the DuckDB oracle recomputes each stage count by
+    rescanning, which at test scale certifies that the observed
+    numbers equal the rescan truth — precisely the property that lets
+    production TRUST the free metrics and skip the rescans.
+    retained_ppm is floor-scaled int math (both engines identical)."""
+    from pyspark.sql import Observation
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "n_chars")
+    o_in = Observation()
+    o_len = Observation()
+    o_lang = Observation()
+    s0 = docs.observe(o_in, F.count(F.lit(1)).alias("n"))
+    s1 = s0.filter(F.col("n_chars") >= FUNNEL_MIN_CHARS).observe(
+        o_len, F.count(F.lit(1)).alias("n")
+    )
+    s2 = s1.filter(F.col("lang").isin(*FUNNEL_LANGS)).observe(
+        o_lang, F.count(F.lit(1)).alias("n")
+    )
+    # the one real action every observation rides (harness-scalar
+    # precedent: join_stream's bounds .first())
+    s2.agg(F.count(F.lit(1)).alias("n")).first()
+    n_in = o_in.get["n"]
+    n_len = o_len.get["n"]
+    n_lang = o_lang.get["n"]
+    rows = [
+        ("s0_input", n_in),
+        ("s1_minlen", n_len),
+        ("s2_lang", n_lang),
+    ]
+    return spark.createDataFrame(
+        rows, "stage STRING, n_rows BIGINT"
+    ).select(
+        "stage",
+        "n_rows",
+        F.expr(
+            f"n_rows * 1000000 div greatest({n_in}, 1)"
+        ).alias("retained_ppm"),
+    )
+
+
+_FUNNEL_LANGS_SQL = ", ".join(f"'{x}'" for x in FUNNEL_LANGS)
+
+OBSERVED_FUNNEL_SQL = f"""
+WITH s AS (
+  SELECT 's0_input' AS stage, count(*) AS n_rows FROM documents
+  UNION ALL
+  SELECT 's1_minlen', count(*) FROM documents
+  WHERE n_chars >= {FUNNEL_MIN_CHARS}
+  UNION ALL
+  SELECT 's2_lang', count(*) FROM documents
+  WHERE n_chars >= {FUNNEL_MIN_CHARS} AND lang IN ({_FUNNEL_LANGS_SQL})
+),
+tot AS (SELECT max(n_rows) AS n_in FROM s)
+SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_rows * 1000000 // greatest(n_in, 1) AS BIGINT)
+         AS retained_ppm
+FROM s, tot
+"""

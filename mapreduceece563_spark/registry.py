@@ -224,6 +224,13 @@ register(
     oj.streaming_outer_join_attribution,
     oj.STREAMING_OUTER_JOIN_SQL,
 )
+# ROUND-8 QUEUE (the TWS / round-7-queue precedent): implemented and
+# oracle-tested ahead of registration — the round-7 debt ceiling was
+# already ratcheted to the 24 entries above, and the ratchet moves
+# DOWN only. Register first next round:
+#   observed_filter_funnel (textstats.observed_filter_funnel /
+#   OBSERVED_FUNNEL_SQL) — DataFrame.observe in-plan telemetry;
+#   tests/test_round7_ops.py::test_observed_funnel_matches_rescan_oracle
 
 # ---- window backfill: round-6-green entries ----
 

@@ -413,3 +413,24 @@ def test_streaming_outer_join_matches_batch_left_join(spark, duck):
         "fixture produced no unmatched purchases; the eviction path "
         "was not exercised"
     )
+
+
+def test_observed_funnel_matches_rescan_oracle(spark, duck):
+    """The free in-plan metrics must equal the rescan truth, and the
+    funnel must be monotone with a full-retention first stage."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import textstats as ts
+
+    sdf = ts.observed_filter_funnel(spark, SF_DIR)
+    assert_frames_match(
+        sdf, duck.execute(ts.OBSERVED_FUNNEL_SQL), ctx="observed_funnel"
+    )
+    rows = {r["stage"]: r for r in sdf.collect()}
+    assert rows["s0_input"]["retained_ppm"] == 1_000_000
+    assert (
+        rows["s0_input"]["n_rows"]
+        >= rows["s1_minlen"]["n_rows"]
+        >= rows["s2_lang"]["n_rows"]
+        > 0
+    )
