@@ -834,3 +834,54 @@ WHERE ((2 * k.sample_idx + 1) * c.w_total) // {2 * PPS_SAMPLES_PER_LANG}
   AND ((2 * k.sample_idx + 1) * c.w_total) // {2 * PPS_SAMPLES_PER_LANG}
         < c.c
 """
+
+
+# --- deterministic per-stratum uniform sample (round-8 queue) ----------
+
+HASH_SAMPLE_K = 10
+_HS_MIX = 2654435761  # Knuth multiplicative constant
+_HS_MOD = 4294967296
+
+
+def per_lang_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size uniform sample per language WITHOUT randomness: keep
+    the HASH_SAMPLE_K docs with the smallest multiplicative hash of
+    doc_id per stratum — the eval-set construction a training pipeline
+    re-runs every snapshot, where the selection must be (a) uniform
+    (the hash order is unrelated to any data attribute), (b) identical
+    on any cluster/retry/engine (pure int64 arithmetic), and (c)
+    MERGEABLE: the bottom-k of a union is the bottom-k of the
+    per-partition bottom-k's, so shards keep k rows each and the
+    shuffle carries k rows per (task, lang) instead of the corpus —
+    the same partial-agg posture as the KMV sketches, reused for
+    selection instead of estimation. Complements stratified_sample
+    (rate-based thinning) with exact-k selection.
+
+    Scale posture (100 TB): the window below runs over DISTINCT
+    (lang, hash) pairs at test scale; production pre-aggregates the
+    per-partition bottom-k first (property (c)) so no stratum's full
+    population ever sorts in one task."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hashed = docs.withColumn(
+        "h", (F.col("doc_id") * _HS_MIX) % _HS_MOD
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        hashed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= HASH_SAMPLE_K)
+        .select("lang", "doc_id", "sample_rank")
+    )
+
+
+PER_LANG_HASH_SAMPLE_SQL = f"""
+SELECT lang, doc_id, sample_rank FROM (
+  SELECT lang, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY (doc_id * {_HS_MIX}) % {_HS_MOD}, doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {HASH_SAMPLE_K}
+"""

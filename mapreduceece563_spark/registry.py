@@ -231,6 +231,10 @@ register(
 #   observed_filter_funnel (textstats.observed_filter_funnel /
 #   OBSERVED_FUNNEL_SQL) — DataFrame.observe in-plan telemetry;
 #   tests/test_round7_ops.py::test_observed_funnel_matches_rescan_oracle
+#   per_lang_hash_sample (trainprep.per_lang_hash_sample /
+#   PER_LANG_HASH_SAMPLE_SQL) — deterministic per-stratum bottom-k
+#   uniform sample (mergeable, RNG-free);
+#   tests/test_round7_ops.py::test_per_lang_hash_sample_matches_oracle_and_exact_k
 
 # ---- window backfill: round-6-green entries ----
 

@@ -434,3 +434,38 @@ def test_observed_funnel_matches_rescan_oracle(spark, duck):
         >= rows["s2_lang"]["n_rows"]
         > 0
     )
+
+
+def test_per_lang_hash_sample_matches_oracle_and_exact_k(spark, duck):
+    """Round-8 queue. Exactly k per stratum (or the whole stratum if
+    smaller), and the selection is hash-uniform: re-deriving the
+    bottom-k in Python from the same mix must give the identical
+    set."""
+    from tests.conftest import assert_frames_match
+
+    from mapreduceece563_spark.operators import trainprep as tp
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    sdf = tp.per_lang_hash_sample(spark, SF_DIR)
+    assert_frames_match(
+        sdf,
+        duck.execute(tp.PER_LANG_HASH_SAMPLE_SQL),
+        ctx="per_lang_hash_sample",
+    )
+    rows = sdf.collect()
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    by_lang: dict = {}
+    for d in docs:
+        by_lang.setdefault(d["lang"], []).append(d["doc_id"])
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r["lang"], set()).add(r["doc_id"])
+    for lang, ids in by_lang.items():
+        expect = set(
+            sorted(ids, key=lambda i: ((i * 2654435761) % 4294967296, i))[
+                : tp.HASH_SAMPLE_K
+            ]
+        )
+        assert got.get(lang, set()) == expect, lang
