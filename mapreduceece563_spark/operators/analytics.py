@@ -871,9 +871,19 @@ def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggs); the cumulative window partitions by event_type — at most
     |distinct cents| rows per partition, no global sort. The KS sup
     and totals ride the same partitioning; output is 5 rows.
-    d_num <= n_a * n_b overflows int64 only past ~3e9 rows per type
-    per period; past that you shard the window by value range and
-    take the max of per-shard sups (same algebra), or bucket the CDF.
+
+    Overflow contract (the chi-square 128-bit contract,
+    event_drift_chisq above): d_num <= n_a * n_b stays in int64 up to
+    ~3e9 rows per type per side; its SQUARE (the alpha=0.05 decision)
+    would wrap int64 already at n_a * n_b > ~3e9, so the quadratic
+    runs in 128-bit on BOTH engines (Spark DECIMAL(38,0), DuckDB
+    HUGEINT). ks_ppm's numerator d_num * 1e6 keeps int64 headroom to
+    n_a * n_b ~9.2e12; past that, move the ppm into 128-bit the same
+    way. greatest(n_a * n_b, 1) guards the empty-side division
+    identically in both engines (Spark div would return NULL, DuckDB
+    // would raise — an engine divergence otherwise). Past the d_num
+    bound you shard the window by value range and take the max of
+    per-shard sups (same algebra), or bucket the CDF.
     """
     mid = F.lit(KS_SPLIT).cast("timestamp")
     ev = load_table(spark, sf_dir, "events").select(
@@ -915,13 +925,12 @@ def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "d_num",
-            F.expr("d_num * 1000000 div (n_a * n_b)").alias("ks_ppm"),
-            (
-                F.col("d_num") * F.col("d_num")
-                > F.lit(KS_C2_005)
-                * (F.col("n_a") + F.col("n_b"))
-                * F.col("n_a")
-                * F.col("n_b")
+            F.expr(
+                "d_num * 1000000 div greatest(n_a * n_b, 1)"
+            ).alias("ks_ppm"),
+            F.expr(
+                "CAST(d_num AS DECIMAL(38,0)) * d_num > "
+                f"{KS_C2_005} * (n_a + n_b) * n_a * n_b"
             ).alias("drift_at_005"),
         )
     )
@@ -956,8 +965,8 @@ SELECT event_type,
        CAST(max(n_b) AS BIGINT) AS n_b,
        CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
        CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000
-            // (max(n_a) * max(n_b)) AS BIGINT) AS ks_ppm,
-       max(abs(cum_a * n_b - cum_b * n_a))
+            // greatest(max(n_a) * max(n_b), 1) AS BIGINT) AS ks_ppm,
+       CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS HUGEINT)
          * max(abs(cum_a * n_b - cum_b * n_a))
          > {KS_C2_005} * (max(n_a) + max(n_b)) * max(n_a) * max(n_b)
          AS drift_at_005

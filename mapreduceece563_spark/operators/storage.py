@@ -784,11 +784,18 @@ def merkle_block_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("old_sum") != F.col("new_sum"))
         .select("blk", "old_rows", "new_rows")
     )
+    # BOTH snapshot sides are pre-filtered to dirty blocks by the
+    # broadcast semi-join — new carries blk too, so the key-level
+    # diff really does scan only dirty blocks on each side (a
+    # one-sided filter would still scan + shuffle the full new
+    # snapshot for the k join).
     changed = (
         old.select("blk", "k", F.col("cents").alias("oc"))
         .join(F.broadcast(dirty.select("blk")), "blk")
         .join(
-            new.select("k", F.col("cents").alias("nc")),
+            new.select("blk", "k", F.col("cents").alias("nc"))
+            .join(F.broadcast(dirty.select("blk")), "blk", "left_semi")
+            .select("k", "nc"),
             "k",
         )
         .filter(F.col("oc") != F.col("nc"))
