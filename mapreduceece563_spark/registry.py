@@ -224,17 +224,32 @@ register(
     oj.streaming_outer_join_attribution,
     oj.STREAMING_OUTER_JOIN_SQL,
 )
-# ROUND-8 QUEUE (the TWS / round-7-queue precedent): implemented and
-# oracle-tested ahead of registration — the round-7 debt ceiling was
-# already ratcheted to the 24 entries above, and the ratchet moves
-# DOWN only. Register first next round:
-#   observed_filter_funnel (textstats.observed_filter_funnel /
-#   OBSERVED_FUNNEL_SQL) — DataFrame.observe in-plan telemetry;
-#   tests/test_round7_ops.py::test_observed_funnel_matches_rescan_oracle
-#   per_lang_hash_sample (trainprep.per_lang_hash_sample /
-#   PER_LANG_HASH_SAMPLE_SQL) — deterministic per-stratum bottom-k
-#   uniform sample (mergeable, RNG-free);
-#   tests/test_round7_ops.py::test_per_lang_hash_sample_matches_oracle_and_exact_k
+# ---- round-8 registrations (VERDICT r7 asks #2, #3, #7) ----
+# The two round-8-queue entries (implemented + oracle-tested in round
+# 7, tests/test_round7_ops.py), the overlapping-band join variant that
+# keeps band-JOIN class coverage after orders_price_band became a
+# map-side CASE, and the substring-granular exact dedup tier.
+
+register(
+    "observed_filter_funnel",
+    ts.observed_filter_funnel,
+    ts.OBSERVED_FUNNEL_SQL,
+)
+register(
+    "per_lang_hash_sample",
+    tr.per_lang_hash_sample,
+    tr.PER_LANG_HASH_SAMPLE_SQL,
+)
+register(
+    "orders_price_band_overlap",
+    tp.orders_price_band_overlap,
+    tp.ORDERS_PRICE_BAND_OVERLAP_SQL,
+)
+register(
+    "substring_dup_spans",
+    dd.substring_dup_spans,
+    dd.SUBSTRING_DUP_SPANS_SQL,
+)
 
 # ---- window backfill: round-6-green entries ----
 
@@ -959,3 +974,96 @@ register(
     sk.events_type_profile,
     sk.EVENTS_TYPE_PROFILE_SQL,
 )
+
+
+# ======================================================================
+# ROUND-8 WINDOW ROTATION (VERDICT r7 ask #6): every entry is driver-
+# green cumulatively, so the window's job this round is (a) the four
+# round-8 registrations (the only never-green entries) and (b) RE-
+# certifying the stalest certifications — the 49 entries whose latest
+# green driver row is round 2 — plus the four operators whose
+# implementations changed this round (orders_price_band CASE rewrite,
+# knn_pandas_udf native prune, ks_drift 128-bit square, merkle two-
+# sided dirty filter). The rotation rebuilds the registry dict in
+# window-first order; relative order elsewhere is preserved, and the
+# six r2-vintage entries that do not fit lead the post-window block so
+# round 9's rotation picks them first.
+# ======================================================================
+
+_R8_WINDOW = [
+    # never-green: the round-8 registrations
+    "observed_filter_funnel",
+    "per_lang_hash_sample",
+    "orders_price_band_overlap",
+    "substring_dup_spans",
+    # changed implementations this round
+    "orders_price_band",
+    "knn_pandas_udf",
+    "ks_drift_by_event_type",
+    "merkle_block_sync",
+    # stalest certifications (latest green = round 2), registry order
+    "wordcount_by_lang",
+    "distinct_vocab",
+    "topk_words",
+    "q1_pricing_summary",
+    "q3_top_unshipped",
+    "q5_region_revenue",
+    "top_customers_per_nation",
+    "orders_running_total",
+    "customers_inactive_1995",
+    "suppliers_with_sales",
+    "parts_never_ordered",
+    "nation_presence_union",
+    "nation_customer_rollup",
+    "orders_priority_pivot",
+    "events_hourly",
+    "events_json_stats",
+    "segment_stats",
+    "dedup_exact_stats",
+    "dedup_exact_survivors",
+    "dedup_minhash",
+    "ngram_jaccard_pairs",
+    "simhash_fingerprint",
+    "simhash_collisions",
+    "knn_brute_force",
+    "embedding_similar_pairs",
+    "embedding_centroids",
+    "token_stats",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "multimodal_features",
+    "image_resize_plan",
+    "frame_sample_plan",
+    "word_bigrams",
+    "tfidf_top_terms",
+    "bpe_token_count",
+    "sessionize",
+    "orders_by_month",
+    "lineitem_flags_cube",
+    "price_percentiles",
+    "simhash_hamming_pairs",
+    "ivf_ann",
+]
+
+# r2-vintage leftovers: first in line for the round-9 window
+_R8_NEXT = [
+    "asof_join_events",
+    "purchase_followup_counts",
+    "user_gap_stats",
+    "session_window_counts",
+    "dedup_embedding_stats",
+    "events_type_profile",
+]
+
+
+def _rotate(head: list[str]) -> None:
+    global _REGISTRY
+    missing = [n for n in head if n not in _REGISTRY]
+    assert not missing, f"rotation names not registered: {missing}"
+    rest = [n for n in _REGISTRY if n not in set(head)]
+    _REGISTRY = {n: _REGISTRY[n] for n in [*head, *rest]}
+
+
+_rotate(_R8_WINDOW + _R8_NEXT)
+assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)

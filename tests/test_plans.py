@@ -61,11 +61,28 @@ def test_q10_nation_broadcast(spark):
     assert rep.n_broadcast_joins >= 1
 
 
-def test_price_band_broadcast_nested_loop(spark):
+def test_price_band_disjoint_is_map_side_case(spark):
+    """Static non-overlapping bands are a row-local classification:
+    the plan must be a CASE inside codegen + one 4-group aggregate —
+    NO join of any kind (VERDICT r7 #3: the former BNLJ evaluated
+    rows x bands predicates for what a chained when() decides in
+    <= bands comparisons per row)."""
     plan = plan_string(Q["orders_price_band"](spark, SF_DIR), "simple")
-    assert "BroadcastNestedLoopJoin" in plan, (
-        "the 4-row band table must broadcast, never shuffle the facts"
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "disjoint static bands must compile to a map-side CASE, not a"
+        " band join"
     )
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_price_band_overlap_broadcast_nested_loop(spark):
+    """Overlapping bands fan out (a row lands in several bands), so
+    the inequality join is genuinely necessary — and the tiny band
+    table must broadcast, never shuffle the facts."""
+    plan = plan_string(Q["orders_price_band_overlap"](spark, SF_DIR), "simple")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange hashpartitioning(o_totalprice" not in plan
 
 
 def test_asof_single_exchange_on_user(spark):
