@@ -66,7 +66,9 @@ HEADLINE = (
 BUDGET_DEFAULT = 2.0
 BUDGETS = {
     "ngram_jaccard_pairs": 5.0,
-    "orders_price_band": 5.0,  # banded BNLJ: best-of-3 varies 1.4-4.1s
+    "orders_price_band": 1.0,  # r8: map-side CASE, no join (VERDICT r7 #3)
+    "orders_price_band_overlap": 5.0,  # genuinely-overlapping band BNLJ
+    "substring_dup_spans": 5.0,  # L-gram explode + gram/doc windows
 
     "dedup_groups": 4.0,
     "tfidf_cosine_pairs": 4.0,
@@ -101,11 +103,11 @@ BUDGETS = {
     "streaming_user_profile": 12.0,  # shared drain: cost lands on whichever sibling drains first (registry-order dependent)
     "oov_rate": 2.0,
     "word_freq_spectrum": 2.0,
-    # bigram_pmi_top: 1.5-1.6s standalone (r6 steady 1.35-1.52), but
-    # 3.6-9.2s inside r7 full passes — the source_blocklist_survivors
-    # phenomenon: deterministic GC/cleanup interference from the
-    # drain-heavy registry neighborhood, which min-of-3 cannot dodge.
-    "bigram_pmi_top": 8.0,
+    # bigram_pmi_top: 1.5-1.6s standalone; its r7 8.0 budget carried
+    # drain-neighborhood interference that the phased sweep (streaming
+    # drains in their own phase) + standalone re-run now remove —
+    # re-ratcheted to ~2x steady state (VERDICT r7 ask #4).
+    "bigram_pmi_top": 3.0,
     "embedding_covariance": 2.5,  # d^2 map-side explode, tiny shuffle
     "quality_percentile_by_source": 2.0,
     "per_source_holdout": 2.0,
@@ -132,8 +134,15 @@ BUDGETS = {
     "token_balanced_mixture": 3.0,
     "user_reach_curve": 2.0,
     "basket_brand_lift": 5.0,  # per-order basket self-join
-    "audio_decode_energy": 2.0,  # WAV synth + decode round-trip in Arrow
-    "video_frame_decode": 2.0,  # VF1 synth + frame-seek decode in Arrow
+    # Python-boundary decode budgets hold ~2.5x their r8 phased steady
+    # state (1.9 / 0.67 / 0.61 s) instead of the old 1.05x squeeze —
+    # the r7 driver run blew exactly these with unchanged plans
+    # (variance-aware budgets, VERDICT r7 ask #1); the standalone
+    # re-run is the second line of defense.
+    "image_decode_stats": 4.5,
+    "image_decode_resize": 2.5,
+    "audio_decode_energy": 2.5,  # WAV synth + decode round-trip in Arrow
+    "video_frame_decode": 2.5,  # VF1 synth + frame-seek decode in Arrow
     "quarter_revenue_overlap": 5.5,  # fact x orders join + quarter explode: 2.4s r6
     "ngram_containment_pairs": 5.0,  # shares the shingle stage + df-cap join
     "vocab_growth_curve": 2.0,  # min-fold over the shared TF stage
@@ -165,7 +174,7 @@ BUDGETS = {
     "streaming_wordcount_via_datasource": 10.5,  # Python-source micro-batches
     "bpe_merge_candidates": 2.0,  # tokenize + vocab pair stats
     "bpe_second_merge": 2.5,  # two pair-count rounds + merge apply
-    "streaming_tws_user_profile": 25.5,  # multi-batch RocksDB TWS drain: 9-12.4s
+    "streaming_tws_user_profile": 15.0,  # RocksDB TWS drain: 6.0s r8 phased (was 9-12.4s interleaved)
     "semdedup_prune_stats": 5.0,  # cached assignment + cell pairs: ~1.2s
     "ivf_recall_tuning": 4.5,  # brute-force GT + 3-probe IVF rank: ~2.0s
     "rle_compression_estimate": 6.5,  # 3x unpivot + block windows: ~3.2s
@@ -182,7 +191,7 @@ BUDGETS = {
     "q16_supplier_counts": 3.0,  # 2x-headroom ratchet, r6 steady state ~1.1-1.2s
     "price_percentiles_sketch": 2.5,  # sketch + exact certification pass
     # --- round-7 registrations (budgets >= 2x the worst clean r7 pass) ---
-    "allpairs_prefix_filter": 9.0,  # shingle TF-IDF + prefix join: 2.6-4.4s
+    "allpairs_prefix_filter": 6.5,  # shingle TF-IDF + prefix join: 2.6s r8 phased
     "streaming_static_enrichment": 8.0,  # shared event drain: first pass pays the spill + its own drain (2.9-3.4s steady)
     "merge_compaction_roundtrip": 7.0,  # two REAL table writes per call: 2.7-2.8s steady
     "session_concurrency_peak": 3.0,  # boundary sweep + carry-in: ~1.1s
@@ -194,13 +203,11 @@ BUDGETS = {
     "ks_drift_by_event_type": 2.5,  # per-type cumulative windows: ~0.85s
     "minhash_incremental_novelty": 2.5,  # batch bands vs frozen index: ~0.85s
     "bloom_join_prune": 2.5,  # bitmap build + probe: ~0.82s
-    # source_blocklist_survivors: 0.7-1.0s standalone (count AND noop
-    # materialize), but 3.8-5.2s inside every full bench pass — the
-    # interference is deterministic (same registry order -> same GC /
-    # broadcast-cleanup point after the streaming drains), so min-of-3
-    # cannot dodge it. Budget covers the in-bench number; the plan
-    # itself is pinned sound by tests/test_plans.py.
-    "source_blocklist_survivors": 8.0,
+    # source_blocklist_survivors: 0.7-1.0s standalone; its r7 8.0
+    # budget covered deterministic GC/broadcast-cleanup interference
+    # from the in-pass streaming drains, which the phased sweep
+    # removes — re-ratcheted to ~3x steady state (VERDICT r7 ask #4).
+    "source_blocklist_survivors": 3.0,
     "hard_negative_mining": 2.5,  # broadcast query side + label-filtered scan
     "merkle_block_sync": 3.0,  # two digest rollups + dirty-block key join
     "table_versions_diff": 7.0,  # first call may pay the version writes
@@ -208,7 +215,7 @@ BUDGETS = {
     "kmv_join_cardinality": 3.0,  # two bottom-k sketches + exact tier
     "streaming_outer_join_attribution": 25.0,  # 10-batch two-source watermarked drain + eviction flush, re-drained per pass (source fixture cached)
     "observed_filter_funnel": 2.5,  # round-8 queue: one observed pass + scalar assembly
-    "streaming_sliding_windows": 12.0,  # re-drained per pass; shares the event-chunk fixture
+    "streaming_sliding_windows": 9.0,  # re-drained per pass; 3.4s r8 phased
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in
@@ -219,6 +226,31 @@ BUDGETS = {
 # phantom "q3 regression" (0.96 -> 2.77 s, code unchanged) was exactly
 # this. Best-of-3 reproduces q3 at ~0.8 s.
 N_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+
+# Dedicated standalone attempts granted to any entry over budget after
+# the phased sweep, before a violation is recorded (see main()).
+N_RERUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RERUNS", "3"))
+
+# Entries whose hot path crosses the Python/Arrow boundary (mapInPandas
+# decode, pandas UDF scoring, Python data source, UDTF, cogroup). These
+# swing 3-14x pass-to-pass under box contention (BENCH r7: 2.1->30.8 s
+# on audio_decode_energy with an unchanged plan), so they get a second
+# warmup pass and are the primary beneficiaries of the standalone
+# re-run escape hatch.
+PY_BOUNDARY = (
+    "knn_pandas_udf",
+    "image_decode_stats",
+    "image_decode_resize",
+    "image_ahash_neardup",
+    "audio_decode_energy",
+    "video_frame_decode",
+    "multimodal_features",
+    "cogroup_bucket_reconciliation",
+    "udtf_word_chunks",
+    "wordcount_via_datasource",
+    "wordcount_via_datasource_packed",
+    "chunktext_pruned_count",
+)
 
 
 def materialize(df) -> None:
@@ -255,6 +287,15 @@ def main() -> None:
     qs_all = queries()
     for fn in qs_all.values():
         materialize(fn(spark, "/root/testdata/sf0.001"))
+    # Pre-warm the Python/Arrow worker pool a SECOND time (VERDICT r7
+    # ask #1): the first call per entry above creates daemon workers
+    # and JITs the codegen, but the driver's contended box showed the
+    # Python-boundary entries paying worker/Arrow setup again inside
+    # the timed passes. A second pass over exactly those entries
+    # certifies the pool is warm and reusable before any clock runs.
+    for name in PY_BOUNDARY:
+        if name in qs_all:
+            materialize(qs_all[name](spark, "/root/testdata/sf0.001"))
 
     # Baseline-comparable wordcount FIRST, right after warmup: the
     # registry passes that follow persist shingle/TF caches and churn
@@ -264,25 +305,64 @@ def main() -> None:
     wc13 = baseline_comparable_wordcount(spark)
 
     qs = queries()
-    timings: dict[str, float] = {}
+    # PHASED sweep (VERDICT r7 ask #4): the batch registry and the
+    # streaming drains used to interleave in one pass, and SCALE.md
+    # documents 1.5-6x in-pass slowdowns on innocent batch queries
+    # sitting downstream of a drain (GC/broadcast-cleanup pressure)
+    # — which forced inflated budgets that then still blew up on the
+    # driver box. Phase 1 times every batch entry with no drain in
+    # flight; phase 2 re-drains the streaming entries per pass (the
+    # first sibling of a pass pays max(drain), as in production).
+    batch_qs = {n: f for n, f in qs.items() if not n.startswith("streaming_")}
+    stream_qs = {n: f for n, f in qs.items() if n.startswith("streaming_")}
     passes: dict[str, list[float]] = {n: [] for n in qs}
+    for _ in range(N_PASSES):
+        for name, fn in batch_qs.items():
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            passes[name].append(round(time.perf_counter() - t0, 3))
     for _ in range(N_PASSES):
         # every pass re-measures a REAL concurrent event-stream drain
         # (the first streaming entry of the pass pays max(drain), the
         # siblings read the shared sinks) instead of a sink read-back
         shared_drain.reset()
-        for name, fn in qs.items():
+        for name, fn in stream_qs.items():
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             passes[name].append(round(time.perf_counter() - t0, 3))
     timings = {n: min(ts) for n, ts in passes.items()}
-    total = round(sum(timings.values()), 3)
 
-    violations = {
-        n: {"sec": t, "budget": BUDGETS.get(n, BUDGET_DEFAULT)}
-        for n, t in timings.items()
-        if t > BUDGETS.get(n, BUDGET_DEFAULT)
-    }
+    def _violations() -> dict[str, dict]:
+        return {
+            n: {"sec": t, "budget": BUDGETS.get(n, BUDGET_DEFAULT)}
+            for n, t in timings.items()
+            if t > BUDGETS.get(n, BUDGET_DEFAULT)
+        }
+
+    # Standalone re-run of violators (VERDICT r7 ask #1): min-of-N
+    # inside a full sweep cannot distinguish "plan regressed" from
+    # "the box was busy while this entry ran" — the driver's round-7
+    # bench recorded 6 violations whose clean standalone times were
+    # 2-9x lower, all but one on Python-worker/Arrow entries whose
+    # pass-to-pass spread is 3-14x under contention. Before recording
+    # a violation, give the entry N_RERUNS dedicated attempts on an
+    # otherwise idle registry (drain sinks left as-is, so a streaming
+    # sibling re-measures its steady sink-read cost, not a fresh
+    # max(drain)) and accept the overall min. A genuine plan
+    # regression stays over budget no matter how quiet the box is.
+    reruns: dict[str, list[float]] = {}
+    for name in sorted(_violations()):
+        fn = qs[name]
+        spark.sparkContext._jvm.System.gc()
+        attempts = []
+        for _ in range(N_RERUNS):
+            t0 = time.perf_counter()
+            materialize(fn(spark, SF_DIR))
+            attempts.append(round(time.perf_counter() - t0, 3))
+        reruns[name] = attempts
+        timings[name] = min(timings[name], *attempts)
+    total = round(sum(timings.values()), 3)
+    violations = _violations()
 
     sweep = conf_sweep(spark, qs)
 
@@ -298,6 +378,7 @@ def main() -> None:
         "passes": N_PASSES,
         "queries": timings,
         "query_passes": passes,
+        "standalone_reruns": reruns,
         "budget_violations": violations,
         **wc13,
         "conf_sweep": sweep,
