@@ -1485,3 +1485,162 @@ ranked AS (
 SELECT query_id, neg_id, round(_cos, 6) AS cosine, neg_rank
 FROM ranked WHERE neg_rank <= {HN_TOP_K}
 """
+
+
+# --- incremental IVF ingest (round-9 queue) ---------------------------
+
+# New-batch fraction: vec_id >= (max+1) * IVF_INCR_OLD_NUM / 5 is the
+# "arriving" 20% batch, mirroring dedup.minhash_incremental_novelty's
+# ingest split so the two incremental tiers are directly comparable.
+IVF_INCR_OLD_NUM = 4
+
+
+def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index ingest: assign an arriving embedding batch
+    to a FROZEN IVF coarse quantizer (centroids built from the old 80%
+    only), without touching the old corpus — the vector-index analogue
+    of minhash_incremental_novelty's O(batch) ingest shape. Output per
+    cell: resident count, newly assigned count, and the mean cosine of
+    the new members to their centroid (the per-cell ingest-quality
+    signal that tells an index maintainer when a cell has drifted and
+    needs re-training).
+
+    Exactness: centroids use the fixed-point int64 mean construction
+    already pinned by ivf_ann; assignment is argmax cosine with
+    label-asc tie-break; the mean cosine is computed in int64 ppm with
+    half-up rounding on a +1e6 SHIFTED value — cosines can be
+    negative, and Spark's `div` truncates toward zero while DuckDB's
+    `//` floors, so the division must only ever see non-negative
+    operands to stay engine-identical.
+
+    Scale posture (100 TB): the frozen centroid table is tiny and
+    broadcast; the arriving batch is scanned once map-side (batch x
+    |cells| scores, bounded by the cell count); nothing touches the
+    resident corpus except its pre-existing per-cell counts (one
+    groupBy of the old side's labels — in production that count is a
+    stored index statistic, zero scan). Work is O(batch), independent
+    of index size.
+    """
+    n = _norms(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label"
+    )
+    nl = n.join(emb, "vec_id")
+    bounds = nl.agg(
+        F.expr(f"(max(vec_id) + 1) * {IVF_INCR_OLD_NUM} div 5").alias("_cut")
+    )
+    tagged = nl.crossJoin(F.broadcast(bounds))
+    old = tagged.filter(F.col("vec_id") < F.col("_cut"))
+    new = tagged.filter(F.col("vec_id") >= F.col("_cut"))
+
+    # frozen quantizer: fixed-point centroid per label over OLD only
+    cent_rows = (
+        old.select("label", F.posexplode("v").alias("pos", "x"))
+        .select(
+            "label", "pos",
+            F.round(F.col("x") * 1_000_000, 0).cast("long").alias("_xs"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("_xs").alias("_s"), F.count("*").alias("_n"))
+        .select(
+            "label", "pos",
+            ((F.col("_s") / 1_000_000.0) / F.col("_n")).alias("cval"),
+        )
+    )
+    centroids = (
+        cent_rows.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                lambda s: s["cval"],
+            ).alias("cv")
+        )
+        .withColumn("cnrm", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        .select(F.col("label").alias("cell"), "cv", "cnrm")
+    )
+
+    assign_w = Window.partitionBy("vec_id").orderBy(
+        F.desc("_cos"), F.asc("cell")
+    )
+    assigned = (
+        new.select("vec_id", "v", "nrm")
+        .crossJoin(F.broadcast(centroids))
+        .select(
+            "vec_id", "cell",
+            (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("_cos"),
+        )
+        .withColumn("_r", F.row_number().over(assign_w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "cell",
+            F.round(F.col("_cos") * 1_000_000, 0).cast("long").alias("_cp"),
+        )
+    )
+    new_stats = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_new"),
+        F.expr(
+            "(2 * (sum(_cp) + count(*) * 1000000) + count(*))"
+            " div (2 * count(*)) - 1000000"
+        ).alias("mean_cos_ppm"),
+    )
+    resident = old.groupBy(F.col("label").alias("cell")).agg(
+        F.count("*").alias("n_old")
+    )
+    return new_stats.join(resident, "cell").select(
+        "cell", "n_old", "n_new", "mean_cos_ppm"
+    )
+
+
+IVF_INCREMENTAL_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+nl AS (
+  SELECT n.vec_id, n.v, n.nrm, e.label
+  FROM n JOIN embeddings e ON n.vec_id = e.vec_id
+),
+cut AS (
+  SELECT (max(vec_id) + 1) * {IVF_INCR_OLD_NUM} // 5 AS _cut FROM nl
+),
+old AS (SELECT nl.* FROM nl, cut WHERE vec_id < _cut),
+new AS (SELECT nl.* FROM nl, cut WHERE vec_id >= _cut),
+cent_rows AS (
+  SELECT label, d.pos AS pos,
+         (sum(CAST(round(v[d.pos] * 1000000, 0) AS BIGINT)) / 1000000.0)
+           / count(*) AS cval
+  FROM old CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+  GROUP BY label, d.pos
+),
+centroids AS (
+  SELECT label AS cell, list(cval ORDER BY pos) AS cv
+  FROM cent_rows GROUP BY label
+),
+centroids_n AS (
+  SELECT cell, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cnrm
+  FROM centroids
+),
+assigned AS (
+  SELECT cell,
+         CAST(round(_cos * 1000000, 0) AS BIGINT) AS _cp
+  FROM (
+    SELECT c.cell,
+           {_DOT_SQL.format(a='new.v', b='c.cv')} / (new.nrm * c.cnrm) AS _cos,
+           row_number() OVER (
+             PARTITION BY new.vec_id
+             ORDER BY {_DOT_SQL.format(a='new.v', b='c.cv')}
+                        / (new.nrm * c.cnrm) DESC,
+                      c.cell ASC) AS _r
+    FROM new CROSS JOIN centroids_n c
+  ) WHERE _r = 1
+),
+new_stats AS (
+  SELECT cell, CAST(count(*) AS BIGINT) AS n_new,
+         CAST((2 * (sum(_cp) + count(*) * 1000000) + count(*))
+              // (2 * count(*)) - 1000000 AS BIGINT) AS mean_cos_ppm
+  FROM assigned GROUP BY cell
+),
+resident AS (
+  SELECT label AS cell, CAST(count(*) AS BIGINT) AS n_old
+  FROM old GROUP BY label
+)
+SELECT s.cell, r.n_old, s.n_new, s.mean_cos_ppm
+FROM new_stats s JOIN resident r ON s.cell = r.cell
+"""

@@ -1156,3 +1156,104 @@ SELECT stage, CAST(n_rows AS BIGINT) AS n_rows,
          AS retained_ppm
 FROM s, tot
 """
+
+
+# --- per-source quantile (CDF) normalization (round-9 queue) ----------
+
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution alignment for corpus mixing: normalize each
+    source's quality-score distribution onto a common [0, 1e6] ppm
+    scale via its own empirical CDF (mid-rank / Hazen plotting
+    position), then roll up per (source, decile-of-normalized-score).
+    This is the step a mixing pipeline runs before comparing "quality
+    0.6" across sources whose raw score distributions differ — the
+    quantile-matching analogue of z-scoring, robust to monotone
+    score-shape differences.
+
+    Integer-exact algebra: q_ppm = round(quality * 1e6) (the already
+    oracle-pinned quality_score double, quantized once); for each
+    DISTINCT (source, q_ppm) value, mid-rank ppm =
+    ((2*cum_before + cnt) * 500000) div n — no per-doc window, no
+    per-doc sort. Ties share one mid-rank (tie-stable), and the
+    cumulative window runs over distinct score VALUES only.
+
+    Scale posture (100 TB): the CDF is a histogram pass — groupBy
+    (source, q_ppm) collapses the corpus map-side (<= 1e6+1 distinct
+    ppm values per source, in practice a few thousand), the cumulative
+    window slides over that bounded frame, and the decile rollup rides
+    the same partitioning. A per-doc row_number() window would sort
+    whole sources in single partitions (the classic window-skew trap);
+    this formulation never materializes a per-doc rank. The doc_id
+    join with the metadata map is co-partitioned same-table traffic;
+    at scale you carry `source` through the quality map instead
+    (one fewer exchange, same result).
+    """
+    q = quality_score(spark, sf_dir).select(
+        "doc_id", F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp")
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_val = (
+        q.join(meta, "doc_id")
+        .groupBy("source", "_qp")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("_qp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy("source")
+    scored = per_val.select(
+        "source",
+        "_qp",
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_n"),
+    ).withColumn(
+        "_mid_ppm",
+        F.expr("(2 * _cum + _cnt) * 500000 div _n"),
+    )
+    return (
+        scored.withColumn(
+            "decile", F.least(F.expr("_mid_ppm div 100000"), F.lit(9))
+        )
+        .groupBy("source", "decile")
+        .agg(
+            F.sum("_cnt").alias("n_docs"),
+            F.expr(
+                "(2 * sum(_qp * _cnt) + sum(_cnt)) div (2 * sum(_cnt))"
+            ).alias("mean_quality_ppm"),
+        )
+    )
+
+
+QUALITY_QUANTILE_SQL = f"""
+WITH q AS ({QUALITY_SQL}),
+qm AS (
+  SELECT q.doc_id, d.source,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+per_val AS (
+  SELECT source, _qp, count(*) AS _cnt FROM qm GROUP BY source, _qp
+),
+scored AS (
+  SELECT source, _qp, _cnt,
+         coalesce(sum(_cnt) OVER (PARTITION BY source ORDER BY _qp
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS _cum,
+         sum(_cnt) OVER (PARTITION BY source) AS _n
+  FROM per_val
+),
+mid AS (
+  SELECT source, _qp, _cnt,
+         (2 * _cum + _cnt) * 500000 // _n AS _mid_ppm
+  FROM scored
+)
+SELECT source,
+       CAST(least(_mid_ppm // 100000, 9) AS BIGINT) AS decile,
+       CAST(sum(_cnt) AS BIGINT) AS n_docs,
+       CAST((2 * sum(_qp * _cnt) + sum(_cnt)) // (2 * sum(_cnt)) AS BIGINT)
+         AS mean_quality_ppm
+FROM mid GROUP BY source, least(_mid_ppm // 100000, 9)
+"""

@@ -250,6 +250,17 @@ register(
     dd.substring_dup_spans,
     dd.SUBSTRING_DUP_SPANS_SQL,
 )
+# ROUND-9 QUEUE (the TWS / round-7/8-queue precedent): implemented and
+# oracle-tested ahead of registration — the round-8 debt ceiling was
+# ratcheted to the 4 entries above and moves DOWN only. Register first
+# next round (tests/test_round9_queue.py):
+#   quality_quantile_normalize (textstats / QUALITY_QUANTILE_SQL) —
+#   per-source mid-rank CDF normalization of quality scores onto a
+#   common ppm scale (distribution alignment for corpus mixing);
+#   histogram-pass formulation, no per-doc window.
+#   ivf_incremental_assign (similarity / IVF_INCREMENTAL_SQL) —
+#   O(batch) ingest of an arriving embedding batch into a FROZEN IVF
+#   quantizer (vector-index analogue of minhash_incremental_novelty).
 
 # ---- window backfill: round-6-green entries ----
 
