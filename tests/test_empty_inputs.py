@@ -39,6 +39,12 @@ CASES = [
     # output, not dropped (exercised properly by the fixture test
     # below; the empty-table run here pins the all-NULL factor path).
     "token_balanced_mixture",
+    # round 8: sequence()+islands windows over an empty doc set, and
+    # the band CASE classifying zero rows (the queue ops' empty-table
+    # behavior is pinned in tests/test_round9_queue.py until they are
+    # registered)
+    "substring_dup_spans",
+    "orders_price_band",
 ]
 
 

@@ -102,3 +102,38 @@ def test_ivf_incremental_assign_conserves_the_batch(spark):
         assert r["n_old"] == old_truth[r["cell"]]
         assert -1_000_000 <= r["mean_cos_ppm"] <= 1_000_000
     assert len(out) >= 2, "fixture must exercise several cells"
+
+
+def test_round9_queue_on_empty_tables(spark, tmp_path):
+    """Both queue ops must agree with their oracles on EMPTY tables —
+    quality_quantile_normalize folds windows over zero histogram rows;
+    ivf_incremental_assign's ingest cutoff (max(vec_id)+1) goes NULL
+    over zero rows and must empty BOTH splits identically in both
+    engines."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.operators import textstats as ts
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    assert_frames_match(
+        ts.quality_quantile_normalize(spark, str(d)),
+        con.execute(ts.QUALITY_QUANTILE_SQL),
+        ctx="empty:quality_quantile_normalize",
+    )
+    assert_frames_match(
+        sim.ivf_incremental_assign(spark, str(d)),
+        con.execute(sim.IVF_INCREMENTAL_SQL),
+        ctx="empty:ivf_incremental_assign",
+    )
+    con.close()
