@@ -1529,7 +1529,12 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = nl.agg(
         F.expr(f"(max(vec_id) + 1) * {IVF_INCR_OLD_NUM} div 5").alias("_cut")
     )
-    tagged = nl.crossJoin(F.broadcast(bounds))
+    # cached: the split frame feeds the centroid build, the resident
+    # counts AND the arriving batch — without it the norms x labels
+    # subtree recomputes once per consumer (plan audit: 30 exchanges
+    # -> shared InMemory scan). In production the old/new split is a
+    # partition column and this is partition pruning, not a cache.
+    tagged = nl.crossJoin(F.broadcast(bounds)).cache()
     old = tagged.filter(F.col("vec_id") < F.col("_cut"))
     new = tagged.filter(F.col("vec_id") >= F.col("_cut"))
 

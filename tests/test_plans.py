@@ -526,3 +526,12 @@ def test_pii_redaction_single_map_pass(spark):
     plan = plan_string(Q["pii_redaction_audit"](spark, SF_DIR), "simple")
     assert plan.count("Exchange hashpartitioning") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_substring_dedup_is_join_free(spark):
+    """The suffix-array tier must never pair rows up: duplication is
+    decided by a count over ONE gram-keyed exchange, spans merge on
+    ONE doc-keyed window — no join anywhere in the plan."""
+    plan = plan_string(Q["substring_dup_spans"](spark, SF_DIR), "simple")
+    assert "Join" not in plan
+    assert plan.count("Window") == 2
