@@ -137,3 +137,27 @@ def test_round9_queue_on_empty_tables(spark, tmp_path):
         ctx="empty:ivf_incremental_assign",
     )
     con.close()
+
+
+def test_round9_queue_plans(spark):
+    """Physics pins ahead of registration: the CDF normalization must
+    never shuffle or window per doc (its windows slide over the
+    (source, score) histogram only), and the ingest op must read its
+    cached split (one computation for three consumers) with the
+    quantizer broadcast."""
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.operators import textstats as ts
+    from mapreduceece563_spark.plans import plan_string
+
+    p1 = plan_string(ts.quality_quantile_normalize(spark, SF_DIR), "simple")
+    assert "hashpartitioning(doc_id" not in p1, (
+        "per-doc exchange crept into the histogram formulation"
+    )
+    assert p1.count("Window") == 2
+
+    p2 = plan_string(sim.ivf_incremental_assign(spark, SF_DIR), "simple")
+    assert p2.count("InMemoryTableScan") >= 3, (
+        "the split frame must be cached once and read by the centroid "
+        "build, resident counts and arriving batch"
+    )
+    assert p2.count("BroadcastExchange") >= 2  # cutoff scalar + quantizer
