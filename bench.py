@@ -216,6 +216,11 @@ BUDGETS = {
     "streaming_outer_join_attribution": 25.0,  # 10-batch two-source watermarked drain + eviction flush, re-drained per pass (source fixture cached)
     "observed_filter_funnel": 2.5,  # round-8 queue: one observed pass + scalar assembly
     "streaming_sliding_windows": 9.0,  # re-drained per pass; 3.4s r8 phased
+    # --- round-9 registrations (SCALE.md round-9 queue probes) ---
+    "quality_quantile_normalize": 2.0,  # histogram CDF: 0.80s sf0.1 probed
+    "ivf_incremental_assign": 2.5,  # cached split + frozen quantizer: 0.98s
+    "roc_auc_by_lang": 2.0,  # same histogram+window shape as ks_drift
+    "rrf_rank_fusion": 3.0,  # shares the persisted TF stage with bm25_search
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in
@@ -346,16 +351,23 @@ def main() -> None:
     # 2-9x lower, all but one on Python-worker/Arrow entries whose
     # pass-to-pass spread is 3-14x under contention. Before recording
     # a violation, give the entry N_RERUNS dedicated attempts on an
-    # otherwise idle registry (drain sinks left as-is, so a streaming
-    # sibling re-measures its steady sink-read cost, not a fresh
-    # max(drain)) and accept the overall min. A genuine plan
-    # regression stays over budget no matter how quiet the box is.
+    # otherwise idle registry and accept the overall min. A genuine
+    # plan regression stays over budget no matter how quiet the box
+    # is. Streaming entries reset the drain memos before EVERY
+    # attempt (round-9 ADVICE): a rerun against warm sinks would be a
+    # memoized read-back taking near-zero time, erasing any real
+    # drain regression — instead each attempt re-measures a full solo
+    # drain, so its budget is judged against a drain the entry itself
+    # paid (<= the in-pass max(drain) its budget already assumes).
+    sweep_violations = _violations()
     reruns: dict[str, list[float]] = {}
-    for name in sorted(_violations()):
+    for name in sorted(sweep_violations):
         fn = qs[name]
         spark.sparkContext._jvm.System.gc()
         attempts = []
         for _ in range(N_RERUNS):
+            if name.startswith("streaming_"):
+                shared_drain.reset()
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             attempts.append(round(time.perf_counter() - t0, 3))
@@ -363,6 +375,21 @@ def main() -> None:
         timings[name] = min(timings[name], *attempts)
     total = round(sum(timings.values()), 3)
     violations = _violations()
+    # Rescue accounting (round-9 ADVICE): an entry that blew its
+    # budget in the phased sweep but was saved by the standalone
+    # re-run is recorded as "rescued" — still green for the gate, but
+    # visible, so the same entry being rescued round after round reads
+    # as a trend (box-sensitivity or a creeping plan cost) instead of
+    # silently green.
+    rescued = {
+        n: {
+            "sweep_sec": min(passes[n]),
+            "rescued_sec": timings[n],
+            "budget": sweep_violations[n]["budget"],
+        }
+        for n in sweep_violations
+        if n not in violations
+    }
 
     sweep = conf_sweep(spark, qs)
 
@@ -380,6 +407,7 @@ def main() -> None:
         "query_passes": passes,
         "standalone_reruns": reruns,
         "budget_violations": violations,
+        "rescued": rescued,
         **wc13,
         "conf_sweep": sweep,
     }
@@ -412,6 +440,7 @@ def main() -> None:
             "n_queries": len(timings),
             "passes": N_PASSES,
             "budget_violations": sorted(violations),
+            "rescued": sorted(rescued),
             **wc13,
             "sweep_best": sweep_best,
             "detail_file": "BENCH_DETAIL.json",

@@ -848,10 +848,11 @@ FROM spine s LEFT JOIN obs o ON s.digit = o.digit CROSS JOIN tot t
 
 KS_SPLIT = "2024-01-16"  # sample A: before; sample B: at/after
 # c(0.05)^2 for the two-sample KS rejection threshold
-# D > c * sqrt((na+nb)/(na*nb)); both engines compare the SAME
-# integers against the SAME double expression, so the boundary
-# cannot straddle engines.
-KS_C2_005 = 1.8447
+# D > c * sqrt((na+nb)/(na*nb)), pre-scaled by 1e4 so the alpha=0.05
+# decision is a pure-INTEGER comparison (10^4 * d_num^2 vs
+# 18447 * (na+nb) * na * nb) in 128-bit on both engines — no float64
+# rounding at the boundary anywhere (round-9 ADVICE).
+KS_C2_005_X1E4 = 18447
 
 
 def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,13 +878,21 @@ def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3e9 rows per type per side; its SQUARE (the alpha=0.05 decision)
     would wrap int64 already at n_a * n_b > ~3e9, so the quadratic
     runs in 128-bit on BOTH engines (Spark DECIMAL(38,0), DuckDB
-    HUGEINT). ks_ppm's numerator d_num * 1e6 keeps int64 headroom to
-    n_a * n_b ~9.2e12; past that, move the ppm into 128-bit the same
-    way. greatest(n_a * n_b, 1) guards the empty-side division
-    identically in both engines (Spark div would return NULL, DuckDB
-    // would raise — an engine divergence otherwise). Past the d_num
-    bound you shard the window by value range and take the max of
-    per-shard sups (same algebra), or bucket the CDF.
+    HUGEINT). The threshold constant is pre-scaled to the integer
+    18447 = 10^4 * c(0.05)^2, so the decision is an EXACT integer
+    comparison (10^4 * d_num^2 > 18447 * (n_a+n_b) * n_a * n_b) —
+    no float64 promotion at the boundary (round-9 ADVICE; the earlier
+    form multiplied by the double 1.8447, which silently demoted the
+    decision to 53-bit). Exactness bound: 10^4 * (n_a*n_b)^2 must fit
+    DECIMAL(38,0)/HUGEINT, i.e. n_a * n_b <= ~1e17 — ~3e8 rows per
+    type per side when balanced; past that, shard the window by value
+    range and take the max of per-shard sups (same algebra), or
+    bucket the CDF. ks_ppm's numerator d_num * 1e6 keeps int64
+    headroom to n_a * n_b ~9.2e12; past that, move the ppm into
+    128-bit the same way. greatest(n_a * n_b, 1) guards the
+    empty-side division identically in both engines (Spark div would
+    return NULL, DuckDB // would raise — an engine divergence
+    otherwise).
     """
     mid = F.lit(KS_SPLIT).cast("timestamp")
     ev = load_table(spark, sf_dir, "events").select(
@@ -929,8 +938,9 @@ def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "d_num * 1000000 div greatest(n_a * n_b, 1)"
             ).alias("ks_ppm"),
             F.expr(
-                "CAST(d_num AS DECIMAL(38,0)) * d_num > "
-                f"{KS_C2_005} * (n_a + n_b) * n_a * n_b"
+                "CAST(d_num AS DECIMAL(38,0)) * d_num * 10000 > "
+                f"CAST({KS_C2_005_X1E4} AS DECIMAL(38,0))"
+                " * (n_a + n_b) * n_a * n_b"
             ).alias("drift_at_005"),
         )
     )
@@ -967,8 +977,132 @@ SELECT event_type,
        CAST(max(abs(cum_a * n_b - cum_b * n_a)) * 1000000
             // greatest(max(n_a) * max(n_b), 1) AS BIGINT) AS ks_ppm,
        CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS HUGEINT)
-         * max(abs(cum_a * n_b - cum_b * n_a))
-         > {KS_C2_005} * (max(n_a) + max(n_b)) * max(n_a) * max(n_b)
+         * max(abs(cum_a * n_b - cum_b * n_a)) * 10000
+         > CAST({KS_C2_005_X1E4} AS HUGEINT)
+           * (max(n_a) + max(n_b)) * max(n_a) * max(n_b)
          AS drift_at_005
 FROM stepped GROUP BY event_type
 """
+
+
+# --- ROC AUC of the quality classifier (round 9) -----------------------
+
+# "Curated" sources: the positive class for the classifier-calibration
+# audit below (the curated-vs-crawled split every quality-filter
+# pipeline validates its scorer against).
+AUC_CURATED_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def roc_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC AUC, per language, of the document quality score as a
+    classifier for curated-source membership — the calibration audit a
+    training pipeline runs before trusting a quality scorer as a
+    filter gate ("does the score actually rank curated docs above
+    crawled ones, and does that hold per language?").
+
+    AUC is the Mann-Whitney U statistic with the standard tie
+    correction, computed INTEGER-exactly at histogram granularity:
+    quality quantized once to ppm (the oracle-pinned quality_score
+    double, same quantization as quality_quantile_normalize), then
+    per (lang, score value) the positive/negative counts; wins =
+    sum(pos * negatives-strictly-below), ties = sum(pos * neg) at the
+    same value, U2 = 2*wins + ties, and
+    auc_ppm = U2 * 500000 div (n_pos * n_neg) — no float anywhere
+    past the already-pinned score, so both engines agree bit for bit.
+
+    Scale posture (100 TB): identical to ks_drift_by_event_type — one
+    groupBy (lang, q_ppm) collapses the corpus map-side to <= 1e6+1
+    distinct score values per language, the cumulative-negatives
+    window slides over that bounded histogram (never a per-doc rank),
+    and the final rollup rides the same partitioning. Output is one
+    row per language. Overflow: U2 <= 2 * n_pos * n_neg per lang and
+    auc_ppm's numerator U2 * 5e5 stays in int64 up to
+    n_pos * n_neg ~ 9e12 (~3e6 docs per class per lang); past that,
+    lift U2 into DECIMAL(38,0)/HUGEINT exactly like the ks_drift
+    alpha decision.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_pos"),
+    )
+    per_val = (
+        q.join(meta, "doc_id")
+        .groupBy("lang", "_qp")
+        .agg(
+            F.sum("_pos").alias("_p"),
+            F.sum(1 - F.col("_pos")).alias("_n"),
+        )
+    )
+    w_below = (
+        Window.partitionBy("lang")
+        .orderBy("_qp")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_val.select(
+        "lang",
+        "_p",
+        "_n",
+        F.coalesce(F.sum("_n").over(w_below), F.lit(0)).alias("_neg_below"),
+    )
+    return (
+        stepped.groupBy("lang")
+        .agg(
+            F.sum("_p").alias("n_pos"),
+            F.sum("_n").alias("n_neg"),
+            F.sum(
+                F.col("_p") * (2 * F.col("_neg_below") + F.col("_n"))
+            ).alias("u2"),
+        )
+        .select(
+            "lang",
+            "n_pos",
+            "n_neg",
+            "u2",
+            F.expr(
+                "u2 * 500000 div greatest(n_pos * n_neg, 1)"
+            ).alias("auc_ppm"),
+        )
+    )
+
+
+def _roc_auc_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    curated = ", ".join(f"'{s}'" for s in AUC_CURATED_SOURCES)
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+qm AS (
+  SELECT q.doc_id, d.lang,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         CASE WHEN d.source IN ({curated}) THEN 1 ELSE 0 END AS _pos
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+per_val AS (
+  SELECT lang, _qp, sum(_pos) AS _p, sum(1 - _pos) AS _n
+  FROM qm GROUP BY lang, _qp
+),
+stepped AS (
+  SELECT lang, _p, _n,
+         coalesce(sum(_n) OVER (PARTITION BY lang ORDER BY _qp
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS _neg_below
+  FROM per_val
+)
+SELECT lang,
+       CAST(sum(_p) AS BIGINT) AS n_pos,
+       CAST(sum(_n) AS BIGINT) AS n_neg,
+       CAST(sum(_p * (2 * _neg_below + _n)) AS BIGINT) AS u2,
+       CAST(sum(_p * (2 * _neg_below + _n)) * 500000
+            // greatest(sum(_p) * sum(_n), 1) AS BIGINT) AS auc_ppm
+FROM stepped GROUP BY lang
+"""
+
+
+ROC_AUC_SQL = _roc_auc_sql()

@@ -896,3 +896,107 @@ SELECT source,
        CAST(sum(chars_redacted) AS BIGINT) AS chars_redacted
 FROM scrubbed GROUP BY source
 """
+
+
+# --- per-domain contribution cap (round-10 queue) ----------------------
+
+DOMAIN_DOC_CAP = 20  # max docs a single domain may contribute
+
+
+def domain_cap_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain contribution cap — the anti-domination gate every
+    crawl-curation pipeline runs after URL dedup ("no single domain
+    may contribute more than K documents, keep its best K"): rank each
+    domain's docs by quality (ppm-quantized, tie -> lowest doc_id),
+    keep the top DOMAIN_DOC_CAP, and report per-domain kept/dropped
+    accounting plus the surviving character mass.
+
+    Engine-exact: selection order is (quality ppm DESC, doc_id ASC) —
+    the already-pinned quality_score double quantized once, then pure
+    integer compares; both engines rank identically.
+
+    Scale posture (100 TB): per-group top-k with a SMALL k is the one
+    per-doc window that is scale-correct — the row_number() <= K
+    FILTER plans as WindowGroupLimit (plan-pinned in
+    tests/test_round10_queue.py), which keeps only K rows per group
+    per partition map-side BEFORE the domain exchange, so the shuffle
+    carries <= K * n_partitions rows per domain, never the domain's
+    full posting. Totals deliberately come from a separate window-FREE
+    rollup straight off the documents scan (counting needs no quality
+    join and no rank — folding totals into the ranked frame would
+    force the full window over every row and forfeit the group
+    limit); the two per-domain aggregates then join on the tiny
+    domain key. (Contrast quality_quantile_normalize, where an
+    UNBOUNDED per-doc rank would be the window-skew trap — bounded k
+    is what makes this shape legal.)
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    domain = F.concat(F.col("source"), F.lit(".example.com")).alias("domain")
+    totals = docs.select(domain).groupBy("domain").agg(
+        F.count("*").alias("n_docs")
+    )
+    per = docs.join(q, "doc_id").select(domain, "doc_id", "_qp", "n_chars")
+    w = Window.partitionBy("domain").orderBy(F.desc("_qp"), F.asc("doc_id"))
+    kept = (
+        per.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= DOMAIN_DOC_CAP)
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").alias("kept_chars"),
+        )
+    )
+    return totals.join(kept, "domain").select(
+        "domain",
+        "n_docs",
+        "n_kept",
+        (F.col("n_docs") - F.col("n_kept")).alias("n_dropped"),
+        "kept_chars",
+    )
+
+
+def _domain_cap_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+totals AS (
+  SELECT source || '.example.com' AS domain, count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+per AS (
+  SELECT d.source || '.example.com' AS domain, d.doc_id,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         d.n_chars
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+ranked AS (
+  SELECT domain, n_chars,
+         row_number() OVER (PARTITION BY domain
+                            ORDER BY _qp DESC, doc_id ASC) AS _r
+  FROM per
+),
+kept AS (
+  SELECT domain, count(*) AS n_kept, sum(n_chars) AS kept_chars
+  FROM ranked WHERE _r <= {DOMAIN_DOC_CAP} GROUP BY domain
+)
+SELECT t.domain,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(k.n_kept AS BIGINT) AS n_kept,
+       CAST(t.n_docs - k.n_kept AS BIGINT) AS n_dropped,
+       CAST(k.kept_chars AS BIGINT) AS kept_chars
+FROM totals t JOIN kept k ON t.domain = k.domain
+"""
+
+
+DOMAIN_CAP_SQL = _domain_cap_sql()

@@ -614,24 +614,12 @@ BM25_TOP_K = 10
 # + (900000*dl) // avgdl_milli.
 
 
-def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-10 documents for a fixed query under BM25 (k1=1.2, b=0.75)
-    — the ranked-retrieval face of the TF stage, beside TF-IDF's
-    feature-extraction face.
-
-    Engine-exact scoring: the only float op is the idf ln(), which is
-    immediately quantized to int64 milli-units (the tfidf_top_terms
-    idiom); document length, the average-length ratio, the saturation
-    denominator, and the final score are all integer arithmetic
-    (floor divisions), so cross-engine ranking can never disagree on
-    a tie-adjacent double.
-
-    Scale posture: the posting lists touched are ONLY the query
-    terms' (a filter on the persisted TF stage — at index scale, an
-    inverted-index lookup); doc lengths come from the same TF stage;
-    idf and avgdl ride broadcast frames of |query| and 1 rows; top-k
-    is TakeOrderedAndProject. Nothing scans the corpus at query time
-    except the shared, amortized TF build."""
+def bm25_scored_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BM25 candidate set BEFORE top-k: (doc_id, _sm) where _sm is
+    the summed integer micro-unit BM25 score of every document that
+    contains at least one query term. Shared by bm25_search (which
+    takes top-k here) and similarity.rrf_rank_fusion (which fuses the
+    full lexical ranking with a vector ranking)."""
     tf = _tf_stage(spark, sf_dir)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     n_docs = _n_docs(spark, sf_dir)
@@ -669,20 +657,41 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_s_micro"),
         )
     )
+    return scored.groupBy("doc_id").agg(F.sum("_s_micro").alias("_sm"))
+
+
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 documents for a fixed query under BM25 (k1=1.2, b=0.75)
+    — the ranked-retrieval face of the TF stage, beside TF-IDF's
+    feature-extraction face.
+
+    Engine-exact scoring: the only float op is the idf ln(), which is
+    immediately quantized to int64 milli-units (the tfidf_top_terms
+    idiom); document length, the average-length ratio, the saturation
+    denominator, and the final score are all integer arithmetic
+    (floor divisions), so cross-engine ranking can never disagree on
+    a tie-adjacent double.
+
+    Scale posture: the posting lists touched are ONLY the query
+    terms' (a filter on the persisted TF stage — at index scale, an
+    inverted-index lookup); doc lengths come from the same TF stage;
+    idf and avgdl ride broadcast frames of |query| and 1 rows; top-k
+    is TakeOrderedAndProject. Nothing scans the corpus at query time
+    except the shared, amortized TF build."""
+    scored = bm25_scored_micro(spark, sf_dir)
     return (
-        scored.groupBy("doc_id")
-        .agg(F.sum("_s_micro").alias("_sm"))
+        scored.orderBy(F.desc("_sm"), F.asc("doc_id"))
+        .limit(BM25_TOP_K)
         .select(
             "doc_id", (F.col("_sm") / 1_000_000.0).alias("bm25_score")
         )
-        .orderBy(F.desc("_sm"), F.asc("doc_id"))
-        .limit(BM25_TOP_K)
     )
 
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
-BM25_SEARCH_SQL = f"""
-WITH {_words_cte().lstrip()},
+# CTE chain through the summed integer micro-score per candidate doc
+# (`bsum`), shared by BM25_SEARCH_SQL and similarity.RRF_RANK_FUSION_SQL.
+BM25_SCORED_CTES = f"""{_words_cte().lstrip()},
 tok AS (SELECT doc_id, unnest(words) AS word FROM w),
 tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
 dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
@@ -709,10 +718,17 @@ scored AS (
   JOIN dl d ON d.doc_id = t.doc_id
   JOIN widf w2 ON w2.word = t.word
   CROSS JOIN avg a
-)
-SELECT doc_id, CAST(sum(_s_micro) AS BIGINT) / 1000000.0 AS bm25_score
-FROM scored GROUP BY doc_id
-ORDER BY CAST(sum(_s_micro) AS BIGINT) DESC, doc_id ASC
+),
+bsum AS (
+  SELECT doc_id, CAST(sum(_s_micro) AS BIGINT) AS _sm
+  FROM scored GROUP BY doc_id
+)"""
+
+BM25_SEARCH_SQL = f"""
+WITH {BM25_SCORED_CTES.lstrip()}
+SELECT doc_id, _sm / 1000000.0 AS bm25_score
+FROM bsum
+ORDER BY _sm DESC, doc_id ASC
 LIMIT {BM25_TOP_K}
 """
 

@@ -1649,3 +1649,225 @@ resident AS (
 SELECT s.cell, r.n_old, s.n_new, s.mean_cos_ppm
 FROM new_stats s JOIN resident r ON s.cell = r.cell
 """
+
+
+# --- reciprocal-rank fusion of lexical + vector retrieval (round 9) ----
+
+RRF_K = 60           # the standard RRF damping constant
+RRF_TOP_K = 20
+RRF_QUERY_VEC_ID = 0  # query = document 0's embedding
+
+
+def rrf_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the BM25 lexical ranking (query terms
+    ngrams.BM25_QUERY_TERMS) with a vector ranking (inner product
+    against document 0's embedding) by Reciprocal Rank Fusion —
+    score(d) = sum over rankings of 1/(k + rank_d), k=60 — the
+    standard way a RAG / retrieval pipeline combines keyword and
+    embedding search without score calibration.
+
+    Engine-exact end to end: the lexical side reuses the integer
+    micro-unit BM25 scores (ngrams.bm25_scored_micro); the vector
+    side quantizes each coordinate once to ppm int64 and ranks by the
+    pure-integer inner product (MIPS — |x| <= ~0.53, 64 dims, so
+    |dot| <= ~2e13, comfortably int64; cosine would need an
+    irrational norm division, and for retrieval fusion the ranking,
+    not the metric, is the semantic payload). Both rankings break
+    ties by id, and the fused score is integer:
+    rrf_ppm = 1e6 div (60+lex_rank) + 1e6 div (60+vec_rank).
+
+    Scale posture (100 TB): each ranking is a top-candidate set, not
+    a corpus scan — the lexical side only scores docs containing a
+    query term (posting-list bounded), and the vector side at index
+    scale feeds from the IVF probe (ivf_ann) instead of the full
+    brute-force scan used at fixture scale. The rank windows are
+    global over those BOUNDED candidate sets (the classic top-k
+    re-rank stage); the fusion join is an int64-keyed join of two
+    candidate lists, and the final top-k is TakeOrderedAndProject.
+    """
+    from .ngrams import bm25_scored_micro
+
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * 1_000_000, 0).cast("long"),
+        ).alias("vi"),
+    )
+    q = emb.filter(F.col("vec_id") == RRF_QUERY_VEC_ID).select(
+        F.col("vi").alias("qi")
+    )
+    dot = F.aggregate(
+        F.zip_with("vi", "qi", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cands = (
+        emb.filter(F.col("vec_id") != RRF_QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", dot.alias("_dot"))
+    )
+    w_vec = Window.orderBy(F.desc("_dot"), F.asc("vec_id"))
+    vrank = cands.select(
+        F.col("vec_id").alias("_vid"),
+        F.row_number().over(w_vec).cast("long").alias("vec_rank"),
+    )
+    w_lex = Window.orderBy(F.desc("_sm"), F.asc("doc_id"))
+    lrank = bm25_scored_micro(spark, sf_dir).select(
+        F.col("doc_id").alias("_lid"),
+        F.row_number().over(w_lex).cast("long").alias("lex_rank"),
+    )
+    fused = (
+        vrank.join(lrank, vrank["_vid"] == lrank["_lid"], "full_outer")
+        .select(
+            F.coalesce("_vid", "_lid").alias("doc_id"),
+            "lex_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + lex_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({RRF_K} + vec_rank)"), F.lit(0)
+                )
+            ).alias("rrf_ppm"),
+        )
+    )
+    return (
+        fused.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+        .limit(RRF_TOP_K)
+    )
+
+
+def _rrf_sql() -> str:
+    from .ngrams import BM25_SCORED_CTES
+
+    qint = "list_transform(embedding, x -> CAST(round(x * 1000000, 0) AS BIGINT))"
+    return f"""
+WITH {BM25_SCORED_CTES.lstrip()},
+qv AS (
+  SELECT {qint} AS qi FROM embeddings WHERE vec_id = {RRF_QUERY_VEC_ID}
+),
+cand AS (
+  SELECT vec_id,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+                        list_transform(list_zip({qint}, qi),
+                                       p -> p[1] * p[2])),
+           (acc, x) -> acc + x) AS _dot
+  FROM embeddings CROSS JOIN qv WHERE vec_id <> {RRF_QUERY_VEC_ID}
+),
+vrank AS (
+  SELECT vec_id AS _vid,
+         row_number() OVER (ORDER BY _dot DESC, vec_id ASC) AS vec_rank
+  FROM cand
+),
+lrank AS (
+  SELECT doc_id AS _lid,
+         row_number() OVER (ORDER BY _sm DESC, doc_id ASC) AS lex_rank
+  FROM bsum
+),
+fused AS (
+  SELECT coalesce(_vid, _lid) AS doc_id,
+         CAST(lex_rank AS BIGINT) AS lex_rank,
+         CAST(vec_rank AS BIGINT) AS vec_rank,
+         coalesce(1000000 // ({RRF_K} + lex_rank), 0)
+           + coalesce(1000000 // ({RRF_K} + vec_rank), 0) AS rrf_ppm
+  FROM vrank FULL OUTER JOIN lrank ON _vid = _lid
+)
+SELECT doc_id, lex_rank, vec_rank, CAST(rrf_ppm AS BIGINT) AS rrf_ppm
+FROM fused ORDER BY rrf_ppm DESC, doc_id ASC LIMIT {RRF_TOP_K}
+"""
+
+
+RRF_RANK_FUSION_SQL = _rrf_sql()
+
+
+# --- signed random projection signatures (round-10 queue) --------------
+
+SRP_BITS = 16   # signature width
+SRP_DIMS = 64   # embedding dimensionality (the fixture tables' width)
+
+
+def _srp_signs(j: int) -> list[int]:
+    """Deterministic +/-1 hyperplane row j: a fixed 31-bit LCG over
+    (dim, bit) — a compile-time constant embedded as literals in BOTH
+    engines' plans, so there is no runtime hash to keep portable."""
+    out = []
+    for i in range(SRP_DIMS):
+        v = (1103515245 * (i * SRP_BITS + j) + 12345) % (1 << 31)
+        out.append(1 if (v >> 16) & 1 else -1)
+    return out
+
+
+def srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed-random-projection (SimHash-for-embeddings) signatures:
+    each vector is reduced to a SRP_BITS-bit fingerprint — bit j is
+    the sign of the inner product with a fixed +/-1 hyperplane — the
+    standard cheap pre-filter in front of exact cosine for
+    embedding-space near-dup (Charikar 2002; the vector-side sibling
+    of the text SimHash already in operators/dedup.py, and the
+    LSH-bucket generator behind embedding_similar_pairs generalized
+    to arbitrary hyperplanes instead of single coordinates).
+
+    Engine-exact: coordinates are quantized once to ppm int64, the
+    hyperplane entries are +/-1 integer LITERALS (same constants in
+    the Spark plan and the oracle SQL), so every bit decision is the
+    sign of a pure-int64 sum — no float fold order, no boundary ulps.
+
+    Scale posture (100 TB): map-only — SRP_BITS integer dot products
+    per row, zero exchanges, zero joins; the signature column is what
+    downstream groups/joins on (hamming-banded like
+    simhash_hamming_pairs), and THOSE ops shuffle 8-byte sigs, never
+    vectors. Signature cost is O(d * SRP_BITS) multiplies per row.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x * 1_000_000, 0).cast("long"),
+        ).alias("vi"),
+    )
+    bits = []
+    for j in range(SRP_BITS):
+        plane = F.array(*[F.lit(s) for s in _srp_signs(j)])
+        dot = F.aggregate(
+            F.zip_with(F.col("vi"), plane, lambda x, y: x * y),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long"))
+    sig = bits[0] * 0
+    npos = bits[0] * 0
+    for j, b in enumerate(bits):
+        sig = sig + b * (1 << j)
+        npos = npos + b
+    return emb.select(
+        "vec_id", sig.alias("srp_sig"), npos.alias("n_pos_bits")
+    )
+
+
+def _srp_sql() -> str:
+    vi = "list_transform(embedding, x -> CAST(round(x * 1000000, 0) AS BIGINT))"
+    bit_terms = []
+    npos_terms = []
+    for j in range(SRP_BITS):
+        plane = ", ".join(str(s) for s in _srp_signs(j))
+        dot = (
+            "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+            f"list_transform(list_zip(vi, [{plane}]), p -> p[1] * p[2])), "
+            "(acc, x) -> acc + x)"
+        )
+        bit = f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)"
+        bit_terms.append(f"{bit} * {1 << j}")
+        npos_terms.append(bit)
+    return f"""
+WITH e AS (SELECT vec_id, {vi} AS vi FROM embeddings)
+SELECT vec_id,
+       CAST({" + ".join(bit_terms)} AS BIGINT) AS srp_sig,
+       CAST({" + ".join(npos_terms)} AS BIGINT) AS n_pos_bits
+FROM e
+"""
+
+
+SRP_SIGNATURE_SQL = _srp_sql()

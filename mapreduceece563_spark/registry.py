@@ -250,17 +250,41 @@ register(
     dd.substring_dup_spans,
     dd.SUBSTRING_DUP_SPANS_SQL,
 )
-# ROUND-9 QUEUE (the TWS / round-7/8-queue precedent): implemented and
-# oracle-tested ahead of registration — the round-8 debt ceiling was
-# ratcheted to the 4 entries above and moves DOWN only. Register first
-# next round (tests/test_round9_queue.py):
-#   quality_quantile_normalize (textstats / QUALITY_QUANTILE_SQL) —
-#   per-source mid-rank CDF normalization of quality scores onto a
-#   common ppm scale (distribution alignment for corpus mixing);
-#   histogram-pass formulation, no per-doc window.
-#   ivf_incremental_assign (similarity / IVF_INCREMENTAL_SQL) —
-#   O(batch) ingest of an arriving embedding batch into a FROZEN IVF
-#   quantizer (vector-index analogue of minhash_incremental_novelty).
+# ---- round-9 registrations ----
+# The two round-9-queue entries (implemented + oracle-tested in round
+# 8, tests/test_round9_queue.py) plus the two operators built this
+# round (tests/test_round9_ops.py).
+
+register(
+    "quality_quantile_normalize",
+    ts.quality_quantile_normalize,
+    ts.QUALITY_QUANTILE_SQL,
+)
+register(
+    "ivf_incremental_assign",
+    sim.ivf_incremental_assign,
+    sim.IVF_INCREMENTAL_SQL,
+)
+register(
+    "roc_auc_by_lang",
+    an.roc_auc_by_lang,
+    an.ROC_AUC_SQL,
+)
+register(
+    "rrf_rank_fusion",
+    sim.rrf_rank_fusion,
+    sim.RRF_RANK_FUSION_SQL,
+)
+# ROUND-10 QUEUE (the round-7/8/9-queue precedent): implemented and
+# oracle-tested ahead of registration — the round-9 debt ceiling
+# covers the 4 entries above and moves DOWN only. Register first next
+# round (tests/test_round10_queue.py):
+#   srp_signature (similarity / SRP_SIGNATURE_SQL) — signed-random-
+#   projection embedding fingerprints, map-only, pure-int64 sign
+#   decisions from literal +/-1 hyperplanes (no runtime hash).
+#   domain_cap_survivors (corpus / DOMAIN_CAP_SQL) — per-domain
+#   contribution cap (keep best K by quality), WindowGroupLimit-
+#   planned bounded top-k + window-free totals rollup.
 
 # ---- window backfill: round-6-green entries ----
 
@@ -988,83 +1012,88 @@ register(
 
 
 # ======================================================================
-# ROUND-8 WINDOW ROTATION (VERDICT r7 ask #6): every entry is driver-
-# green cumulatively, so the window's job this round is (a) the four
-# round-8 registrations (the only never-green entries) and (b) RE-
-# certifying the stalest certifications — the 49 entries whose latest
-# green driver row is round 2 — plus the four operators whose
-# implementations changed this round (orders_price_band CASE rewrite,
-# knn_pandas_udf native prune, ks_drift 128-bit square, merkle two-
-# sided dirty filter). The rotation rebuilds the registry dict in
+# ROUND-9 WINDOW ROTATION (VERDICT r7 ask #6 cadence): every prior
+# entry is driver-green cumulatively (r1-r8 went 50/50 each round), so
+# the window's job this round is (a) the four round-9 registrations
+# (the only never-green entries: the two round-9-queue operators plus
+# the two built this round), (b) the six r2-vintage leftovers the
+# round-8 rotation explicitly queued first (_R8_NEXT), (c) the one
+# operator whose implementation changed this round (ks_drift integer-
+# exact alpha decision), and (d) RE-certifying the stalest remaining
+# certifications — entries whose latest green driver row is round 3 —
+# in registry order. The rotation rebuilds the registry dict in
 # window-first order; relative order elsewhere is preserved, and the
-# six r2-vintage entries that do not fit lead the post-window block so
-# round 9's rotation picks them first.
+# eight r3-vintage entries that do not fit lead the post-window block
+# (_R9_NEXT) so round 10's rotation picks them first.
 # ======================================================================
 
-_R8_WINDOW = [
-    # never-green: the round-8 registrations
-    "observed_filter_funnel",
-    "per_lang_hash_sample",
-    "orders_price_band_overlap",
-    "substring_dup_spans",
-    # changed implementations this round
-    "orders_price_band",
-    "knn_pandas_udf",
+_R9_WINDOW = [
+    # never-green: the round-9 registrations
+    "quality_quantile_normalize",
+    "ivf_incremental_assign",
+    "roc_auc_by_lang",
+    "rrf_rank_fusion",
+    # changed implementation this round (integer-exact KS decision)
     "ks_drift_by_event_type",
-    "merkle_block_sync",
-    # stalest certifications (latest green = round 2), registry order
-    "wordcount_by_lang",
-    "distinct_vocab",
-    "topk_words",
-    "q1_pricing_summary",
-    "q3_top_unshipped",
-    "q5_region_revenue",
-    "top_customers_per_nation",
-    "orders_running_total",
-    "customers_inactive_1995",
-    "suppliers_with_sales",
-    "parts_never_ordered",
-    "nation_presence_union",
-    "nation_customer_rollup",
-    "orders_priority_pivot",
-    "events_hourly",
-    "events_json_stats",
-    "segment_stats",
-    "dedup_exact_stats",
-    "dedup_exact_survivors",
-    "dedup_minhash",
-    "ngram_jaccard_pairs",
-    "simhash_fingerprint",
-    "simhash_collisions",
-    "knn_brute_force",
-    "embedding_similar_pairs",
-    "embedding_centroids",
-    "token_stats",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "multimodal_features",
-    "image_resize_plan",
-    "frame_sample_plan",
-    "word_bigrams",
-    "tfidf_top_terms",
-    "bpe_token_count",
-    "sessionize",
-    "orders_by_month",
-    "lineitem_flags_cube",
-    "price_percentiles",
-    "simhash_hamming_pairs",
-    "ivf_ann",
-]
-
-# r2-vintage leftovers: first in line for the round-9 window
-_R8_NEXT = [
+    # r2-vintage leftovers queued first by the round-8 rotation
     "asof_join_events",
     "purchase_followup_counts",
     "user_gap_stats",
     "session_window_counts",
     "dedup_embedding_stats",
     "events_type_profile",
+    # stalest certifications (latest green = round 3), registry order
+    "orders_grouping_sets",
+    "approx_distinct_users",
+    "dedup_groups",
+    "dedup_edit_distance",
+    "training_data_filter",
+    "corpus_stats",
+    "doc_repetition_stats",
+    "tfidf_cosine_pairs",
+    "brands_all_sizes",
+    "minhash_jaccard_estimate",
+    "customer_balance_deciles",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_orders",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q4_order_priority",
+    "q9_profit_by_nation",
+    "q13_order_distribution",
+    "q15_top_supplier",
+    "q17_small_qty_revenue",
+    "q19_disjunctive_revenue",
+    "q22_inactive_rich",
+    "q2_min_cost_supplier",
+    "q11_important_parts",
+    "q12_shipping_delay",
+    "q16_supplier_counts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
+    "train_test_split",
+    "token_pack",
+    "embedding_quantize",
+    "source_mixture_weights",
+    "contamination_check",
+    "winnow_fingerprints",
+    "events_hourly_anomalies",
+    "sql_supplier_argmax",
+    "user_trailing_value",
+]
+
+# r3-vintage leftovers: first in line for the round-10 window
+_R9_NEXT = [
+    "streaming_wordcount",
+    "image_decode_stats",
+    "image_decode_resize",
+    "events_salted_join",
+    "kmeans_2iter",
+    "streaming_events_hourly",
+    "training_manifest",
+    "boilerplate_ngrams",
 ]
 
 
@@ -1076,5 +1105,5 @@ def _rotate(head: list[str]) -> None:
     _REGISTRY = {n: _REGISTRY[n] for n in [*head, *rest]}
 
 
-_rotate(_R8_WINDOW + _R8_NEXT)
-assert len(_R8_WINDOW) == 50, len(_R8_WINDOW)
+_rotate(_R9_WINDOW + _R9_NEXT)
+assert len(_R9_WINDOW) == 50, len(_R9_WINDOW)

@@ -1,0 +1,172 @@
+"""Round-10 queue: implemented + oracle-tested ahead of registration
+(the round-7/8/9-queue precedent — the round-9 debt ceiling covers the
+4 round-9 registrations and moves down only, so these wait for the
+round-10 window).
+
+Each entry gets the same oracle compare the driver will run, plus the
+invariants the hash check cannot see (pure-Python models for both —
+the SRP sign algebra and the per-domain top-k selection).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+def test_srp_signature_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import similarity as sim
+
+    assert_frames_match(
+        sim.srp_signature(spark, SF_DIR),
+        duck.execute(sim.SRP_SIGNATURE_SQL),
+        ctx="srp_signature",
+    )
+
+
+def test_srp_signature_python_model(spark):
+    """Recompute every signature from the raw embeddings in pure
+    Python (same ppm quantization, same LCG hyperplanes) — bit-exact
+    equality, plus popcount consistency and duplicate-vector
+    collision (identical vectors MUST collide; that is the point of
+    the fingerprint)."""
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    emb = {
+        r["vec_id"]: [round(x * 1_000_000) for x in r["embedding"]]
+        for r in load_table(spark, SF_DIR, "embeddings").collect()
+    }
+    planes = [sim._srp_signs(j) for j in range(sim.SRP_BITS)]
+
+    def sig_of(v):
+        s = 0
+        for j, plane in enumerate(planes):
+            dot = sum(a * b for a, b in zip(v, plane))
+            if dot >= 0:
+                s |= 1 << j
+        return s
+
+    got = {
+        r["vec_id"]: (r["srp_sig"], r["n_pos_bits"])
+        for r in sim.srp_signature(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(emb)
+    for vid, v in emb.items():
+        s = sig_of(v)
+        assert got[vid] == (s, bin(s).count("1")), vid
+    # identical vectors collide
+    by_vec: dict = {}
+    for vid, v in emb.items():
+        by_vec.setdefault(tuple(v), []).append(vid)
+    for vids in by_vec.values():
+        assert len({got[v][0] for v in vids}) == 1
+    # hyperplanes are reasonably balanced: signatures occupy more than
+    # one bucket and not every bit is constant across the corpus
+    sigs = {s for s, _ in got.values()}
+    assert len(sigs) > 1
+    varying_bits = sum(
+        1
+        for j in range(sim.SRP_BITS)
+        if len({(s >> j) & 1 for s, _ in got.values()}) == 2
+    )
+    assert varying_bits >= sim.SRP_BITS // 2, varying_bits
+
+
+def test_srp_signature_is_map_only(spark):
+    """The signature pass must be a pure map — zero exchanges, zero
+    joins (the 100 TB posture claim in the docstring, pinned)."""
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(sim.srp_signature(spark, SF_DIR), "simple")
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
+    assert "SortAggregate" not in p and "HashAggregate" not in p
+
+
+def test_domain_cap_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import corpus as cp
+
+    assert_frames_match(
+        cp.domain_cap_survivors(spark, SF_DIR),
+        duck.execute(cp.DOMAIN_CAP_SQL),
+        ctx="domain_cap_survivors",
+    )
+
+
+def test_domain_cap_python_model(spark):
+    """Per-domain accounting against a pure-Python top-k model over
+    the op's own quality scores: kept = min(n, CAP), kept+dropped = n,
+    and kept_chars equals the char mass of exactly the top-CAP docs
+    under (quality ppm DESC, doc_id ASC)."""
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source", "n_chars"
+    ).collect()
+    by_dom: dict = {}
+    for r in docs:
+        by_dom.setdefault(r["source"] + ".example.com", []).append(
+            (-q[r["doc_id"]], r["doc_id"], r["n_chars"])
+        )
+    got = {r["domain"]: r for r in cp.domain_cap_survivors(spark, SF_DIR).collect()}
+    assert set(got) == set(by_dom)
+    for dom, rows in by_dom.items():
+        rows.sort()
+        kept = rows[: cp.DOMAIN_DOC_CAP]
+        g = got[dom]
+        assert g["n_docs"] == len(rows)
+        assert g["n_kept"] == min(len(rows), cp.DOMAIN_DOC_CAP)
+        assert g["n_kept"] + g["n_dropped"] == g["n_docs"]
+        assert g["kept_chars"] == sum(c for _, _, c in kept)
+
+
+def test_domain_cap_plan_uses_window_group_limit(spark):
+    """The bounded-k selection must plan as WindowGroupLimit (map-side
+    per-partition top-k BEFORE the domain exchange) — the invariant
+    that makes a per-doc window legal at 100 TB."""
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(cp.domain_cap_survivors(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in p
+    assert "windowspecdefinition(domain" in p or "Window [row_number" in p
+
+
+def test_round10_queue_on_empty_tables(spark, tmp_path):
+    """Both queue ops must agree with their oracles on EMPTY tables."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    assert_frames_match(
+        sim.srp_signature(spark, str(d)),
+        con.execute(sim.SRP_SIGNATURE_SQL),
+        ctx="empty:srp_signature",
+    )
+    assert_frames_match(
+        cp.domain_cap_survivors(spark, str(d)),
+        con.execute(cp.DOMAIN_CAP_SQL),
+        ctx="empty:domain_cap_survivors",
+    )
+    con.close()
