@@ -166,3 +166,138 @@ def _round_half_even(x: float) -> float:
             decimal.Decimal("1"), rounding=decimal.ROUND_HALF_UP
         )
     )
+
+
+def test_roc_auc_matches_pairwise_model_on_tied_corpus(spark, tmp_path):
+    """Heavy-tie random corpus (identical texts shared across curated
+    AND crawled sources, so positives and negatives collide on the
+    same score value): per-language AUC must equal the O(P*N)
+    pairwise Mann-Whitney model (win=1, tie=1/2) over the operator's
+    own quality scores."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators.textstats import quality_score
+
+    rng = random.Random(91)
+    words = ["alpha", "beta", "the", "of", "and", "zz9", "%%%", "tex"]
+    templates = [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 25)))
+        for _ in range(10)
+    ]
+    rows = []
+    for i in range(160):
+        t = templates[rng.randrange(len(templates))]
+        rows.append(
+            (i, t, rng.choice(["en", "de", "zh"]), f"src{rng.randrange(8)}",
+             len(t))
+        )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    q = {
+        r["doc_id"]: int(round(r["quality"] * 1_000_000))
+        for r in quality_score(spark, str(tmp_path)).collect()
+    }
+    got = {
+        r["lang"]: r
+        for r in an.roc_auc_by_lang(spark, str(tmp_path)).collect()
+    }
+    langs = {lg for _, _, lg, _, _ in rows}
+    for lang in langs:
+        pos = [q[i] for i, _, lg, s, _ in rows
+               if lg == lang and s in an.AUC_CURATED_SOURCES]
+        neg = [q[i] for i, _, lg, s, _ in rows
+               if lg == lang and s not in an.AUC_CURATED_SOURCES]
+        u2 = sum(2 if p > n else (1 if p == n else 0)
+                 for p in pos for n in neg)
+        g = got[lang]
+        assert (g["n_pos"], g["n_neg"], g["u2"]) == (len(pos), len(neg), u2)
+        assert g["auc_ppm"] == u2 * 500_000 // max(len(pos) * len(neg), 1)
+
+
+def test_rrf_fusion_model_on_engineered_ties(spark, tmp_path):
+    """Random fixture engineered for the nasty cases: duplicate
+    vectors (exact dot ties -> id tie-break), a zero vector (dot 0
+    against everything), and documents that carry NO query term (no
+    lexical rank -> vector-only RRF contribution). The fused top-k
+    must equal the pure-Python model built from the op's own integer
+    inputs."""
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.operators.ngrams import bm25_scored_micro
+
+    rng = random.Random(17)
+    n, d = 60, 8
+    vecs = {}
+    for i in range(n):
+        if i % 7 == 3:
+            vecs[i] = list(vecs[i - 1])  # exact duplicate of neighbor
+        elif i == 5:
+            vecs[i] = [0.0] * d  # zero vector
+        else:
+            vecs[i] = [round(rng.uniform(-0.5, 0.5), 6) for _ in range(d)]
+    texts = []
+    for i in range(n):
+        if i % 5 == 0:
+            texts.append("hash join scan " * (1 + i % 4))
+        else:
+            # only 12 of 60 docs carry a query term — fewer lexical
+            # candidates than RRF_TOP_K, so the fused top-20 MUST
+            # contain vector-only entries (a doc with any lexical rank
+            # always outscores the best vector-only doc here:
+            # 1e6/(60+12) + 1e6/(60+59) > 1e6/(60+1))
+            texts.append("no query terms at all " * (1 + i % 5))
+    spark.createDataFrame(
+        [(i, t.strip(), "en", "s0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    spark.createDataFrame(
+        [(i, vecs[i], 0) for i in range(n)],
+        "vec_id long, embedding array<float>, label int",
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    lex = {
+        r["doc_id"]: r["_sm"]
+        for r in bm25_scored_micro(spark, str(tmp_path)).collect()
+    }
+    # quantize exactly as the op does: from the FLOAT32 stored values
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    emb = {
+        r["vec_id"]: [round(x * 1_000_000) for x in r["embedding"]]
+        for r in load_table(spark, str(tmp_path), "embeddings").collect()
+    }
+    qv = emb[sim.RRF_QUERY_VEC_ID]
+    dots = {
+        v: sum(a * b for a, b in zip(emb[v], qv))
+        for v in emb
+        if v != sim.RRF_QUERY_VEC_ID
+    }
+    vec_rank = {
+        v: i + 1
+        for i, (v, _) in enumerate(
+            sorted(dots.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    lex_rank = {
+        doc: i + 1
+        for i, (doc, _) in enumerate(
+            sorted(lex.items(), key=lambda kv: (-kv[1], kv[0]))
+        )
+    }
+    ids = set(vec_rank) | set(lex_rank)
+    fused = {
+        i: (1_000_000 // (sim.RRF_K + lex_rank[i]) if i in lex_rank else 0)
+        + (1_000_000 // (sim.RRF_K + vec_rank[i]) if i in vec_rank else 0)
+        for i in ids
+    }
+    want = sorted(ids, key=lambda i: (-fused[i], i))[: sim.RRF_TOP_K]
+
+    got = sim.rrf_rank_fusion(spark, str(tmp_path)).collect()
+    assert [r["doc_id"] for r in got] == want
+    for r in got:
+        assert r["rrf_ppm"] == fused[r["doc_id"]]
+    # the fixture really exercised the cases
+    assert any(i not in lex_rank for i in want), "vector-only doc in top-k"
+    dup_pairs = [(i - 1, i) for i in range(n) if i % 7 == 3]
+    assert any(dots[a] == dots[b] for a, b in dup_pairs if a in dots and b in dots)
