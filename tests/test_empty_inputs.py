@@ -45,6 +45,12 @@ CASES = [
     # registered)
     "substring_dup_spans",
     "orders_price_band",
+    # round 9: the AUC histogram windows over zero (lang, score) rows,
+    # and RRF's full-outer fusion of two EMPTY candidate rankings
+    # (which also exercises the BM25 CTE chain's NULL avgdl path on a
+    # zero-doc corpus)
+    "roc_auc_by_lang",
+    "rrf_rank_fusion",
 ]
 
 
