@@ -1106,3 +1106,133 @@ FROM stepped GROUP BY lang
 
 
 ROC_AUC_SQL = _roc_auc_sql()
+
+
+# --- CUSUM sequential changepoint scan (round-10 queue) -----------------
+
+
+def cusum_drift_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential (online-style) changepoint detection per event type:
+    the one-sided CUSUM statistics of the value stream in time order —
+    where ks_drift_by_event_type compares two FIXED periods, CUSUM
+    scans every prefix boundary at once and reports how large the
+    worst upward / downward mean shift is and WHEN it peaks (the
+    monitoring gate that pages before a scheduled two-sample test
+    would run).
+
+    Integer-exact via the prefix-extremum identity: with x_t the
+    cents stream and dev_t = n*x_t - tot (deviation from the mean
+    scaled by n, so no division anywhere), P_t = cumsum(dev_t),
+    S+_t = P_t - min(0, min_{s<=t} P_s) and
+    S-_t = max(0, max_{s<=t} P_s) - P_t — the classic recursive
+    max(0, S+ + dev) CUSUM unrolled into two windowed extrema.
+    Exported: sup S+ (and its first peak timestamp), sup S-, all in
+    n-scaled cents (divide by n for cents units); engines agree bit
+    for bit because every step is int64 (event ordering is made
+    deterministic by the (ts, event_id) tiebreak).
+
+    Scale posture (100 TB): two ordered windows per event_type
+    partition — strata scan in parallel; within a type this is the
+    same one-ordered-pass caveat as pps_systematic_sample (at extreme
+    per-type cardinality you shard the stream by time range, compute
+    per-shard (sum, min-prefix, max-prefix) and combine with the
+    standard segment-tree prefix algebra — the window form is the
+    oracle-exact statement). Overflow: |P_t| <= n * sum|cents|, int64
+    to ~3e6 rows per type at cents ~1e5; past that, the same
+    DECIMAL(38,0)/HUGEINT lift as the KS alpha decision.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    w_all = Window.partitionBy("event_type")
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = (
+        ev.withColumn("n", F.count("*").over(w_all))
+        .withColumn("tot", F.sum("cents").over(w_all))
+        .withColumn(
+            "p",
+            F.col("n") * F.sum("cents").over(w_cum)
+            - F.row_number().over(
+                Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+            )
+            * F.col("tot"),
+        )
+        .withColumn(
+            "s_up", F.col("p") - F.least(F.lit(0), F.min("p").over(w_cum))
+        )
+        .withColumn(
+            "s_dn", F.greatest(F.lit(0), F.max("p").over(w_cum)) - F.col("p")
+        )
+    )
+    w_peak = Window.partitionBy("event_type").orderBy(
+        F.desc("s_up"), F.asc("ts_us"), F.asc("event_id")
+    )
+    return (
+        stepped.withColumn("_r", F.row_number().over(w_peak))
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("s_up").alias("cusum_up_max"),
+            F.max(F.when(F.col("_r") == 1, F.col("ts_us"))).alias(
+                "peak_ts_us"
+            ),
+            F.max("s_dn").alias("cusum_down_max"),
+        )
+    )
+
+
+CUSUM_DRIFT_SQL = """
+WITH ev AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+),
+stepped AS (
+  SELECT event_type, event_id, ts_us,
+         count(*) OVER (PARTITION BY event_type) AS n,
+         sum(cents) OVER (PARTITION BY event_type) AS tot,
+         sum(cents) OVER (PARTITION BY event_type ORDER BY ts_us, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_x,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts_us, event_id) AS t
+  FROM ev
+),
+paths AS (
+  SELECT event_type, ts_us, event_id,
+         n * cum_x - t * tot AS p, n
+  FROM stepped
+),
+scans AS (
+  SELECT event_type, ts_us, event_id, n, p,
+         p - least(0, min(p) OVER (PARTITION BY event_type
+                     ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           AS s_up,
+         greatest(0, max(p) OVER (PARTITION BY event_type
+                     ORDER BY ts_us, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) - p
+           AS s_dn
+  FROM paths
+),
+peaks AS (
+  SELECT event_type, ts_us, event_id, n, s_up, s_dn,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY s_up DESC, ts_us ASC, event_id ASC)
+           AS _r
+  FROM scans
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       CAST(max(s_up) AS BIGINT) AS cusum_up_max,
+       CAST(max(CASE WHEN _r = 1 THEN ts_us END) AS BIGINT) AS peak_ts_us,
+       CAST(max(s_dn) AS BIGINT) AS cusum_down_max
+FROM peaks GROUP BY event_type
+"""

@@ -885,3 +885,94 @@ SELECT lang, doc_id, sample_rank FROM (
   FROM documents
 ) WHERE sample_rank <= {HASH_SAMPLE_K}
 """
+
+
+# --- temperature-scaled mixture weights (round-10 queue) ----------------
+
+# tau = 2  <=>  p_i ^ (1/2): the standard multilingual/multi-domain
+# upsampling temperature (sqrt scaling between natural and uniform).
+
+
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled sampling weights per source —
+    w_i = p_i^(1/tau) / sum_j p_j^(1/tau) with tau=2 — the standard
+    compromise between natural sampling (starves small sources) and
+    uniform (over-repeats them); completes the mixture family between
+    source_mixture_weights (uniform target) and token_balanced_mixture
+    (full equalization).
+
+    Engine-exactness: the ONE transcendental per source is
+    sqrt(n_tokens/tot) — a single identically-ordered double
+    expression whose inputs are exact int64 sums, and IEEE-754
+    requires sqrt (and the division) correctly rounded, so both
+    engines produce the identical double, quantized once to int64
+    micro-units. Everything after is integer: the normalizing sum is
+    a sum of int64 quanta (never a float fold over sources), weights
+    are ppm floor-divisions, and the boost factor vs natural share is
+    an int64 milli ratio. (Contrast a sum of raw sqrt doubles, whose
+    fold order could differ across engines.)
+
+    Scale posture (100 TB): one groupBy(source) collapses the corpus
+    map-side; everything downstream is a |sources|-row frame with a
+    broadcast 1-row total. Overflow: s_micro <= 1e6, so the boost
+    numerator s_micro * 1e6 * tot stays int64 for tot < 9e6 — the
+    milli form used here (temp_weight_ppm * tot) div (1000 *
+    n_tokens) holds to tot ~ 9e12 tokens; shard past that.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    per = (
+        docs.select("source", _ws_tokens(F.col("text")).alias("_t"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("_t").alias("n_tokens"))
+    )
+    tot = per.agg(F.sum("n_tokens").alias("_tot"))
+    scored = per.crossJoin(F.broadcast(tot)).withColumn(
+        "_s_micro",
+        F.round(
+            F.sqrt(F.col("n_tokens") / F.col("_tot")) * 1_000_000, 0
+        ).cast("long"),
+    )
+    norm = scored.agg(F.sum("_s_micro").alias("_snorm"))
+    return (
+        scored.crossJoin(F.broadcast(norm))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.expr("n_tokens * 1000000 div greatest(_tot, 1)").alias(
+                "tok_share_ppm"
+            ),
+            F.expr("_s_micro * 1000000 div greatest(_snorm, 1)").alias(
+                "temp_weight_ppm"
+            ),
+            F.expr(
+                "(_s_micro * 1000000 div greatest(_snorm, 1)) * _tot "
+                "div greatest(1000 * n_tokens, 1)"
+            ).alias("boost_milli"),
+        )
+    )
+
+
+TEMPERATURE_MIXTURE_SQL = """
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum({ws}) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS _tot FROM per),
+scored AS (
+  SELECT source, n_docs, n_tokens, _tot,
+         CAST(round(sqrt(n_tokens / CAST(_tot AS DOUBLE)) * 1000000, 0)
+              AS BIGINT) AS _s_micro
+  FROM per CROSS JOIN tot
+),
+norm AS (SELECT CAST(sum(_s_micro) AS BIGINT) AS _snorm FROM scored)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 1000000 // greatest(_tot, 1) AS BIGINT)
+         AS tok_share_ppm,
+       CAST(_s_micro * 1000000 // greatest(_snorm, 1) AS BIGINT)
+         AS temp_weight_ppm,
+       CAST((_s_micro * 1000000 // greatest(_snorm, 1)) * _tot
+            // greatest(1000 * n_tokens, 1) AS BIGINT) AS boost_milli
+FROM scored CROSS JOIN norm
+""".format(ws=_WS_TOKENS_SQL)

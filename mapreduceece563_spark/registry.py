@@ -285,6 +285,12 @@ register(
 #   domain_cap_survivors (corpus / DOMAIN_CAP_SQL) — per-domain
 #   contribution cap (keep best K by quality), WindowGroupLimit-
 #   planned bounded top-k + window-free totals rollup.
+#   cusum_drift_scan (analytics / CUSUM_DRIFT_SQL) — sequential
+#   changepoint scan per event type (one-sided CUSUM sups + first
+#   peak ts), integer-exact via the prefix-extremum identity.
+#   temperature_mixture_weights (trainprep / TEMPERATURE_MIXTURE_SQL)
+#   — tau=2 temperature-scaled sampling weights; one IEEE-exact sqrt
+#   per source quantized to int64 micro before any cross-source sum.
 
 # ---- window backfill: round-6-green entries ----
 

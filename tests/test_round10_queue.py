@@ -4,8 +4,9 @@
 round-10 window).
 
 Each entry gets the same oracle compare the driver will run, plus the
-invariants the hash check cannot see (pure-Python models for both —
-the SRP sign algebra and the per-domain top-k selection).
+invariants the hash check cannot see (pure-Python models for all
+four — the SRP sign algebra, the per-domain top-k selection, the
+prefix-extremum CUSUM, and the temperature-mixture quantization).
 """
 
 from __future__ import annotations
@@ -168,5 +169,165 @@ def test_round10_queue_on_empty_tables(spark, tmp_path):
         cp.domain_cap_survivors(spark, str(d)),
         con.execute(cp.DOMAIN_CAP_SQL),
         ctx="empty:domain_cap_survivors",
+    )
+    con.close()
+
+
+def test_cusum_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.cusum_drift_scan(spark, SF_DIR),
+        duck.execute(an.CUSUM_DRIFT_SQL),
+        ctx="cusum_drift_scan",
+    )
+
+
+def test_cusum_python_model(spark):
+    """Replicate the prefix-extremum CUSUM in pure Python from the raw
+    events: identical sup S+ / sup S- / first-peak timestamp, plus the
+    telescoping invariant P_n == 0 (the n-scaled deviations sum to
+    zero by construction)."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F2
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            "event_id",
+            F2.unix_micros("ts").alias("ts_us"),
+            F2.round(F2.col("value") * 100, 0).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_type: dict = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(
+            (r["ts_us"], r["event_id"], r["cents"])
+        )
+    got = {r["event_type"]: r for r in an.cusum_drift_scan(spark, SF_DIR).collect()}
+    assert set(got) == set(by_type)
+    for et, rows in by_type.items():
+        rows.sort()
+        n = len(rows)
+        tot = sum(c for _, _, c in rows)
+        p = 0
+        run_min = run_max = 0
+        best_up = best_dn = 0
+        peak_ts = None
+        for ts, _eid, c in rows:
+            p += n * c - tot
+            run_min = min(run_min, p)
+            run_max = max(run_max, p)
+            s_up = p - min(0, run_min)
+            s_dn = max(0, run_max) - p
+            if s_up > best_up:
+                best_up, peak_ts = s_up, ts
+            if peak_ts is None:
+                peak_ts = ts  # all-zero path: first row is the peak
+            best_dn = max(best_dn, s_dn)
+        assert p == 0, "n-scaled deviations must telescope to zero"
+        g = got[et]
+        assert (g["n"], g["cusum_up_max"], g["cusum_down_max"]) == (
+            n, best_up, best_dn,
+        )
+        assert g["peak_ts_us"] == peak_ts
+
+
+def test_cusum_plan_partitions_by_type_only(spark):
+    """All windows must partition by event_type (parallel strata) —
+    no global single-partition window."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.cusum_drift_scan(spark, SF_DIR), "simple")
+    assert "windowspecdefinition(event_type" in p
+    # every Window node carries the event_type partition key
+    for frag in p.split("windowspecdefinition(")[1:]:
+        assert frag.startswith("event_type"), frag[:60]
+
+
+def test_temperature_mixture_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import trainprep as tr
+
+    assert_frames_match(
+        tr.temperature_mixture_weights(spark, SF_DIR),
+        duck.execute(tr.TEMPERATURE_MIXTURE_SQL),
+        ctx="temperature_mixture_weights",
+    )
+
+
+def test_temperature_mixture_model_and_invariants(spark):
+    """Python model over the op's own token counts (half-up micro
+    quantization of the IEEE sqrt), plus the mixture laws: weights sum
+    to ~1e6 (floor loss < |sources| ppm), below-natural-share sources
+    are boosted (>1000 milli) and above-share damped (<1000), and
+    temperature preserves the share ORDER while compressing its
+    range."""
+    import math
+
+    from mapreduceece563_spark.operators import trainprep as tr
+
+    rows = tr.temperature_mixture_weights(spark, SF_DIR).collect()
+    tot = sum(r["n_tokens"] for r in rows)
+    quanta = {
+        r["source"]: math.floor(
+            math.sqrt(r["n_tokens"] / tot) * 1_000_000 + 0.5
+        )
+        for r in rows
+    }
+    snorm = sum(quanta.values())
+    for r in rows:
+        s = quanta[r["source"]]
+        assert r["temp_weight_ppm"] == s * 1_000_000 // snorm
+        assert r["boost_milli"] == (s * 1_000_000 // snorm) * tot // (
+            1000 * r["n_tokens"]
+        )
+        assert r["tok_share_ppm"] == r["n_tokens"] * 1_000_000 // tot
+    wsum = sum(r["temp_weight_ppm"] for r in rows)
+    assert 1_000_000 - len(rows) <= wsum <= 1_000_000
+    mean_share = 1_000_000 / len(rows)
+    for r in rows:
+        if r["tok_share_ppm"] < mean_share * 0.8:
+            assert r["boost_milli"] > 1000, r
+        if r["tok_share_ppm"] > mean_share * 1.2:
+            assert r["boost_milli"] < 1000, r
+    by_share = sorted(rows, key=lambda r: (r["tok_share_ppm"], r["source"]))
+    weights = [r["temp_weight_ppm"] for r in by_share]
+    assert weights == sorted(weights), "temperature must preserve order"
+    shares = [r["tok_share_ppm"] for r in by_share]
+    assert (weights[-1] - weights[0]) < (shares[-1] - shares[0]), (
+        "temperature must compress the spread"
+    )
+
+
+def test_round10_queue_batch2_on_empty_tables(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators import trainprep as tr
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    assert_frames_match(
+        an.cusum_drift_scan(spark, str(d)),
+        con.execute(an.CUSUM_DRIFT_SQL),
+        ctx="empty:cusum_drift_scan",
+    )
+    assert_frames_match(
+        tr.temperature_mixture_weights(spark, str(d)),
+        con.execute(tr.TEMPERATURE_MIXTURE_SQL),
+        ctx="empty:temperature_mixture_weights",
     )
     con.close()
