@@ -331,3 +331,48 @@ def test_round10_queue_batch2_on_empty_tables(spark, tmp_path):
         ctx="empty:temperature_mixture_weights",
     )
     con.close()
+
+
+def test_cusum_finds_injected_changepoint(spark, tmp_path):
+    """Semantic ground truth (the model test replicates the algebra;
+    this pins that the algebra DETECTS): inject a mean PULSE at a
+    known window — the upward CUSUM's cumulative excess over the
+    global mean grows through the pulse and decays after it, so the
+    statistic must peak exactly at the pulse's last elevated event;
+    a flat control stream must report both sups exactly zero."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from mapreduceece563_spark.operators import analytics as an
+
+    base = 1_700_000_000_000_000  # epoch us
+    rows = []
+    eid = 0
+    # flat type: constant value
+    for t in range(200):
+        rows.append((eid, base + t * 1_000_000, 1, "flat", 10.0)); eid += 1
+    # pulsed type: 10.0 until t=99, 30.0 for t in [100, 149], 10.0 after
+    for t in range(200):
+        v = 30.0 if 100 <= t < 150 else 10.0
+        rows.append((eid, base + t * 1_000_000, 1, "pulsed", v)); eid += 1
+    tbl = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "user_id": pa.array([r[2] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([r[4] for r in rows], pa.float64()),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in an.cusum_drift_scan(spark, str(tmp_path)).collect()
+    }
+    # flat stream: every deviation is zero -> both sups are exactly 0
+    assert got["flat"]["cusum_up_max"] == 0
+    assert got["flat"]["cusum_down_max"] == 0
+    # pulsed stream: upward CUSUM peaks at the pulse's LAST elevated
+    # event (t=149) — cumulative excess over the global mean grows
+    # through the pulse and decays after it
+    assert got["pulsed"]["peak_ts_us"] == base + 149 * 1_000_000
+    assert got["pulsed"]["cusum_up_max"] > 0
