@@ -216,11 +216,14 @@ BUDGETS = {
     "streaming_outer_join_attribution": 25.0,  # 10-batch two-source watermarked drain + eviction flush, re-drained per pass (source fixture cached)
     "observed_filter_funnel": 2.5,  # round-8 queue: one observed pass + scalar assembly
     "streaming_sliding_windows": 9.0,  # re-drained per pass; 3.4s r8 phased
-    # --- round-9 registrations (SCALE.md round-9 queue probes) ---
-    "quality_quantile_normalize": 2.0,  # histogram CDF: 0.80s sf0.1 probed
-    "ivf_incremental_assign": 2.5,  # cached split + frozen quantizer: 0.98s
-    "roc_auc_by_lang": 2.0,  # same histogram+window shape as ks_drift
-    "rrf_rank_fusion": 3.0,  # shares the persisted TF stage with bm25_search
+    # --- round-9 registrations: ~2.5x the worst best-of-3 steady
+    # state seen across the SCALE.md probes and the in-registry bench
+    # (the r7 lesson: budgets near 1.5x steady blow up on the
+    # driver's contended box with unchanged plans) ---
+    "quality_quantile_normalize": 2.5,  # histogram CDF: 0.80-0.99s steady
+    "ivf_incremental_assign": 3.5,  # cached split + frozen quantizer: 0.98-1.49s
+    "roc_auc_by_lang": 2.5,  # histogram+window, ks_drift shape: 1.0-1.4s
+    "rrf_rank_fusion": 5.0,  # TF-stage aggs + vector rank + fusion: 1.7-2.0s
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in
