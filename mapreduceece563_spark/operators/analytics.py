@@ -1236,3 +1236,125 @@ SELECT event_type,
        CAST(max(s_dn) AS BIGINT) AS cusum_down_max
 FROM peaks GROUP BY event_type
 """
+
+
+# --- NDCG@k of the quality ranking (round-11 queue) ---------------------
+
+NDCG_K = 10
+# log2 discounts quantized ONCE at module load: disc_micro[r] =
+# round(1e6 / log2(r+1)) — compile-time Python constants embedded as
+# literals in BOTH engines' plans, so no runtime transcendental at all
+# (the bm25 idf3 idiom taken to its limit: k is tiny, precompute).
+_NDCG_DISC_MICRO = [
+    round(1_000_000 / __import__("math").log2(r + 1))
+    for r in range(1, NDCG_K + 1)
+]
+_NDCG_IDCG_MICRO = [0]
+for _d in _NDCG_DISC_MICRO:
+    _NDCG_IDCG_MICRO.append(_NDCG_IDCG_MICRO[-1] + _d)
+
+
+def ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10, per language, of the quality-score ranking against
+    curated-source membership as the relevance label — the ranking-
+    quality twin of roc_auc_by_lang: AUC asks "does the score order
+    the classes", NDCG asks "are the relevant docs at the TOP of the
+    ranking", which is what a filter gate that keeps only the best
+    slice actually needs.
+
+    Integer-exact end to end: ranking order is (quality ppm DESC,
+    doc_id ASC) — already-pinned score, integer compares; the log2
+    position discounts are module-load-time constants embedded as
+    micro-unit literals in both plans (no runtime log anywhere);
+    DCG = sum(gain * disc[rank]) over the top k; IDCG comes from the
+    literal prefix-sum table indexed by least(n_pos, k); and
+    ndcg_ppm = dcg * 1e6 div idcg.
+
+    Scale posture (100 TB): the only per-doc window is the bounded
+    top-k, which plans as WindowGroupLimit (map-side per-partition
+    top-k BEFORE the lang exchange — the domain_cap_survivors
+    invariant); n_pos rides a separate window-FREE rollup straight
+    off the metadata scan, and the two per-lang aggregates join on
+    the tiny lang key. Output is one row per language.
+    """
+    from pyspark.sql import Window
+
+    from .textstats import quality_score
+
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC_MICRO])
+    idcg_tab = F.array(*[F.lit(v) for v in _NDCG_IDCG_MICRO])
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_g"),
+    )
+    pos_totals = meta.groupBy("lang").agg(F.sum("_g").alias("n_pos"))
+    w = Window.partitionBy("lang").orderBy(F.desc("_qp"), F.asc("doc_id"))
+    topk = (
+        meta.join(q, "doc_id")
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= NDCG_K)
+    )
+    dcg = topk.groupBy("lang").agg(
+        F.sum(F.col("_g") * F.element_at(disc, F.col("_r"))).alias(
+            "dcg_micro"
+        )
+    )
+    return pos_totals.join(dcg, "lang").select(
+        "lang",
+        "n_pos",
+        "dcg_micro",
+        F.element_at(
+            idcg_tab, F.least(F.col("n_pos"), F.lit(NDCG_K)).cast("int") + 1
+        ).alias("idcg_micro"),
+        F.expr(
+            "dcg_micro * 1000000 div greatest(element_at("
+            f"array({', '.join(str(v) for v in _NDCG_IDCG_MICRO)}), "
+            f"CAST(least(n_pos, {NDCG_K}) AS INT) + 1), 1)"
+        ).alias("ndcg_ppm"),
+    )
+
+
+def _ndcg_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    curated = ", ".join(f"'{s}'" for s in AUC_CURATED_SOURCES)
+    disc = ", ".join(str(d) for d in _NDCG_DISC_MICRO)
+    idcg = ", ".join(str(v) for v in _NDCG_IDCG_MICRO)
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+meta AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN d.source IN ({curated}) THEN 1 ELSE 0 END AS _g,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+),
+pos_totals AS (
+  SELECT lang, CAST(sum(_g) AS BIGINT) AS n_pos FROM meta GROUP BY lang
+),
+ranked AS (
+  SELECT lang, _g,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY _qp DESC, doc_id ASC) AS _r
+  FROM meta
+),
+dcg AS (
+  SELECT lang, CAST(sum(_g * ([{disc}])[_r]) AS BIGINT) AS dcg_micro
+  FROM ranked WHERE _r <= {NDCG_K} GROUP BY lang
+)
+SELECT p.lang, p.n_pos, d.dcg_micro,
+       CAST(([{idcg}])[CAST(least(p.n_pos, {NDCG_K}) AS INT) + 1]
+            AS BIGINT) AS idcg_micro,
+       CAST(d.dcg_micro * 1000000
+            // greatest(([{idcg}])[CAST(least(p.n_pos, {NDCG_K}) AS INT)
+                                   + 1], 1) AS BIGINT) AS ndcg_ppm
+FROM pos_totals p JOIN dcg d ON p.lang = d.lang
+"""
+
+
+NDCG_AT_K_SQL = _ndcg_sql()

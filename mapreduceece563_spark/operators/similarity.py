@@ -1785,7 +1785,9 @@ RRF_RANK_FUSION_SQL = _rrf_sql()
 
 # --- signed random projection signatures (round-10 queue) --------------
 
-SRP_BITS = 16   # signature width
+SRP_BITS = 32   # signature width (32 sign bits: selective enough that
+                # a <= 3-bit hamming ball is a real near-dup test, not
+                # a 1-in-2^16 coin flip)
 SRP_DIMS = 64   # embedding dimensionality (the fixture tables' width)
 
 
@@ -1808,7 +1810,9 @@ def srp_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding-space near-dup (Charikar 2002; the vector-side sibling
     of the text SimHash already in operators/dedup.py, and the
     LSH-bucket generator behind embedding_similar_pairs generalized
-    to arbitrary hyperplanes instead of single coordinates).
+    to arbitrary hyperplanes instead of single coordinates). 32 bits
+    keeps a <= 3-bit hamming ball selective (~5.5e3 of 4.3e9
+    signatures) where 16 bits admitted ~8% of random pairs.
 
     Engine-exact: coordinates are quantized once to ppm int64, the
     hyperplane entries are +/-1 integer LITERALS (same constants in
@@ -1890,3 +1894,92 @@ FROM e
 
 
 SRP_SIGNATURE_SQL = _srp_sql()
+
+
+# --- SRP banded hamming near-dup pairs (round-11 queue) -----------------
+
+SRP_BANDS = 4          # 4 bands x 8 bits over the 32-bit signature
+SRP_HAMMING_MAX = 3    # <= 3 differing bits => provably >= 1 clean band
+
+
+def srp_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup candidate pairs from the SRP fingerprints:
+    all vector pairs whose 16-bit signatures differ in at most
+    SRP_HAMMING_MAX bits — the consumer that turns srp_signature into
+    a dedup operator (the vector-space sibling of the text
+    simhash_hamming_pairs).
+
+    Banding completeness is provable, not probabilistic: 4 bands of
+    8 bits and a 3-bit budget mean at least one band is untouched
+    (pigeonhole), so every qualifying pair collides in >= 1 band —
+    and the DuckDB oracle checks the brute-force O(n^2) definition,
+    so the driver's hash compare IS the completeness proof on every
+    run. All integer: band keys are shifts/masks, the verify filter
+    is bit_count(xor).
+
+    Scale posture (100 TB): the self-join keys on (band_id,
+    band_value) — 4 x 256 buckets here, 4 x 2^width generally — so
+    only same-bucket pairs materialize, never the cross product; the
+    exact-hamming filter runs on 8-byte signatures (payload vectors
+    never join). Banded-signature join cost concentrates in the
+    largest bucket; a skewed bucket (near-constant embedding region)
+    gets the standard salt-split. Dup pairs found in several bands
+    collapse via the (a, b) groupBy, which rides the same exchange.
+    """
+    sigs = srp_signature(spark, sf_dir).select("vec_id", "srp_sig").cache()
+    width = SRP_BITS // SRP_BANDS
+    mask = (1 << width) - 1
+    banded = sigs.select(
+        "vec_id",
+        "srp_sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_id"),
+                        (
+                            F.shiftright(F.col("srp_sig"), i * width)
+                            % (mask + 1)
+                        ).alias("band_val"),
+                    )
+                    for i in range(SRP_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("vec_id", "srp_sig", "b.band_id", "b.band_val")
+    a, b2 = banded.alias("a"), banded.alias("b")
+    pairs = (
+        a.join(
+            b2,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.bit_count(
+                F.col("a.srp_sig").bitwiseXOR(F.col("b.srp_sig"))
+            ).cast("long").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SRP_HAMMING_MAX)
+    )
+    return pairs.groupBy("vec_a", "vec_b").agg(
+        F.min("hamming").alias("hamming")
+    )
+
+
+def _srp_hamming_sql() -> str:
+    # brute force against the same signature definition: the oracle
+    # deliberately skips the banding, so hash equality proves the
+    # banded plan loses no pair
+    return f"""
+WITH sigs AS ({_srp_sql().strip()})
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       CAST(bit_count(xor(a.srp_sig, b.srp_sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.vec_id < b.vec_id
+WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= {SRP_HAMMING_MAX}
+"""
+
+
+SRP_HAMMING_SQL = _srp_hamming_sql()

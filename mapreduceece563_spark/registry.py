@@ -291,6 +291,15 @@ register(
 #   temperature_mixture_weights (trainprep / TEMPERATURE_MIXTURE_SQL)
 #   — tau=2 temperature-scaled sampling weights; one IEEE-exact sqrt
 #   per source quantized to int64 micro before any cross-source sum.
+# ROUND-11 QUEUE (tests/test_round11_queue.py) — registered after the
+# four above:
+#   srp_hamming_neardup (similarity / SRP_HAMMING_SQL) — banded
+#   hamming near-dup pairs over the 32-bit SRP signatures; oracle is
+#   the brute-force O(n^2) definition, so the driver compare proves
+#   banding completeness on every run.
+#   ndcg_at_k (analytics / NDCG_AT_K_SQL) — NDCG@10 of the quality
+#   ranking per language (compile-time log2 discount literals,
+#   WindowGroupLimit bounded top-k, window-free n_pos rollup).
 
 # ---- window backfill: round-6-green entries ----
 
