@@ -1904,7 +1904,7 @@ SRP_HAMMING_MAX = 3    # <= 3 differing bits => provably >= 1 clean band
 
 def srp_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidate pairs from the SRP fingerprints:
-    all vector pairs whose 16-bit signatures differ in at most
+    all vector pairs whose 32-bit signatures differ in at most
     SRP_HAMMING_MAX bits — the consumer that turns srp_signature into
     a dedup operator (the vector-space sibling of the text
     simhash_hamming_pairs).
