@@ -267,11 +267,18 @@ def materialize(df) -> None:
 
 def emit(payload: dict, real_stdout_fd: int) -> None:
     """Print the one-line JSON contract onto the REAL stdout fd, compactly,
-    trimming headline entries if the line would overflow the consumer's
-    tail buffer."""
+    trimming headline entries — and, after those are exhausted, rescued
+    names — if the line would overflow the consumer's tail buffer (a
+    truncated HEAD would corrupt the JSON; BENCH_DETAIL.json always
+    carries the full lists)."""
     line = json.dumps(payload, separators=(",", ":"))
-    while len(line) > MAX_LINE and payload.get("queries"):
-        payload["queries"].popitem()
+    while len(line) > MAX_LINE and (
+        payload.get("queries") or payload.get("rescued")
+    ):
+        if payload.get("queries"):
+            payload["queries"].popitem()
+        else:
+            payload["rescued"].pop()
         line = json.dumps(payload, separators=(",", ":"))
     os.write(real_stdout_fd, (line + "\n").encode())
 
