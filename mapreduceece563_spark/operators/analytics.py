@@ -1358,3 +1358,255 @@ FROM pos_totals p JOIN dcg d ON p.lang = d.lang
 
 
 NDCG_AT_K_SQL = _ndcg_sql()
+
+
+# --- expected calibration error of the quality score (round-11 queue) ---
+
+ECE_BINS = 10
+
+
+def quality_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error, per language, of the quality score
+    read as a probability of curated-source membership — the third leg
+    of the scorer-audit tripod: roc_auc_by_lang asks "does the score
+    ORDER the classes", ndcg_at_k asks "are the relevant docs at the
+    TOP", ECE asks "is the score's VALUE honest" (a doc scored 0.8
+    should be curated ~80% of the time), which is what you need before
+    using the raw score as a sampling weight or a threshold picked on
+    one corpus and applied to another.
+
+    Standard 10-equal-width-bin ECE, computed INTEGER-exactly: quality
+    quantized once to ppm (the oracle-pinned quality_score double, the
+    roc_auc quantization), bin = least(_qp div 100000, 9); per
+    (lang, bin) the doc count, positive count, and ppm sum; then
+    n_b * |acc_b - conf_b| telescopes to |pos_b * 1e6 - sum_qp_b| so
+    ece_ppm = sum_b |pos_b * 1e6 - sum_qp_b| div n — no float anywhere
+    past the already-pinned score. max_bin_gap_ppm (the worst single
+    bin, the reliability-diagram sup) rides the same aggregates.
+
+    Scale posture (100 TB): one groupBy (lang, bin) collapses the
+    corpus map-side to <= 10 rows per language (partial aggs do the
+    heavy lifting before the exchange); the per-lang rollup rides the
+    same tiny frame. No window, no join wider than doc_id-to-doc_id
+    metadata. Output is one row per language. Overflow: sum_qp_b and
+    pos_b * 1e6 are both <= n_b * 1e6, so the gap sum stays in int64
+    up to ~9.2e12 docs per language.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_pos"),
+    )
+    per_bin = (
+        q.join(meta, "doc_id")
+        .select(
+            "lang",
+            "_pos",
+            "_qp",
+            F.expr(f"least(_qp div 100000, {ECE_BINS - 1})").alias("_bin"),
+        )
+        .groupBy("lang", "_bin")
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum("_pos").alias("_pb"),
+            F.sum("_qp").alias("_qb"),
+        )
+    )
+    return (
+        per_bin.groupBy("lang")
+        .agg(
+            F.sum("_nb").alias("n"),
+            F.count(F.lit(1)).alias("n_bins"),
+            F.sum(F.abs(F.col("_pb") * 1_000_000 - F.col("_qb"))).alias(
+                "_gap"
+            ),
+            F.max(
+                F.expr("abs(_pb * 1000000 - _qb) div _nb")
+            ).alias("max_bin_gap_ppm"),
+        )
+        .select(
+            "lang",
+            "n",
+            "n_bins",
+            F.expr("_gap div n").alias("ece_ppm"),
+            "max_bin_gap_ppm",
+        )
+    )
+
+
+def _ece_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    curated = ", ".join(f"'{s}'" for s in AUC_CURATED_SOURCES)
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+qm AS (
+  SELECT d.lang,
+         CASE WHEN d.source IN ({curated}) THEN 1 ELSE 0 END AS _pos,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+per_bin AS (
+  SELECT lang, least(_qp // 100000, {ECE_BINS - 1}) AS _bin,
+         CAST(count(*) AS BIGINT) AS _nb,
+         CAST(sum(_pos) AS BIGINT) AS _pb,
+         CAST(sum(_qp) AS BIGINT) AS _qb
+  FROM qm GROUP BY lang, least(_qp // 100000, {ECE_BINS - 1})
+)
+SELECT lang,
+       CAST(sum(_nb) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_bins,
+       CAST(sum(abs(_pb * 1000000 - _qb)) // sum(_nb) AS BIGINT) AS ece_ppm,
+       CAST(max(abs(_pb * 1000000 - _qb) // _nb) AS BIGINT)
+         AS max_bin_gap_ppm
+FROM per_bin GROUP BY lang
+"""
+
+
+QUALITY_CALIBRATION_ECE_SQL = _ece_sql()
+
+
+# --- Mann-Whitney rank drift between epochs (round-12 queue) ------------
+
+# z(0.025)^2 = 1.959964^2 = 3.8415, pre-scaled for the integer decision
+# 2000 * n(n-1) * (u_x2 - na*nb)^2  >  2561 * na*nb * ((n+1)n(n-1) - T)
+# (= 3e4 vs 38415 reduced by gcd 15), all in DECIMAL(38,0)/HUGEINT.
+MWU_Z2_005_NUM = 2561
+MWU_Z2_005_DEN = 2000
+
+
+def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney / Wilcoxon rank-sum drift between the two epochs,
+    per event type — the rank-based member of the drift family (KS:
+    sup of CDF gap; chi-square: binned frequencies; CUSUM: sequential
+    scan; MWU: "did the VALUES stochastically shift up or down"),
+    robust to the heavy-tailed outliers that dominate a mean test.
+
+    INTEGER-exact with the standard tie handling: values quantized to
+    cents, per-(event_type, cents) counts da/db, and tie-averaged
+    DOUBLED ranks from the histogram (a tie group of size c after m
+    predecessors contributes 2m + c + 1 per member — the mid-rank x2,
+    an integer). Then u_a_x2 = sum(da * (2m+c+1)) - n_a*(n_a+1) is
+    twice the U statistic, cles_ppm = u_a_x2 * 5e5 div (n_a*n_b) the
+    common-language effect size (P(A>B) + half-ties; 500000 = no
+    shift), and the alpha=0.05 two-sided normal-approximation
+    decision with the tie-corrected variance runs as one integer
+    comparison: 2000*n(n-1)*(u_a_x2 - n_a*n_b)^2 >
+    2561*n_a*n_b*((n+1)n(n-1) - T), T = sum(c^3 - c) — evaluated in
+    DECIMAL(38,0)/HUGEINT on both engines (the ks_drift alpha-decision
+    idiom). Exactness bound: the LHS needs ~2e3*n^6 <= 1e38, i.e.
+    n <= ~7e5 rows per event type; past that, pre-aggregate epochs to
+    a coarser value grid or shard the comparison — the U statistic
+    itself (int64 to n_a*n_b ~ 4.6e18) survives far longer.
+
+    Scale posture (100 TB): the ks_drift shape — one groupBy
+    (event_type, cents) collapses the stream map-side to the value
+    histogram, the cumulative window slides over distinct cents only
+    (never a per-row rank), and the rollup rides the same
+    partitioning. Output is one row per event type.
+    """
+    mid = F.lit(KS_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("ts") >= mid).cast("long").alias("is_b"),
+    )
+    per_val = ev.groupBy("event_type", "cents").agg(
+        F.sum(1 - F.col("is_b")).alias("da"),
+        F.sum("is_b").alias("db"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_val.select(
+        "event_type",
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("_c"),
+        F.coalesce(
+            F.sum(F.col("da") + F.col("db")).over(w_cum), F.lit(0)
+        ).alias("_m"),
+    )
+    rolled = stepped.groupBy("event_type").agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(F.col("da") * (2 * F.col("_m") + F.col("_c") + 1)).alias(
+            "_ra_x2"
+        ),
+        F.sum(
+            F.expr("CAST(_c AS DECIMAL(38,0)) * _c * _c - _c")
+        ).alias("_t"),
+    )
+    return rolled.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        (F.col("_ra_x2") - F.col("n_a") * (F.col("n_a") + 1)).alias(
+            "u_a_x2"
+        ),
+        F.expr(
+            "(_ra_x2 - n_a * (n_a + 1)) * 500000"
+            " div greatest(n_a * n_b, 1)"
+        ).alias("cles_ppm"),
+        F.expr(
+            f"{MWU_Z2_005_DEN} * (CAST(n_a AS DECIMAL(38,0)) + n_b)"
+            " * (n_a + n_b - 1)"
+            " * (CAST(_ra_x2 - n_a * (n_a + 1) - n_a * n_b"
+            "    AS DECIMAL(38,0)))"
+            " * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b)"
+            f" > {MWU_Z2_005_NUM} * CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " * ((CAST(n_a AS DECIMAL(38,0)) + n_b + 1)"
+            "    * (n_a + n_b) * (n_a + n_b - 1) - _t)"
+        ).alias("drift_at_005"),
+    )
+
+
+MANN_WHITNEY_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_b
+  FROM events
+),
+per_val AS (
+  SELECT event_type, cents,
+         CAST(sum(1 - is_b) AS BIGINT) AS da,
+         CAST(sum(is_b) AS BIGINT) AS db
+  FROM ev GROUP BY event_type, cents
+),
+stepped AS (
+  SELECT event_type, da, db, da + db AS _c,
+         coalesce(sum(da + db) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS _m
+  FROM per_val
+),
+rolled AS (
+  SELECT event_type,
+         CAST(sum(da) AS BIGINT) AS n_a,
+         CAST(sum(db) AS BIGINT) AS n_b,
+         CAST(sum(da * (2 * _m + _c + 1)) AS BIGINT) AS _ra_x2,
+         CAST(sum(CAST(_c AS HUGEINT) * _c * _c - _c) AS HUGEINT) AS _t
+  FROM stepped GROUP BY event_type
+)
+SELECT event_type, n_a, n_b,
+       _ra_x2 - n_a * (n_a + 1) AS u_a_x2,
+       CAST((_ra_x2 - n_a * (n_a + 1)) * 500000
+            // greatest(n_a * n_b, 1) AS BIGINT) AS cles_ppm,
+       {MWU_Z2_005_DEN} * (CAST(n_a AS HUGEINT) + n_b) * (n_a + n_b - 1)
+         * CAST(_ra_x2 - n_a * (n_a + 1) - n_a * n_b AS HUGEINT)
+         * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b)
+       > {MWU_Z2_005_NUM} * CAST(n_a AS HUGEINT) * n_b
+         * ((CAST(n_a AS HUGEINT) + n_b + 1) * (n_a + n_b)
+            * (n_a + n_b - 1) - _t)
+         AS drift_at_005
+FROM rolled
+"""

@@ -1000,3 +1000,198 @@ FROM totals t JOIN kept k ON t.domain = k.domain
 
 
 DOMAIN_CAP_SQL = _domain_cap_sql()
+
+
+# --- token-mass concentration per source (round-11 queue) --------------
+
+
+def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-document token mass within each source —
+    the concentration audit a mixing pipeline runs next to the
+    diversity rollups: a source whose token mass is carried by a few
+    giant documents (gini -> 1) behaves very differently under
+    doc-level sampling, dedup, and packing than one with even mass
+    (gini -> 0), even when their total token counts match.
+
+    Computed INTEGER-exactly at histogram granularity, never as a
+    per-doc rank: group by (source, n_tokens) to per-value counts c,
+    take cum-below m with a window over the DISTINCT token values
+    only, and use that positions m+1..m+c of a tied value-group
+    contribute tok * (2*c*m + c*(c+1)) to twice the rank-weighted sum
+    (ties commute, so any tie order gives the same sum). Then
+    gini_ppm = (w2 - (n+1)*s) * 1e6 div (n*s) with w2 = 2*sum(i*x_i),
+    s = total tokens — evaluated in DECIMAL(38,0) / HUGEINT on both
+    engines, so the identity survives petabyte token counts (w2 <=
+    2*n*s needs 128-bit long before any real corpus does).
+
+    Scale posture (100 TB): the quality_quantile_normalize shape — one
+    groupBy (source, n_tokens) collapses the corpus map-side to the
+    distinct-token-count histogram (thousands of rows per source, not
+    docs), the cumulative window slides over that bounded frame, and
+    the final rollup rides the same partitioning. Output is one row
+    per source. A per-doc row_number() formulation would sort whole
+    sources inside single partitions (the window-skew trap this
+    module's cap op also avoids).
+    """
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source",
+        F.size(words_array(F.col("text"))).cast("long").alias("_tok"),
+    )
+    per_val = docs.groupBy("source", "_tok").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("_tok")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_val.select(
+        "source",
+        "_tok",
+        "_c",
+        F.coalesce(F.sum("_c").over(w_cum), F.lit(0)).alias("_m"),
+    )
+    return (
+        stepped.groupBy("source")
+        .agg(
+            F.sum("_c").alias("n_docs"),
+            F.sum(F.col("_tok") * F.col("_c")).alias("total_tokens"),
+            F.sum(
+                F.expr(
+                    "CAST(_tok AS DECIMAL(38,0))"
+                    " * (2 * _c * _m + _c * (_c + 1))"
+                )
+            ).alias("_w2"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "total_tokens",
+            F.expr(
+                "CAST((_w2 - (CAST(n_docs AS DECIMAL(38,0)) + 1)"
+                " * total_tokens) * 1000000 div"
+                " greatest(CAST(n_docs AS DECIMAL(38,0))"
+                " * total_tokens, 1) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+TOKEN_GINI_SQL = f"""
+WITH w AS (SELECT source, {_words_sql()} AS words FROM documents),
+toks AS (SELECT source, CAST(len(words) AS BIGINT) AS _tok FROM w),
+per_val AS (
+  SELECT source, _tok, CAST(count(*) AS BIGINT) AS _c
+  FROM toks GROUP BY source, _tok
+),
+stepped AS (
+  SELECT source, _tok, _c,
+         coalesce(sum(_c) OVER (PARTITION BY source ORDER BY _tok
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS _m
+  FROM per_val
+),
+rolled AS (
+  SELECT source,
+         CAST(sum(_c) AS BIGINT) AS n_docs,
+         CAST(sum(_tok * _c) AS BIGINT) AS total_tokens,
+         CAST(sum(CAST(_tok AS HUGEINT)
+                  * (2 * _c * _m + _c * (_c + 1))) AS HUGEINT) AS _w2
+  FROM stepped GROUP BY source
+)
+SELECT source, n_docs, total_tokens,
+       CAST((_w2 - (CAST(n_docs AS HUGEINT) + 1) * total_tokens) * 1000000
+            // greatest(CAST(n_docs AS HUGEINT) * total_tokens, 1)
+            AS BIGINT) AS gini_ppm
+FROM rolled
+"""
+
+
+# --- Simpson diversity of the vocabulary per source (round-12 queue) ---
+
+
+def simpson_vocab_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson concentration / inverse-Simpson effective vocabulary of
+    each source's token distribution — the diversity audit next to
+    token_gini_by_source: Gini asks "is the token MASS spread across
+    documents", Simpson asks "is the token mass spread across the
+    VOCABULARY" (the probability two tokens drawn without replacement
+    are the same word). A source that is 10^6 copies of one sentence
+    and a source of diverse prose can carry identical Gini yet sit at
+    opposite Simpson ends — which is exactly the repetition pathology
+    a pre-training mix wants flagged.
+
+    PURE-integer algebra (no float anywhere): per (source, word)
+    counts c from one explode + groupBy; lambda = sum(c*(c-1)) /
+    (N*(N-1)) exported as simpson_ppb = sum(c*(c-1)) * 1e9 div
+    (N*(N-1)), and effective vocabulary (inverse Simpson) as
+    inv_simpson_milli = N*(N-1) * 1000 div sum(c*(c-1)) (NULL when
+    every token is unique — lambda = 0 has no finite inverse) — both
+    evaluated in DECIMAL(38,0)/HUGEINT (sum(c*(c-1)) <= N^2 wraps
+    int64 already at N ~ 3e9 tokens, and the ppb numerator at ~3e4,
+    so the lift is mandatory, not headroom).
+
+    Scale posture (100 TB): the (source, word) groupBy is the
+    wordcount shuffle with map-side partials (bounded by vocabulary,
+    not corpus size); the per-source rollup collapses that to one row
+    per source before the second tiny exchange. No window, no join.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source",
+        F.explode(words_array(F.col("text"))).alias("_w"),
+    )
+    per_word = docs.groupBy("source", "_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(
+                F.expr("CAST(_c AS DECIMAL(38,0)) * (_c - 1)")
+            ).alias("_coll"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_distinct",
+            F.expr(
+                "CAST(_coll * 1000000000 div"
+                " greatest(CAST(n_tokens AS DECIMAL(38,0))"
+                " * (n_tokens - 1), 1) AS BIGINT)"
+            ).alias("simpson_ppb"),
+            F.expr(
+                "CAST(CASE WHEN _coll > 0 THEN"
+                " CAST(n_tokens AS DECIMAL(38,0)) * (n_tokens - 1)"
+                " * 1000 div _coll END AS BIGINT)"
+            ).alias("inv_simpson_milli"),
+        )
+    )
+
+
+SIMPSON_VOCAB_SQL = f"""
+WITH w AS (SELECT source, {_words_sql()} AS words FROM documents),
+tok AS (SELECT source, unnest(words) AS _w FROM w),
+per_word AS (
+  SELECT source, _w, CAST(count(*) AS BIGINT) AS _c
+  FROM tok GROUP BY source, _w
+),
+rolled AS (
+  SELECT source,
+         CAST(sum(_c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS n_distinct,
+         CAST(sum(CAST(_c AS HUGEINT) * (_c - 1)) AS HUGEINT) AS _coll
+  FROM per_word GROUP BY source
+)
+SELECT source, n_tokens, n_distinct,
+       CAST(_coll * 1000000000
+            // greatest(CAST(n_tokens AS HUGEINT) * (n_tokens - 1), 1)
+            AS BIGINT) AS simpson_ppb,
+       CAST(CASE WHEN _coll > 0 THEN
+              CAST(n_tokens AS HUGEINT) * (n_tokens - 1) * 1000 // _coll
+            END AS BIGINT) AS inv_simpson_milli
+FROM rolled
+"""

@@ -300,6 +300,24 @@ register(
 #   ndcg_at_k (analytics / NDCG_AT_K_SQL) — NDCG@10 of the quality
 #   ranking per language (compile-time log2 discount literals,
 #   WindowGroupLimit bounded top-k, window-free n_pos rollup).
+#   quality_calibration_ece (analytics / QUALITY_CALIBRATION_ECE_SQL)
+#   — 10-bin expected calibration error of the quality score per
+#   language, integer-exact via the telescoped identity
+#   n_b*|acc-conf| = |pos_b*1e6 - sum_qp_b|; histogram-bounded,
+#   window-free (two hash aggregates, map-side partials).
+#   token_gini_by_source (corpus / TOKEN_GINI_SQL) — per-source Gini
+#   of per-doc token mass at histogram granularity (tie-groups fold
+#   into the rank-weighted sum, no per-doc rank); the final identity
+#   runs in DECIMAL(38,0)/HUGEINT on both engines.
+# ROUND-12 QUEUE (tests/test_round12_queue.py) — registered after the
+# four above:
+#   simpson_vocab_diversity (corpus / SIMPSON_VOCAB_SQL) — Simpson
+#   concentration + inverse-Simpson effective vocabulary per source,
+#   pure integer in DECIMAL(38,0)/HUGEINT; wordcount-shaped plan.
+#   mann_whitney_drift (analytics / MANN_WHITNEY_SQL) — rank-sum
+#   epoch drift per event type: tie-averaged doubled mid-ranks from
+#   the value histogram, cles_ppm effect size, and the tie-corrected
+#   alpha=0.05 decision as one 128-bit integer comparison.
 
 # ---- window backfill: round-6-green entries ----
 

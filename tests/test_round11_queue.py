@@ -196,4 +196,204 @@ def test_round11_queue_on_empty_tables(spark, tmp_path):
         con.execute(an.NDCG_AT_K_SQL),
         ctx="empty:ndcg_at_k",
     )
+    assert_frames_match(
+        an.quality_calibration_ece(spark, str(d)),
+        con.execute(an.QUALITY_CALIBRATION_ECE_SQL),
+        ctx="empty:quality_calibration_ece",
+    )
+    from mapreduceece563_spark.operators import corpus as cp
+
+    assert_frames_match(
+        cp.token_gini_by_source(spark, str(d)),
+        con.execute(cp.TOKEN_GINI_SQL),
+        ctx="empty:token_gini_by_source",
+    )
     con.close()
+
+
+def test_ece_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.quality_calibration_ece(spark, SF_DIR),
+        duck.execute(an.QUALITY_CALIBRATION_ECE_SQL),
+        ctx="quality_calibration_ece",
+    )
+
+
+def test_ece_python_model(spark):
+    """Pure-Python 10-bin ECE from the op's own quality scores: same
+    n / n_bins / ece_ppm / max_bin_gap_ppm per language, and the
+    telescoped integer form equals the textbook sum((n_b/n)*|acc-conf|)
+    definition within quantization."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source"
+    ).collect()
+    bins: dict = {}
+    for r in docs:
+        qp = q[r["doc_id"]]
+        b = min(qp // 100_000, an.ECE_BINS - 1)
+        nb, pb, qb = bins.setdefault((r["lang"], b), [0, 0, 0])
+        bins[(r["lang"], b)] = [
+            nb + 1,
+            pb + (1 if r["source"] in an.AUC_CURATED_SOURCES else 0),
+            qb + qp,
+        ]
+    per_lang: dict = {}
+    for (lang, _b), (nb, pb, qb) in bins.items():
+        n, k, gap, mx = per_lang.setdefault(lang, [0, 0, 0, 0])
+        per_lang[lang] = [
+            n + nb,
+            k + 1,
+            gap + abs(pb * 1_000_000 - qb),
+            max(mx, abs(pb * 1_000_000 - qb) // nb),
+        ]
+    got = {
+        r["lang"]: r
+        for r in an.quality_calibration_ece(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(per_lang)
+    for lang, (n, k, gap, mx) in per_lang.items():
+        g = got[lang]
+        assert (g["n"], g["n_bins"]) == (n, k)
+        assert g["ece_ppm"] == gap // n
+        assert g["max_bin_gap_ppm"] == mx
+        assert 0 <= g["ece_ppm"] <= g["max_bin_gap_ppm"] <= 1_000_000
+
+
+def test_ece_calibrated_corpus_is_zero(spark, tmp_path):
+    """Semantic pin: every doc is the SAME text ('zz' -> quality
+    0.402, one occupied bin), so a language whose curated fraction is
+    exactly 0.402 is perfectly calibrated (ece_ppm == 0) and a
+    language with zero curated docs carries the full 402000 ppm gap."""
+    from mapreduceece563_spark.operators import analytics as an
+
+    rows = []
+    for i in range(1000):
+        rows.append(
+            (i, "zz", "cal", "src0" if i < 402 else "src9", 2)
+        )
+    for i in range(1000, 1100):
+        rows.append((i, "zz", "uncal", "src9", 2))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in an.quality_calibration_ece(spark, str(tmp_path)).collect()
+    }
+    assert got["cal"]["n_bins"] == 1
+    assert got["cal"]["ece_ppm"] == 0
+    assert got["cal"]["max_bin_gap_ppm"] == 0
+    assert got["uncal"]["ece_ppm"] == 402_000
+    assert got["uncal"]["max_bin_gap_ppm"] == 402_000
+
+
+def test_ece_plan_is_histogram_bounded(spark):
+    """ECE never ranks or windows anything: the whole reduction is two
+    hash aggregates (per-bin, then per-lang) with map-side partials —
+    no Window operator may appear, and nothing may exchange on doc_id
+    after the metadata join."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.quality_calibration_ece(spark, SF_DIR), "simple")
+    assert "Window" not in p
+    assert "windowspecdefinition" not in p
+
+
+def test_token_gini_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import corpus as cp
+
+    assert_frames_match(
+        cp.token_gini_by_source(spark, SF_DIR),
+        duck.execute(cp.TOKEN_GINI_SQL),
+        ctx="token_gini_by_source",
+    )
+
+
+def test_token_gini_python_model(spark):
+    """Pure-Python Gini from the textbook per-doc rank formula
+    G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)) on the op's own
+    token counts — pinning that the histogram/tie-group telescoping
+    reproduces the sorted-rank definition exactly."""
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.operators.textstats import token_stats
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    toks = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_stats(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    by_src: dict = {}
+    for r in docs:
+        by_src.setdefault(r["source"], []).append(toks[r["doc_id"]])
+    got = {
+        r["source"]: r
+        for r in cp.token_gini_by_source(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_src)
+    for src, xs in by_src.items():
+        xs.sort()
+        n, s = len(xs), sum(xs)
+        w2 = 2 * sum(i * x for i, x in enumerate(xs, start=1))
+        g = got[src]
+        assert (g["n_docs"], g["total_tokens"]) == (n, s)
+        assert g["gini_ppm"] == (w2 - (n + 1) * s) * 1_000_000 // max(n * s, 1)
+        assert 0 <= g["gini_ppm"] < 1_000_000
+
+
+def test_token_gini_semantic_pins(spark, tmp_path):
+    """Equal mass -> gini 0 exactly; one doc carrying all the mass
+    among n -> the theoretical (n-1)/n; zero-token sources guard the
+    division (gini 0, not NULL/error)."""
+    from mapreduceece563_spark.operators import corpus as cp
+
+    rows = []
+    for i in range(10):
+        rows.append((i, "aa bb cc", "even", "even", 8))
+    rows.append((10, " ".join(["tok"] * 50), "skew", "skew", 200))
+    for i in range(11, 20):
+        rows.append((i, "", "skew", "skew", 0))
+    for i in range(20, 23):
+        rows.append((i, "", "void", "void", 0))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["source"]: r
+        for r in cp.token_gini_by_source(spark, str(tmp_path)).collect()
+    }
+    assert got["even"]["gini_ppm"] == 0
+    # one doc holds all 50 tokens among 10 docs: G = (n-1)/n = 0.9
+    assert got["skew"]["gini_ppm"] == 900_000
+    assert got["void"]["total_tokens"] == 0
+    assert got["void"]["gini_ppm"] == 0
+
+
+def test_token_gini_plan_is_histogram_bounded(spark):
+    """The Gini must never materialize a per-doc rank: no row_number
+    anywhere, the only window slides over the (source, n_tokens)
+    histogram, and every exchange keys on source (never doc_id)."""
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(cp.token_gini_by_source(spark, SF_DIR), "simple")
+    assert "row_number" not in p
+    assert "hashpartitioning(doc_id" not in p
+    assert "windowspecdefinition(source" in p
