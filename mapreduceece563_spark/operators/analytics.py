@@ -1610,3 +1610,171 @@ SELECT event_type, n_a, n_b,
          AS drift_at_005
 FROM rolled
 """
+
+
+# --- Spearman rank correlation: quality vs length (round-12 queue) ------
+
+
+def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation, per language, between the quality
+    score and document length — the monotone-association audit behind
+    every "filter by quality" gate: if quality is mostly a length
+    proxy (rho -> 1), a quality threshold silently becomes a length
+    threshold and the filtered corpus skews long. Rank-based, so it
+    sees through the score's nonlinearities where Pearson would not.
+
+    Tie-averaged DOUBLED mid-ranks keep the sums integer (the
+    mann_whitney idiom): rank maps are built per DISTINCT value from
+    the marginal histograms (2m + c + 1 per tie group), then applied
+    to the JOINT (quality, length) histogram — every aggregate is
+    over value cells, never documents, and cell counts weight the
+    sums. num = n*Sxy - Sx*Sy and the two variance legs d1, d2 run in
+    DECIMAL(38,0)/HUGEINT (exact to n ~ 1e9 docs per language); the
+    single final division is float64: rho_ppm = floor(1e6 * num /
+    (sqrt(d1) * sqrt(d2))), clamped to [-1e6, 1e6] (at rho = +/-1 the
+    sqrt product can undershoot d by an ulp and push the quotient a
+    hair past 1). The decision path is engine-identical,
+    not exact-at-the-boundary: num/d1/d2 are bit-equal integers on
+    both engines, int->double conversion is exact below 2^53 (n per
+    lang up to ~1e6 docs keeps d = 4n^3 under it) and IEEE
+    correctly-rounded beyond, sqrt/mul/div are correctly rounded —
+    identical inputs give identical doubles, hence identical floors
+    (the ks_drift ADVICE wording, applied honestly from the start).
+    NULL when either marginal is constant (rho undefined).
+
+    Scale posture (100 TB): three histogram groupBys (joint + two
+    marginals), a cumulative window over each marginal's DISTINCT
+    values, two cell-to-marginal equi-joins keyed (lang, value), and
+    a one-row-per-lang rollup. Nothing ranks, sorts, or shuffles
+    per document.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").alias("_nc")
+    )
+    joint = (
+        q.join(meta, "doc_id")
+        .groupBy("lang", "_qp", "_nc")
+        .agg(F.count(F.lit(1)).alias("_cj"))
+    )
+
+    def _rank_map(df: DataFrame, col: str, out: str) -> DataFrame:
+        marg = df.groupBy("lang", col).agg(F.sum("_cj").alias("_c"))
+        w_cum = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return marg.select(
+            "lang",
+            col,
+            (
+                2 * F.coalesce(F.sum("_c").over(w_cum), F.lit(0))
+                + F.col("_c")
+                + 1
+            ).alias(out),
+        )
+
+    cells = joint.join(_rank_map(joint, "_qp", "_rx2"), ["lang", "_qp"]).join(
+        _rank_map(joint, "_nc", "_ry2"), ["lang", "_nc"]
+    )
+    rolled = cells.groupBy("lang").agg(
+        F.sum("_cj").alias("n"),
+        F.sum(F.expr("CAST(_cj AS DECIMAL(38,0)) * _rx2")).alias("_sx"),
+        F.sum(F.expr("CAST(_cj AS DECIMAL(38,0)) * _ry2")).alias("_sy"),
+        F.sum(
+            F.expr("CAST(_cj AS DECIMAL(38,0)) * _rx2 * _ry2")
+        ).alias("_sxy"),
+        F.sum(
+            F.expr("CAST(_cj AS DECIMAL(38,0)) * _rx2 * _rx2")
+        ).alias("_sx2"),
+        F.sum(
+            F.expr("CAST(_cj AS DECIMAL(38,0)) * _ry2 * _ry2")
+        ).alias("_sy2"),
+    )
+    return rolled.select(
+        "lang",
+        "n",
+        F.expr(
+            "CAST(CASE WHEN (n * _sx2 - _sx * _sx) > 0"
+            " AND (n * _sy2 - _sy * _sy) > 0 THEN"
+            " GREATEST(-1000000, LEAST(1000000,"
+            " FLOOR(1000000.0 * CAST(n * _sxy - _sx * _sy AS DOUBLE)"
+            " / (SQRT(CAST(n * _sx2 - _sx * _sx AS DOUBLE))"
+            " * SQRT(CAST(n * _sy2 - _sy * _sy AS DOUBLE))))))"
+            " END AS BIGINT)"
+        ).alias("rho_ppm"),
+    )
+
+
+def _spearman_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+base AS (
+  SELECT d.lang,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         d.n_chars AS _nc
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+joint AS (
+  SELECT lang, _qp, _nc, CAST(count(*) AS BIGINT) AS _cj
+  FROM base GROUP BY lang, _qp, _nc
+),
+xmarg AS (
+  SELECT lang, _qp, CAST(sum(_cj) AS BIGINT) AS _c FROM joint
+  GROUP BY lang, _qp
+),
+xmap AS (
+  SELECT lang, _qp,
+         2 * coalesce(sum(_c) OVER (PARTITION BY lang ORDER BY _qp
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + _c + 1 AS _rx2
+  FROM xmarg
+),
+ymarg AS (
+  SELECT lang, _nc, CAST(sum(_cj) AS BIGINT) AS _c FROM joint
+  GROUP BY lang, _nc
+),
+ymap AS (
+  SELECT lang, _nc,
+         2 * coalesce(sum(_c) OVER (PARTITION BY lang ORDER BY _nc
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + _c + 1 AS _ry2
+  FROM ymarg
+),
+cells AS (
+  SELECT j.lang, j._cj, x._rx2, y._ry2
+  FROM joint j
+  JOIN xmap x ON j.lang = x.lang AND j._qp = x._qp
+  JOIN ymap y ON j.lang = y.lang AND j._nc = y._nc
+),
+rolled AS (
+  SELECT lang,
+         CAST(sum(_cj) AS BIGINT) AS n,
+         CAST(sum(CAST(_cj AS HUGEINT) * _rx2) AS HUGEINT) AS _sx,
+         CAST(sum(CAST(_cj AS HUGEINT) * _ry2) AS HUGEINT) AS _sy,
+         CAST(sum(CAST(_cj AS HUGEINT) * _rx2 * _ry2) AS HUGEINT) AS _sxy,
+         CAST(sum(CAST(_cj AS HUGEINT) * _rx2 * _rx2) AS HUGEINT) AS _sx2,
+         CAST(sum(CAST(_cj AS HUGEINT) * _ry2 * _ry2) AS HUGEINT) AS _sy2
+  FROM cells GROUP BY lang
+)
+SELECT lang, n,
+       CAST(CASE WHEN (n * _sx2 - _sx * _sx) > 0
+                  AND (n * _sy2 - _sy * _sy) > 0 THEN
+              GREATEST(-1000000, LEAST(1000000,
+                FLOOR(1000000.0 * CAST(n * _sxy - _sx * _sy AS DOUBLE)
+                  / (SQRT(CAST(n * _sx2 - _sx * _sx AS DOUBLE))
+                     * SQRT(CAST(n * _sy2 - _sy * _sy AS DOUBLE))))))
+            END AS BIGINT) AS rho_ppm
+FROM rolled
+"""
+
+
+SPEARMAN_QUALITY_LENGTH_SQL = _spearman_sql()

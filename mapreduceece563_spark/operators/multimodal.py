@@ -1023,3 +1023,136 @@ SELECT CAST(grp AS BIGINT) AS grp, n_images, n_hashes, ahash,
        count(*) OVER (PARTITION BY ahash) AS n_groups_same_hash
 FROM per_group
 """
+
+
+# --- scene-cut detection over VF1 clips (round-12 queue) ---------------
+
+# a pair is a "cut" when its inter-frame delta exceeds 1.5x the clip
+# mean:  delta * (nf - 1) * 2  >  3 * total_delta  (pure integers)
+SCENE_CUT_NUM = 3
+SCENE_CUT_DEN = 2
+
+
+def _scene_cut_stats(payload: bytes) -> tuple[int, int, int, int, int]:
+    """Full-clip scan of a VF1 payload: per adjacent frame pair, the
+    sum of absolute per-pixel deltas; returns (n_frames,
+    total_abs_delta, max_pair_delta, cut_frame, n_cuts) where
+    cut_frame is the FIRST pair index achieving the max. One
+    contiguous frombuffer + vectorized diff — the clip is held once
+    per row, never per pair."""
+    if payload[:4] != b"VF1\n":
+        raise ValueError("not a VF1 payload")
+    nl = payload.index(b"\n", 4)
+    w, h, nf = (int(t) for t in payload[4:nl].split())
+    stride = w * h * 3
+    arr = np.frombuffer(
+        payload[nl + 1 : nl + 1 + nf * stride], dtype=np.uint8
+    ).reshape(nf, stride)
+    if nf < 2:
+        return nf, 0, 0, -1, 0
+    deltas = np.abs(np.diff(arr.astype(np.int64), axis=0)).sum(axis=1)
+    total = int(deltas.sum())
+    mx = int(deltas.max())
+    cut = int(np.argmax(deltas))
+    n_cuts = int(
+        (deltas * (nf - 1) * SCENE_CUT_DEN > SCENE_CUT_NUM * total).sum()
+    )
+    return nf, total, mx, cut, n_cuts
+
+
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over the VF1 clips — the
+    sampling step a video training pipeline runs BEFORE frame
+    extraction: sample at shot boundaries, not on a fixed stride, so
+    near-identical frames inside a shot don't flood the training set.
+    Per clip: the L1 inter-frame delta series, its sum and max, the
+    first argmax pair (the strongest candidate cut), and how many
+    pairs exceed 1.5x the clip-mean delta (the adaptive-threshold
+    cut count, integers only: delta*(nf-1)*2 > 3*total).
+
+    The decode is the REAL path: one contiguous frombuffer over the
+    whole clip, vectorized np.diff across the frame axis — payload
+    bytes enter once per row and never shuffle (map-only mapInPandas,
+    the video_frame_decode posture). The DuckDB oracle replays the
+    generator's closed-form pixel series, so the driver compare
+    certifies header parse + stride math + the delta algebra
+    end-to-end.
+
+    Scale posture (100 TB): map-only over the media frame — no
+    exchange at all downstream of the encode stage; output is 6
+    integers per clip. Per-batch memory is one clip's rasters
+    (bounded by Arrow batch size x max clip stride), the same
+    envelope as video_frame_decode.
+    """
+    media = documents_as_vf1(spark, sf_dir)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_frames": [], "total_abs_delta": [],
+                "max_pair_delta": [], "cut_frame": [], "n_cuts": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                nf, total, mx, cut, n_cuts = _scene_cut_stats(
+                    bytes(payload)
+                )
+                rows["doc_id"].append(mid)
+                rows["n_frames"].append(nf)
+                rows["total_abs_delta"].append(total)
+                rows["max_pair_delta"].append(mx)
+                rows["cut_frame"].append(cut)
+                rows["n_cuts"].append(n_cuts)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("total_abs_delta", T.LongType()),
+            T.StructField("max_pair_delta", T.LongType()),
+            T.StructField("cut_frame", T.LongType()),
+            T.StructField("n_cuts", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_scan, schema=schema)
+
+
+VIDEO_SCENE_CUTS_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         3 + doc_id % 4 AS w,
+         2 + doc_id % 3 AS h,
+         2 + doc_id % 5 AS nf
+  FROM documents
+),
+pairs AS (
+  SELECT doc_id, w, h, nf, unnest(range(0, nf - 1)) AS f FROM dims
+),
+px AS (
+  SELECT doc_id, nf, f, unnest(range(0, w * h * 3)) AS i FROM pairs
+),
+deltas AS (
+  SELECT doc_id, nf, f,
+         CAST(sum(abs(
+           (doc_id * {VID_PIXEL_MULT} + (f + 1) * {VID_FRAME_STEP}
+            + i * {VID_PIXEL_STEP}) % 256
+           - (doc_id * {VID_PIXEL_MULT} + f * {VID_FRAME_STEP}
+              + i * {VID_PIXEL_STEP}) % 256)) AS BIGINT) AS d
+  FROM px GROUP BY doc_id, nf, f
+),
+scored AS (
+  SELECT doc_id, nf, f, d,
+         max(d) OVER (PARTITION BY doc_id) AS _mx,
+         sum(d) OVER (PARTITION BY doc_id) AS _tot
+  FROM deltas
+)
+SELECT doc_id,
+       CAST(max(nf) AS BIGINT) AS n_frames,
+       CAST(max(_tot) AS BIGINT) AS total_abs_delta,
+       CAST(max(_mx) AS BIGINT) AS max_pair_delta,
+       CAST(min(CASE WHEN d = _mx THEN f END) AS BIGINT) AS cut_frame,
+       CAST(sum(CASE WHEN d * (nf - 1) * {SCENE_CUT_DEN}
+                        > {SCENE_CUT_NUM} * _tot
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
+FROM scored GROUP BY doc_id
+"""

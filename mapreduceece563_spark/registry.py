@@ -318,6 +318,13 @@ register(
 #   epoch drift per event type: tie-averaged doubled mid-ranks from
 #   the value histogram, cles_ppm effect size, and the tie-corrected
 #   alpha=0.05 decision as one 128-bit integer comparison.
+#   spearman_quality_length (analytics / SPEARMAN_QUALITY_LENGTH_SQL)
+#   — rank correlation of quality vs length per language over the
+#   JOINT value histogram (doubled mid-ranks, exact integer sums,
+#   one clamped float64 division).
+#   video_scene_cuts (multimodal / VIDEO_SCENE_CUTS_SQL) — shot-
+#   boundary stats per VF1 clip: map-only full-clip scan, integer
+#   adaptive-threshold cut count, closed-form oracle.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -234,3 +234,224 @@ def test_mwu_plan_is_histogram_bounded(spark):
     assert "row_number" not in p
     assert "hashpartitioning(event_id" not in p
     assert "windowspecdefinition(event_type" in p
+
+
+def test_scene_cuts_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    assert_frames_match(
+        mm.video_scene_cuts(spark, SF_DIR),
+        duck.execute(mm.VIDEO_SCENE_CUTS_SQL),
+        ctx="video_scene_cuts",
+    )
+
+
+def test_scene_cut_helper_finds_injected_cut(spark):
+    """Semantic pin on a hand-built clip with a REAL hard cut: five
+    near-identical frames, then a scene change, then three more
+    near-identical frames — the argmax pair must be the boundary, it
+    must be the only adaptive-threshold cut, and a constant clip must
+    report zero everywhere."""
+    import numpy as np
+
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    w, h = 4, 3
+    stride = w * h * 3
+    base = (np.arange(stride) * 5 % 251).astype(np.uint8)
+    frames = []
+    for f in range(5):
+        frames.append(((base + f) % 256).reshape(h, w, 3))  # drift ~1/px
+    shifted = ((base + 128) % 256).astype(np.uint8)
+    for f in range(3):
+        frames.append(((shifted + f) % 256).reshape(h, w, 3))
+    clip = mm.encode_vf1(w, h, np.stack(frames).astype(np.uint8))
+    nf, total, mx, cut, n_cuts = mm._scene_cut_stats(clip)
+    assert nf == 8
+    assert cut == 4  # the pair (frame4 -> frame5) is the boundary
+    assert n_cuts == 1
+    assert mx > total // 2  # the cut dominates the delta mass
+
+    const = mm.encode_vf1(
+        w, h, np.stack([base.reshape(h, w, 3)] * 4)
+    )
+    assert mm._scene_cut_stats(const) == (4, 0, 0, 0, 0)
+
+
+def test_scene_cuts_python_model(spark):
+    """Recompute every clip's delta series in pure Python from the
+    generator formula and pin all five exported stats."""
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id").collect()
+    ]
+    got = {
+        r["doc_id"]: r for r in mm.video_scene_cuts(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(ids)
+    for d in ids:
+        w, h, nf = 3 + d % 4, 2 + d % 3, 2 + d % 5
+        stride = w * h * 3
+        deltas = []
+        for f in range(nf - 1):
+            s = 0
+            for i in range(stride):
+                v1 = (d * mm.VID_PIXEL_MULT + f * mm.VID_FRAME_STEP
+                      + i * mm.VID_PIXEL_STEP) % 256
+                v2 = (d * mm.VID_PIXEL_MULT + (f + 1) * mm.VID_FRAME_STEP
+                      + i * mm.VID_PIXEL_STEP) % 256
+                s += abs(v2 - v1)
+            deltas.append(s)
+        total, mx = sum(deltas), max(deltas)
+        g = got[d]
+        assert (g["n_frames"], g["total_abs_delta"], g["max_pair_delta"]) \
+            == (nf, total, mx)
+        assert g["cut_frame"] == deltas.index(mx)
+        assert g["n_cuts"] == sum(
+            1 for x in deltas
+            if x * (nf - 1) * mm.SCENE_CUT_DEN > mm.SCENE_CUT_NUM * total
+        )
+
+
+def test_scene_cuts_plan_is_map_only(spark):
+    """Payload bytes must never shuffle: the only exchange allowed is
+    the round-robin spread of bare doc_ids BELOW the encode stage
+    (8-byte rows, deliberate parallelism); everything from encode to
+    output is one map pipeline, and nothing hash-partitions."""
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(mm.video_scene_cuts(spark, SF_DIR), "simple")
+    assert "hashpartitioning" not in p
+    above_encode = p.split("MapInPandas _encode")[0]
+    assert "Exchange" not in above_encode
+
+
+def test_spearman_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.spearman_quality_length(spark, SF_DIR),
+        duck.execute(an.SPEARMAN_QUALITY_LENGTH_SQL),
+        ctx="spearman_quality_length",
+    )
+
+
+def test_spearman_python_model(spark):
+    """Pure-Python Spearman from per-doc tie-averaged ranks (the
+    textbook Pearson-on-ranks definition), mirrored to the op's exact
+    integer + one-float64-division pipeline."""
+    import math
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "n_chars"
+    ).collect()
+    by_lang: dict = {}
+    for r in docs:
+        by_lang.setdefault(r["lang"], []).append(
+            (q[r["doc_id"]], r["n_chars"])
+        )
+
+    def doubled_ranks(vals):
+        order = sorted(range(len(vals)), key=lambda i: vals[i])
+        out = [0] * len(vals)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and vals[order[j]] == vals[order[i]]:
+                j += 1
+            for k in range(i, j):
+                out[order[k]] = 2 * i + (j - i) + 1
+            i = j
+        return out
+
+    got = {
+        r["lang"]: r
+        for r in an.spearman_quality_length(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_lang)
+    for lang, pairs in by_lang.items():
+        rx = doubled_ranks([p[0] for p in pairs])
+        ry = doubled_ranks([p[1] for p in pairs])
+        n = len(pairs)
+        sx, sy = sum(rx), sum(ry)
+        sxy = sum(a * b for a, b in zip(rx, ry))
+        sx2 = sum(a * a for a in rx)
+        sy2 = sum(b * b for b in ry)
+        num = n * sxy - sx * sy
+        d1 = n * sx2 - sx * sx
+        d2 = n * sy2 - sy * sy
+        g = got[lang]
+        assert g["n"] == n
+        if d1 > 0 and d2 > 0:
+            want = math.floor(
+                1_000_000.0 * float(num)
+                / (math.sqrt(float(d1)) * math.sqrt(float(d2)))
+            )
+            want = max(-1_000_000, min(1_000_000, want))
+            assert g["rho_ppm"] == want
+            assert -1_000_000 <= g["rho_ppm"] <= 1_000_000
+        else:
+            assert g["rho_ppm"] is None
+
+
+def test_spearman_semantic_pins(spark, tmp_path):
+    """Perfect monotone quality-length relationship -> rho_ppm ==
+    1e6 exactly (doc length drives the len_score term up to the cap);
+    constant length -> NULL (undefined); anti-monotone -> -1e6."""
+    from mapreduceece563_spark.operators import analytics as an
+
+    # quality made STRICTLY monotone in i by the stopword ratio alone:
+    # 10 tokens of equal length, i stopwords + (10-i) non-stopwords,
+    # so alpha_ratio and len_score stay constant across docs
+    def text_for(i):
+        return " ".join(["the"] * i + ["xyz"] * (10 - i))
+
+    rows = []
+    # 'up': n_chars strictly increasing with quality
+    for i in range(10):
+        rows.append((i, text_for(i), "up", "src0", 100 + i))
+    # 'flat': identical n_chars everywhere -> length rank is one tie
+    for i in range(10, 20):
+        rows.append((i, text_for(i - 10), "flat", "src0", 777))
+    # 'down': n_chars strictly decreasing while quality increases
+    for i in range(20, 30):
+        rows.append((i, text_for(i - 20), "down", "src0", 1000 - i))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in an.spearman_quality_length(spark, str(tmp_path)).collect()
+    }
+    assert got["up"]["rho_ppm"] == 1_000_000
+    assert got["flat"]["rho_ppm"] is None
+    assert got["down"]["rho_ppm"] == -1_000_000
+
+
+def test_spearman_plan_is_histogram_bounded(spark):
+    """Ranks come from marginal histograms, never a per-doc sort: no
+    row_number, no per-doc window, no doc_id exchange past the
+    metadata join; both cumulative windows slide over (lang, value)
+    marginals."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.spearman_quality_length(spark, SF_DIR), "simple")
+    assert "row_number" not in p
+    assert "windowspecdefinition(lang" in p
+    assert "windowspecdefinition(doc_id" not in p
