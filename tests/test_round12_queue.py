@@ -455,3 +455,35 @@ def test_spearman_plan_is_histogram_bounded(spark):
     assert "row_number" not in p
     assert "windowspecdefinition(lang" in p
     assert "windowspecdefinition(doc_id" not in p
+
+
+def test_round12_queue_on_empty_tables(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    for name, fn, sql in (
+        ("simpson_vocab_diversity", cp.simpson_vocab_diversity,
+         cp.SIMPSON_VOCAB_SQL),
+        ("mann_whitney_drift", an.mann_whitney_drift, an.MANN_WHITNEY_SQL),
+        ("spearman_quality_length", an.spearman_quality_length,
+         an.SPEARMAN_QUALITY_LENGTH_SQL),
+        ("video_scene_cuts", mm.video_scene_cuts, mm.VIDEO_SCENE_CUTS_SQL),
+    ):
+        assert_frames_match(
+            fn(spark, str(d)), con.execute(sql), ctx=f"empty:{name}"
+        )
+    con.close()
