@@ -1778,3 +1778,173 @@ FROM rolled
 
 
 SPEARMAN_QUALITY_LENGTH_SQL = _spearman_sql()
+
+
+# --- robust quality outliers via median/MAD (round-13 queue) ------------
+
+# Iglewicz-Hoaglin modified z-score: 0.6745*(x-med)/MAD > 3.5, cleared
+# of floats as |x-med| * 1349 > 7000 * MAD (x2000 both sides of
+# 0.6745/3.5, reduced by gcd 10).
+MAD_Z_NUM = 1349
+MAD_Z_DEN = 7000
+
+
+def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier census of the quality score, per language, via
+    median + MAD (median absolute deviation) — the outlier gate that
+    still works when the score distribution is skewed or already
+    contaminated: mean/stddev move with the outliers they are
+    supposed to find, the median/MAD pair does not (50% breakdown).
+    Flags the Iglewicz-Hoaglin modified z-score |0.6745*(x-med)/MAD|
+    > 3.5, cleared to the pure-integer |x-med|*1349 > 7000*MAD.
+
+    INTEGER-exact at histogram granularity: quality quantized once to
+    ppm, per-(lang, value) counts; the LOWER median (type-1 quantile:
+    smallest value whose cumulative count reaches ceil(n/2), i.e.
+    2*cum >= n) read off the cumulative window — an exact, engine-
+    agreed pick, no interpolation; deviations re-histogrammed (two
+    values can share one deviation) and MAD read off the same
+    machinery; the outlier count folds over the value histogram.
+
+    Scale posture (100 TB): three histogram groupBys (two of them
+    per-lang tiny), two cumulative windows over DISTINCT values only,
+    and per-lang broadcast-sized joins of the medians back onto the
+    histograms. Nothing ranks or sorts per document.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    hist = (
+        q.join(meta, "doc_id")
+        .groupBy("lang", "_qp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+
+    def _lower_median(h: DataFrame, val: str) -> DataFrame:
+        w_cum = (
+            Window.partitionBy("lang")
+            .orderBy(val)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        w_all = Window.partitionBy("lang")
+        return (
+            h.select(
+                "lang",
+                F.col(val).alias("_v"),
+                F.sum("_c").over(w_cum).alias("_cum"),
+                F.sum("_c").over(w_all).alias("_n"),
+            )
+            .filter(2 * F.col("_cum") >= F.col("_n"))
+            .groupBy("lang")
+            .agg(F.min("_v").alias("_med"), F.max("_n").alias("n"))
+        )
+
+    med = _lower_median(hist, "_qp")
+    dev_hist = (
+        hist.join(med.select("lang", "_med"), "lang")
+        .select(
+            "lang",
+            F.abs(F.col("_qp") - F.col("_med")).alias("_dev"),
+            "_c",
+        )
+        .groupBy("lang", "_dev")
+        .agg(F.sum("_c").alias("_c"))
+    )
+    mad = _lower_median(dev_hist, "_dev").select(
+        "lang", F.col("_med").alias("_mad")
+    )
+    flagged = (
+        hist.join(med.select("lang", "_med"), "lang")
+        .join(mad, "lang")
+        .groupBy("lang")
+        .agg(
+            F.max("_med").alias("median_ppm"),
+            F.max("_mad").alias("mad_ppm"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("_qp") - F.col("_med")) * MAD_Z_NUM
+                    > MAD_Z_DEN * F.col("_mad"),
+                    F.col("_c"),
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.sum("_c").alias("n"),
+        )
+    )
+    return flagged.select(
+        "lang",
+        "n",
+        "median_ppm",
+        "mad_ppm",
+        "n_outliers",
+        F.expr("n_outliers * 1000000 div n").alias("outlier_ppm"),
+    )
+
+
+QUALITY_MAD_OUTLIERS_SQL = """
+WITH q AS ({quality}),
+hist AS (
+  SELECT d.lang, CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         CAST(count(*) AS BIGINT) AS _c
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+  GROUP BY d.lang, CAST(round(q.quality * 1000000, 0) AS BIGINT)
+),
+medstep AS (
+  SELECT lang, _qp AS _v,
+         sum(_c) OVER (PARTITION BY lang ORDER BY _qp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_c) OVER (PARTITION BY lang) AS _n
+  FROM hist
+),
+med AS (
+  SELECT lang, CAST(min(_v) AS BIGINT) AS _med,
+         CAST(max(_n) AS BIGINT) AS n
+  FROM medstep WHERE 2 * _cum >= _n GROUP BY lang
+),
+dev_hist AS (
+  SELECT h.lang, abs(h._qp - m._med) AS _dev,
+         CAST(sum(h._c) AS BIGINT) AS _c
+  FROM hist h JOIN med m ON h.lang = m.lang
+  GROUP BY h.lang, abs(h._qp - m._med)
+),
+madstep AS (
+  SELECT lang, _dev AS _v,
+         sum(_c) OVER (PARTITION BY lang ORDER BY _dev
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_c) OVER (PARTITION BY lang) AS _n
+  FROM dev_hist
+),
+mad AS (
+  SELECT lang, CAST(min(_v) AS BIGINT) AS _mad
+  FROM madstep WHERE 2 * _cum >= _n GROUP BY lang
+)
+SELECT h.lang,
+       CAST(max(m.n) AS BIGINT) AS n,
+       CAST(max(m._med) AS BIGINT) AS median_ppm,
+       CAST(max(d._mad) AS BIGINT) AS mad_ppm,
+       CAST(sum(CASE WHEN abs(h._qp - m._med) * {z_num}
+                        > {z_den} * d._mad
+                     THEN h._c ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(sum(CASE WHEN abs(h._qp - m._med) * {z_num}
+                        > {z_den} * d._mad
+                     THEN h._c ELSE 0 END) * 1000000
+            // greatest(max(m.n), 1) AS BIGINT) AS outlier_ppm
+FROM hist h
+JOIN med m ON h.lang = m.lang
+JOIN mad d ON h.lang = d.lang
+GROUP BY h.lang
+"""
+
+
+def _mad_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    return QUALITY_MAD_OUTLIERS_SQL.format(
+        quality=QUALITY_SQL, z_num=MAD_Z_NUM, z_den=MAD_Z_DEN
+    )
+
+
+QUALITY_MAD_SQL = _mad_sql()

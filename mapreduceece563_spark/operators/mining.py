@@ -1014,3 +1014,80 @@ SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
          AS revenue
 FROM orders GROUP BY 1
 """
+
+
+# --- l-diversity audit (round-13 queue) --------------------------------
+
+L_DIV_THRESHOLD = 5
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit of the event log under the quasi-identifier
+    (event_type, hour-of-day), sensitive attribute user_id — the
+    privacy gate k-anonymity misses: a QI group can be large (k-safe)
+    yet belong to ONE user, so releasing it still exposes that user's
+    whole activity slice. Distinct-l-diversity: every group must
+    contain >= l distinct sensitive values.
+
+    One groupBy on the QI with count(DISTINCT user_id) — exact, both
+    engines — then a 1-row-per-nothing rollup of the group frame
+    (<= |event types| x 24 rows at any corpus size). The risk-row
+    share uses the pure-int64 half-up ppm idiom (k_anonymity_audit's
+    contract). At 100 TB the distinct-count is the only heavy
+    aggregate and it partial-aggregates per (QI, user) before the
+    exchange.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day"), "user_id"
+    )
+    groups = ev.groupBy("event_type", "hour_of_day").agg(
+        F.countDistinct("user_id").alias("l"),
+        F.count("*").alias("k"),
+    )
+    return groups.agg(
+        F.count("*").alias("n_groups"),
+        F.min("l").alias("min_l"),
+        F.sum(
+            F.when(F.col("l") < L_DIV_THRESHOLD, 1).otherwise(0)
+        ).alias("n_groups_below_l"),
+        F.sum(
+            F.when(F.col("l") < L_DIV_THRESHOLD, F.col("k")).otherwise(0)
+        ).alias("n_rows_at_risk"),
+        F.sum("k").alias("n_rows"),
+    ).select(
+        "n_groups",
+        "min_l",
+        "n_groups_below_l",
+        "n_rows_at_risk",
+        (
+            F.expr(
+                "(2 * 1000000 * n_rows_at_risk + n_rows)"
+                " div (2 * n_rows)"
+            )
+            / 1e6
+        ).alias("risk_row_share"),
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH groups AS (
+  SELECT event_type, hour(ts) AS hour_of_day,
+         count(DISTINCT user_id) AS l, count(*) AS k
+  FROM events GROUP BY event_type, hour(ts)
+),
+roll AS (
+  SELECT count(*) AS n_groups, min(l) AS min_l,
+         sum(CASE WHEN l < {L_DIV_THRESHOLD} THEN 1 ELSE 0 END)
+           AS n_groups_below_l,
+         sum(CASE WHEN l < {L_DIV_THRESHOLD} THEN k ELSE 0 END)
+           AS n_rows_at_risk,
+         sum(k) AS n_rows
+  FROM groups
+)
+SELECT n_groups, CAST(min_l AS BIGINT) AS min_l,
+       CAST(n_groups_below_l AS BIGINT) AS n_groups_below_l,
+       CAST(n_rows_at_risk AS BIGINT) AS n_rows_at_risk,
+       ((2 * 1000000 * n_rows_at_risk + n_rows) // (2 * n_rows)) / 1e6
+         AS risk_row_share
+FROM roll
+"""

@@ -1156,3 +1156,156 @@ SELECT doc_id,
                      THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts
 FROM scored GROUP BY doc_id
 """
+
+
+# --- silence segmentation over WAV clips (round-13 queue) --------------
+
+# a frame is "silent" when its energy is below HALF the clip's mean
+# frame energy: energy * n_frames * 2 < total_energy (pure integers)
+SILENCE_NUM = 1
+SILENCE_DEN = 2
+
+
+def _silence_stats(payload: bytes) -> tuple[int, int, int, int, int, int]:
+    """Frame a decoded WAV into non-overlapping AUDIO_FRAME-sample
+    frames (full frames only — the audio_decode_energy convention)
+    and segment on the adaptive half-mean-energy threshold; returns
+    (n_samples, n_frames, n_silent, longest_silence_run,
+    min_frame_energy, max_frame_energy)."""
+    _, samples = decode_wav(payload)
+    n = len(samples)
+    nf = n // AUDIO_FRAME
+    if nf == 0:
+        return n, 0, 0, 0, 0, 0
+    frames = samples[: nf * AUDIO_FRAME].astype(np.int64).reshape(
+        nf, AUDIO_FRAME
+    )
+    energy = (frames * frames).sum(axis=1)
+    total = int(energy.sum())
+    silent = energy * nf * SILENCE_DEN < SILENCE_NUM * total
+    longest = run = 0
+    for s in silent:
+        run = run + 1 if s else 0
+        longest = max(longest, run)
+    return (
+        n,
+        nf,
+        int(silent.sum()),
+        longest,
+        int(energy.min()),
+        int(energy.max()),
+    )
+
+
+def audio_silence_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence/activity segmentation over the WAV clips — the VAD
+    (voice-activity-detection) front-end an audio training pipeline
+    runs before transcription or chunking: frames whose energy falls
+    below half the clip's mean frame energy are 'silence', and the
+    longest silent run is where a splitter would cut. The audio twin
+    of video_scene_cuts (cuts = where frames CHANGE; silence = where
+    frames carry no energy).
+
+    All-integer outputs off the REAL decode path (RIFF chunk walk,
+    int16 reinterpretation, full-frame framing — the
+    audio_decode_energy posture); the adaptive threshold is the pure
+    integer energy * n_frames * 2 < total. The DuckDB oracle replays
+    the generator's closed-form sample series including the
+    gaps-and-islands longest-run computation, so the driver compare
+    certifies framing, energy algebra, AND the run segmentation.
+
+    Scale posture (100 TB): map-only — payload bytes never shuffle;
+    output is 7 integers per clip. The oracle's island window runs
+    per (doc, frame) at test scale only; the Spark path is a single
+    vectorized pass per clip.
+    """
+    media = documents_as_wav(spark, sf_dir)
+
+    def _scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_samples": [], "n_frames": [],
+                "n_silent": [], "longest_silence_run": [],
+                "min_frame_energy": [], "max_frame_energy": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n, nf, ns, run, emin, emax = _silence_stats(bytes(payload))
+                rows["doc_id"].append(mid)
+                rows["n_samples"].append(n)
+                rows["n_frames"].append(nf)
+                rows["n_silent"].append(ns)
+                rows["longest_silence_run"].append(run)
+                rows["min_frame_energy"].append(emin)
+                rows["max_frame_energy"].append(emax)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("n_silent", T.LongType()),
+            T.StructField("longest_silence_run", T.LongType()),
+            T.StructField("min_frame_energy", T.LongType()),
+            T.StructField("max_frame_energy", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_scan, schema=schema)
+
+
+AUDIO_SILENCE_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+),
+px AS (
+  SELECT doc_id, n, unnest(range(0, (n // {AUDIO_FRAME}) * {AUDIO_FRAME}))
+           AS i
+  FROM dims
+),
+energies AS (
+  SELECT doc_id, n, i // {AUDIO_FRAME} AS f,
+         CAST(sum(((doc_id * {WAV_SAMPLE_MULT} + i * {WAV_SAMPLE_STEP})
+                   % 4096 - 2048)
+                  * ((doc_id * {WAV_SAMPLE_MULT} + i * {WAV_SAMPLE_STEP})
+                     % 4096 - 2048)) AS BIGINT) AS e
+  FROM px GROUP BY doc_id, n, i // {AUDIO_FRAME}
+),
+scored AS (
+  SELECT doc_id, n, f, e,
+         count(*) OVER (PARTITION BY doc_id) AS nf,
+         sum(e) OVER (PARTITION BY doc_id) AS tot
+  FROM energies
+),
+flagged AS (
+  SELECT doc_id, n, f, e, nf, tot,
+         (e * nf * {SILENCE_DEN} < {SILENCE_NUM} * tot) AS silent
+  FROM scored
+),
+islands AS (
+  SELECT doc_id,
+         f - row_number() OVER (PARTITION BY doc_id ORDER BY f) AS grp
+  FROM flagged WHERE silent
+),
+runs AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS run_len
+  FROM islands GROUP BY doc_id, grp
+),
+longest AS (
+  SELECT doc_id, CAST(max(run_len) AS BIGINT) AS longest_run
+  FROM runs GROUP BY doc_id
+),
+rolled AS (
+  SELECT doc_id,
+         CAST(max(n) AS BIGINT) AS n_samples,
+         CAST(max(nf) AS BIGINT) AS n_frames,
+         CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_silent,
+         CAST(min(e) AS BIGINT) AS min_frame_energy,
+         CAST(max(e) AS BIGINT) AS max_frame_energy
+  FROM flagged GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_samples, r.n_frames, r.n_silent,
+       coalesce(l.longest_run, 0) AS longest_silence_run,
+       r.min_frame_energy, r.max_frame_energy
+FROM rolled r LEFT JOIN longest l ON r.doc_id = l.doc_id
+"""

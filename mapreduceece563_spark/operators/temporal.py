@@ -470,3 +470,157 @@ SELECT CAST(extract(hour FROM
        event_type, count(*) AS n_events
 FROM events GROUP BY 1, 2
 """
+
+
+# --- hourly autocorrelation / seasonality audit (round-13 queue) --------
+
+ACF_LAG_SHORT = 1
+ACF_LAG_SEASON = 24
+
+
+def hourly_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the gap-filled hourly event-count series at
+    lag 1 (persistence) and lag 24 (daily seasonality), per event
+    type — the audit a monitoring pipeline runs before trusting "same
+    hour yesterday" baselines (events_hourly_anomalies assumes the
+    lag-24 structure; this measures whether it actually exists).
+
+    The series is densified first (the daily_gap_fill spine, at hour
+    grain per event type): skipping empty hours would silently glue
+    non-adjacent hours together and fabricate correlation. ACF uses
+    the standard full-series mean and denominator, cleared of the
+    rational mean by multiplying through by n^2:
+    num_k = sum((n*y_t - S)(n*y_{t-k} - S)) over the n-k pairs,
+    den = sum((n*y_t - S)^2), S = sum(y) — both exact in
+    DECIMAL(38,0)/HUGEINT; the single float64 division
+    r_k_ppm = floor(1e6 * num_k / den) is clamped to [-1e6, 1e6]
+    (the spearman_quality_length contract: engine-identical, the
+    integers on both sides are bit-equal). NULL when the series is
+    constant (den = 0) or shorter than the lag.
+
+    Scale posture (100 TB): everything after the one full-table
+    pre-aggregation (groupBy event_type, hour — map-side partials)
+    is hour-grained: the spine generates distributively from a
+    broadcast-scalar bounds row, the lag windows slide over per-type
+    hour series (8.8k rows/type/year), and the rollup is one row per
+    type. No per-event window anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
+        ).alias("_h"),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        "_h",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    stats = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_y").alias("_s")
+    )
+    w = Window.partitionBy("event_type").orderBy("_h")
+    lagged = (
+        filled.join(stats, "event_type")
+        .withColumn("_y1", F.lag("_y", ACF_LAG_SHORT).over(w))
+        .withColumn("_y24", F.lag("_y", ACF_LAG_SEASON).over(w))
+    )
+    dev = "(CAST(_n AS DECIMAL(38,0)) * {col} - _s)"
+    rolled = lagged.groupBy("event_type").agg(
+        F.max("_n").alias("n_hours"),
+        F.sum(F.expr(f"{dev.format(col='_y')} * {dev.format(col='_y')}")
+              ).alias("_den"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN _y1 IS NOT NULL THEN"
+                f" {dev.format(col='_y')} * {dev.format(col='_y1')} END"
+            )
+        ).alias("_num1"),
+        F.sum(
+            F.expr(
+                f"CASE WHEN _y24 IS NOT NULL THEN"
+                f" {dev.format(col='_y')} * {dev.format(col='_y24')} END"
+            )
+        ).alias("_num24"),
+    )
+    r = (
+        "CAST(CASE WHEN _den > 0 AND {num} IS NOT NULL THEN"
+        " GREATEST(-1000000, LEAST(1000000,"
+        " FLOOR(1000000.0 * CAST({num} AS DOUBLE)"
+        " / CAST(_den AS DOUBLE)))) END AS BIGINT)"
+    )
+    return rolled.select(
+        "event_type",
+        "n_hours",
+        F.expr(r.format(num="_num1")).alias("acf1_ppm"),
+        F.expr(r.format(num="_num24")).alias("acf24_ppm"),
+    )
+
+
+HOURLY_ACF_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h, coalesce(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s._h = c._h
+),
+stats AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS _n,
+         CAST(sum(_y) AS BIGINT) AS _s
+  FROM filled GROUP BY event_type
+),
+lagged AS (
+  SELECT f.event_type, f._y, t._n, t._s,
+         lag(f._y, {ACF_LAG_SHORT}) OVER
+           (PARTITION BY f.event_type ORDER BY f._h) AS _y1,
+         lag(f._y, {ACF_LAG_SEASON}) OVER
+           (PARTITION BY f.event_type ORDER BY f._h) AS _y24
+  FROM filled f JOIN stats t ON f.event_type = t.event_type
+),
+rolled AS (
+  SELECT event_type,
+         CAST(max(_n) AS BIGINT) AS n_hours,
+         sum((CAST(_n AS HUGEINT) * _y - _s)
+             * (CAST(_n AS HUGEINT) * _y - _s)) AS _den,
+         sum(CASE WHEN _y1 IS NOT NULL THEN
+               (CAST(_n AS HUGEINT) * _y - _s)
+               * (CAST(_n AS HUGEINT) * _y1 - _s) END) AS _num1,
+         sum(CASE WHEN _y24 IS NOT NULL THEN
+               (CAST(_n AS HUGEINT) * _y - _s)
+               * (CAST(_n AS HUGEINT) * _y24 - _s) END) AS _num24
+  FROM lagged GROUP BY event_type
+)
+SELECT event_type, n_hours,
+       CAST(CASE WHEN _den > 0 AND _num1 IS NOT NULL THEN
+              GREATEST(-1000000, LEAST(1000000,
+                FLOOR(1000000.0 * CAST(_num1 AS DOUBLE)
+                      / CAST(_den AS DOUBLE)))) END AS BIGINT) AS acf1_ppm,
+       CAST(CASE WHEN _den > 0 AND _num24 IS NOT NULL THEN
+              GREATEST(-1000000, LEAST(1000000,
+                FLOOR(1000000.0 * CAST(_num24 AS DOUBLE)
+                      / CAST(_den AS DOUBLE)))) END AS BIGINT) AS acf24_ppm
+FROM rolled
+"""

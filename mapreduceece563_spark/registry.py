@@ -325,6 +325,20 @@ register(
 #   video_scene_cuts (multimodal / VIDEO_SCENE_CUTS_SQL) — shot-
 #   boundary stats per VF1 clip: map-only full-clip scan, integer
 #   adaptive-threshold cut count, closed-form oracle.
+# ROUND-13 QUEUE (tests/test_round13_queue.py) — registered after the
+# four above:
+#   quality_mad_outliers (analytics / QUALITY_MAD_SQL) — lower-median
+#   + MAD robust outlier census per language, Iglewicz-Hoaglin flags
+#   as pure integers, histogram-granular.
+#   l_diversity_audit (mining / L_DIVERSITY_SQL) — distinct-l-
+#   diversity over (event_type, hour) with user_id sensitive; the
+#   k_anonymity rollup contract.
+#   audio_silence_segmentation (multimodal / AUDIO_SILENCE_SQL) —
+#   VAD-style silence runs off the real RIFF decode; map-only;
+#   oracle replays gaps-and-islands in SQL.
+#   hourly_autocorrelation (temporal / HOURLY_ACF_SQL) — ACF lag
+#   1/24 over gap-filled hourly counts; exact 128-bit num/den, one
+#   clamped float64 division.
 
 # ---- window backfill: round-6-green entries ----
 
