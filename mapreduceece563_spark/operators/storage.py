@@ -601,7 +601,13 @@ def _merge_tables(
     )
     n_base_files = _count_parquet_files(base_dir)
 
-    base_rb = spark.read.parquet(base_dir).select("k", "cents")
+    # explicit schema: an empty orders table writes a base generation
+    # with zero data files, where schema inference would fail
+    base_rb = (
+        spark.read.schema("k long, cents long, bucket int")
+        .parquet(base_dir)
+        .select("k", "cents")
+    )
     merged = (
         base_rb.join(_merge_delta(spark, sf_dir), "k", "full_outer")
         .filter((F.col("op").isNull()) | (F.col("op") != "D"))
@@ -661,7 +667,9 @@ def merge_compaction_roundtrip(
         spark, sf_dir
     )
     delta = _merge_delta(spark, sf_dir)
-    final_rb = spark.read.parquet(final_dir)
+    final_rb = spark.read.schema("k long, cents long, cbucket int").parquet(
+        final_dir
+    )
     op_counts = delta.groupBy().agg(
         F.sum((F.col("op") == "U").cast("long")).alias("n_updated"),
         F.sum((F.col("op") == "D").cast("long")).alias("n_deleted"),
@@ -1026,4 +1034,153 @@ SELECT (SELECT count(*) FROM zones) AS n_blocks,
          AS n_rows_scanned,
        n_matching_rows, revenue_cents
 FROM answer
+"""
+
+
+# --- vacuum / orphan-file GC planning (round-14 queue) ------------------
+
+# (appId, sf_dir) -> manifest_dir
+_VACUUM_CACHE: dict[tuple[str, str], str] = {}
+
+
+def reset_vacuum_manifest() -> None:
+    _VACUUM_CACHE.clear()
+
+
+def _vacuum_manifest_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Persist the live-file manifest ONCE per (session, sf): the list
+    of file names the compacted generation owns — exactly what a table
+    format's metadata layer serves. Names come from the real directory
+    at write time (they contain task UUIDs, so they cannot be
+    synthesized)."""
+    import glob as _glob
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _VACUUM_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    _, final_dir, _, _ = _merge_tables(spark, sf_dir)
+    # manifest keys are "<partition dir>/<file>" — basenames alone
+    # collide across partition directories (one write task serves
+    # several partition values and reuses its part-number prefix)
+    names = [
+        f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
+        for p in _glob.glob(
+            os.path.join(final_dir, "**", "*.parquet"), recursive=True
+        )
+    ]
+    manifest_dir = _scratch(spark, sf_dir, "vacuum_manifest")
+    spark.createDataFrame(
+        [(n,) for n in names], "file_name string"
+    ).coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+    _VACUUM_CACHE[key] = manifest_dir
+    return manifest_dir
+
+
+def vacuum_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning — the lakehouse-upkeep step that completes the
+    tier (compaction plans the rewrite, MERGE applies it, time travel
+    reads old versions, zone maps prune, Merkle syncs replicas, and
+    VACUUM reclaims what the rewrite stranded): after the merge
+    compaction, the small-files base generation still sits in the
+    table directory; every file the listing shows that the manifest
+    does not name is GC-eligible, and the op counts exactly what a
+    vacuum would delete — files AND rows — from the REAL directory
+    state.
+
+    Mechanics are all real: the live-file manifest is persisted
+    parquet (written once from the compacted generation's actual
+    task-UUID file names — the metadata a table format serves without
+    listing); the listing side reads BOTH generations back through
+    the parquet scan's _metadata.file_name hidden column (per-file
+    row counts without any driver-side path loop); orphan = left-anti
+    against the broadcast manifest. The DuckDB oracle recomputes the
+    expected generation sizes analytically from the orders view
+    (files = distinct occupied bucket residues, the deterministic
+    one-file-per-bucket layout the merge write pins), so the driver
+    compare certifies listing + manifest join + read-back row
+    accounting end to end.
+
+    Scale posture (100 TB): the only non-metadata work is one
+    parquet scan of each generation that projects ZERO data columns
+    (_metadata.file_name only — check ReadSchema), aggregated
+    map-side per file; the manifest join is broadcast (a manifest is
+    KBs). A real vacuum then deletes the orphan list — the one
+    driver-side step a storage API performs, deliberately out of
+    scope here (the plan, not the rm, is the query)."""
+    base_dir, final_dir, _, _ = _merge_tables(spark, sf_dir)
+    manifest = spark.read.schema("file_name string").parquet(
+        _vacuum_manifest_dir(spark, sf_dir)
+    )
+
+    def _per_file(root: str, part_col: str) -> DataFrame:
+        # explicit schema: an EMPTY generation (empty orders table)
+        # writes only _SUCCESS, and schema inference over zero files
+        # would fail where an explicit schema reads cleanly as empty
+        return (
+            spark.read.schema(f"k long, cents long, {part_col} int")
+            .parquet(root)
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                ).alias("file_name")
+            )
+            .groupBy("file_name")
+            .agg(F.count(F.lit(1)).alias("_rows"))
+        )
+
+    listed = _per_file(base_dir, "bucket").unionAll(
+        _per_file(final_dir, "cbucket")
+    )
+    tagged = listed.join(
+        F.broadcast(manifest.withColumn("_live", F.lit(True))),
+        "file_name",
+        "left",
+    ).select("_rows", F.coalesce("_live", F.lit(False)).alias("_live"))
+    zero = F.lit(0).cast("long")
+    return tagged.agg(
+        F.count(F.lit(1)).alias("n_files_listed"),
+        F.coalesce(F.sum(F.col("_live").cast("long")), zero).alias(
+            "n_live_files"
+        ),
+        F.coalesce(F.sum((~F.col("_live")).cast("long")), zero).alias(
+            "n_orphan_files"
+        ),
+        F.coalesce(
+            F.sum(F.when(F.col("_live"), F.col("_rows")).otherwise(0)), zero
+        ).alias("n_live_rows"),
+        F.coalesce(
+            F.sum(F.when(~F.col("_live"), F.col("_rows")).otherwise(0)), zero
+        ).alias("n_orphan_rows"),
+    )
+
+
+VACUUM_ORPHAN_SQL = f"""
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderdate FROM orders
+),
+base AS (SELECT * FROM o WHERE o_orderdate < TIMESTAMP '{MERGE_CUTOFF}'),
+ins AS (SELECT k FROM o WHERE o_orderdate >= TIMESTAMP '{MERGE_CUTOFF}'),
+del AS (SELECT k FROM base WHERE k % 13 = 0),
+merged AS (
+  SELECT k FROM base WHERE k % 13 <> 0
+  UNION ALL
+  SELECT k FROM ins
+),
+gen1 AS (
+  SELECT count(DISTINCT k % {MERGE_SMALL_BUCKETS}) AS n_files,
+         count(*) AS n_rows
+  FROM base
+),
+gen2 AS (
+  SELECT count(DISTINCT k % {MERGE_COMPACT_BUCKETS}) AS n_files,
+         count(*) AS n_rows
+  FROM merged
+)
+SELECT CAST(gen1.n_files + gen2.n_files AS BIGINT) AS n_files_listed,
+       CAST(gen2.n_files AS BIGINT) AS n_live_files,
+       CAST(gen1.n_files AS BIGINT) AS n_orphan_files,
+       CAST(gen2.n_rows AS BIGINT) AS n_live_rows,
+       CAST(gen1.n_rows AS BIGINT) AS n_orphan_rows
+FROM gen1, gen2
 """

@@ -339,6 +339,11 @@ register(
 #   hourly_autocorrelation (temporal / HOURLY_ACF_SQL) — ACF lag
 #   1/24 over gap-filled hourly counts; exact 128-bit num/den, one
 #   clamped float64 division.
+# ROUND-14 QUEUE (tests/test_round14_queue.py):
+#   vacuum_orphan_scan (storage / VACUUM_ORPHAN_SQL) — VACUUM
+#   planning off the real merge-table directory state: persisted
+#   live-file manifest, zero-data-column _metadata listing scans,
+#   broadcast anti-join orphan accounting (files AND rows).
 
 # ---- window backfill: round-6-green entries ----
 
