@@ -1948,3 +1948,259 @@ def _mad_sql() -> str:
 
 
 QUALITY_MAD_SQL = _mad_sql()
+
+
+# --- deterministic multiplier-bootstrap CI (round-14 queue) --------------
+
+BOOT_B = 64           # replicates
+BOOT_LO_IDX = 4       # 1-based index into the sorted replicate means (~p5)
+BOOT_HI_IDX = 61      # ~p95
+# affine hash family for the replicate weights: w_b(k) =
+# 2 * (((A*(k % MOD) + B*(b+1)) % MOD) % 2) — a frozen literal family
+# (the MINHASH_PERMS discipline) shared verbatim by both engines.
+BOOT_A = 1203077157
+BOOT_B_STEP = 869531133
+
+
+def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncertainty quantification for an aggregate: a deterministic
+    multiplier bootstrap of the mean order value per priority class —
+    the error bar a metrics pipeline should publish next to every
+    mean, and the class of statistic (resampling-based CI) the rest
+    of the registry doesn't cover. Each of the 64 replicates
+    reweights rows with w in {0, 2} (mean 1, variance 1 — the
+    half-sample multiplier scheme); the CI is the [~p5, ~p95] span of
+    the replicate means.
+
+    Deterministic by construction: the weights come from the frozen
+    affine hash family (never a PRNG), so both engines build the SAME
+    64 resamples, every replicate mean is an int64 cents floor-
+    division, and the CI picks are fixed 1-based indexes (4 and 61)
+    into the SORTED 64-element replicate array — integer exact, no
+    percentile interpolation anywhere.
+
+    Scale posture (100 TB): ONE scan, no explode — all 64 replicate
+    (sum w*x, sum w) pairs are columns of a single hash aggregate
+    with map-side partials (the fact never multiplies by B), and the
+    sort at the end is over a 64-element array per group. Overflow:
+    sum(w*cents) <= 2 * total cents per group, int64 to ~4.6e18
+    cents (~10^16 USD) per priority class. The hash input folds k
+    through % MOD first, so A*(k%MOD) stays under 2^61 for ANY key
+    width.
+    """
+    from ..functions.hashing import HASH_MOD
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_c"),
+        F.expr(f"o_orderkey % {HASH_MOD}").alias("_k"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_c").alias("_s"),
+    ]
+    for b in range(BOOT_B):
+        # per-replica offset precomputed in Python: a b-scaled literal
+        # product would constant-fold in INT32 and overflow both engines
+        off = (BOOT_B_STEP * (b + 1)) % HASH_MOD
+        w = f"2 * (((({BOOT_A} * _k) + {off}) % {HASH_MOD}) % 2)"
+        aggs.append(F.expr(f"sum(({w}) * _c)").alias(f"_wx{b}"))
+        aggs.append(F.expr(f"sum({w})").alias(f"_w{b}"))
+    rolled = o.groupBy("o_orderpriority").agg(*aggs)
+    means = F.array_sort(
+        F.array(
+            *[
+                F.expr(f"_wx{b} div greatest(_w{b}, 1)")
+                for b in range(BOOT_B)
+            ]
+        )
+    )
+    return rolled.select(
+        "o_orderpriority",
+        "n",
+        F.expr("_s div n").alias("mean_cents"),
+        F.element_at(means, BOOT_LO_IDX).alias("ci_lo_cents"),
+        F.element_at(means, BOOT_HI_IDX).alias("ci_hi_cents"),
+    )
+
+
+def _bootstrap_sql() -> str:
+    from ..functions.hashing import HASH_MOD as MOD
+
+    wx_terms = []
+    w_terms = []
+    for b in range(BOOT_B):
+        off = (BOOT_B_STEP * (b + 1)) % MOD
+        w = f"2 * ((({BOOT_A} * _k + {off}) % {MOD}) % 2)"
+        wx_terms.append(f"CAST(sum(({w}) * _c) AS BIGINT) AS _wx{b}")
+        w_terms.append(f"CAST(sum({w}) AS BIGINT) AS _w{b}")
+    mean_list = ", ".join(
+        f"_wx{b} // greatest(_w{b}, 1)" for b in range(BOOT_B)
+    )
+    return f"""
+WITH o AS (
+  SELECT o_orderpriority,
+         CAST(round(o_totalprice * 100, 0) AS BIGINT) AS _c,
+         o_orderkey % {MOD} AS _k
+  FROM orders
+),
+rolled AS (
+  SELECT o_orderpriority,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(_c) AS BIGINT) AS _s,
+         {", ".join(wx_terms)},
+         {", ".join(w_terms)}
+  FROM o GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       _s // n AS mean_cents,
+       list_sort([{mean_list}])[{BOOT_LO_IDX}] AS ci_lo_cents,
+       list_sort([{mean_list}])[{BOOT_HI_IDX}] AS ci_hi_cents
+FROM rolled
+"""
+
+
+BOOTSTRAP_CI_SQL = _bootstrap_sql()
+
+
+# --- CUPED variance-reduced A/B readout (round-14 queue) ----------------
+
+# deterministic variant assignment: (A*(u % MOD) + B) % MOD % 2 —
+# perms[2] of the frozen MinHash family, disjoint from the bootstrap
+# weight family so the two ops can't correlate by construction.
+CUPED_A = 941894042
+CUPED_B = 796979479
+
+
+def cuped_ab_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance-reduced A/B readout — the experimentation-
+    analytics class: users are deterministically hash-split into two
+    variants, the post-period per-user revenue is the metric, and the
+    pre-period revenue is the CUPED covariate
+    (y_adj = y - theta*(x - x_pool), theta = cov(x,y)/var(x) pooled) —
+    the standard trick that removes the between-user variance a raw
+    A/B mean comparison wastes power on.
+
+    Everything up to the last step is exact: per-user pre/post cents
+    sums, pooled n/Sx/Sy and the cross moments Sxy/Sx2 in
+    DECIMAL(38,0)/HUGEINT, per-variant n/Sx/Sy in int64. theta and
+    the adjusted means are float64 with a FIXED operation order
+    (division -> subtraction -> multiplication -> floor to milli),
+    so both engines round identically at every step (the
+    spearman_quality_length contract: engine-identical, exact-integer
+    operands below 2^53 — ~9e12 cents of revenue — convert exactly).
+    NULL theta when the pre-period is constant (var(x) = 0).
+
+    Scale posture (100 TB): one groupBy(user) with map-side partials
+    collapses the event stream to per-user rows; the pooled moments
+    are a 1-row aggregate broadcast back over the TWO-row per-variant
+    frame. Nothing joins or windows per event.
+    """
+    from ..functions.hashing import HASH_MOD
+
+    mid = F.lit(KS_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        (F.col("ts") >= mid).cast("long").alias("_post"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("_c") * (1 - F.col("_post"))).alias("_x"),
+        F.sum(F.col("_c") * F.col("_post")).alias("_y"),
+    ).select(
+        F.expr(
+            f"(({CUPED_A} * (user_id % {HASH_MOD}) + {CUPED_B})"
+            f" % {HASH_MOD}) % 2"
+        ).alias("variant"),
+        "_x",
+        "_y",
+    )
+    pooled = per_user.agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _y")).alias("_sxy"),
+        F.sum(F.expr("CAST(_x AS DECIMAL(38,0)) * _x")).alias("_sx2"),
+    )
+    per_variant = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("_x").alias("_sxv"),
+        F.sum("_y").alias("_syv"),
+    )
+    theta = (
+        "CAST(_n * _sxy - CAST(_sx AS DECIMAL(38,0)) * _sy AS DOUBLE)"
+        " / CAST(_n * _sx2 - CAST(_sx AS DECIMAL(38,0)) * _sx AS DOUBLE)"
+    )
+    var_ok = "(_n * _sx2 - CAST(_sx AS DECIMAL(38,0)) * _sx) > 0"
+    adj = (
+        "(CAST(_syv AS DOUBLE) / n_users)"
+        f" - ({theta}) * ((CAST(_sxv AS DOUBLE) / n_users)"
+        " - (CAST(_sx AS DOUBLE) / _n))"
+    )
+    return per_variant.crossJoin(F.broadcast(pooled)).select(
+        "variant",
+        "n_users",
+        F.expr("_syv div n_users").alias("mean_post_cents"),
+        F.expr(
+            f"CAST(CASE WHEN {var_ok} THEN FLOOR(1000.0 * ({theta}))"
+            " END AS BIGINT)"
+        ).alias("theta_milli"),
+        F.expr(
+            f"CAST(CASE WHEN {var_ok} THEN FLOOR(1000.0 * ({adj}))"
+            " END AS BIGINT)"
+        ).alias("adj_mean_milli"),
+    )
+
+
+def _cuped_sql() -> str:
+    from ..functions.hashing import HASH_MOD as MOD
+
+    theta = (
+        "CAST(_n * _sxy - CAST(_sx AS HUGEINT) * _sy AS DOUBLE)"
+        " / CAST(_n * _sx2 - CAST(_sx AS HUGEINT) * _sx AS DOUBLE)"
+    )
+    var_ok = "(_n * _sx2 - CAST(_sx AS HUGEINT) * _sx) > 0"
+    adj = (
+        "(CAST(_syv AS DOUBLE) / n_users)"
+        f" - ({theta}) * ((CAST(_sxv AS DOUBLE) / n_users)"
+        " - (CAST(_sx AS DOUBLE) / _n))"
+    )
+    return f"""
+WITH ev AS (
+  SELECT user_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS _c,
+         CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS _post
+  FROM events
+),
+per_user AS (
+  SELECT (({CUPED_A} * (user_id % {MOD}) + {CUPED_B}) % {MOD}) % 2
+           AS variant,
+         CAST(sum(_c * (1 - _post)) AS BIGINT) AS _x,
+         CAST(sum(_c * _post) AS BIGINT) AS _y
+  FROM ev GROUP BY user_id
+),
+pooled AS (
+  SELECT CAST(count(*) AS BIGINT) AS _n,
+         CAST(sum(_x) AS BIGINT) AS _sx,
+         CAST(sum(_y) AS BIGINT) AS _sy,
+         CAST(sum(CAST(_x AS HUGEINT) * _y) AS HUGEINT) AS _sxy,
+         CAST(sum(CAST(_x AS HUGEINT) * _x) AS HUGEINT) AS _sx2
+  FROM per_user
+),
+per_variant AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(_x) AS BIGINT) AS _sxv,
+         CAST(sum(_y) AS BIGINT) AS _syv
+  FROM per_user GROUP BY variant
+)
+SELECT variant, n_users,
+       _syv // n_users AS mean_post_cents,
+       CAST(CASE WHEN {var_ok} THEN FLOOR(1000.0 * ({theta}))
+            END AS BIGINT) AS theta_milli,
+       CAST(CASE WHEN {var_ok} THEN FLOOR(1000.0 * ({adj}))
+            END AS BIGINT) AS adj_mean_milli
+FROM per_variant, pooled
+"""
+
+
+CUPED_AB_SQL = _cuped_sql()

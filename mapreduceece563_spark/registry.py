@@ -344,6 +344,12 @@ register(
 #   planning off the real merge-table directory state: persisted
 #   live-file manifest, zero-data-column _metadata listing scans,
 #   broadcast anti-join orphan accounting (files AND rows).
+#   bootstrap_ci_revenue (analytics / BOOTSTRAP_CI_SQL) —
+#   deterministic multiplier-bootstrap CI: 64 hash-weighted
+#   resamples in ONE aggregate (no explode), order-statistic CI.
+#   cuped_ab_readout (analytics / CUPED_AB_SQL) — hash-split A/B
+#   with CUPED variance reduction; exact moments, fixed-order
+#   float theta/adjustment chain.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -102,4 +102,225 @@ def test_round14_queue_on_empty_tables(spark, tmp_path):
         con.execute(st.VACUUM_ORPHAN_SQL),
         ctx="empty:vacuum_orphan_scan",
     )
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.bootstrap_ci_revenue(spark, str(d)),
+        con.execute(an.BOOTSTRAP_CI_SQL),
+        ctx="empty:bootstrap_ci_revenue",
+    )
+    assert_frames_match(
+        an.cuped_ab_readout(spark, str(d)),
+        con.execute(an.CUPED_AB_SQL),
+        ctx="empty:cuped_ab_readout",
+    )
     con.close()
+
+
+def test_bootstrap_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.bootstrap_ci_revenue(spark, SF_DIR),
+        duck.execute(an.BOOTSTRAP_CI_SQL),
+        ctx="bootstrap_ci_revenue",
+    )
+
+
+def test_bootstrap_python_model(spark):
+    """All 64 replicate means recomputed in pure Python from the
+    frozen weight family — the sorted-array index picks must match
+    exactly, and the CI must bracket every replicate between its
+    order statistics."""
+    from mapreduceece563_spark.functions.hashing import HASH_MOD
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "orders").select(
+        "o_orderpriority", "o_orderkey", "o_totalprice"
+    ).collect()
+    by_p: dict = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], []).append(
+            (r["o_orderkey"] % HASH_MOD, round(r["o_totalprice"] * 100))
+        )
+    got = {
+        r["o_orderpriority"]: r
+        for r in an.bootstrap_ci_revenue(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_p)
+    for p, vals in by_p.items():
+        means = []
+        for b in range(an.BOOT_B):
+            wx = sw = 0
+            for k, c in vals:
+                w = 2 * (
+                    ((an.BOOT_A * k + an.BOOT_B_STEP * (b + 1)) % HASH_MOD)
+                    % 2
+                )
+                wx += w * c
+                sw += w
+            means.append(wx // max(sw, 1))
+        means.sort()
+        g = got[p]
+        assert g["n"] == len(vals)
+        assert g["mean_cents"] == sum(c for _, c in vals) // len(vals)
+        assert g["ci_lo_cents"] == means[an.BOOT_LO_IDX - 1]
+        assert g["ci_hi_cents"] == means[an.BOOT_HI_IDX - 1]
+        assert g["ci_lo_cents"] <= g["ci_hi_cents"]
+
+
+def test_bootstrap_ci_brackets_and_shrinks(spark, tmp_path):
+    """Semantic pin: for a homogeneous value distribution the CI
+    brackets the true mean, and 100x more rows gives a strictly
+    narrower interval (bootstrap convergence) — deterministic here
+    because the weights are a frozen hash family, not a PRNG."""
+    import datetime
+
+    from mapreduceece563_spark.operators import analytics as an
+
+    ts = datetime.datetime(1995, 6, 1)
+    rows = []
+    oid = 0
+    for i in range(100):
+        rows.append((oid, 1, "O", 100.0 + (i % 7), ts, "SMALL", "c", 0, ""))
+        oid += 1
+    for i in range(10000):
+        rows.append((oid, 1, "O", 100.0 + (i % 7), ts, "BIG", "c", 0, ""))
+        oid += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string, o_clerk string, o_shippriority int,"
+        " o_comment string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["o_orderpriority"]: r
+        for r in an.bootstrap_ci_revenue(spark, str(tmp_path)).collect()
+    }
+    for p in ("SMALL", "BIG"):
+        g = got[p]
+        assert g["ci_lo_cents"] <= g["mean_cents"] <= g["ci_hi_cents"]
+    w_small = got["SMALL"]["ci_hi_cents"] - got["SMALL"]["ci_lo_cents"]
+    w_big = got["BIG"]["ci_hi_cents"] - got["BIG"]["ci_lo_cents"]
+    assert w_big < w_small
+
+
+def test_bootstrap_plan_is_one_scan_no_explode(spark):
+    """All 64 replicates ride ONE hash aggregate: no Generate
+    (explode), no join, one exchange keyed on the group column."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.bootstrap_ci_revenue(spark, SF_DIR), "simple")
+    assert "Generate" not in p
+    assert "Join" not in p
+    assert p.count("Exchange") == 1
+
+
+def test_cuped_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.cuped_ab_readout(spark, SF_DIR),
+        duck.execute(an.CUPED_AB_SQL),
+        ctx="cuped_ab_readout",
+    )
+
+
+def test_cuped_python_model(spark):
+    """Pooled theta and per-variant adjusted means recomputed in pure
+    Python with the SAME operation order (division -> subtraction ->
+    multiplication -> floor)."""
+    import datetime
+    import math
+
+    from mapreduceece563_spark.functions.hashing import HASH_MOD
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    split = datetime.datetime.fromisoformat(an.KS_SPLIT)
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    per_user: dict = {}
+    for r in rows:
+        x, y = per_user.setdefault(r["user_id"], [0, 0])
+        c = round(r["value"] * 100)
+        if r["ts"] >= split:
+            per_user[r["user_id"]] = [x, y + c]
+        else:
+            per_user[r["user_id"]] = [x + c, y]
+    n = len(per_user)
+    sx = sum(x for x, _ in per_user.values())
+    sy = sum(y for _, y in per_user.values())
+    sxy = sum(x * y for x, y in per_user.values())
+    sx2 = sum(x * x for x, _ in per_user.values())
+    theta = float(n * sxy - sx * sy) / float(n * sx2 - sx * sx)
+    got = {
+        r["variant"]: r for r in an.cuped_ab_readout(spark, SF_DIR).collect()
+    }
+    by_v: dict = {}
+    for u, (x, y) in per_user.items():
+        v = ((an.CUPED_A * (u % HASH_MOD) + an.CUPED_B) % HASH_MOD) % 2
+        nv, sxv, syv = by_v.setdefault(v, [0, 0, 0])
+        by_v[v] = [nv + 1, sxv + x, syv + y]
+    assert set(got) == set(by_v)
+    for v, (nv, sxv, syv) in by_v.items():
+        g = got[v]
+        assert (g["n_users"], g["mean_post_cents"]) == (nv, syv // nv)
+        assert g["theta_milli"] == math.floor(1000.0 * theta)
+        adj = (float(syv) / nv) - theta * (
+            (float(sxv) / nv) - (float(sx) / n)
+        )
+        assert g["adj_mean_milli"] == math.floor(1000.0 * adj)
+
+
+def test_cuped_removes_preperiod_variance(spark, tmp_path):
+    """Semantic pin: when post == pre for every user (y = x, a pure
+    carry-over world), theta == 1 exactly and BOTH variants' adjusted
+    means collapse to the pooled mean — the raw means differ by the
+    luck of the hash split, the adjusted ones cannot."""
+    import datetime
+
+    from mapreduceece563_spark.operators import analytics as an
+
+    split = datetime.datetime.fromisoformat(an.KS_SPLIT)
+    before = split - datetime.timedelta(days=3)
+    after = split + datetime.timedelta(days=3)
+    rows, eid = [], 0
+    for u in range(200):
+        spend = 1.0 + (u % 13) * 7.0  # heavy between-user variance
+        rows.append((eid, before, u, "buy", spend, "{}")); eid += 1
+        rows.append((eid, after, u, "buy", spend, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["variant"]: r
+        for r in an.cuped_ab_readout(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}
+    assert got[0]["theta_milli"] == 1000
+    assert got[1]["theta_milli"] == 1000
+    assert got[0]["adj_mean_milli"] == got[1]["adj_mean_milli"]
+    assert got[0]["mean_post_cents"] != got[1]["mean_post_cents"]
+
+
+def test_cuped_plan_is_per_user_then_broadcast(spark):
+    """One per-user aggregate feeds both moment rollups; the pooled
+    1-row frame joins back by broadcast; nothing windows or joins per
+    event."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.cuped_ab_readout(spark, SF_DIR), "simple")
+    assert "Window" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p \
+        or "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
