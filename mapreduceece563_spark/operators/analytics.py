@@ -2204,3 +2204,175 @@ FROM per_variant, pooled
 
 
 CUPED_AB_SQL = _cuped_sql()
+
+
+# --- split-conformal prediction interval (round-15 queue) ---------------
+
+CONF_ALPHA_PPM = 100_000  # target miss rate 10% -> 90% intervals
+# user-hash three-way split: FIT (h%4 in 0,1), CAL (2), TEST (3) —
+# perms[5] of the frozen family, disjoint from bootstrap and CUPED.
+CONF_A = 1109849646
+CONF_B = 246979837
+
+
+def conformal_event_value_interval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Split-conformal prediction interval for event values, per event
+    type — distribution-free uncertainty for a point predictor: fit a
+    predictor on FIT, take the ceil((n+1)*0.9)-th smallest absolute
+    residual on CAL as the interval half-width q, and MEASURE the
+    coverage on held-out TEST. The conformal guarantee (coverage >=
+    90% in expectation, no distributional assumptions) is exactly the
+    kind of promise a data pipeline can certify engine-independently
+    — and the TEST-side coverage_ppm exported here is the audit.
+
+    Deterministic and integer-exact end to end: the three-way user
+    split is the frozen affine hash family (FIT 50% / CAL 25% /
+    TEST 25%); the predictor is the FIT-set per-type mean in cents
+    (int64 floor-division); residuals are integer cents; the
+    conformal quantile is an ORDER STATISTIC read off the residual
+    histogram's cumulative window (rank k = (n_cal+1)*0.9 rounded up
+    via integer ceil: (9*(n_cal+1) + 9) div 10 — never interpolated);
+    coverage is an exact integer count ratio. NULL q when CAL is
+    empty (no guarantee exists — exported honestly rather than as 0).
+
+    Scale posture (100 TB): one groupBy(event_type) each for FIT
+    means (map-side partials), the CAL residual HISTOGRAM (bounded by
+    distinct cents values), and TEST coverage counts; the cumulative
+    window slides over distinct residual values only; everything
+    joins on the tiny event_type key.
+    """
+    from ..functions.hashing import HASH_MOD
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        F.expr(
+            f"(({CONF_A} * (user_id % {HASH_MOD}) + {CONF_B})"
+            f" % {HASH_MOD}) % 4"
+        ).alias("_h"),
+    )
+    fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
+        F.expr("sum(_c) div count(1)").alias("_pred"),
+        F.count(F.lit(1)).alias("n_fit"),
+    )
+    cal = (
+        ev.filter(F.col("_h") == 2)
+        .join(fit.select("event_type", "_pred"), "event_type")
+        .select(
+            "event_type", F.abs(F.col("_c") - F.col("_pred")).alias("_r")
+        )
+    )
+    cal_hist = cal.groupBy("event_type", "_r").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    stepped = cal_hist.select(
+        "event_type",
+        "_r",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_ncal"),
+    )
+    # rank k = ceil((n_cal + 1) * (1 - alpha)) = ceil(9*(n_cal+1)/10),
+    # clamped to n_cal (the standard finite-sample convention)
+    q = (
+        stepped.filter(
+            F.col("_cum")
+            >= F.expr("least((9 * (_ncal + 1) + 9) div 10, _ncal)")
+        )
+        .groupBy("event_type")
+        .agg(F.min("_r").alias("q_resid"), F.max("_ncal").alias("n_cal"))
+    )
+    test = (
+        ev.filter(F.col("_h") == 3)
+        .join(fit.select("event_type", "_pred"), "event_type")
+        .join(q.select("event_type", "q_resid"), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("_c") - F.col("_pred")) <= F.col("q_resid")
+                ).cast("long")
+            ).alias("_hits"),
+        )
+    )
+    return (
+        fit.join(q, "event_type")
+        .join(test, "event_type")
+        .select(
+            "event_type",
+            "n_fit",
+            "n_cal",
+            "n_test",
+            F.col("_pred").alias("pred_cents"),
+            "q_resid",
+            F.expr("_hits * 1000000 div greatest(n_test, 1)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+def _conformal_sql() -> str:
+    from ..functions.hashing import HASH_MOD as MOD
+
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS _c,
+         (({CONF_A} * (user_id % {MOD}) + {CONF_B}) % {MOD}) % 4 AS _h
+  FROM events
+),
+fit AS (
+  SELECT event_type, sum(_c) // count(*) AS _pred,
+         CAST(count(*) AS BIGINT) AS n_fit
+  FROM ev WHERE _h <= 1 GROUP BY event_type
+),
+cal_hist AS (
+  SELECT e.event_type, abs(e._c - f._pred) AS _r,
+         CAST(count(*) AS BIGINT) AS _cnt
+  FROM ev e JOIN fit f ON e.event_type = f.event_type
+  WHERE e._h = 2 GROUP BY e.event_type, abs(e._c - f._pred)
+),
+stepped AS (
+  SELECT event_type, _r,
+         sum(_cnt) OVER (PARTITION BY event_type ORDER BY _r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_cnt) OVER (PARTITION BY event_type) AS _ncal
+  FROM cal_hist
+),
+q AS (
+  SELECT event_type, CAST(min(_r) AS BIGINT) AS q_resid,
+         CAST(max(_ncal) AS BIGINT) AS n_cal
+  FROM stepped
+  WHERE _cum >= least((9 * (_ncal + 1) + 9) // 10, _ncal)
+  GROUP BY event_type
+),
+test AS (
+  SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(e._c - f._pred) <= q.q_resid
+                       THEN 1 ELSE 0 END) AS BIGINT) AS _hits
+  FROM ev e
+  JOIN fit f ON e.event_type = f.event_type
+  JOIN q ON e.event_type = q.event_type
+  WHERE e._h = 3
+  GROUP BY e.event_type
+)
+SELECT f.event_type, f.n_fit, q.n_cal, t.n_test,
+       CAST(f._pred AS BIGINT) AS pred_cents,
+       q.q_resid,
+       CAST(t._hits * 1000000 // greatest(t.n_test, 1) AS BIGINT)
+         AS coverage_ppm
+FROM fit f JOIN q ON f.event_type = q.event_type
+JOIN test t ON f.event_type = t.event_type
+"""
+
+
+CONFORMAL_SQL = _conformal_sql()

@@ -350,6 +350,11 @@ register(
 #   cuped_ab_readout (analytics / CUPED_AB_SQL) — hash-split A/B
 #   with CUPED variance reduction; exact moments, fixed-order
 #   float theta/adjustment chain.
+# ROUND-15 QUEUE (tests/test_round15_queue.py):
+#   conformal_event_value_interval (analytics / CONFORMAL_SQL) —
+#   split-conformal prediction interval: hash FIT/CAL/TEST split,
+#   order-statistic quantile off the residual histogram, held-out
+#   coverage audit.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -1,0 +1,128 @@
+"""Round-15 queue: implemented + oracle-tested ahead of registration.
+
+conformal_event_value_interval adds distribution-free predictive
+uncertainty (split conformal): the deterministic hash three-way
+split, an order-statistic conformal quantile read off the residual
+histogram, and the held-out coverage audit the guarantee promises."""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+def test_conformal_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.conformal_event_value_interval(spark, SF_DIR),
+        duck.execute(an.CONFORMAL_SQL),
+        ctx="conformal_event_value_interval",
+    )
+
+
+def test_conformal_python_model(spark):
+    """Replay the split, the FIT mean, the ceil((n+1)*0.9) order
+    statistic, and the TEST coverage in pure Python."""
+    from mapreduceece563_spark.functions.hashing import HASH_MOD
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "user_id", "value"
+    ).collect()
+    split: dict = {}
+    for r in rows:
+        h = ((an.CONF_A * (r["user_id"] % HASH_MOD) + an.CONF_B)
+             % HASH_MOD) % 4
+        c = round(r["value"] * 100)
+        split.setdefault(r["event_type"], {0: [], 1: [], 2: [], 3: []})[
+            min(h, 1) if h <= 1 else h
+        ].append(c)
+    got = {
+        r["event_type"]: r
+        for r in an.conformal_event_value_interval(spark, SF_DIR).collect()
+    }
+    for et, parts in split.items():
+        fit = parts[0] + parts[1]
+        cal, test = parts[2], parts[3]
+        if not fit or not cal or not test:
+            assert et not in got
+            continue
+        pred = sum(fit) // len(fit)
+        resid = sorted(abs(c - pred) for c in cal)
+        k = min((9 * (len(cal) + 1) + 9) // 10, len(cal))
+        qv = resid[k - 1]
+        hits = sum(1 for c in test if abs(c - pred) <= qv)
+        g = got[et]
+        assert (g["n_fit"], g["n_cal"], g["n_test"]) == (
+            len(fit), len(cal), len(test),
+        )
+        assert (g["pred_cents"], g["q_resid"]) == (pred, qv)
+        assert g["coverage_ppm"] == hits * 1_000_000 // len(test)
+
+
+def test_conformal_coverage_near_target(spark, tmp_path):
+    """Semantic pin (the guarantee itself): on a large i.i.d. corpus
+    the held-out coverage must land near the 90% target — the
+    distribution-free promise split conformal makes, measurable here
+    because the split is a frozen hash, not a PRNG."""
+    from mapreduceece563_spark.operators import analytics as an
+
+    rng = random.Random(7)
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(20000):
+        rows.append(
+            (i, t0, i, "iid", round(rng.uniform(1, 100), 2), "{}")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    g = an.conformal_event_value_interval(spark, str(tmp_path)).collect()[0]
+    assert 870_000 <= g["coverage_ppm"] <= 930_000
+    assert g["n_fit"] + g["n_cal"] + g["n_test"] == 20000
+
+
+def test_conformal_plan_is_histogram_bounded(spark):
+    """The conformal quantile must come off the residual histogram's
+    cumulative window — no per-event rank, no per-event window."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(
+        an.conformal_event_value_interval(spark, SF_DIR), "simple"
+    )
+    assert "row_number" not in p
+    assert "windowspecdefinition(event_type" in p
+    assert "windowspecdefinition(event_id" not in p
+    assert "windowspecdefinition(user_id" not in p
+
+
+def test_round15_queue_on_empty_tables(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    assert_frames_match(
+        an.conformal_event_value_interval(spark, str(d)),
+        con.execute(an.CONFORMAL_SQL),
+        ctx="empty:conformal_event_value_interval",
+    )
+    con.close()
