@@ -1100,19 +1100,14 @@ RECALL_NPROBES = (1, 2, 3)
 RECALL_SCALE = 1_000_000
 
 
-def ivf_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the IVF index versus the exact brute-force top-k,
-    for each probe budget — the tuning loop you run BEFORE deploying
-    an ANN index (the lsh_precision/lsh_recall analogue for the IVF
-    tier). Returns one row per nprobe with the measured recall.
-
-    Scale posture (100 TB): the ground truth is computed once for the
-    tiny query set (broadcast queries x corpus scan); the IVF side
-    scores only probed cells, and the per-nprobe expansion happens on
-    the CELL RANKING (queries x cells x |nprobes| rows), never on the
-    corpus. Recall is an exact integer hit count divided once at the
-    end, so both engines agree bit-for-bit.
-    """
+def _ivf_tuning_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Shared scaffold for the IVF tuning loop (recall AND rank
+    quality): returns (gt, ann, nprobes) where gt is the exact
+    brute-force top-k per query, ann the IVF result list per
+    (nprobe, query) WITH its rank column `_rk`, and nprobes the tiny
+    probe-budget frame."""
     n = _norms(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
         "vec_id", "label"
@@ -1231,8 +1226,25 @@ def ivf_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("_rk", F.row_number().over(per_probe_w))
         .filter(F.col("_rk") <= TOP_K)
-        .select("nprobe", "query_id", "neighbor_id")
+        .select("nprobe", "query_id", "neighbor_id", "_rk")
     )
+    return gt, ann, nprobes
+
+
+def ivf_recall_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF index versus the exact brute-force top-k,
+    for each probe budget — the tuning loop you run BEFORE deploying
+    an ANN index (the lsh_precision/lsh_recall analogue for the IVF
+    tier). Returns one row per nprobe with the measured recall.
+
+    Scale posture (100 TB): the ground truth is computed once for the
+    tiny query set (broadcast queries x corpus scan); the IVF side
+    scores only probed cells, and the per-nprobe expansion happens on
+    the CELL RANKING (queries x cells x |nprobes| rows), never on the
+    corpus. Recall is an exact integer hit count divided once at the
+    end, so both engines agree bit-for-bit.
+    """
+    gt, ann, nprobes = _ivf_tuning_frames(spark, sf_dir)
     hits = ann.join(gt, ["query_id", "neighbor_id"]).groupBy(
         "nprobe"
     ).agg(F.count("*").alias("n_hits"))
@@ -1327,6 +1339,149 @@ SELECT p.nprobe,
        COALESCE(h.n_hits, 0) AS n_hits,
        CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / {N_QUERIES * TOP_K}.0
          AS recall_at_k
+FROM probes p LEFT JOIN hits h ON p.nprobe = h.nprobe
+"""
+
+
+
+# --- ANN rank quality (round-15 queue) ----------------------------------
+
+# log2 position discounts for NDCG@TOP_K, micro-unit literals at
+# module load (the ndcg_at_k idiom): no runtime transcendental.
+_ANN_DISC_MICRO = [
+    round(1_000_000 / __import__("math").log2(r + 1))
+    for r in range(1, TOP_K + 1)
+]
+_ANN_IDCG_MICRO = sum(_ANN_DISC_MICRO)
+
+
+def ann_rank_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the IVF result list against the exact brute-force
+    top-k, per probe budget — the rank-quality leg of the ANN tuning
+    loop: recall@k (ivf_recall_tuning) asks "did the true neighbors
+    make the list", NDCG asks "are they at the TOP of it", which is
+    what a retrieval consumer that reads results in order actually
+    experiences. A probe budget can hold recall steady while pushing
+    true neighbors down the list; this entry catches that.
+
+    Integer-exact past the (oracle-reproduced) cosine ordering:
+    binary relevance = membership in the exact top-k, position
+    discounts are module-load micro-unit literals, per-query
+    DCG = sum(disc[_rk]) over hit rows, IDCG = the constant k-prefix
+    sum (every query has exactly k relevant ids by construction), and
+    mean_ndcg_ppm = sum(dcg) * 1e6 div (N_QUERIES * idcg) — the mean
+    over the FIXED query panel, so an nprobe that misses a whole
+    query scores the miss rather than silently shrinking the
+    denominator.
+
+    Scale posture (100 TB): identical to ivf_recall_tuning — the
+    shared scaffold scores only probed cells, the per-nprobe
+    expansion happens on the cell ranking, and this entry adds one
+    broadcast-sized join (k rows per query) plus a per-nprobe rollup.
+    """
+    gt, ann, nprobes = _ivf_tuning_frames(spark, sf_dir)
+    disc = F.array(*[F.lit(d) for d in _ANN_DISC_MICRO])
+    hits = (
+        ann.join(gt, ["query_id", "neighbor_id"])
+        .select(
+            "nprobe", F.element_at(disc, F.col("_rk")).alias("_d")
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("_d").alias("_dcg"),
+        )
+    )
+    denom = N_QUERIES * _ANN_IDCG_MICRO
+    return (
+        nprobes.join(F.broadcast(hits), "nprobe", "left")
+        .select(
+            "nprobe",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.coalesce("_dcg", F.lit(0)).alias("dcg_micro"),
+            F.expr(
+                f"coalesce(_dcg, 0) * 1000000 div {denom}"
+            ).alias("mean_ndcg_ppm"),
+        )
+    )
+
+
+_ANN_DISC_SQL = ", ".join(str(d) for d in _ANN_DISC_MICRO)
+
+ANN_RANK_QUALITY_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+nl AS (
+  SELECT n.vec_id, n.v, n.nrm, e.label
+  FROM n JOIN embeddings e ON n.vec_id = e.vec_id
+),
+q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n
+  WHERE vec_id < {N_QUERIES}
+),
+gt AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DOT_SQL.format(a='q.qv', b='c.v')} / (q.qn * c.nrm)
+                        DESC,
+                      c.vec_id ASC) AS _rk
+    FROM q CROSS JOIN n c WHERE c.vec_id <> q.query_id
+  ) WHERE _rk <= {TOP_K}
+),
+cent_rows AS (
+  SELECT label, d.pos AS pos,
+         (sum(CAST(round(v[d.pos] * 1000000, 0) AS BIGINT)) / 1000000.0)
+           / count(*) AS cval
+  FROM nl CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+  GROUP BY label, d.pos
+),
+centroids AS (
+  SELECT label, list(cval ORDER BY pos) AS cv FROM cent_rows GROUP BY label
+),
+centroids_n AS (
+  SELECT label, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cnrm
+  FROM centroids
+),
+cells AS (
+  SELECT query_id, qv, qn, label, _pr FROM (
+    SELECT q.query_id, q.qv, q.qn, c.label,
+           row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY {_DOT_SQL.format(a='q.qv', b='c.cv')} / (q.qn * c.cnrm)
+                        DESC,
+                      c.label ASC) AS _pr
+    FROM q CROSS JOIN centroids_n c
+  ) WHERE _pr <= {max(RECALL_NPROBES)}
+),
+scored AS (
+  SELECT p.query_id, c.vec_id AS neighbor_id, p._pr,
+         {_DOT_SQL.format(a='p.qv', b='c.v')} / (p.qn * c.nrm) AS _cos
+  FROM cells p JOIN nl c ON p.label = c.label
+  WHERE c.vec_id <> p.query_id
+),
+probes AS (SELECT unnest([{_RECALL_PROBES_SQL}]) AS nprobe),
+ann AS (
+  SELECT nprobe, query_id, neighbor_id, _rk FROM (
+    SELECT pr.nprobe, s.query_id, s.neighbor_id,
+           row_number() OVER (
+             PARTITION BY pr.nprobe, s.query_id
+             ORDER BY s._cos DESC, s.neighbor_id ASC) AS _rk
+    FROM scored s JOIN probes pr ON s._pr <= pr.nprobe
+  ) WHERE _rk <= {TOP_K}
+),
+hits AS (
+  SELECT a.nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+         CAST(sum(([{_ANN_DISC_SQL}])[a._rk]) AS BIGINT) AS _dcg
+  FROM ann a JOIN gt g
+    ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+  GROUP BY a.nprobe
+)
+SELECT p.nprobe,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h._dcg, 0) AS dcg_micro,
+       CAST(COALESCE(h._dcg, 0) * 1000000
+            // {N_QUERIES * _ANN_IDCG_MICRO} AS BIGINT) AS mean_ndcg_ppm
 FROM probes p LEFT JOIN hits h ON p.nprobe = h.nprobe
 """
 

@@ -355,6 +355,10 @@ register(
 #   split-conformal prediction interval: hash FIT/CAL/TEST split,
 #   order-statistic quantile off the residual histogram, held-out
 #   coverage audit.
+#   ann_rank_quality (similarity / ANN_RANK_QUALITY_SQL) — NDCG@k of
+#   the IVF list vs exact top-k per probe budget, on the shared
+#   _ivf_tuning_frames scaffold; hit counts pinned equal to
+#   ivf_recall_tuning's.
 
 # ---- window backfill: round-6-green entries ----
 

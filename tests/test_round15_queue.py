@@ -126,3 +126,68 @@ def test_round15_queue_on_empty_tables(spark, tmp_path):
         ctx="empty:conformal_event_value_interval",
     )
     con.close()
+
+
+def test_ann_ndcg_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import similarity as sim
+
+    assert_frames_match(
+        sim.ann_rank_quality(spark, SF_DIR),
+        duck.execute(sim.ANN_RANK_QUALITY_SQL),
+        ctx="ann_rank_quality",
+    )
+
+
+def test_ann_ndcg_invariants_and_recall_coupling(spark):
+    """NDCG must be monotone non-decreasing in nprobe, bounded by
+    [0, 1e6], bracketed per nprobe by n_hits * disc[k] <= dcg <=
+    n_hits * disc[1] — and its hit counts must EQUAL
+    ivf_recall_tuning's (same scaffold, same result lists)."""
+    import math
+
+    from mapreduceece563_spark.operators import similarity as sim
+
+    disc = [
+        round(1_000_000 / math.log2(r + 1))
+        for r in range(1, sim.TOP_K + 1)
+    ]
+    assert disc == sim._ANN_DISC_MICRO
+
+    ndcg = {
+        r["nprobe"]: r for r in sim.ann_rank_quality(spark, SF_DIR).collect()
+    }
+    rec = {
+        r["nprobe"]: r
+        for r in sim.ivf_recall_tuning(spark, SF_DIR).collect()
+    }
+    assert set(ndcg) == set(rec) == set(sim.RECALL_NPROBES)
+    prev = -1
+    for p in sorted(ndcg):
+        g = ndcg[p]
+        assert g["n_hits"] == rec[p]["n_hits"]
+        assert 0 <= g["mean_ndcg_ppm"] <= 1_000_000
+        assert g["mean_ndcg_ppm"] >= prev
+        prev = g["mean_ndcg_ppm"]
+        assert g["n_hits"] * disc[-1] <= g["dcg_micro"] \
+            <= g["n_hits"] * disc[0]
+        assert g["mean_ndcg_ppm"] == g["dcg_micro"] * 1_000_000 // (
+            sim.N_QUERIES * sum(disc)
+        )
+
+
+def test_ann_ndcg_plan_scores_probed_cells_only(spark):
+    """The scaffold invariant carried over: candidate scoring joins on
+    the cell label (never a full cross of queries x corpus for the
+    ANN side), and the probe expansion is broadcast."""
+    from mapreduceece563_spark.operators import similarity as sim
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(sim.ann_rank_quality(spark, SF_DIR), "simple")
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+    # same join physics as ivf_recall_tuning (the shared scaffold):
+    # the candidate scoring keys on the cell label
+    from mapreduceece563_spark.plans import plan_string as ps
+
+    p2 = ps(sim.ivf_recall_tuning(spark, SF_DIR), "simple")
+    assert p.count("SortMergeJoin") == p2.count("SortMergeJoin")
