@@ -1309,3 +1309,169 @@ SELECT r.doc_id, r.n_samples, r.n_frames, r.n_silent,
        r.min_frame_energy, r.max_frame_energy
 FROM rolled r LEFT JOIN longest l ON r.doc_id = l.doc_id
 """
+
+
+# --- pHash (sign-DCT) image near-dup (round-15 queue) -------------------
+
+PHASH_GRID = 4
+# integer DCT-II basis, frozen at module load: B[u][x] =
+# round(cos(pi*(2x+1)*u/(2*4)) * 1e4). For every u != 0 the row sums
+# to EXACTLY zero after rounding (the cosines come in +/- pairs of
+# equal magnitude), which is what makes the AC coefficients — and
+# hence the hash — exactly invariant under uniform brightness shifts.
+_PHASH_BASIS = [
+    [
+        round(
+            __import__("math").cos(
+                __import__("math").pi * (2 * x + 1) * u / (2 * PHASH_GRID)
+            )
+            * 10_000
+        )
+        for x in range(PHASH_GRID)
+    ]
+    for u in range(PHASH_GRID)
+]
+assert all(sum(row) == 0 for row in _PHASH_BASIS[1:])
+
+
+def _phash_payload(payload: bytes) -> int:
+    """Sign-DCT pHash of one REAL PPM payload: decode, 4x4
+    nearest-neighbor gray grid, integer-basis DCT-II (D = B G B^T in
+    pure int64 matmul), 15 AC-coefficient sign bits."""
+    g = PHASH_GRID
+    B = np.array(_PHASH_BASIS, dtype=np.int64)
+    w, h, px = decode_ppm(payload)
+    sy = (np.arange(g) * h) // g
+    sx = (np.arange(g) * w) // g
+    gray = px[np.ix_(sy, sx)].astype(np.int64).sum(axis=2)
+    d = B @ gray @ B.T
+    bits = (d > 0).astype(np.int64).reshape(-1)[1:]  # skip DC
+    return int((bits << np.arange(bits.size)).sum())
+
+
+def image_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash (sign-DCT) near-duplicate detection over REAL decoded
+    image bytes — the frequency-domain sibling of image_ahash_neardup:
+    aHash thresholds raw intensities (texture-blind: any image whose
+    bright cells sit in the same places collides), pHash signs the
+    low-frequency DCT coefficients, encoding the image's coarse
+    STRUCTURE. 4x4 nearest-neighbor grid, gray = r+g+b, then the 2-D
+    DCT-II with a frozen INTEGER basis (x1e4 literals) — D = B G B^T
+    in pure int64 matmul — and the 15-bit hash is the signs of the AC
+    coefficients. Because every non-DC basis row sums to exactly zero
+    (module-load assert), a uniform brightness shift moves ONLY the
+    DC coefficient: the three exposures of each fixture group must
+    hash identically, and the per-group n_hashes == 1 rollup is that
+    property, certified against the oracle's closed-form replay of
+    decode + downsample + literal-basis DCT.
+
+    Scale posture (100 TB of images): decode + DCT is one
+    Arrow-batched mapInPandas pass emitting one int per image (the
+    4x4 integer matmul is ~128 multiplies); the rollup shuffles
+    (group, hash) pairs only, and the collision window runs over the
+    group-level frame. Overflow: |D| <= 765 * 1e4 * 1e4 * 16 ~ 1.2e12,
+    comfortably int64."""
+    media = documents_as_ppm_groups(spark, sf_dir)
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(mid)
+                hashes.append(_phash_payload(bytes(payload)))
+            yield pd.DataFrame({"doc_id": ids, "phash": hashes})
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("phash", T.LongType()),
+        ]
+    )
+    hashed = media.mapInPandas(_hash, schema=schema)
+    per_group = (
+        hashed.select(
+            F.expr(f"doc_id div {AHASH_VARIANTS}").alias("grp"), "phash"
+        )
+        .groupBy("grp")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.countDistinct("phash").alias("n_hashes"),
+            F.min("phash").alias("phash"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w_hash = Window.partitionBy("phash")
+    return per_group.select(
+        "grp",
+        "n_images",
+        "n_hashes",
+        "phash",
+        F.count("*").over(w_hash).alias("n_groups_same_hash"),
+    )
+
+
+def _phash_sql() -> str:
+    basis_rows = ", ".join(
+        f"({u}, {x}, {_PHASH_BASIS[u][x]})"
+        for u in range(PHASH_GRID)
+        for x in range(PHASH_GRID)
+    )
+    idx = (
+        f"(((i * h) // {PHASH_GRID}) * w + ((j * w) // {PHASH_GRID})) * 3"
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id // {AHASH_VARIANTS} AS grp,
+         doc_id % {AHASH_OFFSETS} AS off
+  FROM documents
+),
+dims AS (SELECT *, 4 + grp % 5 AS w, 3 + grp % 4 AS h FROM d),
+basis(u, x, b) AS (SELECT * FROM (VALUES {basis_rows})),
+grays AS (
+  SELECT doc_id, grp, ii.i AS i, jj.j AS j,
+         3 * off
+         + (grp * {PPM_PIXEL_MULT} + ({idx} + 0) * {PPM_PIXEL_STEP})
+             % {AHASH_PIXEL_MOD}
+         + (grp * {PPM_PIXEL_MULT} + ({idx} + 1) * {PPM_PIXEL_STEP})
+             % {AHASH_PIXEL_MOD}
+         + (grp * {PPM_PIXEL_MULT} + ({idx} + 2) * {PPM_PIXEL_STEP})
+             % {AHASH_PIXEL_MOD}
+           AS gray
+  FROM dims,
+       (SELECT unnest(range(0, {PHASH_GRID})) AS i) ii,
+       (SELECT unnest(range(0, {PHASH_GRID})) AS j) jj
+),
+dct AS (
+  SELECT g.doc_id, g.grp, bu.u AS u, bv.u AS v,
+         CAST(sum(bu.b * bv.b * g.gray) AS BIGINT) AS coef
+  FROM grays g
+  JOIN basis bu ON bu.x = g.i
+  JOIN basis bv ON bv.x = g.j
+  GROUP BY g.doc_id, g.grp, bu.u, bv.u
+),
+hashes AS (
+  SELECT doc_id, grp,
+         CAST(sum(CASE WHEN coef > 0
+                       THEN CAST(1 AS BIGINT)
+                            << CAST(u * {PHASH_GRID} + v - 1 AS INTEGER)
+                       ELSE 0 END) AS BIGINT) AS phash
+  FROM dct WHERE NOT (u = 0 AND v = 0)
+  GROUP BY doc_id, grp
+),
+per_group AS (
+  SELECT grp,
+         CAST(count(*) AS BIGINT) AS n_images,
+         CAST(count(DISTINCT phash) AS BIGINT) AS n_hashes,
+         CAST(min(phash) AS BIGINT) AS phash
+  FROM hashes GROUP BY grp
+)
+SELECT grp, n_images, n_hashes, phash,
+       CAST(count(*) OVER (PARTITION BY phash) AS BIGINT)
+         AS n_groups_same_hash
+FROM per_group
+"""
+
+
+IMAGE_PHASH_SQL = _phash_sql()

