@@ -709,3 +709,121 @@ JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
            AND p2.word = t._w2
 GROUP BY p1.doc_id, t.phrase
 """
+
+
+# --- link prediction (round-15 queue) -----------------------------------
+
+LP_TOP = 20
+LP_MID_CAP = 50  # wedge-midpoint degree cap: hubs fan out deg^2
+
+
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jaccard link prediction over the word co-occurrence graph —
+    the missing-edge side of graph mining (PageRank ranks nodes,
+    triangles count closure, BFS measures distance; link prediction
+    asks WHICH absent edge is most likely real): for non-adjacent
+    pairs, jaccard_ppm = |N(a) n N(b)| * 1e6 div (deg_a + deg_b -
+    |N(a) n N(b)|), top-20 by (score, common neighbors, pair) — all
+    integer counts, the division non-negative.
+
+    Candidate pairs come from WEDGE enumeration (a-w-b through a
+    shared neighbor — only pairs with >= 1 common neighbor can score
+    > 0, so nothing else is ever materialized), with the wedge
+    MIDPOINT degree capped at 50: a hub midpoint fans out deg^2
+    wedges, and a stopword hub's predictions are noise anyway — the
+    same df-cap policy as the dedup shingle tiers. Existing edges are
+    removed with a left-anti join BEFORE scoring.
+
+    Scale posture (100 TB): degrees and the cap are one groupBy; the
+    wedge self-join is co-partitioned on the midpoint (a local zipper
+    after one shuffle, fan-out bounded by the cap squared); the
+    anti-join and degree joins key on the pair endpoints; the top-k
+    is a TakeOrderedAndProject. No per-doc or per-node window.
+    """
+    e = _cooc_edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    mid_ok = deg.filter(F.col("deg") <= LP_MID_CAP).select(
+        F.col("src").alias("w")
+    )
+    half = e.select(F.col("dst").alias("a"), F.col("src").alias("w"))
+    wedges = (
+        half.join(mid_ok, "w")
+        .alias("x")
+        .join(
+            half.select(F.col("a").alias("b"), "w").alias("y"), "w"
+        )
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cn"))
+    )
+    non_edges = wedges.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    scored = (
+        non_edges.join(
+            deg.select(F.col("src").alias("a"), F.col("deg").alias("_da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("src").alias("b"), F.col("deg").alias("_db")),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "cn",
+            F.expr("cn * 1000000 div (_da + _db - cn)").alias(
+                "jaccard_ppm"
+            ),
+        )
+    )
+    return scored.orderBy(
+        F.desc("jaccard_ppm"), F.desc("cn"), F.asc("a"), F.asc("b")
+    ).limit(LP_TOP)
+
+
+LINK_PREDICTION_SQL = f"""
+WITH {_words_cte().lstrip()},
+arcs AS (
+  SELECT e.* FROM (
+    SELECT unnest(CASE WHEN len(words) >= 2 THEN
+             list_transform(range(1, len(words)),
+                            i -> {{'src': words[i], 'dst': words[i+1]}})
+           ELSE CAST([] AS STRUCT(src VARCHAR, dst VARCHAR)[]) END) AS e
+    FROM w) t
+),
+e0 AS (SELECT src, dst FROM arcs WHERE src <> dst),
+edges AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+mid_ok AS (SELECT src AS w FROM deg WHERE deg <= {LP_MID_CAP}),
+half AS (SELECT dst AS a, src AS w FROM edges),
+wedges AS (
+  SELECT x.a AS a, y.a AS b, CAST(count(*) AS BIGINT) AS cn
+  FROM half x
+  JOIN mid_ok m ON x.w = m.w
+  JOIN half y ON x.w = y.w
+  WHERE x.a < y.a
+  GROUP BY x.a, y.a
+),
+non_edges AS (
+  SELECT w.* FROM wedges w
+  WHERE NOT EXISTS (SELECT 1 FROM edges e
+                    WHERE e.src = w.a AND e.dst = w.b)
+),
+scored AS (
+  SELECT n.a, n.b, n.cn,
+         CAST(n.cn * 1000000 // (da.deg + db.deg - n.cn) AS BIGINT)
+           AS jaccard_ppm
+  FROM non_edges n
+  JOIN deg da ON n.a = da.src
+  JOIN deg db ON n.b = db.src
+)
+SELECT a, b, cn, jaccard_ppm FROM scored
+ORDER BY jaccard_ppm DESC, cn DESC, a ASC, b ASC
+LIMIT {LP_TOP}
+"""

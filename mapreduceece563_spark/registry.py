@@ -363,6 +363,9 @@ register(
 #   over real PPM decode with a frozen integer basis; AC sign bits
 #   exactly brightness-invariant (zero-sum basis rows); aHash's
 #   map-only posture.
+#   link_prediction_jaccard (graph / LINK_PREDICTION_SQL) — Jaccard
+#   link prediction via capped wedge enumeration, existing edges
+#   anti-joined out, TakeOrderedAndProject top-20.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -125,6 +125,20 @@ def test_round15_queue_on_empty_tables(spark, tmp_path):
         con.execute(an.CONFORMAL_SQL),
         ctx="empty:conformal_event_value_interval",
     )
+    from mapreduceece563_spark.operators import graph as gr
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.operators import similarity as sim
+
+    for name, fn, sql in (
+        ("ann_rank_quality", sim.ann_rank_quality,
+         sim.ANN_RANK_QUALITY_SQL),
+        ("image_phash_dct", mm.image_phash_dct, mm.IMAGE_PHASH_SQL),
+        ("link_prediction_jaccard", gr.link_prediction_jaccard,
+         gr.LINK_PREDICTION_SQL),
+    ):
+        assert_frames_match(
+            fn(spark, str(d)), con.execute(sql), ctx=f"empty:{name}"
+        )
     con.close()
 
 
@@ -290,3 +304,90 @@ def test_phash_plan_is_map_only_then_group_rollup(spark):
     assert "Exchange" not in between
     # everything above the hash stage exchanges (grp, phash) pairs only
     assert "hashpartitioning(grp" in p and "hashpartitioning(phash" in p
+
+
+def test_linkpred_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import graph as gr
+
+    assert_frames_match(
+        gr.link_prediction_jaccard(spark, SF_DIR),
+        duck.execute(gr.LINK_PREDICTION_SQL),
+        ctx="link_prediction_jaccard",
+    )
+
+
+def test_linkpred_python_model(spark):
+    """Full pure-Python replay: build the undirected co-occurrence
+    graph from the op's own edge frame, enumerate capped wedges,
+    score Jaccard, exclude existing edges, take the same total-order
+    top-20."""
+    from mapreduceece563_spark.operators import graph as gr
+
+    edges = {
+        (r["src"], r["dst"])
+        for r in gr._cooc_edges(spark, SF_DIR).collect()
+    }
+    nbrs: dict = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+    cn: dict = {}
+    for w, ns in nbrs.items():
+        if len(ns) > gr.LP_MID_CAP:
+            continue
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                cn[(a, b)] = cn.get((a, b), 0) + 1
+    rows = []
+    for (a, b), c in cn.items():
+        if (a, b) in edges:
+            continue
+        union = len(nbrs[a]) + len(nbrs[b]) - c
+        rows.append((-(c * 1_000_000 // union), -c, a, b))
+    rows.sort()
+    want = [
+        (a, b, -nc, -jp) for (jp, nc, a, b) in rows[: gr.LP_TOP]
+    ]
+    got = [
+        (r["a"], r["b"], r["cn"], r["jaccard_ppm"])
+        for r in gr.link_prediction_jaccard(spark, SF_DIR).collect()
+    ]
+    assert got == want
+
+
+def test_linkpred_planted_graph(spark, tmp_path):
+    """Planted structure: 'aa bb cc' and 'aa dd cc' make (bb, dd) a
+    perfect prediction (both neighbor sets are exactly {aa, cc} ->
+    jaccard == 1e6), while the existing edge (aa, bb) must NOT
+    appear."""
+    from mapreduceece563_spark.operators import graph as gr
+
+    rows = [
+        (0, "aa bb cc", "x", "s", 8),
+        (1, "aa dd cc", "x", "s", 8),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        (r["a"], r["b"]): r
+        for r in gr.link_prediction_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert got[("bb", "dd")]["jaccard_ppm"] == 1_000_000
+    assert got[("bb", "dd")]["cn"] == 2
+    assert ("aa", "bb") not in got and ("bb", "cc") not in got
+
+
+def test_linkpred_plan_is_wedge_bounded(spark):
+    """No cartesian anywhere (candidates come only from the capped
+    wedge join on the midpoint), and the top-k plans as
+    TakeOrderedAndProject — never a global sort of all pairs."""
+    from mapreduceece563_spark.operators import graph as gr
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(gr.link_prediction_jaccard(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "TakeOrderedAndProject" in p
