@@ -1257,3 +1257,106 @@ SELECT source,
          AS mean_quality_ppm
 FROM mid GROUP BY source, least(_mid_ppm // 100000, 9)
 """
+
+
+# --- Cohen's kappa for the language classifier (round-14 queue) ---------
+
+
+def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the lang_id heuristic and the labeled
+    language — the chance-corrected scalar the confusion matrix
+    (lang_confusion_matrix) summarizes to: raw accuracy rewards a
+    classifier that parrots the majority class, kappa subtracts the
+    agreement two independent raters with these marginals would reach
+    by luck. The inter-rater-agreement statistic every annotation /
+    weak-supervision pipeline publishes next to its label quality.
+
+    Integer-exact up to the single signed division: from the
+    |langs|^2-bounded confusion counts, po*n^2 -> n * diag and
+    pe*n^2 -> sum(rowtot * coltot) are exact DECIMAL(38,0)/HUGEINT
+    products; kappa = (n*diag - S) / (n^2 - S) is the ONE signed
+    ratio, evaluated as a clamped fixed-order float64 floor to ppm
+    (kappa < 0 — worse than chance — is meaningful, so the integer
+    `div`'s toward-zero-vs-floor divergence on negatives makes the
+    float contract the correct one here; the spearman wording). NULL
+    when the marginals are degenerate (n^2 == S: a single class on
+    both sides — kappa undefined). po_ppm and pe_ppm export the
+    uncorrected ingredients (both non-negative, plain integer div).
+
+    Scale posture (100 TB): the lang_id scoring is map-only; the
+    doc_id label join is co-partitioned same-table traffic; the
+    confusion rollup is |langs|^2 rows and everything after it is
+    arithmetic on a one-row frame.
+    """
+    conf = lang_confusion_matrix(spark, sf_dir)
+    marg = conf.groupBy().agg(
+        F.sum("n_docs").alias("n"),
+        F.sum(
+            F.when(
+                F.col("labeled_lang") == F.col("predicted_lang"),
+                F.col("n_docs"),
+            ).otherwise(0)
+        ).alias("_diag"),
+    )
+    rowt = conf.groupBy("labeled_lang").agg(F.sum("n_docs").alias("_rt"))
+    colt = conf.groupBy("predicted_lang").agg(F.sum("n_docs").alias("_ct"))
+    s = (
+        rowt.join(
+            colt, rowt["labeled_lang"] == colt["predicted_lang"], "inner"
+        )
+        .groupBy()
+        .agg(
+            F.sum(
+                F.expr("CAST(_rt AS DECIMAL(38,0)) * _ct")
+            ).alias("_s")
+        )
+    )
+    return marg.crossJoin(s).select(
+        "n",
+        F.col("_diag").alias("n_agree"),
+        F.expr("_diag * 1000000 div greatest(n, 1)").alias("po_ppm"),
+        F.expr(
+            "CAST(_s * 1000000 div greatest(CAST(n AS DECIMAL(38,0)) * n,"
+            " 1) AS BIGINT)"
+        ).alias("pe_ppm"),
+        F.expr(
+            "CAST(CASE WHEN CAST(n AS DECIMAL(38,0)) * n - _s > 0 THEN"
+            " GREATEST(-1000000, LEAST(1000000,"
+            " FLOOR(1000000.0"
+            " * CAST(CAST(n AS DECIMAL(38,0)) * _diag - _s AS DOUBLE)"
+            " / CAST(CAST(n AS DECIMAL(38,0)) * n - _s AS DOUBLE))))"
+            " END AS BIGINT)"
+        ).alias("kappa_ppm"),
+    )
+
+
+LANG_KAPPA_SQL = f"""
+WITH conf AS ({LANG_CONFUSION_SQL}),
+marg AS (
+  SELECT CAST(sum(n_docs) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN labeled_lang = predicted_lang
+                       THEN n_docs ELSE 0 END) AS BIGINT) AS _diag
+  FROM conf
+),
+rowt AS (SELECT labeled_lang AS c, CAST(sum(n_docs) AS BIGINT) AS _rt
+         FROM conf GROUP BY labeled_lang),
+colt AS (SELECT predicted_lang AS c, CAST(sum(n_docs) AS BIGINT) AS _ct
+         FROM conf GROUP BY predicted_lang),
+s AS (
+  SELECT CAST(sum(CAST(r._rt AS HUGEINT) * t._ct) AS HUGEINT) AS _s
+  FROM rowt r JOIN colt t ON r.c = t.c
+)
+SELECT m.n,
+       m._diag AS n_agree,
+       CAST(m._diag * 1000000 // greatest(m.n, 1) AS BIGINT) AS po_ppm,
+       CAST(s._s * 1000000
+            // greatest(CAST(m.n AS HUGEINT) * m.n, 1) AS BIGINT)
+         AS pe_ppm,
+       CAST(CASE WHEN CAST(m.n AS HUGEINT) * m.n - s._s > 0 THEN
+              GREATEST(-1000000, LEAST(1000000,
+                FLOOR(1000000.0
+                  * CAST(CAST(m.n AS HUGEINT) * m._diag - s._s AS DOUBLE)
+                  / CAST(CAST(m.n AS HUGEINT) * m.n - s._s AS DOUBLE))))
+            END AS BIGINT) AS kappa_ppm
+FROM marg m, s
+"""

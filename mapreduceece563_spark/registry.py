@@ -350,6 +350,9 @@ register(
 #   cuped_ab_readout (analytics / CUPED_AB_SQL) — hash-split A/B
 #   with CUPED variance reduction; exact moments, fixed-order
 #   float theta/adjustment chain.
+#   lang_id_cohens_kappa (textstats / LANG_KAPPA_SQL) — chance-
+#   corrected classifier agreement off the confusion counts; the
+#   one signed ratio is a clamped fixed-order float64 floor.
 # ROUND-15 QUEUE (tests/test_round15_queue.py):
 #   conformal_event_value_interval (analytics / CONFORMAL_SQL) —
 #   split-conformal prediction interval: hash FIT/CAL/TEST split,

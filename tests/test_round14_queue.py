@@ -114,6 +114,13 @@ def test_round14_queue_on_empty_tables(spark, tmp_path):
         con.execute(an.CUPED_AB_SQL),
         ctx="empty:cuped_ab_readout",
     )
+    from mapreduceece563_spark.operators import textstats as ts
+
+    assert_frames_match(
+        ts.lang_id_cohens_kappa(spark, str(d)),
+        con.execute(ts.LANG_KAPPA_SQL),
+        ctx="empty:lang_id_cohens_kappa",
+    )
     con.close()
 
 
@@ -324,3 +331,86 @@ def test_cuped_plan_is_per_user_then_broadcast(spark):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p \
         or "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_kappa_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import textstats as ts
+
+    assert_frames_match(
+        ts.lang_id_cohens_kappa(spark, SF_DIR),
+        duck.execute(ts.LANG_KAPPA_SQL),
+        ctx="lang_id_cohens_kappa",
+    )
+
+
+def test_kappa_python_model(spark):
+    """Textbook kappa from the confusion matrix the op itself
+    summarizes, including the signed clamped float division."""
+    import math
+
+    from mapreduceece563_spark.operators import textstats as ts
+
+    conf = {
+        (r["labeled_lang"], r["predicted_lang"]): r["n_docs"]
+        for r in ts.lang_confusion_matrix(spark, SF_DIR).collect()
+    }
+    n = sum(conf.values())
+    diag = sum(v for (a, b), v in conf.items() if a == b)
+    rowt: dict = {}
+    colt: dict = {}
+    for (a, b), v in conf.items():
+        rowt[a] = rowt.get(a, 0) + v
+        colt[b] = colt.get(b, 0) + v
+    s = sum(rowt[c] * colt.get(c, 0) for c in rowt)
+    g = ts.lang_id_cohens_kappa(spark, SF_DIR).collect()[0]
+    assert (g["n"], g["n_agree"]) == (n, diag)
+    assert g["po_ppm"] == diag * 1_000_000 // n
+    assert g["pe_ppm"] == s * 1_000_000 // (n * n)
+    want = math.floor(1e6 * float(n * diag - s) / float(n * n - s))
+    assert g["kappa_ppm"] == max(-1_000_000, min(1_000_000, want))
+
+
+def test_kappa_semantic_pins(spark, tmp_path):
+    """A corpus whose texts ARE their labels' marker words must score
+    kappa == 1e6 exactly (perfect chance-corrected agreement); a
+    single-class corpus (every doc the same lang, predictor agrees)
+    has degenerate marginals -> NULL."""
+    from mapreduceece563_spark.operators import textstats as ts
+    from mapreduceece563_spark.operators.textstats import LANG_MARKERS
+
+    langs = sorted(LANG_MARKERS)[:4]
+    rows = []
+    for i, lang in enumerate(langs * 10):
+        text = " ".join(list(LANG_MARKERS[lang])[:3] * 2)
+        rows.append((i, text, lang, "s", len(text)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    g = ts.lang_id_cohens_kappa(spark, str(tmp_path)).collect()[0]
+    assert g["po_ppm"] == 1_000_000
+    assert g["kappa_ppm"] == 1_000_000
+
+    mono = tmp_path / "mono"
+    mono.mkdir()
+    lang = langs[0]
+    text = " ".join(list(LANG_MARKERS[lang])[:3])
+    spark.createDataFrame(
+        [(i, text, lang, "s", len(text)) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(mono / "documents.parquet"))
+    g2 = ts.lang_id_cohens_kappa(spark, str(mono)).collect()[0]
+    assert g2["po_ppm"] == 1_000_000
+    assert g2["kappa_ppm"] is None  # n^2 == S: undefined, not faked
+
+
+def test_kappa_plan_is_confusion_bounded(spark):
+    """Everything after the |langs|^2 confusion rollup is arithmetic
+    on one-row frames: no window, and no exchange keyed on doc_id
+    beyond the label join's."""
+    from mapreduceece563_spark.operators import textstats as ts
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(ts.lang_id_cohens_kappa(spark, SF_DIR), "simple")
+    assert "Window" not in p
+    assert "row_number" not in p
