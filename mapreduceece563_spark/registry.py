@@ -1109,6 +1109,22 @@ register(
 # window-first order; relative order elsewhere is preserved, and the
 # eight r3-vintage entries that do not fit lead the post-window block
 # (_R9_NEXT) so round 10's rotation picks them first.
+#
+# ROUND-10 SCHEDULING NOTE (written round 9): the queue now carries
+# 24 oracle-tested operators across the ROUND-10..15 blocks above.
+# The 4-per-round absorption pace was debt discipline from the r4
+# backlog era; with r1-r8 cumulatively green and every queued entry
+# already carrying oracle parity + model fuzz + plan/empty pins +
+# probed budgets, the round-10 session can REGISTER MORE PER ROUND
+# (e.g. 8-12) as long as (a) the never-driver-green count stays
+# within the first-50 window after the _R9_NEXT backlog and changed
+# implementations are scheduled, and (b) coverage_highwater.json's
+# ceiling is raised IN THE SAME COMMIT with the rationale recorded —
+# the ratchet protects against unverified growth, not against
+# absorbing a verified queue. Implementation changed this round
+# (schedule for recertification): ivf_recall_tuning (shared scaffold
+# refactor), merge_compaction_roundtrip + table_versions_diff
+# (explicit-schema read-backs).
 # ======================================================================
 
 _R9_WINDOW = [
