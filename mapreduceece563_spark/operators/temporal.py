@@ -624,3 +624,139 @@ SELECT event_type, n_hours,
                       / CAST(_den AS DOUBLE)))) END AS BIGINT) AS acf24_ppm
 FROM rolled
 """
+
+
+# --- seasonal-naive forecast backtest (round-16 queue) -------------------
+
+BACKTEST_LAG = 24          # seasonal-naive: y_hat(t) = y(t - 24h)
+BACKTEST_HOLDOUT_HOURS = 120  # score the last 5 days of the series
+
+
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (y_hat(t) = the
+    count at the same hour yesterday) over the LAST 120 hours of each
+    event type's gap-filled hourly series — the forecast-evaluation
+    class: hourly_autocorrelation measures whether the lag-24
+    structure exists; this measures what a baseline that ASSUMES it
+    actually achieves, which is the bar any fancier forecaster must
+    beat before it earns its complexity.
+
+    Integer-exact metrics over the holdout: n_scored, total actual,
+    MAE as mae_milli = (2000*sum|e| + n) div (2n) (the half-up milli
+    idiom over non-negative sums), and sMAPE as the mean of per-point
+    2|a-f| * 1e6 div (a+f) ratios (each point's ratio an exact
+    integer, zero-denominator points — both actual and forecast 0 —
+    scored as 0 error by convention and counted separately as
+    n_both_zero). The gap-fill matters twice here: skipped empty
+    hours would both fabricate lag alignment and hide zero-actual
+    misses.
+
+    Scale posture (100 TB): the hourly_autocorrelation shape — one
+    map-side-partial groupBy to the hour histogram, the spine
+    generated distributively from broadcast bounds, ONE lag window
+    over the per-type hour series, and a per-type rollup. The holdout
+    filter prunes the window output before any metric math.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.col("_h1"),
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
+        ).alias("_h"),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        "_h",
+        "_h1",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    w = Window.partitionBy("event_type").orderBy("_h")
+    scored = (
+        filled.withColumn("_f", F.lag("_y", BACKTEST_LAG).over(w))
+        .filter(
+            (F.col("_f").isNotNull())
+            & (F.col("_h") > F.col("_h1") - BACKTEST_HOLDOUT_HOURS)
+        )
+        .select(
+            "event_type",
+            "_y",
+            "_f",
+            F.abs(F.col("_y") - F.col("_f")).alias("_ae"),
+            F.expr(
+                "CASE WHEN _y + _f > 0 THEN"
+                " 2 * abs(_y - _f) * 1000000 div (_y + _f)"
+                " ELSE 0 END"
+            ).alias("_smape_pt"),
+        )
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.sum("_y").alias("total_actual"),
+        F.expr(
+            "(2000 * sum(_ae) + count(1)) div (2 * count(1))"
+        ).alias("mae_milli"),
+        F.expr(
+            "(2 * sum(_smape_pt) + count(1)) div (2 * count(1))"
+        ).alias("smape_ppm"),
+        F.sum(
+            ((F.col("_y") == 0) & (F.col("_f") == 0)).cast("long")
+        ).alias("n_both_zero"),
+    )
+
+
+SEASONAL_BACKTEST_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, _h1, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h, s._h1, coalesce(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s._h = c._h
+),
+lagged AS (
+  SELECT event_type, _h, _h1, _y,
+         lag(_y, {BACKTEST_LAG}) OVER
+           (PARTITION BY event_type ORDER BY _h) AS _f
+  FROM filled
+),
+scored AS (
+  SELECT event_type, _y, _f,
+         abs(_y - _f) AS _ae,
+         CASE WHEN _y + _f > 0 THEN
+           2 * abs(_y - _f) * 1000000 // (_y + _f)
+         ELSE 0 END AS _smape_pt
+  FROM lagged
+  WHERE _f IS NOT NULL AND _h > _h1 - {BACKTEST_HOLDOUT_HOURS}
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_scored,
+       CAST(sum(_y) AS BIGINT) AS total_actual,
+       CAST((2000 * sum(_ae) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mae_milli,
+       CAST((2 * sum(_smape_pt) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS smape_ppm,
+       CAST(sum(CASE WHEN _y = 0 AND _f = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_both_zero
+FROM scored GROUP BY event_type
+"""

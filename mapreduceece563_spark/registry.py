@@ -369,6 +369,10 @@ register(
 #   link_prediction_jaccard (graph / LINK_PREDICTION_SQL) — Jaccard
 #   link prediction via capped wedge enumeration, existing edges
 #   anti-joined out, TakeOrderedAndProject top-20.
+# ROUND-16 QUEUE (tests/test_round16_queue.py):
+#   seasonal_naive_backtest (temporal / SEASONAL_BACKTEST_SQL) —
+#   lag-24 naive forecast scored over the gap-filled holdout;
+#   integer-exact MAE milli + sMAPE ppm.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -1,0 +1,148 @@
+"""Round-16 queue: implemented + oracle-tested ahead of registration.
+
+seasonal_naive_backtest is the forecast-evaluation class:
+hourly_autocorrelation measures whether the lag-24 structure exists,
+this measures what the baseline that assumes it actually ACHIEVES —
+the bar any fancier forecaster must beat."""
+
+from __future__ import annotations
+
+import datetime
+
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+def test_backtest_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import temporal as tp
+
+    assert_frames_match(
+        tp.seasonal_naive_backtest(spark, SF_DIR),
+        duck.execute(tp.SEASONAL_BACKTEST_SQL),
+        ctx="seasonal_naive_backtest",
+    )
+
+
+def test_backtest_python_model(spark):
+    """Gap-filled series, lag-24 forecast, holdout filter, and both
+    integer metrics replayed in pure Python."""
+    import calendar
+
+    from mapreduceece563_spark.operators import temporal as tp
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts"
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        us = calendar.timegm(r["ts"].timetuple()) * 1_000_000 \
+            + r["ts"].microsecond
+        by_type.setdefault(r["event_type"], []).append(us // 3_600_000_000)
+
+    got = {
+        r["event_type"]: r
+        for r in tp.seasonal_naive_backtest(spark, SF_DIR).collect()
+    }
+    for et, hs in by_type.items():
+        h0, h1 = min(hs), max(hs)
+        y = [0] * (h1 - h0 + 1)
+        for h in hs:
+            y[h - h0] += 1
+        pts = []
+        for t in range(len(y)):
+            if t < tp.BACKTEST_LAG:
+                continue
+            if (h0 + t) <= h1 - tp.BACKTEST_HOLDOUT_HOURS:
+                continue
+            a, f = y[t], y[t - tp.BACKTEST_LAG]
+            sm = 2 * abs(a - f) * 1_000_000 // (a + f) if a + f else 0
+            pts.append((a, f, abs(a - f), sm))
+        if not pts:
+            assert et not in got
+            continue
+        n = len(pts)
+        g = got[et]
+        assert g["n_scored"] == n
+        assert g["total_actual"] == sum(a for a, _, _, _ in pts)
+        assert g["mae_milli"] == (
+            2000 * sum(e for _, _, e, _ in pts) + n
+        ) // (2 * n)
+        assert g["smape_ppm"] == (
+            2 * sum(s for _, _, _, s in pts) + n
+        ) // (2 * n)
+        assert g["n_both_zero"] == sum(
+            1 for a, f, _, _ in pts if a == 0 and f == 0
+        )
+
+
+def test_backtest_perfect_on_periodic_series(spark, tmp_path):
+    """Semantic pin: a strictly 24h-periodic series backtests to MAE
+    and sMAPE of exactly 0 (the baseline is exact when the structure
+    it assumes holds); adding a one-hour spike INSIDE the holdout
+    puts exactly two misses on the board (the spike itself and its
+    lag-24 echo)."""
+    from mapreduceece563_spark.operators import temporal as tp
+
+    t0 = datetime.datetime(2024, 3, 1, 0, 0, 0)
+    rows, eid = [], 0
+    for day in range(10):
+        for hour in range(24):
+            ts = t0 + datetime.timedelta(days=day, hours=hour)
+            for _ in range(1 + hour % 3):
+                rows.append((eid, ts, 1, "clean", 1.0, "{}")); eid += 1
+            for _ in range(1 + hour % 3):
+                rows.append((eid, ts, 1, "spiked", 1.0, "{}")); eid += 1
+    # one extra event in the holdout (day 8, hour 12)
+    rows.append(
+        (eid, t0 + datetime.timedelta(days=8, hours=12), 1, "spiked",
+         1.0, "{}")
+    )
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in tp.seasonal_naive_backtest(spark, str(tmp_path)).collect()
+    }
+    assert got["clean"]["mae_milli"] == 0
+    assert got["clean"]["smape_ppm"] == 0
+    assert got["spiked"]["mae_milli"] > 0
+    # the spike is missed once as an actual and once as a forecast
+    assert got["spiked"]["n_scored"] == got["clean"]["n_scored"]
+
+
+def test_backtest_plan_windows_hour_series_only(spark):
+    from mapreduceece563_spark.operators import temporal as tp
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(tp.seasonal_naive_backtest(spark, SF_DIR), "simple")
+    assert "windowspecdefinition(event_type" in p
+    assert "hashpartitioning(event_id" not in p
+    assert "row_number" not in p
+
+
+def test_round16_queue_on_empty_tables(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import temporal as tp
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    assert_frames_match(
+        tp.seasonal_naive_backtest(spark, str(d)),
+        con.execute(tp.SEASONAL_BACKTEST_SQL),
+        ctx="empty:seasonal_naive_backtest",
+    )
+    con.close()
