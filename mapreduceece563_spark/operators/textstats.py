@@ -1360,3 +1360,145 @@ SELECT m.n,
             END AS BIGINT) AS kappa_ppm
 FROM marg m, s
 """
+
+
+# --- disparate-impact audit of the filter gate (round-16 queue) ----------
+
+DI_RATE_SCALE = 10**12  # rate quantization for the argmax ordering
+DI_FOUR_FIFTHS_PPM = 800_000
+
+
+def filter_disparate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fairness audit of the training-filter gate, per language — the
+    selection-rate parity check (the EEOC four-fifths rule applied to
+    corpus curation): the lang-neutral gates of training_data_filter
+    (quality >= MIN_QUALITY, n_tokens >= MIN_TOKENS — deliberately
+    WITHOUT its lang == 'en' clause, which is the policy under audit)
+    can still disproportionately drop languages whose scripts depress
+    the latin-alpha quality heuristic, silently skewing the mix. Per
+    language: selection rate, the disparate-impact ratio versus the
+    best-selected language, and the four-fifths flag.
+
+    Integer-exact: pass counts are exact; the reference language is
+    the argmax of the selection rate under a deterministic total
+    order (rate quantized to 1e-12 via pass * 1e12 div n — monotone,
+    so only sub-1e-12 rate gaps can tie, resolved lexicographically,
+    identically in both engines); di_vs_best_ppm = n_pass * n_best *
+    1e6 div (pass_best * n) is a cross-multiplied exact rational in
+    DECIMAL(38,0)/HUGEINT (all operands non-negative).
+
+    Scale posture (100 TB): the scoring is the training_data_filter
+    map pass minus its dedup window (rates audit RAW docs); one
+    groupBy(lang) with map-side partials collapses the corpus to
+    |langs| rows, and the best-language pick + ratio arithmetic ride
+    that tiny frame (a broadcast of one row).
+    """
+    from .dedup import words_array as _wa
+
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang", "text"
+    )
+    staged = docs.select("lang", _wa(F.col("text")).alias("_words"),
+                         F.col("text"))
+    words = F.col("_words")
+    n = F.size(words).cast("long")
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    alpha_chars = F.length(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+    ).cast("long")
+    stop_ratio = F.when(n > 0, stop_hits / n.cast("double")).otherwise(0.0)
+    alpha_ratio = F.when(
+        n_chars > 0, alpha_chars / n_chars.cast("double")
+    ).otherwise(0.0)
+    len_score = F.least(n, F.lit(100)) / 100.0
+    quality = F.round(
+        0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score, 6
+    )
+    gated = staged.select(
+        "lang",
+        (
+            (quality >= MIN_QUALITY) & (n >= MIN_TOKENS)
+        ).cast("long").alias("_pass"),
+    )
+    rates = gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_pass").alias("n_pass"),
+    )
+    best = (
+        rates.orderBy(
+            F.desc(F.expr(f"n_pass * {DI_RATE_SCALE} div n")),
+            F.asc("lang"),
+        )
+        .limit(1)
+        .select(
+            F.col("n").alias("_nb"), F.col("n_pass").alias("_pb")
+        )
+    )
+    return rates.crossJoin(F.broadcast(best)).select(
+        "lang",
+        "n",
+        "n_pass",
+        F.expr("n_pass * 1000000 div n").alias("pass_ppm"),
+        F.expr(
+            "CAST(CAST(n_pass AS DECIMAL(38,0)) * _nb * 1000000"
+            " div greatest(CAST(_pb AS DECIMAL(38,0)) * n, 1) AS BIGINT)"
+        ).alias("di_vs_best_ppm"),
+        F.expr(
+            "CAST(n_pass AS DECIMAL(38,0)) * _nb * 1000000"
+            f" div greatest(CAST(_pb AS DECIMAL(38,0)) * n, 1)"
+            f" < {DI_FOUR_FIFTHS_PPM}"
+        ).alias("below_four_fifths"),
+    )
+
+
+DISPARATE_IMPACT_SQL = f"""
+WITH w AS (SELECT lang, text, {_words_sql()} AS words FROM documents),
+m AS (
+  SELECT lang,
+         CAST(len(words) AS BIGINT) AS n,
+         CAST(len(list_filter(words, x -> x IN ({_STOP_IN}))) AS BIGINT)
+           AS stop_hits,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+              AS BIGINT) AS alpha_chars
+  FROM w
+),
+q AS (
+  SELECT lang,
+         round(0.4 * (CASE WHEN n > 0
+                           THEN stop_hits / CAST(n AS DOUBLE) ELSE 0.0 END)
+               + 0.4 * (CASE WHEN n_chars > 0
+                             THEN alpha_chars / CAST(n_chars AS DOUBLE)
+                             ELSE 0.0 END)
+               + 0.2 * (least(n, 100) / 100.0), 6) AS quality,
+         n AS n_tokens
+  FROM m
+),
+gated AS (
+  SELECT lang,
+         CASE WHEN quality >= {MIN_QUALITY} AND n_tokens >= {MIN_TOKENS}
+              THEN 1 ELSE 0 END AS _pass
+  FROM q
+),
+rates AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(_pass) AS BIGINT) AS n_pass
+  FROM gated GROUP BY lang
+),
+best AS (
+  SELECT n AS _nb, n_pass AS _pb FROM rates
+  ORDER BY n_pass * {DI_RATE_SCALE} // n DESC, lang ASC LIMIT 1
+)
+SELECT r.lang, r.n, r.n_pass,
+       CAST(r.n_pass * 1000000 // r.n AS BIGINT) AS pass_ppm,
+       CAST(CAST(r.n_pass AS HUGEINT) * b._nb * 1000000
+            // greatest(CAST(b._pb AS HUGEINT) * r.n, 1) AS BIGINT)
+         AS di_vs_best_ppm,
+       CAST(r.n_pass AS HUGEINT) * b._nb * 1000000
+         // greatest(CAST(b._pb AS HUGEINT) * r.n, 1)
+         < {DI_FOUR_FIFTHS_PPM} AS below_four_fifths
+FROM rates r, best b
+"""

@@ -373,6 +373,9 @@ register(
 #   seasonal_naive_backtest (temporal / SEASONAL_BACKTEST_SQL) —
 #   lag-24 naive forecast scored over the gap-filled holdout;
 #   integer-exact MAE milli + sMAPE ppm.
+#   filter_disparate_impact (textstats / DISPARATE_IMPACT_SQL) —
+#   four-fifths-rule fairness audit of the filter gate per language;
+#   exact cross-multiplied DI ratios, deterministic best-lang argmax.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -146,3 +146,98 @@ def test_round16_queue_on_empty_tables(spark, tmp_path):
         ctx="empty:seasonal_naive_backtest",
     )
     con.close()
+
+
+def test_disparate_impact_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import textstats as ts
+
+    assert_frames_match(
+        ts.filter_disparate_impact(spark, SF_DIR),
+        duck.execute(ts.DISPARATE_IMPACT_SQL),
+        ctx="filter_disparate_impact",
+    )
+
+
+def test_disparate_impact_python_model(spark):
+    """Per-lang pass rates, the deterministic best-language pick, and
+    the cross-multiplied exact DI ratios replayed from the op's own
+    quality scores."""
+    from mapreduceece563_spark.operators import textstats as ts
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        (r["doc_id"]): (r["quality"], r["n_tokens"])
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "lang"
+    ).collect()
+    rates: dict = {}
+    for r in docs:
+        quality, n_tokens = q[r["doc_id"]]
+        ok = quality >= ts.MIN_QUALITY and n_tokens >= ts.MIN_TOKENS
+        n, p = rates.setdefault(r["lang"], [0, 0])
+        rates[r["lang"]] = [n + 1, p + (1 if ok else 0)]
+    best_lang = min(
+        rates, key=lambda L: (-(rates[L][1] * ts.DI_RATE_SCALE
+                                // rates[L][0]), L)
+    )
+    nb, pb = rates[best_lang]
+    got = {
+        r["lang"]: r
+        for r in ts.filter_disparate_impact(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(rates)
+    for lang, (n, p) in rates.items():
+        g = got[lang]
+        assert (g["n"], g["n_pass"]) == (n, p)
+        assert g["pass_ppm"] == p * 1_000_000 // n
+        di = p * nb * 1_000_000 // max(pb * n, 1)
+        assert g["di_vs_best_ppm"] == di
+        assert g["below_four_fifths"] == (di < ts.DI_FOUR_FIFTHS_PPM)
+    assert got[best_lang]["di_vs_best_ppm"] == 1_000_000
+    assert not got[best_lang]["below_four_fifths"]
+
+
+def test_disparate_impact_flags_planted_skew(spark, tmp_path):
+    """Planted gate skew: a language whose docs all pass vs one where
+    only half do -> the second sits at exactly 500000 ppm of the
+    first and is flagged; equal-rate languages are not."""
+    from mapreduceece563_spark.operators import textstats as ts
+
+    good = ("the and of for with that this from " * 10).strip()
+    bad = "zz"
+    rows = []
+    for i in range(20):
+        rows.append((i, good, "winner", "s", len(good)))
+    for i in range(20, 40):
+        rows.append((i, good if i % 2 == 0 else bad, "half", "s", 10))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["lang"]: r
+        for r in ts.filter_disparate_impact(spark, str(tmp_path)).collect()
+    }
+    assert got["winner"]["pass_ppm"] == 1_000_000
+    assert got["winner"]["di_vs_best_ppm"] == 1_000_000
+    assert got["half"]["pass_ppm"] == 500_000
+    assert got["half"]["di_vs_best_ppm"] == 500_000
+    assert got["half"]["below_four_fifths"]
+    assert not got["winner"]["below_four_fifths"]
+
+
+def test_disparate_impact_plan_is_lang_bounded(spark):
+    """One groupBy(lang) with map-side partials; the best-language
+    row broadcasts back over the |langs| frame; no window, no
+    per-doc exchange."""
+    from mapreduceece563_spark.operators import textstats as ts
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(ts.filter_disparate_impact(spark, SF_DIR), "simple")
+    assert "Window" not in p
+    assert "hashpartitioning(doc_id" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
