@@ -145,6 +145,13 @@ def test_round16_queue_on_empty_tables(spark, tmp_path):
         con.execute(tp.SEASONAL_BACKTEST_SQL),
         ctx="empty:seasonal_naive_backtest",
     )
+    from mapreduceece563_spark.operators import textstats as ts
+
+    assert_frames_match(
+        ts.filter_disparate_impact(spark, str(d)),
+        con.execute(ts.DISPARATE_IMPACT_SQL),
+        ctx="empty:filter_disparate_impact",
+    )
     con.close()
 
 
