@@ -1195,3 +1195,114 @@ SELECT source, n_tokens, n_distinct,
             END AS BIGINT) AS inv_simpson_milli
 FROM rolled
 """
+
+
+# --- token-weighted quality quantiles (round-16 queue) -------------------
+
+
+def token_weighted_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-weighted quality quartiles per source — the TOKEN's-eye
+    view of quality: doc-level quantiles answer "what does the median
+    DOCUMENT look like", but a model trains on tokens, and one
+    10k-token junk doc outweighs a hundred clean tweets. Reports, per
+    source, the smallest quality value at or below which 25% / 50% /
+    75% of the source's TOKEN MASS sits — the numbers a mixing policy
+    actually trades on (and the mass-weighted complement of
+    token_gini_by_source).
+
+    Integer-exact: quality ppm (the oracle-pinned double, quantized
+    once) per doc, token counts as weights, one groupBy (source, qp)
+    to the weighted histogram, cumulative-token window over DISTINCT
+    quality values, and each quartile is an ORDER STATISTIC pick
+    (smallest qp with 4*cum >= k*total, k in 1,2,3 — never
+    interpolated). Zero-token docs carry no mass and drop out of the
+    weighting naturally.
+
+    Scale posture (100 TB): the quality_quantile_normalize shape —
+    the corpus collapses map-side to the (source, qp) histogram, the
+    window slides over bounded distinct values, and the three
+    quartile picks are filtered MINs on that same tiny frame.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+        F.col("n_tokens").alias("_tok"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    hist = (
+        q.join(meta, "doc_id")
+        .groupBy("source", "_qp")
+        .agg(F.sum("_tok").alias("_w"))
+    )
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("_qp")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("source")
+    stepped = hist.select(
+        "source",
+        "_qp",
+        F.sum("_w").over(w_cum).alias("_cum"),
+        F.sum("_w").over(w_all).alias("_tot"),
+    ).filter(F.col("_tot") > 0)
+    picks = [
+        stepped.filter(4 * F.col("_cum") >= k * F.col("_tot"))
+        .groupBy("source")
+        .agg(
+            F.min("_qp").alias(name),
+            F.max("_tot").alias(f"_t{k}"),
+        )
+        for k, name in ((1, "q25_ppm"), (2, "q50_ppm"), (3, "q75_ppm"))
+    ]
+    out = picks[0].join(picks[1], "source").join(picks[2], "source")
+    return out.select(
+        "source",
+        F.col("_t1").alias("total_tokens"),
+        "q25_ppm",
+        "q50_ppm",
+        "q75_ppm",
+    )
+
+
+TOKEN_WEIGHTED_QUALITY_SQL = f"""
+WITH q AS ({{quality}}),
+hist AS (
+  SELECT d.source,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         CAST(sum(q.n_tokens) AS BIGINT) AS _w
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+  GROUP BY d.source, CAST(round(q.quality * 1000000, 0) AS BIGINT)
+),
+stepped AS (
+  SELECT source, _qp,
+         sum(_w) OVER (PARTITION BY source ORDER BY _qp
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cum,
+         sum(_w) OVER (PARTITION BY source) AS _tot
+  FROM hist
+),
+nz AS (SELECT * FROM stepped WHERE _tot > 0),
+p25 AS (SELECT source, CAST(min(_qp) AS BIGINT) AS q25_ppm,
+               CAST(max(_tot) AS BIGINT) AS total_tokens
+        FROM nz WHERE 4 * _cum >= 1 * _tot GROUP BY source),
+p50 AS (SELECT source, CAST(min(_qp) AS BIGINT) AS q50_ppm
+        FROM nz WHERE 4 * _cum >= 2 * _tot GROUP BY source),
+p75 AS (SELECT source, CAST(min(_qp) AS BIGINT) AS q75_ppm
+        FROM nz WHERE 4 * _cum >= 3 * _tot GROUP BY source)
+SELECT a.source, a.total_tokens, a.q25_ppm, b.q50_ppm, c.q75_ppm
+FROM p25 a JOIN p50 b ON a.source = b.source
+JOIN p75 c ON a.source = c.source
+"""
+
+
+def _token_weighted_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    return TOKEN_WEIGHTED_QUALITY_SQL.format(quality=QUALITY_SQL)
+
+
+TOKEN_WEIGHTED_SQL = _token_weighted_sql()

@@ -376,6 +376,9 @@ register(
 #   filter_disparate_impact (textstats / DISPARATE_IMPACT_SQL) —
 #   four-fifths-rule fairness audit of the filter gate per language;
 #   exact cross-multiplied DI ratios, deterministic best-lang argmax.
+#   token_weighted_quality (corpus / TOKEN_WEIGHTED_SQL) — token-
+#   mass-weighted quality quartiles per source; order-statistic
+#   picks off the weighted histogram.
 
 # ---- window backfill: round-6-green entries ----
 

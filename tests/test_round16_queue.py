@@ -152,6 +152,13 @@ def test_round16_queue_on_empty_tables(spark, tmp_path):
         con.execute(ts.DISPARATE_IMPACT_SQL),
         ctx="empty:filter_disparate_impact",
     )
+    from mapreduceece563_spark.operators import corpus as cp
+
+    assert_frames_match(
+        cp.token_weighted_quality(spark, str(d)),
+        con.execute(cp.TOKEN_WEIGHTED_SQL),
+        ctx="empty:token_weighted_quality",
+    )
     con.close()
 
 
@@ -248,3 +255,90 @@ def test_disparate_impact_plan_is_lang_bounded(spark):
     assert "Window" not in p
     assert "hashpartitioning(doc_id" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastExchange" in p
+
+
+def test_token_weighted_quality_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import corpus as cp
+
+    assert_frames_match(
+        cp.token_weighted_quality(spark, SF_DIR),
+        duck.execute(cp.TOKEN_WEIGHTED_SQL),
+        ctx="token_weighted_quality",
+    )
+
+
+def test_token_weighted_quality_python_model(spark):
+    """Weighted order statistics replayed in pure Python from the
+    op's own (quality ppm, n_tokens) pairs."""
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        r["doc_id"]: (round(r["quality"] * 1_000_000), r["n_tokens"])
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "source"
+    ).collect()
+    by_src: dict = {}
+    for r in docs:
+        qp, tok = q[r["doc_id"]]
+        by_src.setdefault(r["source"], []).append((qp, tok))
+    got = {
+        r["source"]: r
+        for r in cp.token_weighted_quality(spark, SF_DIR).collect()
+    }
+    for src, pairs in by_src.items():
+        tot = sum(t for _, t in pairs)
+        if tot == 0:
+            assert src not in got
+            continue
+        pairs.sort()
+        g = got[src]
+        assert g["total_tokens"] == tot
+        for k, col in ((1, "q25_ppm"), (2, "q50_ppm"), (3, "q75_ppm")):
+            cum = 0
+            for qp, t in pairs:
+                cum += t
+                if 4 * cum >= k * tot:
+                    assert g[col] == qp
+                    break
+
+
+def test_token_weighted_median_shifts_with_mass(spark, tmp_path):
+    """Semantic pin: 10 short clean docs + ONE junk doc carrying 90%
+    of the token mass — the DOC-median quality is the clean value,
+    but the token-weighted median must be the junk doc's quality
+    (that is what the model actually trains on)."""
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.operators.textstats import quality_score
+
+    clean = "the and of for with that"  # 6 tokens, all stopwords
+    junk = " ".join(["zzqx"] * 540)  # 540 tokens, zero stopwords
+    rows = [(i, clean, "x", "mix", len(clean)) for i in range(10)]
+    rows.append((10, junk, "x", "mix", len(junk)))
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    qs = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(spark, str(tmp_path)).collect()
+    }
+    g = cp.token_weighted_quality(spark, str(tmp_path)).collect()[0]
+    assert g["total_tokens"] == 10 * 6 + 540
+    # junk holds 90% of the mass: all three quartiles land on it
+    assert g["q25_ppm"] == g["q50_ppm"] == g["q75_ppm"] == qs[10]
+    assert qs[10] < qs[0]  # and it IS the low-quality doc
+
+
+def test_token_weighted_quality_plan_is_histogram_bounded(spark):
+    from mapreduceece563_spark.operators import corpus as cp
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(cp.token_weighted_quality(spark, SF_DIR), "simple")
+    assert "row_number" not in p
+    assert "windowspecdefinition(source" in p
+    assert "windowspecdefinition(doc_id" not in p
