@@ -2376,3 +2376,166 @@ JOIN test t ON f.event_type = t.event_type
 
 
 CONFORMAL_SQL = _conformal_sql()
+
+
+# --- A/A-test calibration of the drift machinery (round-16 queue) --------
+
+# pseudo-variant split: perms[7] of the frozen family — disjoint from
+# the bootstrap (perms[0]-derived), CUPED (perms[2]) and conformal
+# (perms[5]) splits so no two audits share a partition.
+AA_A = 1666787001
+AA_B = 405747345
+
+
+def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/A calibration of the rank-sum drift test — the negative
+    control every experimentation/monitoring stack needs: split each
+    event type's rows into two pseudo-variants by EVENT-ID hash
+    (both halves sample the same distribution by construction), run
+    the exact tie-corrected Mann-Whitney machinery between them, and
+    report what fires. A drift detector that rejects its own A/A
+    split is miscalibrated no matter how good its power looks; at
+    alpha = 0.05 the expected false-positive count over the event
+    types is ~0.05 x |types|.
+
+    The algebra is mann_whitney_drift's verbatim (tie-averaged
+    doubled mid-ranks off the value histogram, cles_ppm effect size,
+    the 128-bit integer alpha decision) with the epoch split replaced
+    by the frozen-hash pseudo-variant split — same exactness
+    contracts, same scale posture (histogram-granular, one row per
+    event type), plus the 1-row rollup a dashboard would alert on
+    (n_types, n_false_positives). The halves need not be equal-sized
+    (at tiny scales the affine walk can resonate with a type's
+    event-id striding — 2:1 at sf0.001 — while balancing out at any
+    real volume; the rank-sum test is size-agnostic either way, and
+    the decision threshold carries each side's n exactly).
+    """
+    from ..functions.hashing import HASH_MOD
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        F.expr(
+            f"(({AA_A} * (event_id % {HASH_MOD}) + {AA_B})"
+            f" % {HASH_MOD}) % 2"
+        ).alias("is_b"),
+    )
+    per_val = ev.groupBy("event_type", "cents").agg(
+        F.sum(1 - F.col("is_b")).alias("da"),
+        F.sum("is_b").alias("db"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_val.select(
+        "event_type",
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("_c"),
+        F.coalesce(
+            F.sum(F.col("da") + F.col("db")).over(w_cum), F.lit(0)
+        ).alias("_m"),
+    )
+    rolled = stepped.groupBy("event_type").agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(F.col("da") * (2 * F.col("_m") + F.col("_c") + 1)).alias(
+            "_ra_x2"
+        ),
+        F.sum(
+            F.expr("CAST(_c AS DECIMAL(38,0)) * _c * _c - _c")
+        ).alias("_t"),
+    )
+    per_type = rolled.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "(_ra_x2 - n_a * (n_a + 1)) * 500000"
+            " div greatest(n_a * n_b, 1)"
+        ).alias("cles_ppm"),
+        F.expr(
+            f"{MWU_Z2_005_DEN} * (CAST(n_a AS DECIMAL(38,0)) + n_b)"
+            " * (n_a + n_b - 1)"
+            " * (CAST(_ra_x2 - n_a * (n_a + 1) - n_a * n_b"
+            "    AS DECIMAL(38,0)))"
+            " * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b)"
+            f" > {MWU_Z2_005_NUM} * CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " * ((CAST(n_a AS DECIMAL(38,0)) + n_b + 1)"
+            "    * (n_a + n_b) * (n_a + n_b - 1) - _t)"
+        ).alias("false_positive"),
+    )
+    totals = per_type.agg(
+        F.count(F.lit(1)).alias("_nt"),
+        F.sum(F.col("false_positive").cast("long")).alias("_nfp"),
+    )
+    return per_type.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        "cles_ppm",
+        "false_positive",
+        F.col("_nt").alias("n_types"),
+        F.col("_nfp").alias("n_false_positives"),
+    )
+
+
+def _aa_sql() -> str:
+    from ..functions.hashing import HASH_MOD as MOD
+
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         (({AA_A} * (event_id % {MOD}) + {AA_B}) % {MOD}) % 2 AS is_b
+  FROM events
+),
+per_val AS (
+  SELECT event_type, cents,
+         CAST(sum(1 - is_b) AS BIGINT) AS da,
+         CAST(sum(is_b) AS BIGINT) AS db
+  FROM ev GROUP BY event_type, cents
+),
+stepped AS (
+  SELECT event_type, da, db, da + db AS _c,
+         coalesce(sum(da + db) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS _m
+  FROM per_val
+),
+rolled AS (
+  SELECT event_type,
+         CAST(sum(da) AS BIGINT) AS n_a,
+         CAST(sum(db) AS BIGINT) AS n_b,
+         CAST(sum(da * (2 * _m + _c + 1)) AS BIGINT) AS _ra_x2,
+         CAST(sum(CAST(_c AS HUGEINT) * _c * _c - _c) AS HUGEINT) AS _t
+  FROM stepped GROUP BY event_type
+),
+per_type AS (
+  SELECT event_type, n_a, n_b,
+         CAST((_ra_x2 - n_a * (n_a + 1)) * 500000
+              // greatest(n_a * n_b, 1) AS BIGINT) AS cles_ppm,
+         {MWU_Z2_005_DEN} * (CAST(n_a AS HUGEINT) + n_b) * (n_a + n_b - 1)
+           * CAST(_ra_x2 - n_a * (n_a + 1) - n_a * n_b AS HUGEINT)
+           * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b)
+         > {MWU_Z2_005_NUM} * CAST(n_a AS HUGEINT) * n_b
+           * ((CAST(n_a AS HUGEINT) + n_b + 1) * (n_a + n_b)
+              * (n_a + n_b - 1) - _t)
+           AS false_positive
+  FROM rolled
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_types,
+         CAST(sum(CASE WHEN false_positive THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_positives
+  FROM per_type
+)
+SELECT p.event_type, p.n_a, p.n_b, p.cles_ppm, p.false_positive,
+       t.n_types, t.n_false_positives
+FROM per_type p, totals t
+"""
+
+
+AA_TEST_SQL = _aa_sql()

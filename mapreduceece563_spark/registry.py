@@ -379,6 +379,9 @@ register(
 #   token_weighted_quality (corpus / TOKEN_WEIGHTED_SQL) — token-
 #   mass-weighted quality quartiles per source; order-statistic
 #   picks off the weighted histogram.
+#   aa_test_calibration (analytics / AA_TEST_SQL) — A/A negative
+#   control of the MWU drift machinery via the frozen-hash pseudo-
+#   variant split; positive-control fixture proves it can fire.
 
 # ---- window backfill: round-6-green entries ----
 

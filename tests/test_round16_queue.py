@@ -159,6 +159,13 @@ def test_round16_queue_on_empty_tables(spark, tmp_path):
         con.execute(cp.TOKEN_WEIGHTED_SQL),
         ctx="empty:token_weighted_quality",
     )
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.aa_test_calibration(spark, str(d)),
+        con.execute(an.AA_TEST_SQL),
+        ctx="empty:aa_test_calibration",
+    )
     con.close()
 
 
@@ -342,3 +349,106 @@ def test_token_weighted_quality_plan_is_histogram_bounded(spark):
     assert "row_number" not in p
     assert "windowspecdefinition(source" in p
     assert "windowspecdefinition(doc_id" not in p
+
+
+def test_aa_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.aa_test_calibration(spark, SF_DIR),
+        duck.execute(an.AA_TEST_SQL),
+        ctx="aa_test_calibration",
+    )
+
+
+def test_aa_python_model_and_negative_control(spark):
+    """Replay the hash split + MWU algebra in pure Python, and assert
+    the negative control itself: the fixture's A/A split must fire
+    ZERO false positives (each half samples the same distribution)."""
+    from mapreduceece563_spark.functions.hashing import HASH_MOD
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        is_b = ((an.AA_A * (r["event_id"] % HASH_MOD) + an.AA_B)
+                % HASH_MOD) % 2
+        by_type.setdefault(r["event_type"], []).append(
+            (round(r["value"] * 100), bool(is_b))
+        )
+    got = {
+        r["event_type"]: r
+        for r in an.aa_test_calibration(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(by_type)
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        n_a = sum(1 for _, b in vals if not b)
+        n_b = n - n_a
+        ra_x2 = tie_t = 0
+        i = 0
+        while i < n:
+            j = i
+            while j < n and vals[j][0] == vals[i][0]:
+                j += 1
+            c = j - i
+            tie_t += c**3 - c
+            ra_x2 += (2 * i + c + 1) * sum(
+                1 for k in range(i, j) if not vals[k][1]
+            )
+            i = j
+        u_x2 = ra_x2 - n_a * (n_a + 1)
+        g = got[et]
+        assert (g["n_a"], g["n_b"]) == (n_a, n_b)
+        assert g["cles_ppm"] == u_x2 * 500_000 // max(n_a * n_b, 1)
+        lhs = an.MWU_Z2_005_DEN * n * (n - 1) * (u_x2 - n_a * n_b) ** 2
+        rhs = (
+            an.MWU_Z2_005_NUM * n_a * n_b
+            * ((n + 1) * n * (n - 1) - tie_t)
+        )
+        assert g["false_positive"] == (lhs > rhs)
+    # the calibration claim on the real fixture
+    any_row = next(iter(got.values()))
+    assert any_row["n_false_positives"] == 0
+    assert any_row["n_types"] == len(by_type)
+
+
+def test_aa_fires_on_a_genuinely_broken_split(spark, tmp_path):
+    """Positive control for the negative control: if the 'A/A' split
+    secretly correlates with the metric (here: the hash bit decides
+    the VALUE), the machinery must fire — proving the zero-FP result
+    on real data is earned, not vacuous."""
+    import datetime
+
+    from mapreduceece563_spark.functions.hashing import HASH_MOD
+    from mapreduceece563_spark.operators import analytics as an
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(400):
+        bit = ((an.AA_A * (i % HASH_MOD) + an.AA_B) % HASH_MOD) % 2
+        rows.append((i, t0, 1, "rigged", 10.0 + 90.0 * bit, "{}"))
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    g = an.aa_test_calibration(spark, str(tmp_path)).collect()[0]
+    assert g["false_positive"]
+    assert g["n_false_positives"] == 1
+    assert g["cles_ppm"] == 0  # A's values all strictly below B's
+
+
+def test_aa_plan_is_histogram_bounded(spark):
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.aa_test_calibration(spark, SF_DIR), "simple")
+    assert "row_number" not in p
+    assert "windowspecdefinition(event_type" in p
+    assert "hashpartitioning(event_id" not in p
