@@ -1570,3 +1570,97 @@ SELECT doc_id,
        CAST(max(_e - _s + {SUBSTR_MIN_LEN}) AS BIGINT) AS max_span_len
 FROM spans GROUP BY doc_id
 """
+
+
+# --- template-masked dedup (round-17 queue) ------------------------------
+
+# masking: digit runs -> '#', then whitespace runs -> ' ' (lowercased
+# first). Both patterns are RE2-safe and Java-regex-identical.
+TEMPLATE_DIGIT_RE = "[0-9]+"
+TEMPLATE_WS_RE = "[ \\t\\r\\n]+"
+
+
+def template_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-family dedup — the tier between exact and near dedup
+    that catches FORM LETTERS: documents identical except for the
+    numbers in them (order confirmations, timestamps, invoice spam)
+    hash apart under exact dedup and can sit below near-dup
+    thresholds when the numbers are dense, yet are one template and
+    should count as one. Mask digit runs to '#' and collapse
+    whitespace (lowercased), group on the MD5 of the MASK, and
+    report: total docs, distinct templates, docs inside multi-doc
+    template families, and — the template-specific signal — how many
+    of those families are NOT plain exact-dup groups (their members'
+    raw texts differ, i.e. the masking did real work; exact-dup
+    groups are counted by dedup_exact_stats already).
+
+    Scale posture (100 TB): identical to dedup_exact_stats — the mask
+    and both digests are map-side expressions, the exchange carries
+    32-byte digests (never payloads), and the family rollup runs on
+    the digest frame. The masking regexes are single-pass RE2/Java
+    classes with no backtracking pathologies.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    masked = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), TEMPLATE_DIGIT_RE, "#"),
+        TEMPLATE_WS_RE,
+        " ",
+    )
+    keyed = docs.select(
+        F.md5(masked.cast("binary")).alias("_tk"),
+        F.md5(F.col("text").cast("binary")).alias("_rk"),
+    )
+    fams = keyed.groupBy("_tk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("_rk").alias("n_raw_texts"),
+    )
+    return fams.agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_templates"),
+        F.sum(
+            F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0)
+        ).alias("n_docs_in_families"),
+        F.sum(
+            F.when(F.col("n_docs") > 1, 1).otherwise(0)
+        ).alias("n_families"),
+        F.sum(
+            F.when(
+                (F.col("n_docs") > 1) & (F.col("n_raw_texts") > 1), 1
+            ).otherwise(0)
+        ).alias("n_templated_families"),
+        F.sum(
+            F.when(
+                (F.col("n_docs") > 1) & (F.col("n_raw_texts") > 1),
+                F.col("n_docs"),
+            ).otherwise(0)
+        ).alias("n_docs_templated"),
+    )
+
+
+TEMPLATE_DEDUP_SQL = f"""
+WITH keyed AS (
+  SELECT md5(regexp_replace(regexp_replace(lower(text),
+               '{TEMPLATE_DIGIT_RE}', '#', 'g'),
+             '{TEMPLATE_WS_RE}', ' ', 'g')) AS _tk,
+         md5(text) AS _rk
+  FROM documents
+),
+fams AS (
+  SELECT _tk, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(count(DISTINCT _rk) AS BIGINT) AS n_raw_texts
+  FROM keyed GROUP BY _tk
+)
+SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_templates,
+       CAST(sum(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+         AS n_docs_in_families,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_families,
+       CAST(sum(CASE WHEN n_docs > 1 AND n_raw_texts > 1
+                     THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_templated_families,
+       CAST(sum(CASE WHEN n_docs > 1 AND n_raw_texts > 1
+                     THEN n_docs ELSE 0 END) AS BIGINT)
+         AS n_docs_templated
+FROM fams
+"""

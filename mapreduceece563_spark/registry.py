@@ -382,6 +382,10 @@ register(
 #   aa_test_calibration (analytics / AA_TEST_SQL) — A/A negative
 #   control of the MWU drift machinery via the frozen-hash pseudo-
 #   variant split; positive-control fixture proves it can fire.
+# ROUND-17 QUEUE (tests/test_round17_queue.py):
+#   template_dedup_stats (dedup / TEMPLATE_DEDUP_SQL) — form-letter
+#   dedup tier: digit-masked MD5 families, templated vs exact-dup
+#   family accounting, digests-only shuffle.
 
 # ---- window backfill: round-6-green entries ----
 
