@@ -1664,3 +1664,148 @@ SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs,
          AS n_docs_templated
 FROM fams
 """
+
+
+# --- content-defined chunking (round-17 queue) ---------------------------
+
+CDC_WINDOW = 8      # trailing-window width for the boundary hash
+CDC_MASK = 64       # boundary when H(window) % 64 == 0 (~64-char chunks)
+
+
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking over document text — the storage-
+    dedup technique (LBFS / restic / backup appliances) that
+    fixed-stride chunking (doc_chunk_manifest) cannot replicate: a
+    boundary is declared wherever the hash of the trailing 8-char
+    window has 6 low zero bits, so inserting a byte shifts ONE
+    chunk's boundary instead of re-aligning every chunk after it —
+    which is exactly why CDC chunks dedup across near-identical
+    documents while fixed-stride chunks don't. Reports the chunking
+    profile (chunks, length min/avg/max) plus the dedup ledger:
+    distinct chunk contents vs instances, and the bytes a
+    chunk-level store would NOT have to keep (duplicate instances'
+    lengths).
+
+    Everything is native higher-order expressions — per position the
+    trailing-window hash is an inner fold (O(n * 8) integer ops,
+    whole-stage codegen, no UDF), boundaries a filter over positions,
+    chunk contents hashed with the engine-portable poly hash, and
+    only (chunk_hash, len) pairs ever leave the row — payload text
+    never shuffles. The DuckDB oracle replays the identical fold.
+
+    Scale posture (100 TB): one map pass + one digest-keyed groupBy
+    (the dedup_exact_stats exchange shape); the per-doc arrays are
+    bounded by doc length and stream through codegen. avg chunk
+    length is reported in half-up milli-chars (the pure-int idiom).
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "doc_id", "text"
+    )
+    s = F.col("text")
+    n = F.length(s)
+    # H(p): poly fold of the trailing CDC_WINDOW chars ending at p
+    win_hash = lambda p: F.aggregate(  # noqa: E731
+        F.sequence(p - F.lit(CDC_WINDOW - 1), p),
+        F.lit(0).cast("long"),
+        lambda acc, i: (
+            acc * HASH_BASE + F.ascii(F.substring(s, i, F.lit(1)))
+        ) % HASH_MOD,
+    )
+    # scan positions w..n-1 only: p == n would duplicate the final
+    # bound, and a distinct-pass is NOT order-safe in DuckDB
+    positions = F.when(
+        n > CDC_WINDOW,
+        F.filter(
+            F.sequence(F.lit(CDC_WINDOW), n - 1),
+            lambda p: win_hash(p) % CDC_MASK == 0,
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    bounds = F.concat(
+        F.array(F.lit(0).cast("int")),
+        positions.cast("array<int>"),
+        F.array(n.cast("int")),
+    )
+    staged = docs.select("doc_id", "text", bounds.alias("_b"))
+    nb = F.size(F.col("_b"))
+    chunk_idx = F.when(
+        nb >= 2, F.sequence(F.lit(1), nb - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    b = F.col("_b")
+    chunks = F.transform(
+        chunk_idx,
+        lambda i: F.struct(
+            poly_hash(
+                F.substring(
+                    F.col("text"),
+                    F.element_at(b, i) + 1,
+                    F.element_at(b, i + 1) - F.element_at(b, i),
+                )
+            ).alias("h"),
+            (
+                F.element_at(b, i + 1) - F.element_at(b, i)
+            ).cast("long").alias("len"),
+        ),
+    )
+    exploded = staged.select(
+        F.explode(chunks).alias("c")
+    ).select(F.col("c.h").alias("h"), F.col("c.len").alias("len"))
+    per_chunk = exploded.groupBy("h", "len").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_chunk.agg(
+        F.sum("_n").alias("n_chunk_instances"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(F.col("_n") * F.col("len")).alias("total_bytes"),
+        F.min("len").alias("min_chunk_len"),
+        F.max("len").alias("max_chunk_len"),
+        F.expr(
+            "(2000 * sum(_n * len) + sum(_n)) div (2 * sum(_n))"
+        ).alias("avg_chunk_len_milli"),
+        F.sum((F.col("_n") - 1) * F.col("len")).alias("dup_bytes"),
+    )
+
+
+CDC_CHUNK_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, text,
+         list_prepend(0,
+           list_append(
+             CASE WHEN length(text) > {CDC_WINDOW} THEN
+               list_filter(range({CDC_WINDOW}, length(text)),
+                 p -> list_reduce(
+                        list_prepend(CAST(0 AS BIGINT),
+                          list_transform(range(p - {CDC_WINDOW - 1}, p + 1),
+                            i -> CAST(unicode(text[i]) AS BIGINT))),
+                        (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})
+                      % {CDC_MASK} = 0)
+             ELSE [] END,
+             length(text))) AS _b
+  FROM documents
+),
+chunks AS (
+  SELECT unnest(list_transform(range(1, len(_b)),
+           i -> {{'h': CASE WHEN _b[i + 1] - _b[i] > 0 THEN
+                        list_reduce(
+                          list_prepend(CAST(0 AS BIGINT),
+                            list_transform(range(_b[i] + 1, _b[i + 1] + 1),
+                              j -> CAST(unicode(text[j]) AS BIGINT))),
+                          (acc, x) -> (acc * {HASH_BASE} + x) % {HASH_MOD})
+                      ELSE 0 END,
+                 'len': CAST(_b[i + 1] - _b[i] AS BIGINT)}})) AS c
+  FROM staged
+),
+flat AS (SELECT c.h AS h, c.len AS len FROM chunks),
+per_chunk AS (
+  SELECT h, len, CAST(count(*) AS BIGINT) AS _n
+  FROM flat GROUP BY h, len
+)
+SELECT CAST(sum(_n) AS BIGINT) AS n_chunk_instances,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(_n * len) AS BIGINT) AS total_bytes,
+       CAST(min(len) AS BIGINT) AS min_chunk_len,
+       CAST(max(len) AS BIGINT) AS max_chunk_len,
+       CAST((2000 * sum(_n * len) + sum(_n)) // (2 * sum(_n)) AS BIGINT)
+         AS avg_chunk_len_milli,
+       CAST(sum((_n - 1) * len) AS BIGINT) AS dup_bytes
+FROM per_chunk
+"""

@@ -386,6 +386,9 @@ register(
 #   template_dedup_stats (dedup / TEMPLATE_DEDUP_SQL) — form-letter
 #   dedup tier: digit-masked MD5 families, templated vs exact-dup
 #   family accounting, digests-only shuffle.
+#   cdc_chunk_stats (dedup / CDC_CHUNK_SQL) — content-defined
+#   chunking with the cross-doc dedup ledger; native trailing-window
+#   folds, chunk-digest-only shuffle, insertion-survival pinned.
 
 # ---- window backfill: round-6-green entries ----
 

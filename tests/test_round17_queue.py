@@ -116,4 +116,112 @@ def test_round17_queue_on_empty_tables(spark, tmp_path):
         con.execute(dd.TEMPLATE_DEDUP_SQL),
         ctx="empty:template_dedup_stats",
     )
+    assert_frames_match(
+        dd.cdc_chunk_stats(spark, str(d)),
+        con.execute(dd.CDC_CHUNK_SQL),
+        ctx="empty:cdc_chunk_stats",
+    )
     con.close()
+
+
+def test_cdc_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import dedup as dd
+
+    assert_frames_match(
+        dd.cdc_chunk_stats(spark, SF_DIR),
+        duck.execute(dd.CDC_CHUNK_SQL),
+        ctx="cdc_chunk_stats",
+    )
+
+
+def test_cdc_python_model(spark):
+    """Replay the trailing-window boundary rule, the chunking, the
+    chunk poly-hashes, and the dedup ledger in pure Python."""
+    from mapreduceece563_spark.functions.hashing import HASH_BASE, HASH_MOD
+    from mapreduceece563_spark.operators import dedup as dd
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("text").collect()
+    ]
+
+    def win_hash(t, p):  # p is 1-based end position
+        acc = 0
+        for i in range(p - dd.CDC_WINDOW + 1, p + 1):
+            acc = (acc * HASH_BASE + ord(t[i - 1])) % HASH_MOD
+        return acc
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * HASH_BASE + ord(ch)) % HASH_MOD
+        return acc if s else 0
+
+    from collections import Counter
+
+    per_chunk: Counter = Counter()
+    for t in texts:
+        n = len(t)
+        pos = [
+            p for p in range(dd.CDC_WINDOW, n)
+            if win_hash(t, p) % dd.CDC_MASK == 0
+        ] if n > dd.CDC_WINDOW else []
+        b = [0] + pos + [n]
+        for i in range(len(b) - 1):
+            seg = t[b[i]:b[i + 1]]
+            per_chunk[(poly(seg), len(seg))] += 1
+    g = dd.cdc_chunk_stats(spark, SF_DIR).collect()[0]
+    total = sum(per_chunk.values())
+    assert g["n_chunk_instances"] == total
+    assert g["n_distinct_chunks"] == len(per_chunk)
+    assert g["total_bytes"] == sum(
+        ln * c for (_, ln), c in per_chunk.items()
+    )
+    assert g["dup_bytes"] == sum(
+        (c - 1) * ln for (_, ln), c in per_chunk.items()
+    )
+    assert g["min_chunk_len"] == min(ln for _, ln in per_chunk)
+    assert g["max_chunk_len"] == max(ln for _, ln in per_chunk)
+
+
+def test_cdc_survives_an_insertion(spark, tmp_path):
+    """THE content-defined property: inserting one character near the
+    start of a document shifts every byte after it, yet the chunking
+    re-synchronizes at the next boundary — the two versions must
+    share most of their bytes as duplicate chunks (fixed-stride
+    chunking would share none past the edit)."""
+    import random
+
+    from mapreduceece563_spark.operators import dedup as dd
+
+    rng = random.Random(17)
+    body = "".join(
+        rng.choice("abcdefghijklmnopqrstuvwxyz ") for _ in range(3000)
+    )
+    edited = body[:15] + "X" + body[15:]
+    rows = [
+        (0, body, "en", "s", len(body)),
+        (1, edited, "en", "s", len(edited)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    g = dd.cdc_chunk_stats(spark, str(tmp_path)).collect()[0]
+    assert g["total_bytes"] == 6001
+    # everything after the first post-edit boundary dedups: the two
+    # versions share all chunks except the one(s) containing the edit
+    assert g["dup_bytes"] > 2400
+
+
+def test_cdc_plan_shuffles_chunk_digests_only(spark):
+    from mapreduceece563_spark.operators import dedup as dd
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(dd.cdc_chunk_stats(spark, SF_DIR), "simple")
+    assert "hashpartitioning(h" in p
+    assert "hashpartitioning(text" not in p
+    assert "Window" not in p
