@@ -1091,3 +1091,138 @@ SELECT n_groups, CAST(min_l AS BIGINT) AS min_l,
          AS risk_row_share
 FROM roll
 """
+
+
+# --- Markov next-event baseline accuracy (round-17 queue) ----------------
+
+
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the first-order Markov next-event predictor — the
+    sequence-model evaluation class: event_transition_matrix MEASURES
+    the transition structure; this measures what the baseline built
+    on it actually achieves on held-out data (the bar a sequence
+    model must beat, the seasonal_naive_backtest of the behavioral
+    world). Transitions are TRAINED on pre-KS_SPLIT pairs, the
+    predictor is argmax over to_type per from_type (ties broken
+    lexicographically — deterministic on both engines), and accuracy
+    is scored on post-split pairs, reported per from_type plus the
+    majority-class baseline it must beat to prove the transition
+    structure carries signal.
+
+    Integer-exact end to end: training counts, an argmax via the
+    (count DESC, to_type ASC) total order, exact hit counts, and
+    ppm floor divisions. Pairs that cross the split boundary belong
+    to the epoch of their FROM event (the lead() pairing is computed
+    once over the full sequence, then split — so the train/test
+    boundary can't double-count a pair).
+
+    Scale posture (100 TB): one lead() window per user sequence (the
+    event_transition_matrix shape — partition-bounded by user, never
+    global), two |types|^2 aggregates, and the broadcast-sized argmax
+    map joined back onto the |types|^2 test counts.
+    """
+    from .analytics import KS_SPLIT as _SPLIT
+
+    mid = F.lit(_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(seq))
+        .filter(F.col("to_type").isNotNull())
+        .select(
+            F.col("event_type").alias("from_type"),
+            "to_type",
+            (F.col("ts") >= mid).cast("long").alias("_test"),
+        )
+    )
+    train = (
+        pairs.filter(F.col("_test") == 0)
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+    )
+    arg_w = Window.partitionBy("from_type").orderBy(
+        F.desc("_n"), F.asc("to_type")
+    )
+    pred = (
+        train.withColumn("_r", F.row_number().over(arg_w))
+        .filter(F.col("_r") == 1)
+        .select("from_type", F.col("to_type").alias("_pred"))
+    )
+    # majority baseline: the single most common to_type overall
+    maj = (
+        pairs.filter(F.col("_test") == 0)
+        .groupBy("to_type")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("to_type"))
+        .limit(1)
+        .select(F.col("to_type").alias("_maj"))
+    )
+    test = pairs.filter(F.col("_test") == 1)
+    scored = test.join(F.broadcast(pred), "from_type", "left").crossJoin(
+        F.broadcast(maj)
+    )
+    return scored.groupBy("from_type").agg(
+        F.count(F.lit(1)).alias("n_test_pairs"),
+        F.max("_pred").alias("predicted_type"),
+        F.sum(
+            (F.col("to_type") == F.col("_pred")).cast("long")
+        ).alias("n_correct"),
+        F.expr(
+            "sum(CAST(to_type = _pred AS BIGINT)) * 1000000"
+            " div count(1)"
+        ).alias("accuracy_ppm"),
+        F.expr(
+            "sum(CAST(to_type = _maj AS BIGINT)) * 1000000"
+            " div count(1)"
+        ).alias("majority_baseline_ppm"),
+    )
+
+
+def _markov_sql() -> str:
+    from .analytics import KS_SPLIT as _SPLIT
+
+    return f"""
+WITH seqd AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS to_type,
+         CASE WHEN ts >= TIMESTAMP '{_SPLIT}' THEN 1 ELSE 0 END AS _test
+  FROM events
+),
+pairs AS (SELECT * FROM seqd WHERE to_type IS NOT NULL),
+train AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS _n
+  FROM pairs WHERE _test = 0 GROUP BY from_type, to_type
+),
+pred AS (
+  SELECT from_type, to_type AS _pred FROM (
+    SELECT from_type, to_type,
+           row_number() OVER (PARTITION BY from_type
+                              ORDER BY _n DESC, to_type ASC) AS _r
+    FROM train
+  ) WHERE _r = 1
+),
+maj AS (
+  SELECT to_type AS _maj FROM pairs WHERE _test = 0
+  GROUP BY to_type ORDER BY count(*) DESC, to_type ASC LIMIT 1
+)
+SELECT t.from_type,
+       CAST(count(*) AS BIGINT) AS n_test_pairs,
+       max(p._pred) AS predicted_type,
+       CAST(sum(CASE WHEN t.to_type = p._pred THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       CAST(sum(CASE WHEN t.to_type = p._pred THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS accuracy_ppm,
+       CAST(sum(CASE WHEN t.to_type = m._maj THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS majority_baseline_ppm
+FROM pairs t
+LEFT JOIN pred p ON t.from_type = p.from_type
+CROSS JOIN maj m
+WHERE t._test = 1
+GROUP BY t.from_type
+"""
+
+
+MARKOV_ACCURACY_SQL = _markov_sql()

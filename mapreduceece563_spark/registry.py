@@ -389,6 +389,9 @@ register(
 #   cdc_chunk_stats (dedup / CDC_CHUNK_SQL) — content-defined
 #   chunking with the cross-doc dedup ledger; native trailing-window
 #   folds, chunk-digest-only shuffle, insertion-survival pinned.
+#   markov_next_event_accuracy (mining / MARKOV_ACCURACY_SQL) —
+#   held-out accuracy of the first-order Markov next-event baseline
+#   vs the majority-class baseline; per-user lead() windows only.
 
 # ---- window backfill: round-6-green entries ----
 

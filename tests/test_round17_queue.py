@@ -121,6 +121,13 @@ def test_round17_queue_on_empty_tables(spark, tmp_path):
         con.execute(dd.CDC_CHUNK_SQL),
         ctx="empty:cdc_chunk_stats",
     )
+    from mapreduceece563_spark.operators import mining as mn
+
+    assert_frames_match(
+        mn.markov_next_event_accuracy(spark, str(d)),
+        con.execute(mn.MARKOV_ACCURACY_SQL),
+        ctx="empty:markov_next_event_accuracy",
+    )
     con.close()
 
 
@@ -225,3 +232,124 @@ def test_cdc_plan_shuffles_chunk_digests_only(spark):
     assert "hashpartitioning(h" in p
     assert "hashpartitioning(text" not in p
     assert "Window" not in p
+
+
+def test_markov_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import mining as mn
+
+    assert_frames_match(
+        mn.markov_next_event_accuracy(spark, SF_DIR),
+        duck.execute(mn.MARKOV_ACCURACY_SQL),
+        ctx="markov_next_event_accuracy",
+    )
+
+
+def test_markov_python_model(spark):
+    """Replay pairing, epoch split, argmax training, and both
+    accuracy metrics in pure Python."""
+    import datetime
+    from collections import Counter
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators import mining as mn
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    split = datetime.datetime.fromisoformat(an.KS_SPLIT)
+    rows = load_table(spark, SF_DIR, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    ).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["ts"], r["event_id"], r["event_type"])
+        )
+    train: Counter = Counter()
+    test = []
+    maj: Counter = Counter()
+    for u, evs in by_user.items():
+        evs.sort()
+        for (ts, _, a), (_, _, b) in zip(evs, evs[1:]):
+            if ts >= split:
+                test.append((a, b))
+            else:
+                train[(a, b)] += 1
+                maj[b] += 1
+    pred = {}
+    for (a, b), c in train.items():
+        cur = pred.get(a)
+        if cur is None or (-c, b) < cur[0]:
+            pred[a] = ((-c, b), b)
+    pred = {a: v[1] for a, v in pred.items()}
+    majority = min(maj, key=lambda t: (-maj[t], t))
+    got = {
+        r["from_type"]: r
+        for r in mn.markov_next_event_accuracy(spark, SF_DIR).collect()
+    }
+    per_from: dict = {}
+    for a, b in test:
+        n, c, m = per_from.setdefault(a, [0, 0, 0])
+        per_from[a] = [
+            n + 1,
+            c + (1 if pred.get(a) == b else 0),
+            m + (1 if b == majority else 0),
+        ]
+    assert set(got) == set(per_from)
+    for a, (n, c, m) in per_from.items():
+        g = got[a]
+        assert (g["n_test_pairs"], g["n_correct"]) == (n, c)
+        assert g["predicted_type"] == pred.get(a)
+        assert g["accuracy_ppm"] == c * 1_000_000 // n
+        assert g["majority_baseline_ppm"] == m * 1_000_000 // n
+
+
+def test_markov_learns_a_planted_chain(spark, tmp_path):
+    """A deterministic A->B->C->A cycle in both epochs: the trained
+    predictor must score EXACTLY 1e6 on the held-out epoch while the
+    majority baseline sits near 1/3 — proof the entry measures
+    transition signal, not class frequency."""
+    import datetime
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators import mining as mn
+
+    split = datetime.datetime.fromisoformat(an.KS_SPLIT)
+    cycle = ["alpha", "beta", "gamma"]
+    rows, eid = [], 0
+    for epoch, t0 in ((0, split - datetime.timedelta(days=5)),
+                      (1, split + datetime.timedelta(days=5))):
+        for u in range(10):
+            for i in range(30):
+                ts = t0 + datetime.timedelta(minutes=i)
+                rows.append(
+                    (eid, ts, u, cycle[i % 3], 1.0, "{}")
+                )
+                eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["from_type"]: r
+        for r in mn.markov_next_event_accuracy(spark, str(tmp_path)).collect()
+    }
+    for a, nxt in (("alpha", "beta"), ("beta", "gamma"), ("gamma", "alpha")):
+        assert got[a]["predicted_type"] == nxt
+        assert got[a]["accuracy_ppm"] == 1_000_000
+    # the majority class is 'alpha' (count tie -> lexicographic), so
+    # the baseline is 0 from alpha and beta (their next is beta/gamma)
+    # and 1e6 from gamma — the Markov predictor beats it where the
+    # chain disagrees with class frequency and ties it where it can't
+    assert got["alpha"]["majority_baseline_ppm"] == 0
+    assert got["beta"]["majority_baseline_ppm"] == 0
+    assert got["gamma"]["majority_baseline_ppm"] == 1_000_000
+
+
+def test_markov_plan_windows_user_sequences_only(spark):
+    from mapreduceece563_spark.operators import mining as mn
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(mn.markov_next_event_accuracy(spark, SF_DIR), "simple")
+    assert "windowspecdefinition(user_id" in p
+    assert "windowspecdefinition(event_id" not in p
