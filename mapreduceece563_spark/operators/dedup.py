@@ -1809,3 +1809,99 @@ SELECT CAST(sum(_n) AS BIGINT) AS n_chunk_instances,
        CAST(sum((_n - 1) * len) AS BIGINT) AS dup_bytes
 FROM per_chunk
 """
+
+
+# --- near-dup transitivity audit (round-17 queue) ------------------------
+
+
+def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitivity audit of the MinHash-LSH candidate-pair graph —
+    the diagnostic that decides whether connected-components grouping
+    (dedup_groups) is SAFE: CC treats near-duplication as an
+    equivalence relation, but similarity isn't transitive, and every
+    open wedge (a~b, b~c, a!~c) CC closes anyway is a potential
+    over-merge chaining unrelated documents through a hub. Reports
+    the wedge/triangle census and the closure rate — low closure =
+    chain-shaped clusters = prefer clustering with a verifier
+    (semdedup / exact-jaccard re-check) over raw CC.
+
+    Pure integer counting on the (small) candidate-pair frame: paths
+    of length 2 via one self-join on the shared endpoint, closed
+    wedges via one more join against the pair set, closure_ppm an
+    exact floor division. The wedge join keys on the shared doc (the
+    pair graph is band-bounded, so degrees are LSH-bucket-bounded);
+    output is one row.
+    """
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.unionAll(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    # wedges a-w-b with a < b (distinct endpoints)
+    left = edges.select(F.col("doc_b").alias("w"), F.col("doc_a").alias("a"))
+    right = edges.select(
+        F.col("doc_a").alias("w"), F.col("doc_b").alias("b")
+    )
+    wedges = left.join(right, "w").filter(F.col("a") < F.col("b")).select(
+        "a", "b"
+    )
+    closed = wedges.join(
+        pairs.select(
+            F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+        ),
+        ["a", "b"],
+        "left_semi",
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).alias("n")).withColumnRenamed(
+        "n", "n_pairs"
+    )
+    stats = wedges.agg(
+        F.count(F.lit(1)).alias("n_wedges")
+    ).crossJoin(closed.agg(F.count(F.lit(1)).alias("n_closed")))
+    return n_edges.crossJoin(stats).select(
+        "n_pairs",
+        "n_wedges",
+        "n_closed",
+        F.expr(
+            "n_closed * 1000000 div greatest(n_wedges, 1)"
+        ).alias("closure_ppm"),
+    )
+
+
+NEARDUP_TRANSITIVITY_SQL = """
+WITH pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a, doc_b FROM pairs
+  UNION ALL
+  SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs
+),
+wedges AS (
+  SELECT l.doc_a AS a, r.doc_b AS b
+  FROM edges l JOIN edges r ON l.doc_b = r.doc_a
+  WHERE l.doc_a < r.doc_b
+),
+closed AS (
+  SELECT w.a, w.b FROM wedges w
+  WHERE EXISTS (SELECT 1 FROM pairs p
+                WHERE p.doc_a = w.a AND p.doc_b = w.b)
+),
+roll AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_pairs,
+         (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+         (SELECT CAST(count(*) AS BIGINT) FROM closed) AS n_closed
+)
+SELECT n_pairs, n_wedges, n_closed,
+       CAST(n_closed * 1000000 // greatest(n_wedges, 1) AS BIGINT)
+         AS closure_ppm
+FROM roll
+"""
+
+
+def _transitivity_sql() -> str:
+    # DEDUP_MINHASH_SQL is the registered pair oracle; inline it
+    return NEARDUP_TRANSITIVITY_SQL.format(pairs=DEDUP_MINHASH_SQL.strip())
+
+
+
+NEARDUP_TRANSITIVITY_ORACLE = _transitivity_sql()

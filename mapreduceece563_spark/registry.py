@@ -392,6 +392,9 @@ register(
 #   markov_next_event_accuracy (mining / MARKOV_ACCURACY_SQL) —
 #   held-out accuracy of the first-order Markov next-event baseline
 #   vs the majority-class baseline; per-user lead() windows only.
+#   neardup_transitivity_audit (dedup / NEARDUP_TRANSITIVITY_ORACLE)
+#   — wedge/closure census over the LSH candidate pairs: is CC
+#   grouping safe, or do open wedges chain unrelated docs?
 
 # ---- window backfill: round-6-green entries ----
 

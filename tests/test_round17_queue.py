@@ -128,6 +128,11 @@ def test_round17_queue_on_empty_tables(spark, tmp_path):
         con.execute(mn.MARKOV_ACCURACY_SQL),
         ctx="empty:markov_next_event_accuracy",
     )
+    assert_frames_match(
+        dd.neardup_transitivity_audit(spark, str(d)),
+        con.execute(dd.NEARDUP_TRANSITIVITY_ORACLE),
+        ctx="empty:neardup_transitivity_audit",
+    )
     con.close()
 
 
@@ -353,3 +358,43 @@ def test_markov_plan_windows_user_sequences_only(spark):
     p = plan_string(mn.markov_next_event_accuracy(spark, SF_DIR), "simple")
     assert "windowspecdefinition(user_id" in p
     assert "windowspecdefinition(event_id" not in p
+
+
+def test_transitivity_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import dedup as dd
+
+    assert_frames_match(
+        dd.neardup_transitivity_audit(spark, SF_DIR),
+        duck.execute(dd.NEARDUP_TRANSITIVITY_ORACLE),
+        ctx="neardup_transitivity_audit",
+    )
+
+
+def test_transitivity_python_model(spark):
+    """Wedge/closure census replayed in pure Python from the op's own
+    candidate pairs — complete verification of the counting."""
+    from mapreduceece563_spark.operators import dedup as dd
+
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.dedup_minhash(spark, SF_DIR).collect()
+    }
+    nbrs: dict = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    wedges = 0
+    closed = 0
+    for w, ns in nbrs.items():
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1:]:
+                wedges += 1
+                if (a, b) in pairs:
+                    closed += 1
+    g = dd.neardup_transitivity_audit(spark, SF_DIR).collect()[0]
+    assert (g["n_pairs"], g["n_wedges"], g["n_closed"]) == (
+        len(pairs), wedges, closed,
+    )
+    assert g["closure_ppm"] == closed * 1_000_000 // max(wedges, 1)
+    assert 0 <= g["closure_ppm"] <= 1_000_000
