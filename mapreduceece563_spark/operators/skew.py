@@ -1010,3 +1010,74 @@ SELECT CAST(n_a AS BIGINT) AS n_a,
             // greatest(n_intersect_exact, 1) AS BIGINT) AS err_ppm
 FROM est
 """
+
+
+# --- salt-plan advisor (round-18 queue) ----------------------------------
+
+SALT_TARGET_ROWS = 1000   # target rows per (key, salt) partition slice
+SALT_PLAN_CAP = 4096      # advisor never recommends more salts than this
+
+
+def salt_plan_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning step in front of every salting rewrite
+    (events_salted_join uses a FIXED 16 salts; this computes what
+    each key actually NEEDS): per join key, the frequency, the salt
+    count that brings its largest partition slice under the target
+    (ceil(freq / SALT_TARGET_ROWS), capped), the resulting worst
+    slice, and the dim-side replication cost the salts buy — the
+    numbers that decide between broadcast, AQE skew-split, and an
+    explicit salted rewrite at 100 TB.
+
+    Pure integer planning: frequencies are one map-side-partial
+    groupBy; ceil is the (a + b - 1) div b idiom; the worst slice
+    after salting is ceil(freq / salts) again — and the op certifies
+    its own arithmetic by exporting worst_slice <= target for every
+    uncapped key (the oracle hash makes that a driver-checked
+    invariant, not a comment).
+
+    Scale posture (100 TB): one groupBy(event_type) — the advisor
+    reads a |keys|-row frame no matter the fact size; in a real
+    pipeline the input is the key histogram the shuffle already
+    computes (or a count-min sketch for unbounded key spaces —
+    cmsketch_heavy_hitters is the estimator tier).
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type")
+    freq = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("freq"))
+    return freq.select(
+        "event_type",
+        "freq",
+        F.expr(
+            f"least((freq + {SALT_TARGET_ROWS - 1})"
+            f" div {SALT_TARGET_ROWS}, {SALT_PLAN_CAP})"
+        ).alias("salts_needed"),
+        F.expr(
+            f"(freq + least((freq + {SALT_TARGET_ROWS - 1})"
+            f" div {SALT_TARGET_ROWS}, {SALT_PLAN_CAP}) - 1)"
+            f" div least((freq + {SALT_TARGET_ROWS - 1})"
+            f" div {SALT_TARGET_ROWS}, {SALT_PLAN_CAP})"
+        ).alias("worst_slice_rows"),
+        F.expr(
+            f"least((freq + {SALT_TARGET_ROWS - 1})"
+            f" div {SALT_TARGET_ROWS}, {SALT_PLAN_CAP}) - 1"
+        ).alias("dim_replication_extra"),
+    )
+
+
+SALT_PLAN_SQL = f"""
+WITH freq AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS freq
+  FROM events GROUP BY event_type
+),
+plan AS (
+  SELECT event_type, freq,
+         least((freq + {SALT_TARGET_ROWS - 1}) // {SALT_TARGET_ROWS},
+               {SALT_PLAN_CAP}) AS salts_needed
+  FROM freq
+)
+SELECT event_type, freq,
+       CAST(salts_needed AS BIGINT) AS salts_needed,
+       CAST((freq + salts_needed - 1) // salts_needed AS BIGINT)
+         AS worst_slice_rows,
+       CAST(salts_needed - 1 AS BIGINT) AS dim_replication_extra
+FROM plan
+"""

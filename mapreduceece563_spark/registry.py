@@ -395,6 +395,10 @@ register(
 #   neardup_transitivity_audit (dedup / NEARDUP_TRANSITIVITY_ORACLE)
 #   — wedge/closure census over the LSH candidate pairs: is CC
 #   grouping safe, or do open wedges chain unrelated docs?
+# ROUND-18 QUEUE (tests/test_round18_queue.py):
+#   salt_plan_advisor (skew / SALT_PLAN_SQL) — per-key salt counts
+#   (ceil(freq/target) capped), worst slice, dim replication cost;
+#   minimality test-pinned.
 
 # ---- window backfill: round-6-green entries ----
 
