@@ -1475,3 +1475,99 @@ FROM per_group
 
 
 IMAGE_PHASH_SQL = _phash_sql()
+
+
+# --- audio quality audit (round-18 queue) --------------------------------
+
+CLIP_LIMIT = 2047  # |sample| at/above this counts as clipped (int16 fix-
+                   # ture range is -2048..2047; real PCM16 would use 32767)
+
+
+def _audio_quality_of(payload: bytes) -> tuple[int, int, int, int]:
+    """(n_samples, clipped_ppm, dc_offset_milli, peak) of one WAV.
+    The DC offset is a half-up milli mean of a SIGNED sum: the
+    numerator is shifted non-negative by peak*n so floor division
+    equals the intended half-up on both engines, then shifted back
+    (the integer-division audit rule for signed quantities)."""
+    _, s = decode_wav(payload)
+    s = s.astype(np.int64)
+    n = len(s)
+    if n == 0:
+        return 0, 0, 0, 0
+    clipped = int((np.abs(s) >= CLIP_LIMIT).sum())
+    total = int(s.sum())
+    peak = int(np.abs(s).max())
+    shift = peak * n
+    dc = (2000 * (total + shift) + n) // (2 * n) - 1000 * peak
+    return n, clipped * 1_000_000 // n, dc, peak
+
+
+def audio_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip audio QA off the real RIFF decode — the ingest gate an
+    audio pipeline runs before wasting GPU-hours transcribing broken
+    recordings: clipping ratio (samples pinned at the rail — a clipped
+    recording is information-destroying and no filter downstream can
+    recover it), DC offset (a miscalibrated capture chain shifts the
+    whole waveform; half-up milli mean), and peak amplitude.
+
+    All-integer outputs: clipped_ppm is an exact count ratio,
+    dc_offset_milli the half-up milli idiom over the signed sample
+    sum (numerator shifted non-negative by peak*n before the
+    division and shifted back — the integer-division audit rule for
+    signed quantities), peak an exact max. Map-only, payloads never
+    shuffle (the audio_decode_energy posture).
+    """
+    media = documents_as_wav(spark, sf_dir)
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_samples": [], "clipped_ppm": [],
+                "dc_offset_milli": [], "peak": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n, clipped_ppm, dc, peak = _audio_quality_of(
+                    bytes(payload)
+                )
+                rows["doc_id"].append(mid)
+                rows["n_samples"].append(n)
+                rows["clipped_ppm"].append(clipped_ppm)
+                rows["dc_offset_milli"].append(dc)
+                rows["peak"].append(peak)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("clipped_ppm", T.LongType()),
+            T.StructField("dc_offset_milli", T.LongType()),
+            T.StructField("peak", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_audit, schema=schema)
+
+
+AUDIO_QUALITY_SQL = f"""
+WITH dims AS (
+  SELECT doc_id, 64 + doc_id % 97 AS n FROM documents
+),
+px AS (
+  SELECT doc_id, n, unnest(range(0, n)) AS i FROM dims
+),
+vals AS (
+  SELECT doc_id, n,
+         (doc_id * {WAV_SAMPLE_MULT} + i * {WAV_SAMPLE_STEP}) % 4096 - 2048
+           AS s
+  FROM px
+)
+SELECT doc_id,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(sum(CASE WHEN abs(s) >= {CLIP_LIMIT} THEN 1 ELSE 0 END)
+            * 1000000 // max(n) AS BIGINT) AS clipped_ppm,
+       CAST((2000 * (sum(s) + max(abs(s)) * max(n)) + max(n))
+            // (2 * max(n)) - 1000 * max(abs(s)) AS BIGINT)
+         AS dc_offset_milli,
+       CAST(max(abs(s)) AS BIGINT) AS peak
+FROM vals GROUP BY doc_id
+"""

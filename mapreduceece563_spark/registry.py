@@ -399,6 +399,9 @@ register(
 #   salt_plan_advisor (skew / SALT_PLAN_SQL) — per-key salt counts
 #   (ceil(freq/target) capped), worst slice, dim replication cost;
 #   minimality test-pinned.
+#   audio_quality_audit (multimodal / AUDIO_QUALITY_SQL) — per-clip
+#   clipping ppm / DC-offset milli / peak off the real RIFF decode;
+#   map-only, signed-mean shift rule.
 
 # ---- window backfill: round-6-green entries ----
 

@@ -102,4 +102,96 @@ def test_round18_queue_on_empty_tables(spark, tmp_path):
         con.execute(sk.SALT_PLAN_SQL),
         ctx="empty:salt_plan_advisor",
     )
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    assert_frames_match(
+        mm.audio_quality_audit(spark, str(d)),
+        con.execute(mm.AUDIO_QUALITY_SQL),
+        ctx="empty:audio_quality_audit",
+    )
     con.close()
+
+
+def test_audio_quality_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    assert_frames_match(
+        mm.audio_quality_audit(spark, SF_DIR),
+        duck.execute(mm.AUDIO_QUALITY_SQL),
+        ctx="audio_quality_audit",
+    )
+
+
+def test_audio_quality_python_model(spark):
+    """Replay the generator formula and all four stats per clip."""
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id").collect()
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in mm.audio_quality_audit(spark, SF_DIR).collect()
+    }
+    for d in ids:
+        n = 64 + d % 97
+        s = [
+            (d * mm.WAV_SAMPLE_MULT + i * mm.WAV_SAMPLE_STEP) % 4096 - 2048
+            for i in range(n)
+        ]
+        peak = max(abs(x) for x in s)
+        clipped = sum(1 for x in s if abs(x) >= mm.CLIP_LIMIT)
+        dc = (2000 * (sum(s) + peak * n) + n) // (2 * n) - 1000 * peak
+        g = got[d]
+        assert (g["n_samples"], g["peak"]) == (n, peak)
+        assert g["clipped_ppm"] == clipped * 1_000_000 // n
+        assert g["dc_offset_milli"] == dc
+
+
+def test_audio_quality_helper_on_broken_recordings(spark):
+    """Hand-built pathologies on REAL bytes: a half-clipped square
+    wave reports exactly 500000 ppm clipped; a +100 DC-shifted sine-
+    ish ramp reports dc_offset_milli == 100000; a clean zero-mean
+    ramp reports 0 clipped and 0 offset."""
+    import numpy as np
+
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    FR = 64
+    half_clip = np.array(
+        [2047 if i % 2 == 0 else 100 for i in range(FR)], dtype=np.int64
+    )
+    n, cl, dc, peak = mm._audio_quality_of(mm.encode_wav(8000, half_clip))
+    assert (n, peak) == (FR, 2047)
+    assert cl == 500_000
+
+    shifted = np.array(
+        [100 + (1 if i % 2 == 0 else -1) for i in range(FR)],
+        dtype=np.int64,
+    )
+    n, cl, dc, peak = mm._audio_quality_of(mm.encode_wav(8000, shifted))
+    assert cl == 0
+    assert dc == 100_000  # mean is exactly +100.0
+
+    clean = np.array(
+        [(i % 21) - 10 for i in range(FR * 2)], dtype=np.int64
+    )
+    # 128 samples = 6 zero-mean periods + leftovers (-10, -9):
+    # mean = -19/128 = -0.1484..., half-up milli = -148
+    n, cl, dc, peak = mm._audio_quality_of(mm.encode_wav(8000, clean))
+    assert cl == 0
+    assert dc == -148
+
+
+def test_audio_quality_plan_is_map_only(spark):
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(mm.audio_quality_audit(spark, SF_DIR), "simple")
+    assert "hashpartitioning" not in p
+    assert "Exchange" not in p.split("MapInPandas _encode")[0].split(
+        "MapInPandas _audit"
+    )[0].replace("RoundRobinPartitioning", "")
