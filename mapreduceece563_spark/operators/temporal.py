@@ -760,3 +760,154 @@ SELECT event_type,
          AS n_both_zero
 FROM scored GROUP BY event_type
 """
+
+
+# --- EWMA control chart (round-18 queue) ---------------------------------
+
+EWMA_NUM = 125     # alpha = 125/1000 = 1/8
+EWMA_DEN = 1000
+EWMA_K_NUM = 2     # alarm when y*1000 > 2*s_prev + floor guard
+EWMA_FLOOR = 5000  # +5 counts of slack so a quiet series can't alarm
+
+
+def ewma_control_chart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart over the gap-filled hourly count series —
+    the ONLINE member of the monitoring family (KS/MWU compare
+    epochs after the fact, CUSUM scans a closed window; EWMA is what
+    a live dashboard actually runs: smooth, compare, alarm, update).
+    Alarms where the hour's count exceeds twice the smoothed baseline
+    plus slack: y_t * 1000 > 2 * s_(t-1) + 5000.
+
+    The recursion s_t = (125*y_t*1000 + 875*s_(t-1)) div 1000 is a
+    SEQUENTIAL fold — the one shape SQL windows can't express — run
+    as an ordered-array aggregate() per event type with the state
+    QUANTIZED to int64 millis at every step: a float fold would
+    accumulate engine-specific rounding 720 steps deep, an integer
+    fold is bit-exact on both engines by construction. The series is
+    gap-filled first (a skipped empty hour would smooth across a gap
+    and miss the quiet period that makes the next burst an anomaly).
+
+    Scale posture (100 TB): the fold runs over the per-type HOUR
+    series (~720 values/month — kilobytes), collected per type AFTER
+    the map-side-partial hourly groupBy; the corpus-sized work is the
+    same one histogram pass every temporal entry shares. Output is
+    one row per event type.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
+        ).alias("_h"),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        "_h",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    series = filled.groupBy("event_type").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("_h", "_y"))),
+            lambda st: st["_y"],
+        ).alias("_ys")
+    )
+    # fold state: (s_milli, n_alarms); s seeds on the first value.
+    # integer floor division inside the lambda via (a - a%d)/d — the
+    # numerator becomes an exact multiple of d, so the float division
+    # is exact below 2^53 on both engines
+    def _idiv(a, d):
+        return ((a - a % F.lit(d)) / F.lit(d)).cast("long")
+
+    fold = F.aggregate(
+        F.col("_ys"),
+        F.struct(
+            F.lit(-1).cast("long").alias("s"),
+            F.lit(0).cast("long").alias("alarms"),
+        ),
+        lambda acc, y: F.struct(
+            F.when(acc["s"] < 0, y * 1000)
+            .otherwise(
+                _idiv(
+                    F.lit(EWMA_NUM) * y * 1000
+                    + F.lit(EWMA_DEN - EWMA_NUM) * acc["s"],
+                    EWMA_DEN,
+                )
+            )
+            .alias("s"),
+            (
+                acc["alarms"]
+                + F.when(
+                    (acc["s"] >= 0)
+                    & (y * 1000 > F.lit(EWMA_K_NUM) * acc["s"]
+                       + F.lit(EWMA_FLOOR)),
+                    1,
+                ).otherwise(0)
+            ).alias("alarms"),
+        ),
+    )
+    return series.select(
+        "event_type",
+        F.size("_ys").alias("n_hours"),
+        fold["s"].alias("ewma_final_milli"),
+        fold["alarms"].alias("n_alarms"),
+    )
+
+
+EWMA_CONTROL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h, coalesce(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s._h = c._h
+),
+series AS (
+  SELECT event_type, list(_y ORDER BY _h) AS _ys
+  FROM filled GROUP BY event_type
+),
+folded AS (
+  SELECT event_type, len(_ys) AS n_hours,
+         list_reduce(
+           list_prepend({{'s': CAST(-1 AS BIGINT),
+                          'alarms': CAST(0 AS BIGINT)}},
+             list_transform(_ys,
+               y -> {{'s': CAST(y AS BIGINT), 'alarms': CAST(0 AS BIGINT)}})),
+           (acc, e) -> {{
+             's': CASE WHEN acc.s < 0 THEN e.s * 1000
+                       ELSE ({EWMA_NUM} * e.s * 1000
+                             + {EWMA_DEN - EWMA_NUM} * acc.s)
+                            // {EWMA_DEN} END,
+             'alarms': acc.alarms
+                       + CASE WHEN acc.s >= 0
+                               AND e.s * 1000 > {EWMA_K_NUM} * acc.s
+                                                + {EWMA_FLOOR}
+                              THEN 1 ELSE 0 END}}) AS st
+  FROM series
+)
+SELECT event_type,
+       CAST(n_hours AS BIGINT) AS n_hours,
+       CAST(st.s AS BIGINT) AS ewma_final_milli,
+       CAST(st.alarms AS BIGINT) AS n_alarms
+FROM folded
+"""

@@ -402,6 +402,9 @@ register(
 #   audio_quality_audit (multimodal / AUDIO_QUALITY_SQL) — per-clip
 #   clipping ppm / DC-offset milli / peak off the real RIFF decode;
 #   map-only, signed-mean shift rule.
+#   ewma_control_chart (temporal / EWMA_CONTROL_SQL) — online EWMA
+#   alarms over gap-filled hourly counts; milli-quantized integer
+#   fold per type (bit-exact sequential recursion, no window).
 
 # ---- window backfill: round-6-green entries ----
 

@@ -109,6 +109,13 @@ def test_round18_queue_on_empty_tables(spark, tmp_path):
         con.execute(mm.AUDIO_QUALITY_SQL),
         ctx="empty:audio_quality_audit",
     )
+    from mapreduceece563_spark.operators import temporal as tp
+
+    assert_frames_match(
+        tp.ewma_control_chart(spark, str(d)),
+        con.execute(tp.EWMA_CONTROL_SQL),
+        ctx="empty:ewma_control_chart",
+    )
     con.close()
 
 
@@ -195,3 +202,95 @@ def test_audio_quality_plan_is_map_only(spark):
     assert "Exchange" not in p.split("MapInPandas _encode")[0].split(
         "MapInPandas _audit"
     )[0].replace("RoundRobinPartitioning", "")
+
+
+def test_ewma_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import temporal as tp
+
+    assert_frames_match(
+        tp.ewma_control_chart(spark, SF_DIR),
+        duck.execute(tp.EWMA_CONTROL_SQL),
+        ctx="ewma_control_chart",
+    )
+
+
+def test_ewma_python_model(spark):
+    """Replay the quantized recursion step-for-step in pure Python —
+    the integer fold must match bit-exactly over the full series."""
+    import calendar
+
+    from mapreduceece563_spark.operators import temporal as tp
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    rows = load_table(spark, SF_DIR, "events").select(
+        "event_type", "ts"
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        us = calendar.timegm(r["ts"].timetuple()) * 1_000_000 \
+            + r["ts"].microsecond
+        by_type.setdefault(r["event_type"], []).append(us // 3_600_000_000)
+    got = {
+        r["event_type"]: r
+        for r in tp.ewma_control_chart(spark, SF_DIR).collect()
+    }
+    for et, hs in by_type.items():
+        h0, h1 = min(hs), max(hs)
+        y = [0] * (h1 - h0 + 1)
+        for h in hs:
+            y[h - h0] += 1
+        s, alarms = -1, 0
+        for v in y:
+            if s >= 0 and v * 1000 > tp.EWMA_K_NUM * s + tp.EWMA_FLOOR:
+                alarms += 1
+            s = v * 1000 if s < 0 else (
+                tp.EWMA_NUM * v * 1000 + (tp.EWMA_DEN - tp.EWMA_NUM) * s
+            ) // tp.EWMA_DEN
+        g = got[et]
+        assert (g["n_hours"], g["ewma_final_milli"], g["n_alarms"]) == (
+            len(y), s, alarms,
+        )
+
+
+def test_ewma_alarms_on_injected_burst(spark, tmp_path):
+    """A steady 3-events-per-hour baseline with one 100-event burst
+    hour: exactly ONE alarm (the chart re-absorbs the burst within
+    the smoothing horizon); the burst-free twin alarms zero times."""
+    import datetime
+
+    from mapreduceece563_spark.operators import temporal as tp
+
+    t0 = datetime.datetime(2024, 4, 1)
+    rows, eid = [], 0
+    for h in range(200):
+        ts = t0 + datetime.timedelta(hours=h)
+        n = 100 if h == 150 else 3
+        for _ in range(n):
+            rows.append((eid, ts, 1, "bursty", 1.0, "{}")); eid += 1
+        for _ in range(3):
+            rows.append((eid, ts, 1, "steady", 1.0, "{}")); eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    got = {
+        r["event_type"]: r
+        for r in tp.ewma_control_chart(spark, str(tmp_path)).collect()
+    }
+    assert got["bursty"]["n_alarms"] == 1
+    assert got["steady"]["n_alarms"] == 0
+    # the smoothed level ends back near the 3000-milli baseline
+    assert abs(got["steady"]["ewma_final_milli"] - 3000) <= 1
+
+
+def test_ewma_plan_folds_per_type_arrays(spark):
+    """The recursion runs inside an array fold on the per-type hour
+    series — no per-event window, no iterative joins."""
+    from mapreduceece563_spark.operators import temporal as tp
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(tp.ewma_control_chart(spark, SF_DIR), "simple")
+    assert "Window" not in p
+    assert "hashpartitioning(event_id" not in p
