@@ -1571,3 +1571,108 @@ SELECT doc_id,
        CAST(max(abs(s)) AS BIGINT) AS peak
 FROM vals GROUP BY doc_id
 """
+
+
+# --- image exposure audit (round-18 queue) -------------------------------
+
+EXPO_HI = 250  # channel values at/above: blown highlight (fixture max 252)
+EXPO_LO = 5    # channel values at/below: crushed shadow
+
+
+def _image_exposure_of(payload: bytes) -> tuple[int, int, int, int, int]:
+    """(n_channels, over_ppm, under_ppm, mean_luma_milli,
+    dynamic_range) of one PPM. The mean is a half-up milli over the
+    non-negative channel sum (plain integer idiom — no signed shift
+    needed)."""
+    _, _, px = decode_ppm(payload)
+    flat = px.astype(np.int64).reshape(-1)
+    n = len(flat)
+    over = int((flat >= EXPO_HI).sum())
+    under = int((flat <= EXPO_LO).sum())
+    total = int(flat.sum())
+    mean_milli = (2000 * total + n) // (2 * n)
+    drange = int(flat.max() - flat.min())
+    return (
+        n,
+        over * 1_000_000 // n,
+        under * 1_000_000 // n,
+        mean_milli,
+        drange,
+    )
+
+
+def image_exposure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image exposure QA off the real PPM decode — the visual
+    twin of audio_quality_audit (clipping destroys audio; blown
+    highlights and crushed shadows destroy images the same
+    irrecoverable way): fraction of channel samples at the rails,
+    mean luminance, and dynamic range — the gate a vision pipeline
+    runs before spending GPU-hours embedding black rectangles.
+
+    All integer, map-only (the aHash posture: payloads never
+    shuffle); the DuckDB oracle replays the generator's closed-form
+    pixel series including the brightness offsets, so the driver
+    compare certifies decode + the rail accounting end to end.
+    """
+    media = documents_as_ppm_groups(spark, sf_dir)
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {
+                "doc_id": [], "n_channels": [], "over_ppm": [],
+                "under_ppm": [], "mean_luma_milli": [], "dynamic_range": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n, over, under, mean, dr = _image_exposure_of(
+                    bytes(payload)
+                )
+                rows["doc_id"].append(mid)
+                rows["n_channels"].append(n)
+                rows["over_ppm"].append(over)
+                rows["under_ppm"].append(under)
+                rows["mean_luma_milli"].append(mean)
+                rows["dynamic_range"].append(dr)
+            yield pd.DataFrame(rows)
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_channels", T.LongType()),
+            T.StructField("over_ppm", T.LongType()),
+            T.StructField("under_ppm", T.LongType()),
+            T.StructField("mean_luma_milli", T.LongType()),
+            T.StructField("dynamic_range", T.LongType()),
+        ]
+    )
+    return media.mapInPandas(_audit, schema=schema)
+
+
+IMAGE_EXPOSURE_SQL = f"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id // {AHASH_VARIANTS} AS grp,
+         doc_id % {AHASH_OFFSETS} AS off
+  FROM documents
+),
+dims AS (SELECT *, 4 + grp % 5 AS w, 3 + grp % 4 AS h FROM d),
+px AS (
+  SELECT doc_id, off, grp, w, h, unnest(range(0, w * h * 3)) AS i
+  FROM dims
+),
+vals AS (
+  SELECT doc_id,
+         (grp * {PPM_PIXEL_MULT} + i * {PPM_PIXEL_STEP})
+           % {AHASH_PIXEL_MOD} + off AS v
+  FROM px
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_channels,
+       CAST(sum(CASE WHEN v >= {EXPO_HI} THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS over_ppm,
+       CAST(sum(CASE WHEN v <= {EXPO_LO} THEN 1 ELSE 0 END)
+            * 1000000 // count(*) AS BIGINT) AS under_ppm,
+       CAST((2000 * sum(v) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_luma_milli,
+       CAST(max(v) - min(v) AS BIGINT) AS dynamic_range
+FROM vals GROUP BY doc_id
+"""

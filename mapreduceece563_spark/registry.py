@@ -405,6 +405,9 @@ register(
 #   ewma_control_chart (temporal / EWMA_CONTROL_SQL) — online EWMA
 #   alarms over gap-filled hourly counts; milli-quantized integer
 #   fold per type (bit-exact sequential recursion, no window).
+#   image_exposure_audit (multimodal / IMAGE_EXPOSURE_SQL) — blown/
+#   crushed rail fractions, mean luminance, dynamic range off real
+#   PPM decode; map-only.
 
 # ---- window backfill: round-6-green entries ----
 

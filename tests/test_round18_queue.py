@@ -116,6 +116,11 @@ def test_round18_queue_on_empty_tables(spark, tmp_path):
         con.execute(tp.EWMA_CONTROL_SQL),
         ctx="empty:ewma_control_chart",
     )
+    assert_frames_match(
+        mm.image_exposure_audit(spark, str(d)),
+        con.execute(mm.IMAGE_EXPOSURE_SQL),
+        ctx="empty:image_exposure_audit",
+    )
     con.close()
 
 
@@ -294,3 +299,88 @@ def test_ewma_plan_folds_per_type_arrays(spark):
     p = plan_string(tp.ewma_control_chart(spark, SF_DIR), "simple")
     assert "Window" not in p
     assert "hashpartitioning(event_id" not in p
+
+
+def test_image_exposure_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    assert_frames_match(
+        mm.image_exposure_audit(spark, SF_DIR),
+        duck.execute(mm.IMAGE_EXPOSURE_SQL),
+        ctx="image_exposure_audit",
+    )
+
+
+def test_image_exposure_python_model(spark):
+    """Replay the PPM-group pixel formula and all five stats."""
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    ids = [
+        r["doc_id"]
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("doc_id").collect()
+    ]
+    got = {
+        r["doc_id"]: r
+        for r in mm.image_exposure_audit(spark, SF_DIR).collect()
+    }
+    for d in ids[:60]:
+        grp, off = d // mm.AHASH_VARIANTS, d % mm.AHASH_OFFSETS
+        w, h = 4 + grp % 5, 3 + grp % 4
+        vals = [
+            (grp * mm.PPM_PIXEL_MULT + i * mm.PPM_PIXEL_STEP)
+            % mm.AHASH_PIXEL_MOD + off
+            for i in range(w * h * 3)
+        ]
+        n = len(vals)
+        g = got[d]
+        assert g["n_channels"] == n
+        assert g["over_ppm"] == sum(
+            1 for v in vals if v >= mm.EXPO_HI
+        ) * 1_000_000 // n
+        assert g["under_ppm"] == sum(
+            1 for v in vals if v <= mm.EXPO_LO
+        ) * 1_000_000 // n
+        assert g["mean_luma_milli"] == (2000 * sum(vals) + n) // (2 * n)
+        assert g["dynamic_range"] == max(vals) - min(vals)
+
+
+def test_image_exposure_helper_on_broken_frames(spark):
+    """Hand-built pathologies on REAL bytes: an all-white frame is
+    100% blown with zero dynamic range; an all-black frame is 100%
+    crushed; a half-and-half frame reports exactly 500000 ppm each
+    and the full range."""
+    import numpy as np
+
+    from mapreduceece563_spark.operators import multimodal as mm
+
+    w, h = 4, 4
+    white = np.full((h, w, 3), 255, dtype=np.uint8)
+    n, over, under, mean, dr = mm._image_exposure_of(
+        mm.encode_ppm(w, h, white)
+    )
+    assert (over, under, dr) == (1_000_000, 0, 0)
+    assert mean == 255_000
+
+    black = np.zeros((h, w, 3), dtype=np.uint8)
+    n, over, under, mean, dr = mm._image_exposure_of(
+        mm.encode_ppm(w, h, black)
+    )
+    assert (over, under, mean, dr) == (0, 1_000_000, 0, 0)
+
+    half = np.zeros((h, w, 3), dtype=np.uint8)
+    half[: h // 2] = 255
+    n, over, under, mean, dr = mm._image_exposure_of(
+        mm.encode_ppm(w, h, half)
+    )
+    assert (over, under, dr) == (500_000, 500_000, 255)
+    assert mean == 127_500
+
+
+def test_image_exposure_plan_is_map_only(spark):
+    from mapreduceece563_spark.operators import multimodal as mm
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(mm.image_exposure_audit(spark, SF_DIR), "simple")
+    assert "hashpartitioning" not in p
