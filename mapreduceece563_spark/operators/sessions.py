@@ -490,3 +490,100 @@ FROM days d
 LEFT JOIN carry c ON c.day = d.day
 LEFT JOIN day_stats s ON s.day = d.day
 """
+
+
+# --- session gap-threshold sensitivity (round-19 queue) ------------------
+
+GAP_SWEEP_MINUTES = (15, 30, 60)
+
+
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many sessions does each gap threshold produce — the
+    parameter-tuning loop for sessionize's hardcoded 30 minutes (the
+    lsh_precision/recall discipline applied to sessionization): a
+    plateau across thresholds means the choice is safe; a steep slope
+    means session-level metrics are an artifact of the cutoff.
+
+    Closed-form from the GAP MULTISET, one pass: per user the lag()
+    gaps (the user_gap_stats window), then for every threshold T,
+    n_sessions(T) = n_users + |{gaps > T}| — each over-threshold gap
+    starts one extra session. The sweep never re-sessionizes: the
+    three thresholds are three conditional counts over the same gap
+    frame (exact integers), plus mean events/session in half-up
+    milli. Also pins the 30-minute row's session count EQUAL to what
+    sessionize actually produces (the oracle hash makes the
+    cross-operator identity a driver-checked invariant).
+
+    Scale posture (100 TB): one lag() window per user sequence and
+    one global conditional aggregate — adding a threshold adds a
+    column, not a pass.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    order_w = Window.partitionBy("user_id").orderBy(
+        F.asc("ts"), F.asc("event_id")
+    )
+    us = F.unix_micros(F.col("ts"))
+    gaps = ev.select(
+        "user_id", (us - F.lag(us).over(order_w)).alias("_gap")
+    )
+    totals = gaps.agg(
+        F.count(F.lit(1)).alias("_n_events"),
+        F.countDistinct("user_id").alias("_n_users"),
+        *[
+            F.coalesce(
+                F.sum((F.col("_gap") > m * 60 * 1_000_000).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias(f"_x{m}")
+            for m in GAP_SWEEP_MINUTES
+        ],
+    )
+    rows = [
+        totals.select(
+            F.lit(m).cast("long").alias("gap_minutes"),
+            (F.col("_n_users") + F.col(f"_x{m}")).alias("n_sessions"),
+            F.expr(
+                f"CASE WHEN _n_users + _x{m} > 0 THEN"
+                f" (2000 * _n_events + (_n_users + _x{m}))"
+                f" div (2 * (_n_users + _x{m})) END"
+            ).alias("mean_events_milli"),
+        )
+        for m in GAP_SWEEP_MINUTES
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_GAP_SWEEP_VALUES = ", ".join(
+    f"({m}, {m * 60 * 1_000_000})" for m in GAP_SWEEP_MINUTES
+)
+
+SESSION_GAP_SENSITIVITY_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS _gap
+  FROM events
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS _n_events,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS _n_users
+  FROM gaps
+),
+sweep AS (SELECT * FROM (VALUES {_GAP_SWEEP_VALUES})
+           AS s(gap_minutes, gap_us)),
+counted AS (
+  SELECT s.gap_minutes,
+         (SELECT CAST(count(*) AS BIGINT) FROM gaps g
+          WHERE g._gap > s.gap_us) AS _x
+  FROM sweep s
+)
+SELECT CAST(c.gap_minutes AS BIGINT) AS gap_minutes,
+       CAST(t._n_users + c._x AS BIGINT) AS n_sessions,
+       CAST((2000 * t._n_events + (t._n_users + c._x))
+            // (2 * (t._n_users + c._x)) AS BIGINT) AS mean_events_milli
+FROM counted c, totals t
+"""

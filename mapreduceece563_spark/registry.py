@@ -408,6 +408,10 @@ register(
 #   image_exposure_audit (multimodal / IMAGE_EXPOSURE_SQL) — blown/
 #   crushed rail fractions, mean luminance, dynamic range off real
 #   PPM decode; map-only.
+# ROUND-19 QUEUE (tests/test_round19_queue.py):
+#   session_gap_sensitivity (sessions / SESSION_GAP_SENSITIVITY_SQL)
+#   — sessions-vs-gap-threshold sweep from the gap multiset in one
+#   pass; 30-min row pinned equal to sessionize's count.
 
 # ---- window backfill: round-6-green entries ----
 
