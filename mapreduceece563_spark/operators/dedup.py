@@ -1905,3 +1905,152 @@ def _transitivity_sql() -> str:
 
 
 NEARDUP_TRANSITIVITY_ORACLE = _transitivity_sql()
+
+
+# --- jaccard threshold sweep (round-19 queue) ----------------------------
+
+JACCARD_SWEEP_PPM = (500_000, 700_000, 900_000)
+
+
+def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much does each dedup threshold actually remove — the
+    session_gap_sensitivity of the near-dup family: dedup pipelines
+    hardcode a Jaccard cutoff (ngram_jaccard_pairs gates at 0.8), and
+    the right value is an empirical question this sweep answers in
+    one pass: pairs and affected documents at 0.5 / 0.7 / 0.9, off
+    the SAME df-capped candidate build the exact-pair op uses.
+
+    The per-threshold decision is INTEGER-exact — pair at t iff
+    n_common * 1e6 >= t * (sa + sb - n_common) — so unlike the
+    registered pair op (which exports a rounded double), the sweep
+    never touches a float: each threshold is a conditional count
+    column over the one candidate frame, and the affected-document
+    census unions the pair endpoints per threshold.
+
+    Scale posture (100 TB): identical to ngram_jaccard_pairs (shared
+    persisted shingle stage, df-capped candidate join); the sweep
+    adds conditional aggregates and |thresholds| small distinct
+    counts, never another candidate build.
+    """
+    sh = doc_shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cap = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
+    )
+    df_ok = (
+        sh.groupBy("h0")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("df") <= F.col("cap"))
+        .select("h0")
+    )
+    pruned = sh.join(df_ok, "h0")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    scored = inter.join(sa, "doc_a").join(sb, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (F.col("n_common") * 1_000_000).alias("_num"),
+        (F.col("_sa") + F.col("_sb") - F.col("n_common")).alias("_den"),
+    )
+    # ONE candidate build: each pair explodes into the thresholds it
+    # clears (<= |sweep| rows per pair), then two tiny rollups — a
+    # per-threshold filter would re-execute the expensive join once
+    # per threshold per output (6x measured before this shape)
+    thresholds = F.array(
+        *[F.lit(t).cast("long") for t in JACCARD_SWEEP_PPM]
+    )
+    matched = scored.select(
+        "doc_a",
+        "doc_b",
+        F.explode(
+            F.filter(
+                thresholds, lambda t: F.col("_num") >= t * F.col("_den")
+            )
+        ).alias("threshold_ppm"),
+    ).cache()
+    pairs_per_t = matched.groupBy("threshold_ppm").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    ends = matched.select("threshold_ppm", F.col("doc_a").alias("d")).unionAll(
+        matched.select("threshold_ppm", F.col("doc_b").alias("d"))
+    )
+    docs_per_t = ends.groupBy("threshold_ppm").agg(
+        F.countDistinct("d").alias("n_docs_affected")
+    )
+    spine = spark.range(1).select(
+        F.explode(thresholds).alias("threshold_ppm")
+    )
+    return (
+        spine.join(F.broadcast(pairs_per_t), "threshold_ppm", "left")
+        .join(F.broadcast(docs_per_t), "threshold_ppm", "left")
+        .select(
+            "threshold_ppm",
+            F.coalesce("n_pairs", F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce(
+                "n_docs_affected", F.lit(0).cast("long")
+            ).alias("n_docs_affected"),
+        )
+    )
+
+
+_JAC_SWEEP_ROWS = ", ".join(str(t) for t in JACCARD_SWEEP_PPM)
+
+JACCARD_SWEEP_SQL = f"""
+WITH {{shingles}},
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cap AS (SELECT {{df_cap}} AS cap FROM documents),
+df_ok AS (
+  SELECT h0 FROM sh GROUP BY h0
+  HAVING count(*) <= (SELECT cap FROM cap)
+),
+pruned AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN df_ok USING (h0)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a
+  JOIN pruned b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+scored AS (
+  SELECT doc_a, doc_b,
+         CAST(n_common * 1000000 AS BIGINT) AS _num,
+         CAST(sa.sz + sb.sz - n_common AS BIGINT) AS _den
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+),
+sweep AS (SELECT unnest([{_JAC_SWEEP_ROWS}]) AS threshold_ppm)
+SELECT CAST(s.threshold_ppm AS BIGINT) AS threshold_ppm,
+       (SELECT CAST(count(*) AS BIGINT) FROM scored c
+        WHERE c._num >= s.threshold_ppm * c._den) AS n_pairs,
+       (SELECT CAST(count(DISTINCT d) AS BIGINT) FROM (
+          SELECT doc_a AS d FROM scored c
+          WHERE c._num >= s.threshold_ppm * c._den
+          UNION ALL
+          SELECT doc_b AS d FROM scored c
+          WHERE c._num >= s.threshold_ppm * c._den)) AS n_docs_affected
+FROM sweep s
+"""
+
+
+def _jaccard_sweep_sql() -> str:
+    return JACCARD_SWEEP_SQL.format(
+        shingles=shingle_hashes_cte_sql().lstrip(), df_cap=DF_CAP_SQL
+    )
+
+
+JACCARD_SWEEP_ORACLE = _jaccard_sweep_sql()

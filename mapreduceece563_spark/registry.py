@@ -412,6 +412,9 @@ register(
 #   session_gap_sensitivity (sessions / SESSION_GAP_SENSITIVITY_SQL)
 #   — sessions-vs-gap-threshold sweep from the gap multiset in one
 #   pass; 30-min row pinned equal to sessionize's count.
+#   jaccard_threshold_sweep (dedup / JACCARD_SWEEP_ORACLE) — pairs/
+#   docs at 0.5/0.7/0.9 off one df-capped candidate build, integer
+#   threshold decisions, single-pass threshold explode.
 
 # ---- window backfill: round-6-green entries ----
 

