@@ -2054,3 +2054,111 @@ def _jaccard_sweep_sql() -> str:
 
 
 JACCARD_SWEEP_ORACLE = _jaccard_sweep_sql()
+
+
+# --- df-cap sensitivity (round-19 queue) ---------------------------------
+
+DF_CAP_SWEEP_PCT = (50, 100, 200)  # cap multipliers, percent
+
+
+def df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the df cap actually controls — the third hardcoded-
+    parameter loop (gap sweep: sessionize's 30 min; jaccard sweep:
+    the 0.8 cutoff; this: the shingle df cap every candidate join in
+    the dedup family prunes with): candidate-pair volume is EXACTLY
+    sum over kept shingles of df*(df-1)/2, a closed form off the df
+    HISTOGRAM — so the sweep needs no candidate join at all, and the
+    cost of halving or doubling the cap is read straight from one
+    aggregate. Per cap multiplier (50% / 100% / 200%): the cap value,
+    shingles kept, postings kept, and the exact candidate-pair count
+    the join WOULD build.
+
+    Pure integer: df*(df-1) is even so the halving is exact; all
+    sums int64 to ~3e9 postings per shingle. One groupBy(h0) to the
+    df histogram (the same frame the boilerplate threshold shares)
+    and three conditional aggregates.
+    """
+    sh = doc_shingle_hashes(spark, sf_dir)
+    hist = sh.groupBy("h0").agg(F.count(F.lit(1)).alias("df"))
+    cap = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
+    )
+    joined = hist.crossJoin(F.broadcast(cap))
+    aggs = []
+    for pct in DF_CAP_SWEEP_PCT:
+        kept = F.col("df") * 100 <= F.col("cap") * pct
+        aggs += [
+            F.sum(kept.cast("long")).alias(f"_ns{pct}"),
+            F.sum(F.when(kept, F.col("df")).otherwise(0)).alias(
+                f"_np{pct}"
+            ),
+            F.sum(
+                F.when(
+                    kept, F.col("df") * (F.col("df") - 1)
+                ).otherwise(0)
+            ).alias(f"_cp2{pct}"),
+        ]
+    # the cap rides its own 1-row frame: max(cap) over the joined
+    # histogram would be NULL on an empty corpus, while the oracle's
+    # scalar subquery still evaluates the floor constant
+    totals = joined.agg(*aggs).crossJoin(
+        F.broadcast(cap.select(F.col("cap").alias("_cap")))
+    )
+    rows = [
+        totals.select(
+            F.lit(pct).cast("long").alias("cap_pct"),
+            F.expr(f"_cap * {pct} div 100").alias("cap_value"),
+            F.coalesce(F.col(f"_ns{pct}"), F.lit(0).cast("long")).alias(
+                "n_shingles_kept"
+            ),
+            F.coalesce(F.col(f"_np{pct}"), F.lit(0).cast("long")).alias(
+                "n_postings_kept"
+            ),
+            F.coalesce(
+                F.expr(f"_cp2{pct} div 2"), F.lit(0).cast("long")
+            ).alias("n_candidate_pairs"),
+        )
+        for pct in DF_CAP_SWEEP_PCT
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+_DF_SWEEP_ROWS = ", ".join(str(p) for p in DF_CAP_SWEEP_PCT)
+
+DF_CAP_SENSITIVITY_SQL = f"""
+WITH {{shingles}},
+hist AS (SELECT h0, CAST(count(*) AS BIGINT) AS df FROM sh GROUP BY h0),
+cap AS (SELECT {{df_cap}} AS cap FROM documents),
+sweep AS (SELECT unnest([{_DF_SWEEP_ROWS}]) AS cap_pct)
+SELECT CAST(s.cap_pct AS BIGINT) AS cap_pct,
+       CAST((SELECT cap FROM cap) * s.cap_pct // 100 AS BIGINT)
+         AS cap_value,
+       (SELECT CAST(coalesce(sum(CASE WHEN h.df * 100
+                                       <= (SELECT cap FROM cap) * s.cap_pct
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+        FROM hist h) AS n_shingles_kept,
+       (SELECT CAST(coalesce(sum(CASE WHEN h.df * 100
+                                       <= (SELECT cap FROM cap) * s.cap_pct
+                                      THEN h.df ELSE 0 END), 0) AS BIGINT)
+        FROM hist h) AS n_postings_kept,
+       (SELECT CAST(coalesce(sum(CASE WHEN h.df * 100
+                                       <= (SELECT cap FROM cap) * s.cap_pct
+                                      THEN h.df * (h.df - 1)
+                                      ELSE 0 END), 0) // 2 AS BIGINT)
+        FROM hist h) AS n_candidate_pairs
+FROM sweep s
+"""
+
+
+def _df_cap_sensitivity_sql() -> str:
+    return DF_CAP_SENSITIVITY_SQL.format(
+        shingles=shingle_hashes_cte_sql().lstrip(), df_cap=DF_CAP_SQL
+    )
+
+
+DF_CAP_SENSITIVITY_ORACLE = _df_cap_sensitivity_sql()

@@ -415,6 +415,9 @@ register(
 #   jaccard_threshold_sweep (dedup / JACCARD_SWEEP_ORACLE) — pairs/
 #   docs at 0.5/0.7/0.9 off one df-capped candidate build, integer
 #   threshold decisions, single-pass threshold explode.
+#   df_cap_sensitivity (dedup / DF_CAP_SENSITIVITY_ORACLE) — the cap
+#   sweep as a closed form off the df histogram: candidate volume =
+#   sum(df*(df-1)/2) over kept shingles, no join ever built.
 
 # ---- window backfill: round-6-green entries ----
 

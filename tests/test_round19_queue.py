@@ -92,6 +92,11 @@ def test_round19_queue_on_empty_tables(spark, tmp_path):
         con.execute(dd.JACCARD_SWEEP_ORACLE),
         ctx="empty:jaccard_threshold_sweep",
     )
+    assert_frames_match(
+        dd.df_cap_sensitivity(spark, str(d)),
+        con.execute(dd.DF_CAP_SENSITIVITY_ORACLE),
+        ctx="empty:df_cap_sensitivity",
+    )
     con.close()
 
 
@@ -170,3 +175,75 @@ def test_jaccard_sweep_planted_bands(spark, tmp_path):
     assert got[700_000]["n_pairs"] == 1
     assert got[500_000]["n_pairs"] == 2
     assert got[500_000]["n_docs_affected"] == 4
+
+
+def test_df_cap_sensitivity_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import dedup as dd
+
+    assert_frames_match(
+        dd.df_cap_sensitivity(spark, SF_DIR),
+        duck.execute(dd.DF_CAP_SENSITIVITY_ORACLE),
+        ctx="df_cap_sensitivity",
+    )
+
+
+def test_df_cap_sensitivity_python_model(spark):
+    """Closed-form sweep replayed from the collected df histogram —
+    and the candidate-pair identity itself: sum(df*(df-1)/2) over
+    kept shingles."""
+    from collections import Counter
+
+    from mapreduceece563_spark.operators import dedup as dd
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    import math
+
+    sh = dd.doc_shingle_hashes(spark, SF_DIR).collect()
+    df = Counter(r["h0"] for r in sh)
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    cap = max(dd.DF_CAP_MIN, math.floor(dd.DF_CAP_K * math.sqrt(n_docs)))
+    got = {
+        r["cap_pct"]: r for r in dd.df_cap_sensitivity(spark, SF_DIR).collect()
+    }
+    for pct in dd.DF_CAP_SWEEP_PCT:
+        kept = [c for c in df.values() if c * 100 <= cap * pct]
+        g = got[pct]
+        assert g["cap_value"] == cap * pct // 100
+        assert g["n_shingles_kept"] == len(kept)
+        assert g["n_postings_kept"] == sum(kept)
+        assert g["n_candidate_pairs"] == sum(
+            c * (c - 1) // 2 for c in kept
+        )
+
+
+def test_df_cap_sensitivity_binds_on_planted_boilerplate(spark, tmp_path):
+    """A shingle planted in 120 of 120 docs (df 120 > cap 100): the
+    100% cap EXCLUDES it — its C(120,2) = 7140 pairs appear only in
+    the 200% band, which is exactly the quadratic blowup the cap
+    exists to fence off."""
+    from mapreduceece563_spark.operators import dedup as dd
+
+    rows = []
+    for i in range(120):
+        # shared trigram 'common shared boiler' + a unique tail
+        tail = " ".join(
+            chr(97 + (i * 7 + k) % 26) * 3 for k in range(3)
+        )
+        rows.append(
+            (i, f"common shared boiler {tail}", "en", "s", 40)
+        )
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {
+        r["cap_pct"]: r
+        for r in dd.df_cap_sensitivity(spark, str(tmp_path)).collect()
+    }
+    # cap = max(100, floor(8*sqrt(120))) = 100
+    assert got[100]["cap_value"] == 100
+    boiler_pairs = 120 * 119 // 2
+    assert got[200]["n_candidate_pairs"] \
+        >= got[100]["n_candidate_pairs"] + boiler_pairs
+    assert got[50]["n_candidate_pairs"] <= got[100]["n_candidate_pairs"]
