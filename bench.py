@@ -192,7 +192,7 @@ BUDGETS = {
     "price_percentiles_sketch": 2.5,  # sketch + exact certification pass
     # --- round-7 registrations (budgets >= 2x the worst clean r7 pass) ---
     "allpairs_prefix_filter": 6.5,  # shingle TF-IDF + prefix join: 2.6s r8 phased
-    "streaming_static_enrichment": 8.0,  # shared event drain: first pass pays the spill + its own drain (2.9-3.4s steady)
+    "streaming_static_enrichment": 14.0,  # first of the four round-7 entries in registry order: pays the CONCURRENT round-7 drain (max of enrich/sliding/join/outer ~ the outer join's 10-batch drain) per pass; siblings become sink read-backs
     "merge_compaction_roundtrip": 7.0,  # two REAL table writes per call: 2.7-2.8s steady
     "session_concurrency_peak": 3.0,  # boundary sweep + carry-in: ~1.1s
     "weighted_median_by_segment": 3.0,  # RANGE-frame cumulative mass: ~1.2s
@@ -224,6 +224,49 @@ BUDGETS = {
     "ivf_incremental_assign": 3.5,  # cached split + frozen quantizer: 0.98-1.49s
     "roc_auc_by_lang": 2.5,  # histogram+window, ks_drift shape: 1.0-1.4s
     "rrf_rank_fusion": 5.0,  # TF-stage aggs + vector rank + fusion: 1.7-2.0s
+    # --- round-10 registrations: the full rounds-10..19 queue. Every
+    # budget below is the ~2.5x-steady figure recorded with its
+    # two-scale probe in SCALE.md ("Round-N queue probes" sections)
+    # when the entry was implemented and probed in round 9 ---
+    "srp_signature": 3.5,  # codegen of literal hyperplane folds: 1.4-1.5s
+    "domain_cap_survivors": 2.5,
+    "cusum_drift_scan": 2.0,
+    "temperature_mixture_weights": 2.0,
+    "srp_hamming_neardup": 4.5,  # banded self-join; pairs track true dup mass
+    "ndcg_at_k": 2.5,
+    "quality_calibration_ece": 2.5,
+    "token_gini_by_source": 2.0,
+    "simpson_vocab_diversity": 2.0,
+    "mann_whitney_drift": 2.0,
+    "spearman_quality_length": 4.0,  # two cell-to-marginal equi-joins
+    "video_scene_cuts": 3.0,  # Arrow decode boundary, linear in clip bytes
+    "quality_mad_outliers": 3.0,
+    "l_diversity_audit": 1.5,
+    "audio_silence_segmentation": 2.0,
+    "hourly_autocorrelation": 1.5,
+    "vacuum_orphan_scan": 5.0,  # warm merge fixture (merge entries run first)
+    "bootstrap_ci_revenue": 3.5,  # 64 replicates in ONE hash aggregate
+    "cuped_ab_readout": 1.5,
+    "lang_id_cohens_kappa": 4.5,  # map-only lang_id scoring pass: 0.9-1.7s
+    "conformal_event_value_interval": 2.5,
+    "ann_rank_quality": 4.0,  # rides the ivf_recall_tuning scaffold
+    "image_phash_dct": 2.5,
+    "link_prediction_jaccard": 3.0,
+    "seasonal_naive_backtest": 1.5,
+    "filter_disparate_impact": 2.0,
+    "token_weighted_quality": 2.5,
+    "aa_test_calibration": 1.5,
+    "template_dedup_stats": 1.5,
+    "cdc_chunk_stats": 3.5,  # codegen'd trailing-window folds: 0.7-1.3s
+    "markov_next_event_accuracy": 5.0,  # lead() per user + argmax joins: 1.6-2.0s
+    "neardup_transitivity_audit": 4.0,  # wedge counts on banded pairs: 1.5-1.6s
+    "salt_plan_advisor": 1.0,
+    "audio_quality_audit": 2.0,
+    "ewma_control_chart": 1.5,
+    "image_exposure_audit": 2.0,
+    "session_gap_sensitivity": 1.5,
+    "jaccard_threshold_sweep": 2.5,
+    "df_cap_sensitivity": 3.5,  # df-capped shingle join at 3 caps: 1.2-1.5s
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in
@@ -258,6 +301,12 @@ PY_BOUNDARY = (
     "wordcount_via_datasource",
     "wordcount_via_datasource_packed",
     "chunktext_pruned_count",
+    # round-10 registrations with an Arrow decode boundary
+    "video_scene_cuts",
+    "audio_silence_segmentation",
+    "audio_quality_audit",
+    "image_exposure_audit",
+    "image_phash_dct",
 )
 
 
@@ -400,6 +449,27 @@ def main() -> None:
         for n in sweep_violations
         if n not in violations
     }
+    # Escalation rule (VERDICT r9 ask #7): a rescue is a one-time
+    # benefit of the doubt. If the SAME entry was already rescued in
+    # the previously committed BENCH_DETAIL (i.e. two consecutive
+    # rounds needed the standalone re-run to stay green), the trend is
+    # the signal — record it as a budget violation, not a rescue.
+    prior_rescued: set[str] = set()
+    detail_path = os.path.join(REPO_DIR, "BENCH_DETAIL.json")
+    if os.path.exists(detail_path):
+        try:
+            with open(detail_path) as fh:
+                prior_rescued = set(json.load(fh).get("rescued", {}))
+        except (json.JSONDecodeError, OSError):
+            prior_rescued = set()
+    repeat_rescues = sorted(set(rescued) & prior_rescued)
+    for n in repeat_rescues:
+        violations[n] = {
+            "sec": rescued[n]["sweep_sec"],
+            "budget": rescued[n]["budget"],
+            "repeat_rescue": True,
+        }
+        del rescued[n]
 
     sweep = conf_sweep(spark, qs)
 

@@ -1635,9 +1635,11 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt product can undershoot d by an ulp and push the quotient a
     hair past 1). The decision path is engine-identical,
     not exact-at-the-boundary: num/d1/d2 are bit-equal integers on
-    both engines, int->double conversion is exact below 2^53 (n per
-    lang up to ~1e6 docs keeps d = 4n^3 under it) and IEEE
-    correctly-rounded beyond, sqrt/mul/div are correctly rounded —
+    both engines, int->double conversion is exact below 2^53 (d =
+    4n^3 stays under it only to n ~ 1.3e5 docs per language) and
+    IEEE correctly-rounded beyond — the contract never needs the
+    exact window, only that both engines perform the SAME
+    correctly-rounded conversion; sqrt/mul/div are correctly rounded —
     identical inputs give identical doubles, hence identical floors
     (the ks_drift ADVICE wording, applied honestly from the start).
     NULL when either marginal is constant (rho undefined).

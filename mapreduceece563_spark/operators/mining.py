@@ -1163,19 +1163,22 @@ def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = test.join(F.broadcast(pred), "from_type", "left").crossJoin(
         F.broadcast(maj)
     )
+    # A from_type seen only post-split has no trained prediction
+    # (_pred is NULL after the left join); the hit predicate must
+    # count such rows as 0, not propagate NULL through the SUM —
+    # the oracle's CASE WHEN ... ELSE 0 already does.
+    hit = F.when(F.col("to_type") == F.col("_pred"), 1).otherwise(0)
     return scored.groupBy("from_type").agg(
         F.count(F.lit(1)).alias("n_test_pairs"),
         F.max("_pred").alias("predicted_type"),
-        F.sum(
-            (F.col("to_type") == F.col("_pred")).cast("long")
-        ).alias("n_correct"),
+        F.sum(hit).cast("long").alias("n_correct"),
         F.expr(
-            "sum(CAST(to_type = _pred AS BIGINT)) * 1000000"
-            " div count(1)"
+            "sum(CASE WHEN to_type = _pred THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1)"
         ).alias("accuracy_ppm"),
         F.expr(
-            "sum(CAST(to_type = _maj AS BIGINT)) * 1000000"
-            " div count(1)"
+            "sum(CASE WHEN to_type = _maj THEN 1 ELSE 0 END)"
+            " * 1000000 div count(1)"
         ).alias("majority_baseline_ppm"),
     )
 

@@ -27,6 +27,31 @@ same way a cluster deployment writes the bucketed/partitioned table
 once and amortizes it over every downstream query. The DuckDB
 oracles run the equivalent logical query on the raw parquet — the
 layout must change the PLAN, never the ANSWER.
+
+**Table-format mapping (Iceberg / Delta Lake).** The lakehouse-
+lifecycle operators below are hand-built on plain parquet because no
+table-format package ships in this environment; each one teaches the
+same physics its table-format API automates, and on a real lakehouse
+a user would reach for that API instead:
+
+- ``merge_compaction_roundtrip`` ≙ Iceberg/Delta ``MERGE INTO`` +
+  ``OPTIMIZE``/``rewrite_data_files`` (copy-on-write upsert, then
+  small-file compaction);
+- ``table_versions_diff`` ≙ time travel — Iceberg
+  ``VERSION AS OF``/snapshot reads, Delta ``DESCRIBE HISTORY`` +
+  ``@v`` reads, and CDC-style snapshot diffs;
+- ``vacuum_orphan_scan`` ≙ ``VACUUM`` (Delta) /
+  ``remove_orphan_files`` (Iceberg): manifest-vs-listing reachability
+  with a retention horizon;
+- ``zonemap_pruning_stats`` ≙ the min/max column statistics both
+  formats store per file (and parquet row-group stats) that drive
+  data skipping;
+- ``compaction_plan`` ≙ the bin-packing small-file planner inside
+  ``OPTIMIZE`` / ``rewrite_data_files``;
+- ``zorder_bucket_stats`` ≙ ``OPTIMIZE ZORDER BY`` (Delta) /
+  ``sort_order`` with z-order (Iceberg);
+- ``merkle_block_sync`` ≙ no direct API — the incremental-sync
+  physics behind snapshot-based replication.
 """
 
 from __future__ import annotations

@@ -45,12 +45,13 @@ def reset_enrich() -> None:
     _ENRICH_CACHE.clear()
 
 
-def _enrich_drain(spark: SparkSession, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _ENRICH_CACHE.get(key)
-    if hit is not None:
-        return hit
-
+def _start_enrich(spark: SparkSession, sf_dir: str):
+    """Build the fixture and START the enrichment query without
+    awaiting it — the shared round-7 drain (shared_drain.
+    drain_round7_streams) starts the four round-7 streaming queries
+    concurrently so one registry pass pays max(drain), the same
+    consolidation the r4 event entries already ride. Returns
+    (query, work dir, sink dir)."""
     work = _fresh_workdir("enrich")
     sink = os.path.join(work, "updates")
     os.makedirs(sink, exist_ok=True)
@@ -86,14 +87,23 @@ def _enrich_drain(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(sink, f"batch_id={batch_id}")
         )
 
-    (
+    q = (
         agg.writeStream.foreachBatch(sink_batch)
         .outputMode("update")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    return q, work, sink
+
+
+def _enrich_drain(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _ENRICH_CACHE.get(key)
+    if hit is not None:
+        return hit
+    q, work, sink = _start_enrich(spark, sf_dir)
+    q.awaitTermination()
     shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
     _ENRICH_CACHE[key] = sink
     return sink
@@ -102,8 +112,10 @@ def _enrich_drain(spark: SparkSession, sf_dir: str) -> str:
 def streaming_static_enrichment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from .shared_drain import drain_round7_streams
     from .wordcount_stream import _partial_files
 
+    drain_round7_streams(spark, sf_dir)
     updates_dir = _enrich_drain(spark, sf_dir)
     if not _partial_files(updates_dir):
         return spark.createDataFrame(

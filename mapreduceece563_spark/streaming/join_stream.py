@@ -81,11 +81,13 @@ def _write_time_ordered_chunks(
         order.mark(dest)
 
 
-def _join_drain(spark: SparkSession, sf_dir: str) -> str:
+def _start_join(spark: SparkSession, sf_dir: str):
+    """Fixture + START (no await, no conf fiddling — the caller pins
+    spark.sql.shuffle.partitions around the start, because a
+    streaming query captures its state partitioning when it starts).
+    Returns (query, work dir, sink dir). See shared_drain.
+    drain_round7_streams for the concurrent-drain consolidation."""
     key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _JOIN_CACHE.get(key)
-    if hit is not None:
-        return hit
     from .wordcount_stream import _fresh_workdir
 
     work = _fresh_workdir("stream_join")
@@ -125,55 +127,64 @@ def _join_drain(spark: SparkSession, sf_dir: str) -> str:
     else:
         p_src, v_src = srcs
 
+    schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT"
+    p = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(p_src)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+    )
+    v = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(v_src)
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+            F.col("event_id").alias("v_event_id"),
+        )
+    )
+    joined = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (
+            F.col("v_ts")
+            >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MIN} MINUTES")
+        )
+        & (F.col("v_ts") <= F.col("p_ts")),
+        "inner",
+    ).select("p_user", "p_event_id", "v_event_id")
+
+    def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    q = (
+        joined.writeStream.foreachBatch(sink_fn)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, work, sink
+
+
+def _join_drain(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _JOIN_CACHE.get(key)
+    if hit is not None:
+        return hit
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        schema = "user_id BIGINT, ts TIMESTAMP, event_id BIGINT"
-        p = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(p_src)
-            .withWatermark("ts", "1 hour")
-            .select(
-                F.col("user_id").alias("p_user"),
-                F.col("ts").alias("p_ts"),
-                F.col("event_id").alias("p_event_id"),
-            )
-        )
-        v = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(v_src)
-            .withWatermark("ts", "1 hour")
-            .select(
-                F.col("user_id").alias("v_user"),
-                F.col("ts").alias("v_ts"),
-                F.col("event_id").alias("v_event_id"),
-            )
-        )
-        joined = p.join(
-            v,
-            (F.col("p_user") == F.col("v_user"))
-            & (
-                F.col("v_ts")
-                >= F.col("p_ts") - F.expr(f"INTERVAL {JOIN_WINDOW_MIN} MINUTES")
-            )
-            & (F.col("v_ts") <= F.col("p_ts")),
-            "inner",
-        ).select("p_user", "p_event_id", "v_event_id")
-
-        def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.write.mode("overwrite").parquet(
-                os.path.join(sink, f"batch_id={batch_id}")
-            )
-
-        q = (
-            joined.writeStream.foreachBatch(sink_fn)
-            .outputMode("append")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        q, work, sink = _start_join(spark, sf_dir)
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -189,8 +200,10 @@ def streaming_purchase_view_join(
     interval join drain (see module docstring): matched
     (purchase, view-within-30min) pairs and the distinct purchases
     they cover, hash-checked against the identical batch join."""
+    from .shared_drain import drain_round7_streams
     from .wordcount_stream import _partial_files
 
+    drain_round7_streams(spark, sf_dir)
     sink = _join_drain(spark, sf_dir)
     if not _partial_files(sink):
         return spark.createDataFrame(

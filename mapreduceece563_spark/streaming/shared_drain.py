@@ -56,6 +56,59 @@ def reset() -> None:
     chunktext.reset_stream_wc()
 
 
+def drain_round7_streams(spark: SparkSession, sf_dir: str) -> None:
+    """Concurrent drain for the four round-7 streaming entries
+    (VERDICT r9 ask #3): streaming_static_enrichment,
+    streaming_sliding_windows, streaming_purchase_view_join, and
+    streaming_outer_join_attribution each used to pay a solo drain
+    (2.0 + 2.3 + 5.0 + 6.9 s per bench pass at sf0.1). Like
+    drain_event_streams, they are four different operator graphs that
+    cannot be one streaming query — but nothing forces their drains
+    to run serially. Start whichever are still undrained
+    CONCURRENTLY and await them together, populating each module's
+    own memo, so a registry pass pays max(drain) instead of
+    sum(drain). Each query keeps the exact operator graph, fixture,
+    checkpoint, and sink it had as a standalone run — the hard
+    streaming signal is unchanged, only the wall-clock overlap is
+    new. reset() clears the same memos it always did, so bench.py
+    still re-measures a real (now concurrent) drain per pass."""
+    from . import enrich_stream, join_stream, outer_join_stream, windowed_stream
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    starters = []
+    if key not in enrich_stream._ENRICH_CACHE:
+        starters.append((enrich_stream._start_enrich, enrich_stream._ENRICH_CACHE))
+    if key not in windowed_stream._SLIDING_CACHE:
+        starters.append(
+            (windowed_stream._start_sliding, windowed_stream._SLIDING_CACHE)
+        )
+    if key not in join_stream._JOIN_CACHE:
+        starters.append((join_stream._start_join, join_stream._JOIN_CACHE))
+    if key not in outer_join_stream._OUTER_CACHE:
+        starters.append(
+            (outer_join_stream._start_outer_join, outer_join_stream._OUTER_CACHE)
+        )
+    if not starters:
+        return
+
+    # Same state-partitioning note as drain_event_streams: pin 8
+    # around the starts (a query captures its state partitioning when
+    # it starts), restore only after every drain finished.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    started = []
+    try:
+        for start, cache in starters:
+            started.append((start(spark, sf_dir), cache))
+        for (q, _work, _sink), _cache in started:
+            q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    for (q, work, sink), cache in started:
+        shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
+        cache[key] = sink
+
+
 def drain_event_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _DRAIN_CACHE.get(key)

@@ -251,11 +251,9 @@ def reset_sliding_windows() -> None:
     _SLIDING_CACHE.clear()
 
 
-def _sliding_drain(spark: SparkSession, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _SLIDING_CACHE.get(key)
-    if hit is not None:
-        return hit
+def _start_sliding(spark: SparkSession, sf_dir: str):
+    """Fixture + START (no await): see shared_drain.
+    drain_round7_streams. Returns (query, work dir, sink dir)."""
     from .wordcount_stream import _fresh_workdir, spill_chunks
 
     # identical fixture tag as the shared event drain: whichever
@@ -298,14 +296,23 @@ def _sliding_drain(spark: SparkSession, sf_dir: str) -> str:
             os.path.join(sink, f"batch_id={batch_id}")
         )
 
-    (
+    q = (
         agg.writeStream.foreachBatch(sink_batch)
         .outputMode("update")
         .option("checkpointLocation", os.path.join(work, "ckpt"))
         .trigger(availableNow=True)
         .start()
-        .awaitTermination()
     )
+    return q, work, sink
+
+
+def _sliding_drain(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _SLIDING_CACHE.get(key)
+    if hit is not None:
+        return hit
+    q, work, sink = _start_sliding(spark, sf_dir)
+    q.awaitTermination()
     shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
     _SLIDING_CACHE[key] = sink
     return sink
@@ -314,8 +321,10 @@ def _sliding_drain(spark: SparkSession, sf_dir: str) -> str:
 def streaming_sliding_windows(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from .shared_drain import drain_round7_streams
     from .wordcount_stream import _partial_files
 
+    drain_round7_streams(spark, sf_dir)
     updates_dir = _sliding_drain(spark, sf_dir)
     if not _partial_files(updates_dir):
         return spark.createDataFrame(

@@ -31,3 +31,26 @@ def test_bench_detail_within_budgets():
         "queries over budget: "
         + json.dumps(detail["budget_violations"], indent=1)
     )
+
+
+def test_no_repeat_rescues():
+    """Escalation rule (VERDICT r9 ask #7): a standalone-re-run rescue
+    is a one-time benefit of the doubt. bench.py reads the PRIOR
+    committed BENCH_DETAIL before overwriting it and promotes any
+    entry rescued in two consecutive runs to a budget violation
+    (marked ``repeat_rescue: true``). This test makes that promotion
+    — and only that promotion — its own failure, so a trend rescue is
+    never mistaken for an ordinary budget regression."""
+    if not os.path.exists(DETAIL):
+        pytest.skip("no BENCH_DETAIL.json committed yet")
+    with open(DETAIL) as fh:
+        detail = json.load(fh)
+    repeats = {
+        n: v
+        for n, v in detail.get("budget_violations", {}).items()
+        if v.get("repeat_rescue")
+    }
+    assert repeats == {}, (
+        "entries rescued in two consecutive bench runs (a trend, not "
+        "noise): " + json.dumps(repeats, indent=1)
+    )

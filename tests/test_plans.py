@@ -3,6 +3,8 @@ pushdown, column pruning, broadcast joins, top-k without global sort."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from mapreduceece563_spark import registry
@@ -345,10 +347,15 @@ def test_mixture_replication_is_map_side(spark):
 
 
 def test_rolling_window_over_preaggregate(spark):
-    """The RANGE frame must slide over the day-grained aggregate: one
-    Window above the partial/final agg pair, never over raw events."""
+    """The RANGE frame must slide over the day-grained aggregate,
+    never over raw events. Invariant pins (not node counts, which
+    break on Spark upgrades without a semantic regression): every
+    window spec in the plan orders by the day-grain column (_epd) —
+    none by a raw event timestamp — and the agg pair sits below."""
     plan = plan_string(Q["rolling_7d_revenue"](spark, SF_DIR), "simple")
-    assert plan.count("Window") == 1
+    assert "Window" in plan
+    wspecs = re.findall(r"windowspecdefinition\([^)]*\)", plan)
+    assert wspecs and all("_epd#" in w for w in wspecs), wspecs
     assert plan.count("HashAggregate") >= 2
 
 
@@ -524,7 +531,13 @@ def test_pii_redaction_single_map_pass(spark):
     """Injection + scrub + length math is one map-only pass: exactly
     one hash exchange (the source rollup), regex work JVM-side."""
     plan = plan_string(Q["pii_redaction_audit"](spark, SF_DIR), "simple")
-    assert plan.count("Exchange hashpartitioning") == 1
+    # invariant: every hash exchange keys on the source rollup column
+    # (a second, differently-keyed shuffle would mean the scrub pass
+    # stopped being map-only)
+    hash_exchanges = re.findall(r"Exchange hashpartitioning\(([^,#]*)", plan)
+    assert hash_exchanges and all(k == "source" for k in hash_exchanges), (
+        hash_exchanges
+    )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
@@ -534,4 +547,7 @@ def test_substring_dedup_is_join_free(spark):
     ONE doc-keyed window — no join anywhere in the plan."""
     plan = plan_string(Q["substring_dup_spans"](spark, SF_DIR), "simple")
     assert "Join" not in plan
-    assert plan.count("Window") == 2
+    # invariant: the only window partitionings are the gram count (g)
+    # and the per-doc span merge (doc_id) — nothing pairwise
+    wspecs = re.findall(r"windowspecdefinition\(([^,#]*)", plan)
+    assert set(wspecs) == {"g", "doc_id"}, wspecs

@@ -20,7 +20,16 @@ def test_query_matches_oracle(name, spark, duck):
     assert_frames_match(sdf, rel, ctx=name)
 
 
-@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_ORACLES)))
-def test_query_without_oracle_runs(name, spark):
-    sdf = _QUERIES[name](spark, SF_DIR)
-    assert sdf.count() >= 0
+# Oracle-less entries get a weaker rows-only check. Today every entry
+# has an oracle, so parametrizing over the empty set would read as a
+# permanent "1 skipped" in CI (VERDICT r9 nit #2); the runner is only
+# defined when a genuinely oracle-less entry exists, so THAT is the
+# only thing that can make it appear.
+_NO_ORACLE = sorted(set(_QUERIES) - set(_ORACLES))
+
+if _NO_ORACLE:
+
+    @pytest.mark.parametrize("name", _NO_ORACLE)
+    def test_query_without_oracle_runs(name, spark):
+        sdf = _QUERIES[name](spark, SF_DIR)
+        assert sdf.count() >= 0

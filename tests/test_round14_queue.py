@@ -224,7 +224,17 @@ def test_bootstrap_plan_is_one_scan_no_explode(spark):
     p = plan_string(an.bootstrap_ci_revenue(spark, SF_DIR), "simple")
     assert "Generate" not in p
     assert "Join" not in p
-    assert p.count("Exchange") == 1
+    # invariant (not a node count): every exchange in the plan keys on
+    # the group column — a second, differently-keyed shuffle would
+    # mean the 64 replicates stopped riding one hash aggregate
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)\(([^,#)]*)", p)
+    assert exchanges, p
+    assert all(
+        kind == "hashpartitioning" and key == "o_orderpriority"
+        for kind, key in exchanges
+    ), exchanges
 
 
 def test_cuped_matches_oracle(spark, duck):
