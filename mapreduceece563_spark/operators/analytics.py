@@ -2541,3 +2541,145 @@ FROM per_type p, totals t
 
 
 AA_TEST_SQL = _aa_sql()
+
+
+# --- PSI drift scan (round-11 queue, built round 10) ----------------------
+
+PSI_BIN_CENTS = 2500  # $25-wide equal-width value bins
+PSI_N_BINS = 20
+PSI_ALERT_MICRO = 200_000  # the industry 0.2 "significant shift" line
+
+
+def psi_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the two epochs, per event
+    type — the binned member of the drift family (ks_drift: sup CDF
+    gap; mann_whitney: rank shift; cusum: sequential scan; PSI is
+    the number model-monitoring dashboards actually report, with the
+    conventional 0.1 / 0.2 action lines).
+
+    PSI = sum_i (q_i - p_i) * ln(q_i / p_i): p = reference (pre-
+    KS_SPLIT) bin share, q = current share, over PSI_N_BINS fixed
+    equal-width cent bins (data-independent edges, so both epochs bin
+    in the same single map pass; reference-decile edges would add an
+    order-statistics pass without changing the drift decision at this
+    granularity), Laplace-smoothed (+1 per bin) so empty bins stay
+    finite.
+
+    Engine parity: counts are exact int64; each bin's contribution is
+    quantized round((q - p) * ln(q/p) * 1e6) -> int64 and psi_micro
+    is the SUM OF QUANTIZED TERMS (the bigram_pmi/tfidf_top_terms
+    idiom — divisions are IEEE correctly rounded and identical, ln
+    agrees at micro granularity after rounding), so the export is
+    integer-identical across engines, and the alert flag is a pure
+    integer comparison on it.
+
+    Scale posture (100 TB): ONE groupBy(event_type, bin) collapses
+    the stream map-side to <= |types| * PSI_N_BINS cells; the bin
+    spine is a literal explode off the |types|-row totals frame.
+    Nothing ranks, sorts, or shuffles per event.
+    """
+    mid = F.lit(KS_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.expr(
+                f"CAST(round(value * 100, 0) AS BIGINT)"
+                f" div {PSI_BIN_CENTS}"
+            ),
+            F.lit(PSI_N_BINS - 1).cast("long"),
+        ).alias("bin"),
+        (F.col("ts") >= mid).cast("long").alias("is_b"),
+    )
+    cells = ev.groupBy("event_type", "bin").agg(
+        F.sum(1 - F.col("is_b")).alias("ref_n"),
+        F.sum("is_b").alias("cur_n"),
+    )
+    totals = cells.groupBy("event_type").agg(
+        F.sum("ref_n").alias("ref_total"),
+        F.sum("cur_n").alias("cur_total"),
+    )
+    spine = totals.select(
+        "event_type",
+        "ref_total",
+        "cur_total",
+        F.explode(F.expr(f"sequence(0, {PSI_N_BINS - 1})")).alias("bin"),
+    )
+    filled = spine.join(cells, ["event_type", "bin"], "left").select(
+        "event_type",
+        "ref_total",
+        "cur_total",
+        F.coalesce("ref_n", F.lit(0).cast("long")).alias("ref_n"),
+        F.coalesce("cur_n", F.lit(0).cast("long")).alias("cur_n"),
+    )
+    p = (F.col("ref_n") + 1) / (
+        F.col("ref_total") + F.lit(PSI_N_BINS)
+    ).cast("double")
+    q = (F.col("cur_n") + 1) / (
+        F.col("cur_total") + F.lit(PSI_N_BINS)
+    ).cast("double")
+    term = F.round((q - p) * F.log(q / p) * 1_000_000, 0).cast("long")
+    return (
+        filled.withColumn("_term", term)
+        .groupBy("event_type")
+        .agg(
+            F.max("ref_total").alias("n_ref"),
+            F.max("cur_total").alias("n_cur"),
+            F.sum("_term").alias("psi_micro"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "psi_micro",
+            (F.col("psi_micro") > F.lit(PSI_ALERT_MICRO)).alias("drifted"),
+        )
+    )
+
+
+PSI_DRIFT_SQL = f"""
+WITH ev AS (
+  SELECT event_type,
+         least(CAST(round(value * 100, 0) AS BIGINT) // {PSI_BIN_CENTS},
+               {PSI_N_BINS - 1}) AS bin,
+         CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_b
+  FROM events
+),
+cells AS (
+  SELECT event_type, bin,
+         CAST(sum(1 - is_b) AS BIGINT) AS ref_n,
+         CAST(sum(is_b) AS BIGINT) AS cur_n
+  FROM ev GROUP BY event_type, bin
+),
+totals AS (
+  SELECT event_type,
+         CAST(sum(ref_n) AS BIGINT) AS ref_total,
+         CAST(sum(cur_n) AS BIGINT) AS cur_total
+  FROM cells GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, ref_total, cur_total, CAST(b.bin AS BIGINT) AS bin
+  FROM totals, (SELECT unnest(range(0, {PSI_N_BINS})) AS bin) b
+),
+filled AS (
+  SELECT s.event_type, s.ref_total, s.cur_total, s.bin,
+         COALESCE(c.ref_n, 0) AS ref_n, COALESCE(c.cur_n, 0) AS cur_n
+  FROM spine s LEFT JOIN cells c
+    ON c.event_type = s.event_type AND c.bin = s.bin
+),
+terms AS (
+  SELECT event_type, ref_total, cur_total,
+         CAST(round(
+           ((cur_n + 1) / CAST(cur_total + {PSI_N_BINS} AS DOUBLE)
+            - (ref_n + 1) / CAST(ref_total + {PSI_N_BINS} AS DOUBLE))
+           * ln(((cur_n + 1) / CAST(cur_total + {PSI_N_BINS} AS DOUBLE))
+                / ((ref_n + 1) / CAST(ref_total + {PSI_N_BINS} AS DOUBLE)))
+           * 1000000, 0) AS BIGINT) AS term
+  FROM filled
+)
+SELECT event_type,
+       CAST(max(ref_total) AS BIGINT) AS n_ref,
+       CAST(max(cur_total) AS BIGINT) AS n_cur,
+       CAST(sum(term) AS BIGINT) AS psi_micro,
+       CAST(sum(term) AS BIGINT) > {PSI_ALERT_MICRO} AS drifted
+FROM terms GROUP BY event_type
+"""

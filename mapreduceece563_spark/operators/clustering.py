@@ -345,3 +345,147 @@ SELECT m.cid AS cluster_id,
 FROM members m LEFT JOIN pruned p ON m.cid = p.cid
 GROUP BY m.cid
 """
+
+
+# --- product quantization codebooks (round-11 queue, built round 10) ------
+
+PQ_SUBS = 4
+PQ_SUBDIM = DIM // PQ_SUBS  # 16 dims per subspace
+PQ_K = 4  # centroids per subspace codebook
+
+
+def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest codeword per (subspace, vector); ties break on code id
+    — the kmeans_2iter _assign with the subspace as an extra key."""
+    scored = sv.join(F.broadcast(cents), "sub").withColumn(
+        "dist", _sqdist(F.col("v"), F.col("c"))
+    )
+    w = Window.partitionBy("sub", "vec_id").orderBy("dist", "cid")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("sub", "vec_id", "cid", "dist", "v")
+    )
+
+
+def _pq_update(assigned: DataFrame) -> DataFrame:
+    exploded = assigned.select(
+        "sub", "cid", F.posexplode("v").alias("pos", "x")
+    ).select(
+        "sub",
+        "cid",
+        (F.col("pos") + 1).alias("dim"),
+        F.round(F.col("x") * SCALE, 0).cast("long").alias("xs"),
+    )
+    means = exploded.groupBy("sub", "cid", "dim").agg(
+        ((F.sum("xs").cast("double") / SCALE) / F.count("*")).alias("m")
+    )
+    return means.groupBy("sub", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "m"))),
+            lambda s: s["m"],
+        ).alias("c")
+    )
+
+
+def pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training — the memory-compression
+    half of the ANN stack that ivf_ann (cell probing) doesn't cover:
+    split each 64-dim embedding into PQ_SUBS independent 16-dim
+    subvectors, train a PQ_K-codeword codebook per subspace (two
+    unrolled Lloyd rounds, the kmeans_2iter discipline), and report
+    each codeword's population and quantization distortion. A vector
+    then stores PQ_SUBS code bytes instead of 64 floats (64x
+    compression at these settings); the distortion column is exactly
+    the error that compression buys.
+
+    Determinism across engines is kmeans_2iter's contract, carried
+    per subspace: fold-based squared distances (identical IEEE
+    order), ROW_NUMBER tie-breaks on (dist, code), centroid updates
+    from SCALED INT64 sums with one final division, distortions
+    summed as int64 micro-units.
+
+    Scale posture (100 TB): codebooks are a (PQ_SUBS x PQ_K)-row
+    broadcast; assignment is a map-side broadcast scan + per
+    (subspace, vector) argmin window (bounded frames); the update
+    shuffles (sub, code, dim, int64) partial sums. The subspace
+    explode multiplies rows by PQ_SUBS but DIVIDES per-row fold work
+    by the same factor — total distance flops match the unsplit
+    k-means, which is the point of PQ.
+    """
+    vecs = _vecs(spark, sf_dir)
+    subs = spark.createDataFrame(
+        [(s,) for s in range(PQ_SUBS)], "sub BIGINT"
+    )
+    sv = vecs.crossJoin(F.broadcast(subs)).select(
+        "sub",
+        "vec_id",
+        F.expr(f"slice(v, sub * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias("v"),
+    )
+    c0 = sv.filter(F.col("vec_id") < PQ_K).select(
+        "sub", F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _pq_assign(sv, c0)
+    c1 = _pq_update(a1)
+    a2 = _pq_assign(sv, c1)
+    return (
+        a2.withColumn(
+            "ds", F.round(F.col("dist") * SCALE, 0).cast("long")
+        )
+        .groupBy(
+            F.col("sub").alias("subspace"), F.col("cid").alias("code")
+        )
+        .agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("ds") / float(SCALE), 6).alias("distortion"),
+        )
+    )
+
+
+def _pq_assign_sql(src: str, cents: str, out: str) -> str:
+    d = _SQDIST_SQL.format(a=f"{src}.v", b=f"{cents}.c")
+    return f"""
+{out}_s AS (
+  SELECT {src}.sub, {src}.vec_id, {cents}.cid, {d} AS dist, {src}.v
+  FROM {src} JOIN {cents} ON {src}.sub = {cents}.sub
+),
+{out} AS (
+  SELECT sub, vec_id, cid, dist, v FROM (
+    SELECT sub, vec_id, cid, dist, v,
+           ROW_NUMBER() OVER (PARTITION BY sub, vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM {out}_s
+  ) WHERE rn = 1
+)"""
+
+
+PQ_CODEBOOK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+sv AS (
+  SELECT s.sub, vec_id,
+         list_slice(v, s.sub * {PQ_SUBDIM} + 1,
+                    (s.sub + 1) * {PQ_SUBDIM}) AS v
+  FROM v, (SELECT unnest(range(0, {PQ_SUBS})) AS sub) s
+),
+c0 AS (SELECT sub, vec_id AS cid, v AS c FROM sv WHERE vec_id < {PQ_K}),
+{_pq_assign_sql('sv', 'c0', 'a1').lstrip()},
+e1 AS (
+  SELECT sub, cid, d.dim AS dim,
+         CAST(round(v[d.dim] * {SCALE}, 0) AS BIGINT) AS xs
+  FROM a1 CROSS JOIN (SELECT unnest(range(1, {PQ_SUBDIM + 1})) AS dim) d
+),
+m1 AS (
+  SELECT sub, cid, dim,
+         (CAST(sum(xs) AS DOUBLE) / {SCALE}) / count(*) AS m
+  FROM e1 GROUP BY sub, cid, dim
+),
+c1 AS (SELECT sub, cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY sub, cid),
+{_pq_assign_sql('sv', 'c1', 'a2').lstrip()}
+SELECT sub AS subspace, cid AS code, count(*) AS n_vectors,
+       round(sum(CAST(round(dist * {SCALE}, 0) AS BIGINT))
+             / {float(SCALE)}, 6) AS distortion
+FROM a2 GROUP BY sub, cid
+"""

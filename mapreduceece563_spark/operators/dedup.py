@@ -2162,3 +2162,335 @@ def _df_cap_sensitivity_sql() -> str:
 
 
 DF_CAP_SENSITIVITY_ORACLE = _df_cap_sensitivity_sql()
+
+
+# --- LSH banding-plan advisor (round-11 queue, built round 10) -----------
+
+LSH_PLAN_CATCH_TARGET_PPM = 500_000
+JACCARD_PPM = int(round(JACCARD_THRESHOLD * 1_000_000))
+
+
+def _lsh_plan_factorizations() -> list[tuple[int, int]]:
+    n = len(MINHASH_PERMS)
+    return [(b, n // b) for b in range(1, n + 1) if n % b == 0]
+
+
+def _powfix_expr(base_expr: str, n_expr: str) -> str:
+    """ppm fixed-point power: fold acc -> (acc * base) div 1e6, n
+    times, flooring at every step — the only way both engines can
+    evaluate the LSH S-curve identically (pow/exp/ln are not
+    correctly-rounded and may differ between the JVM and DuckDB;
+    +,-,*,integer-div are exact)."""
+    return (
+        f"aggregate(sequence(1, {n_expr}), CAST(1000000 AS BIGINT),"
+        f" (acc, x) -> (acc * ({base_expr})) div 1000000)"
+    )
+
+
+def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planning step in front of every MinHash-LSH deployment —
+    the salt_plan_advisor of the near-dup family: dedup_minhash
+    hardcodes (bands, rows) = (4, 4) over 16 permutations, and this
+    op computes, for EVERY factorization of the signature, the two
+    numbers that choice trades off: the S-curve's 50% threshold
+    (where P[candidate] = 1 - (1 - s^r)^b crosses 1/2 — the
+    similarity the plan is effectively tuned to) and the expected
+    recall against THIS corpus's true near-dup pairs (sum of catch
+    probabilities over the df-capped exact-Jaccard pairs that
+    lsh_precision/lsh_recall also use as ground truth). More bands ->
+    lower threshold, higher recall, more candidates; the table is the
+    whole trade.
+
+    Integer-exactness contract: the S-curve is evaluated in ppm
+    fixed point with a floor after every multiply (_powfix_expr /
+    the DuckDB list_reduce mirror) — identical folds on both engines,
+    no pow/exp/ln (which are not correctly rounded and may diverge
+    between JVM and DuckDB). Pair Jaccards enter as j_ppm =
+    (1e6 * n_common) div union, the threshold gate is the pure-int
+    n_common * 1e6 >= JACCARD_PPM * union, and expected recall is
+    the int64 sum-div. Floors make the curve a lower bound within
+    (bands + rows)/1e6 of the real value — the same bound on both
+    engines, so the driver hash pins it.
+
+    Scale posture (100 TB): the analytic side is |factorizations| x
+    999 literal grid rows — corpus-size-free. The corpus side shares
+    doc_shingle_hashes' persisted stage and the df-capped candidate
+    join (never all-pairs); the plan table then rides a broadcast
+    cross join (|plans| rows) and one rollup. Nothing new shuffles
+    per document."""
+    plans = spark.createDataFrame(
+        _lsh_plan_factorizations(), "bands BIGINT, rows_per_band BIGINT"
+    )
+
+    # analytic S-curve: 50% crossing on the 1000-ppm grid
+    grid = plans.select(
+        "*",
+        F.explode(F.expr("sequence(1000, 999000, 1000)")).alias("s_ppm"),
+    )
+    grid = grid.withColumn(
+        "_band_ppm", F.expr(_powfix_expr("s_ppm", "rows_per_band"))
+    ).withColumn(
+        "_catch_ppm",
+        F.expr("1000000 - " + _powfix_expr("1000000 - _band_ppm", "bands")),
+    )
+    s50 = (
+        grid.filter(F.col("_catch_ppm") >= LSH_PLAN_CATCH_TARGET_PPM)
+        .groupBy("bands", "rows_per_band")
+        .agg(F.min("s_ppm").alias("s50_ppm"))
+    )
+
+    # corpus-coupled expected recall over the true near-dup pairs
+    # (identical candidate build to jaccard_threshold_sweep)
+    sh = doc_shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    cap = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count("*").alias("n_docs"))
+        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
+    )
+    df_ok = (
+        sh.groupBy("h0")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(cap))
+        .filter(F.col("df") <= F.col("cap"))
+        .select("h0")
+    )
+    pruned = sh.join(df_ok, "h0")
+    a, b = pruned.alias("a"), pruned.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.h0") == F.col("b.h0"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            F.col("n_common") * F.lit(1_000_000)
+            >= F.lit(JACCARD_PPM)
+            * (F.col("_sa") + F.col("_sb") - F.col("n_common"))
+        )
+        .select(
+            F.expr(
+                "(n_common * 1000000) div (_sa + _sb - n_common)"
+            ).alias("j_ppm")
+        )
+    )
+    pp = (
+        pairs.crossJoin(F.broadcast(plans))
+        .withColumn(
+            "_band_ppm", F.expr(_powfix_expr("j_ppm", "rows_per_band"))
+        )
+        .withColumn(
+            "_catch_ppm",
+            F.expr(
+                "1000000 - " + _powfix_expr("1000000 - _band_ppm", "bands")
+            ),
+        )
+    )
+    recall = pp.groupBy("bands", "rows_per_band").agg(
+        F.count(F.lit(1)).alias("n_true_pairs"),
+        F.expr("sum(_catch_ppm) div count(1)").alias("expected_recall_ppm"),
+    )
+    return (
+        plans.join(s50, ["bands", "rows_per_band"])
+        .join(recall, ["bands", "rows_per_band"], "left")
+        .select(
+            "bands",
+            "rows_per_band",
+            "s50_ppm",
+            F.coalesce("n_true_pairs", F.lit(0).cast("long")).alias(
+                "n_true_pairs"
+            ),
+            F.coalesce(
+                "expected_recall_ppm", F.lit(0).cast("long")
+            ).alias("expected_recall_ppm"),
+            (F.col("bands") == F.lit(LSH_BANDS)).alias("is_current"),
+        )
+    )
+
+
+_LSH_PLAN_ROWS = ", ".join(
+    f"({b}, {r})" for b, r in _lsh_plan_factorizations()
+)
+
+LSH_BAND_PLAN_SQL = f"""
+WITH {{shingles}},
+plans AS (
+  SELECT CAST(bands AS BIGINT) AS bands,
+         CAST(rows_per_band AS BIGINT) AS rows_per_band
+  FROM (VALUES {_LSH_PLAN_ROWS}) t(bands, rows_per_band)
+),
+grid AS (
+  SELECT p.bands, p.rows_per_band, CAST(s.s_ppm AS BIGINT) AS s_ppm
+  FROM plans p,
+       (SELECT unnest(range(1000, 1000000, 1000)) AS s_ppm) s
+),
+curves AS (
+  SELECT *,
+         list_reduce(
+           list_prepend(CAST(1000000 AS BIGINT),
+             list_transform(range(rows_per_band),
+                            x -> CAST(s_ppm AS BIGINT))),
+           (acc, v) -> (acc * v) // 1000000) AS band_ppm
+  FROM grid
+),
+catches AS (
+  SELECT *,
+         1000000 - list_reduce(
+           list_prepend(CAST(1000000 AS BIGINT),
+             list_transform(range(bands),
+                            x -> 1000000 - band_ppm)),
+           (acc, v) -> (acc * v) // 1000000) AS catch_ppm
+  FROM curves
+),
+s50 AS (
+  SELECT bands, rows_per_band, CAST(min(s_ppm) AS BIGINT) AS s50_ppm
+  FROM catches WHERE catch_ppm >= {LSH_PLAN_CATCH_TARGET_PPM}
+  GROUP BY bands, rows_per_band
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+cap AS (SELECT {{df_cap}} AS cap FROM documents),
+df_ok AS (
+  SELECT h0 FROM sh GROUP BY h0
+  HAVING count(*) <= (SELECT cap FROM cap)
+),
+pruned AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN df_ok USING (h0)),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM pruned a
+  JOIN pruned b ON a.h0 = b.h0 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT CAST((n_common * 1000000)
+              // (sa.sz + sb.sz - n_common) AS BIGINT) AS j_ppm
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE n_common * 1000000
+        >= {JACCARD_PPM} * (sa.sz + sb.sz - n_common)
+),
+pp AS (
+  SELECT p.bands, p.rows_per_band, j_ppm,
+         list_reduce(
+           list_prepend(CAST(1000000 AS BIGINT),
+             list_transform(range(p.rows_per_band),
+                            x -> CAST(j_ppm AS BIGINT))),
+           (acc, v) -> (acc * v) // 1000000) AS band_ppm
+  FROM pairs, plans p
+),
+ppc AS (
+  SELECT bands, rows_per_band,
+         1000000 - list_reduce(
+           list_prepend(CAST(1000000 AS BIGINT),
+             list_transform(range(bands),
+                            x -> 1000000 - band_ppm)),
+           (acc, v) -> (acc * v) // 1000000) AS catch_ppm
+  FROM pp
+),
+recall AS (
+  SELECT bands, rows_per_band,
+         CAST(count(*) AS BIGINT) AS n_true_pairs,
+         CAST(sum(catch_ppm) // count(*) AS BIGINT)
+           AS expected_recall_ppm
+  FROM ppc GROUP BY bands, rows_per_band
+)
+SELECT p.bands, p.rows_per_band, s.s50_ppm,
+       COALESCE(r.n_true_pairs, 0) AS n_true_pairs,
+       COALESCE(r.expected_recall_ppm, 0) AS expected_recall_ppm,
+       p.bands = {LSH_BANDS} AS is_current
+FROM plans p
+JOIN s50 s USING (bands, rows_per_band)
+LEFT JOIN recall r USING (bands, rows_per_band)
+"""
+
+
+def _lsh_band_plan_sql() -> str:
+    return LSH_BAND_PLAN_SQL.format(
+        shingles=shingle_hashes_cte_sql().lstrip(), df_cap=DF_CAP_SQL
+    )
+
+
+LSH_BAND_PLAN_ORACLE = _lsh_band_plan_sql()
+
+
+# --- canonical-survivor selection (round-11 queue, built round 10) --------
+
+
+def dedup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stage every production dedup actually ships: given the
+    near-dup clusters (dedup_groups' connected components over the
+    LSH candidate graph), pick the CANONICAL survivor per cluster
+    and account for what the choice discards. Detection (minhash),
+    grouping (connected components), and survivor selection are
+    three different operators; the registry had the first two and
+    the accounting (dedup_cascade_accounting) but not the pick.
+
+    Selection rule: keep the longest document (n_chars), ties to the
+    lowest doc_id — deterministic on both engines. Output is one row
+    per cluster: leader, member count, the kept doc and its length,
+    and how many docs / chars the pick removes (what the cluster
+    costs to keep only its best member).
+
+    Scale posture (100 TB): rides dedup_groups' iterative min-label
+    propagation (join + groupBy per round on int64 keys, never
+    paths); the pick itself is a row_number window partitioned BY
+    CLUSTER — frames are bounded by near-dup cluster size (tiny by
+    construction; a mega-cluster is a dedup-threshold bug that
+    neardup_transitivity_audit surfaces), not by corpus size, so
+    the window is skew-safe where a per-corpus rank would not be.
+    """
+    labels = dedup_groups(spark, sf_dir)  # (doc_id, group_leader)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars"
+    )
+    m = labels.join(docs, "doc_id")
+    w = Window.partitionBy("group_leader").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    ranked = m.withColumn("_rn", F.row_number().over(w))
+    return ranked.groupBy("group_leader").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(F.when(F.col("_rn") == 1, F.col("doc_id"))).alias(
+            "kept_doc_id"
+        ),
+        F.max(F.when(F.col("_rn") == 1, F.col("n_chars"))).alias(
+            "kept_n_chars"
+        ),
+        (F.count(F.lit(1)) - 1).alias("n_removed"),
+        F.sum(
+            F.when(F.col("_rn") > 1, F.col("n_chars")).otherwise(0)
+        ).alias("chars_removed"),
+    )
+
+
+DEDUP_CANONICAL_SQL = f"""
+WITH cc AS ({DEDUP_GROUPS_SQL}),
+m AS (
+  SELECT cc.doc_id, cc.group_leader, d.n_chars
+  FROM cc JOIN documents d USING (doc_id)
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY group_leader
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM m
+)
+SELECT group_leader,
+       CAST(count(*) AS BIGINT) AS n_members,
+       max(CASE WHEN rn = 1 THEN doc_id END) AS kept_doc_id,
+       max(CASE WHEN rn = 1 THEN n_chars END) AS kept_n_chars,
+       CAST(count(*) - 1 AS BIGINT) AS n_removed,
+       CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT)
+         AS chars_removed
+FROM ranked GROUP BY group_leader
+"""

@@ -2138,3 +2138,168 @@ WHERE bit_count(xor(a.srp_sig, b.srp_sig)) <= {SRP_HAMMING_MAX}
 
 
 SRP_HAMMING_SQL = _srp_hamming_sql()
+
+
+# --- matryoshka dim-truncation recall (round-11 queue, built round 10) ----
+
+MATRYOSHKA_DIMS = (8, 16, 32, 64)  # 64 = the full embedding width
+
+
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation: how much exact top-k
+    cosine recall survives truncating the embedding to its first d
+    dims? Serving stacks truncate matryoshka-trained embeddings to
+    cut index memory and bandwidth (d=8 is an 8x smaller index than
+    d=64); this op measures, on THIS corpus, recall@k of each
+    truncated ranking against the full-width ranking — the table
+    that decides which width the ANN tier (ivf_ann / srp) indexes.
+
+    Per dim d: rank candidates for each query by cosine over
+    slice(v, 1, d) (exact brute force, the knn_brute_force shape:
+    identical fold-based dot products and correctly-rounded sqrt /
+    divide on both engines, ties to the lower neighbor_id, NULLS
+    LAST so a zero-norm prefix can never straddle engines), keep
+    top-k, intersect with the d=64 top-k, and report hits as an
+    integer recall_ppm = 1e6 * hits div (n_queries * k). The full
+    width's own row pins recall = 1e6 exactly — a self-check the
+    driver hash enforces.
+
+    Scale posture (100 TB): the query side is broadcast
+    (N_QUERIES x |dims| rows); the candidate scan streams ONCE per
+    dim with no shuffle before the per-query top-k window (bounded
+    frames: |queries| partitions); the intersection joins two
+    (queries x k x dims)-row frames. At index scale the same
+    comparison runs over the ANN candidate pool instead of the full
+    scan — the plan shape is unchanged.
+    """
+    n = _norms(spark, sf_dir)
+    dims = spark.createDataFrame(
+        [(d,) for d in MATRYOSHKA_DIMS], "dim BIGINT"
+    )
+    t = (
+        n.crossJoin(F.broadcast(dims))
+        .select(
+            "dim",
+            "vec_id",
+            F.expr("slice(v, 1, dim)").alias("tv"),
+        )
+        .withColumn("tn", F.sqrt(_dot(F.col("tv"), F.col("tv"))))
+    )
+    q = t.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("dim").alias("qdim"),
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qv"),
+        F.col("tn").alias("qn"),
+    )
+    c = t.select(
+        "dim",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("tv").alias("cv"),
+        F.col("tn").alias("cn"),
+    )
+    pairs = c.join(
+        F.broadcast(q),
+        (F.col("dim") == F.col("qdim"))
+        & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "dim",
+        "query_id",
+        "neighbor_id",
+        (
+            _dot(F.col("qv"), F.col("cv"))
+            / F.nullif(F.col("qn") * F.col("cn"), F.lit(0.0))
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("dim", "query_id").orderBy(
+        F.desc_nulls_last("_cos"), F.asc("neighbor_id")
+    )
+    topk = (
+        pairs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= TOP_K)
+        .select("dim", "query_id", "neighbor_id")
+    )
+    full = topk.filter(F.col("dim") == max(MATRYOSHKA_DIMS)).select(
+        "query_id", "neighbor_id"
+    )
+    hits = topk.join(full, ["query_id", "neighbor_id"], "left_semi")
+    per_dim = hits.groupBy("dim").agg(F.count(F.lit(1)).alias("n_hits"))
+    n_q = topk.filter(F.col("dim") == max(MATRYOSHKA_DIMS)).agg(
+        F.count_distinct("query_id").alias("n_queries")
+    )
+    # dims spine: a zero-hit truncation must still report its row
+    # (recall_ppm = 0), and an empty corpus reports nothing at all
+    # (n_queries = 0 -> spine filtered empty) on both engines
+    return (
+        dims.crossJoin(F.broadcast(n_q))
+        .filter(F.col("n_queries") > 0)
+        .join(per_dim, "dim", "left")
+        .select(
+            "dim",
+            "n_queries",
+            F.coalesce("n_hits", F.lit(0).cast("long")).alias("n_hits"),
+            F.expr(
+                f"(coalesce(n_hits, 0) * 1000000)"
+                f" div (n_queries * {TOP_K})"
+            ).alias("recall_ppm"),
+        )
+    )
+
+
+DIM_TRUNCATION_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+dims AS (SELECT unnest([{", ".join(str(d) for d in MATRYOSHKA_DIMS)}]) AS dim),
+t AS (
+  SELECT d.dim, e.vec_id, list_slice(e.v, 1, d.dim) AS tv
+  FROM e, dims d
+),
+tn AS (
+  SELECT dim, vec_id, tv,
+         sqrt({_DOT_SQL.format(a='tv', b='tv')}) AS nrm
+  FROM t
+),
+pairs AS (
+  SELECT q.dim, q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='q.tv', b='c.tv')}
+           / nullif(q.nrm * c.nrm, 0.0) AS _cos
+  FROM tn q JOIN tn c
+    ON q.dim = c.dim AND q.vec_id < {N_QUERIES}
+   AND c.vec_id <> q.vec_id
+),
+topk AS (
+  SELECT dim, query_id, neighbor_id FROM (
+    SELECT dim, query_id, neighbor_id,
+           row_number() OVER (PARTITION BY dim, query_id
+                              ORDER BY _cos DESC NULLS LAST,
+                                       neighbor_id ASC) AS _rn
+    FROM pairs
+  ) WHERE _rn <= {TOP_K}
+),
+fullk AS (
+  SELECT query_id, neighbor_id FROM topk
+  WHERE dim = {max(MATRYOSHKA_DIMS)}
+),
+hits AS (
+  SELECT t.dim, count(*) AS n_hits
+  FROM topk t
+  WHERE EXISTS (SELECT 1 FROM fullk f
+                WHERE f.query_id = t.query_id
+                  AND f.neighbor_id = t.neighbor_id)
+  GROUP BY t.dim
+),
+nq AS (
+  SELECT count(DISTINCT query_id) AS n_queries FROM topk
+  WHERE dim = {max(MATRYOSHKA_DIMS)}
+)
+SELECT CAST(d.dim AS BIGINT) AS dim,
+       CAST(nq.n_queries AS BIGINT) AS n_queries,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST((COALESCE(h.n_hits, 0) * 1000000)
+            // (nq.n_queries * {TOP_K}) AS BIGINT) AS recall_ppm
+FROM dims d
+CROSS JOIN nq
+LEFT JOIN hits h ON h.dim = d.dim
+WHERE nq.n_queries > 0
+"""

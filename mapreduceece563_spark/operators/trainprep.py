@@ -976,3 +976,105 @@ SELECT source, n_docs, n_tokens,
             // greatest(1000 * n_tokens, 1) AS BIGINT) AS boost_milli
 FROM scored CROSS JOIN norm
 """.format(ws=_WS_TOKENS_SQL)
+
+
+# --- graded decontamination (round-11 queue, built round 10) --------------
+
+OVERLAP_BIN_PPM = 100_000  # decile-width overlap bins
+
+
+def contamination_overlap_fraction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decontamination, graded: contamination_check reports WHICH
+    training docs share any 3-shingle with the eval holdout; this op
+    reports HOW MUCH of each contaminated doc overlaps — the number
+    the drop-vs-keep decision actually needs (a doc sharing one
+    stock phrase is coincidence; a doc 80% covered by eval shingles
+    is leakage). Per contaminated training doc, overlap_ppm =
+    1e6 * |shared distinct shingles| div |doc's distinct shingles|
+    (pure int64), histogrammed into ten fixed decile bins so the
+    output is a bounded severity profile, not a per-doc dump:
+    (bin_lo_ppm, n_docs, n_shared_shingles) with empty bins pinned
+    to zero by a literal spine.
+
+    Scale posture (100 TB): identical to contamination_check — the
+    eval shingle set is benchmark-sized and BROADCAST into a
+    left-semi probe; corpus shingles never shuffle for the overlap
+    (the per-doc counts ride the already-doc-keyed shingle stage);
+    the histogram is a <= 10-cell rollup.
+    """
+    from ..operators.dedup import doc_shingle_hashes
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    marks = docs.select(
+        "doc_id", F.col("source").isin(*EVAL_SOURCES).alias("_eval")
+    )
+    sh = doc_shingle_hashes(spark, sf_dir).join(marks, "doc_id")
+    eval_sh = sh.filter(F.col("_eval")).select("h0").distinct()
+    train = sh.filter(~F.col("_eval")).select("doc_id", "h0")
+    tot = train.groupBy("doc_id").agg(F.count(F.lit(1)).alias("_tot"))
+    shared = (
+        train.join(F.broadcast(eval_sh), "h0", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("_shared"))
+    )
+    scored = shared.join(tot, "doc_id").select(
+        F.col("_shared"),
+        F.least(
+            F.expr(f"((_shared * 1000000) div _tot) div {OVERLAP_BIN_PPM}"),
+            F.lit(9).cast("long"),
+        ).alias("_bin"),
+    )
+    hist = scored.groupBy("_bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_shared").alias("n_shared_shingles"),
+    )
+    spine = spark.range(10).select(F.col("id").alias("_bin"))
+    return spine.join(F.broadcast(hist), "_bin", "left").select(
+        (F.col("_bin") * OVERLAP_BIN_PPM).alias("bin_lo_ppm"),
+        F.coalesce("n_docs", F.lit(0).cast("long")).alias("n_docs"),
+        F.coalesce(
+            "n_shared_shingles", F.lit(0).cast("long")
+        ).alias("n_shared_shingles"),
+    )
+
+
+def _overlap_sql() -> str:
+    from ..operators.dedup import shingle_hashes_cte_sql
+
+    return f"""
+WITH {shingle_hashes_cte_sql().lstrip()},
+marks AS (
+  SELECT doc_id, source IN ({_EVAL_IN}) AS _eval FROM documents
+),
+msh AS (SELECT s.doc_id, h0, _eval FROM sh s JOIN marks USING (doc_id)),
+eval_sh AS (SELECT DISTINCT h0 FROM msh WHERE _eval),
+train AS (SELECT doc_id, h0 FROM msh WHERE NOT _eval),
+tot AS (SELECT doc_id, count(*) AS _tot FROM train GROUP BY doc_id),
+shared AS (
+  SELECT doc_id, count(*) AS _shared FROM train
+  WHERE h0 IN (SELECT h0 FROM eval_sh) GROUP BY doc_id
+),
+scored AS (
+  SELECT s._shared,
+         least(((s._shared * 1000000) // t._tot) // {OVERLAP_BIN_PPM},
+               9) AS _bin
+  FROM shared s JOIN tot t USING (doc_id)
+),
+hist AS (
+  SELECT _bin, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_shared) AS BIGINT) AS n_shared_shingles
+  FROM scored GROUP BY _bin
+)
+SELECT CAST(b.b * {OVERLAP_BIN_PPM} AS BIGINT) AS bin_lo_ppm,
+       COALESCE(h.n_docs, 0) AS n_docs,
+       COALESCE(h.n_shared_shingles, 0) AS n_shared_shingles
+FROM (SELECT unnest(range(0, 10)) AS b) b
+LEFT JOIN hist h ON h._bin = b.b
+"""
+
+
+CONTAMINATION_OVERLAP_SQL = _overlap_sql()
