@@ -2683,3 +2683,130 @@ SELECT event_type,
        CAST(sum(term) AS BIGINT) > {PSI_ALERT_MICRO} AS drifted
 FROM terms GROUP BY event_type
 """
+
+
+# --- trimmed/winsorized means (round-12 queue, built round 10) -------------
+
+TRIM_PCT_NUM = 1  # trim fraction numerator: 10%
+TRIM_PCT_DEN = 10
+
+
+def trimmed_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean order value per market segment — the robust
+    location estimate between the mean (outlier-hostile) and the
+    median (throws away 98% of the data). Reported with the two cut
+    points (the k+1-th and n-k-th order statistics) so the trim is
+    auditable, all INTEGER-exact.
+
+    Histogram order statistics, never per-row ranks: per
+    (segment, cents) counts, one cumulative window over DISTINCT
+    values, and each cell contributes kept = max(0,
+    min(cum_before + cnt, n - k) - max(cum_before, k)) members to the
+    trimmed sum — the overlap of the cell's rank interval with
+    [k+1, n-k]. k = n div 10; the mean rounds half-up in pure int64
+    ((2s + m) div (2m), the training_manifest idiom).
+
+    Scale posture (100 TB): one groupBy(segment, cents) collapses
+    orders map-side to the value histogram; the window slides over
+    distinct cents per segment; the rollup is |segments| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    vals = orders.join(cust, "o_custkey").groupBy("segment", "cents").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_tot = Window.partitionBy("segment")
+    stepped = vals.select(
+        "segment",
+        "cents",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w_cum), F.lit(0).cast("long")).alias(
+            "cb"
+        ),
+        F.sum("cnt").over(w_tot).alias("n"),
+    ).withColumn("k", F.expr(f"n * {TRIM_PCT_NUM} div {TRIM_PCT_DEN}"))
+    kept = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("cb") + F.col("cnt"), F.col("n") - F.col("k"))
+        - F.greatest(F.col("cb"), F.col("k")),
+    )
+    scored = stepped.select(
+        "segment",
+        "n",
+        "k",
+        kept.alias("kept"),
+        (kept * F.col("cents")).alias("ks"),
+        # the cut points: cell covering rank k+1 / rank n-k
+        F.when(
+            (F.col("cb") < F.col("k") + 1)
+            & (F.col("cb") + F.col("cnt") >= F.col("k") + 1),
+            F.col("cents"),
+        ).alias("lo"),
+        F.when(
+            (F.col("cb") < F.col("n") - F.col("k"))
+            & (F.col("cb") + F.col("cnt") >= F.col("n") - F.col("k")),
+            F.col("cents"),
+        ).alias("hi"),
+    )
+    return scored.groupBy("segment").agg(
+        F.max("n").alias("n_orders"),
+        F.max("lo").alias("cut_low_cents"),
+        F.max("hi").alias("cut_high_cents"),
+        F.expr(
+            "CASE WHEN sum(kept) = 0 THEN NULL"
+            " ELSE (2 * sum(ks) + sum(kept)) div (2 * sum(kept)) END"
+        ).alias("trimmed_mean_cents"),
+    )
+
+
+TRIMMED_MEAN_SQL = f"""
+WITH vals AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS cents,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY segment, cents
+),
+stepped AS (
+  SELECT segment, cents, cnt,
+         COALESCE(CAST(sum(cnt) OVER (PARTITION BY segment ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS cb,
+         CAST(sum(cnt) OVER (PARTITION BY segment) AS BIGINT) AS n
+  FROM vals
+),
+ked AS (
+  SELECT *, n * {TRIM_PCT_NUM} // {TRIM_PCT_DEN} AS k FROM stepped
+),
+scored AS (
+  SELECT segment, n, k,
+         greatest(CAST(0 AS BIGINT),
+                  least(cb + cnt, n - k) - greatest(cb, k)) AS kept,
+         greatest(CAST(0 AS BIGINT),
+                  least(cb + cnt, n - k) - greatest(cb, k)) * cents AS ks,
+         CASE WHEN cb < k + 1 AND cb + cnt >= k + 1
+              THEN cents END AS lo,
+         CASE WHEN cb < n - k AND cb + cnt >= n - k
+              THEN cents END AS hi
+  FROM ked
+)
+SELECT segment,
+       max(n) AS n_orders,
+       max(lo) AS cut_low_cents,
+       max(hi) AS cut_high_cents,
+       CASE WHEN sum(kept) = 0 THEN NULL
+            ELSE CAST((2 * sum(ks) + sum(kept))
+                      // (2 * sum(kept)) AS BIGINT)
+       END AS trimmed_mean_cents
+FROM scored GROUP BY segment
+"""

@@ -1352,3 +1352,119 @@ JOIN norms nb ON nb.doc_id = n.doc_b
 WHERE CAST(_num AS DOUBLE) * CAST(_num AS DOUBLE) * {ALLPAIRS_TAU_DEN}
       >= CAST({ALLPAIRS_TAU_NUM} AS DOUBLE) * na._n2 * nb._n2
 """
+
+
+# --- Zipf exponent per source (round-12 queue, built round 10) ------------
+
+ZIPF_TOP_RANKS = 200
+
+
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf exponent per source: the least-squares slope of
+    ln(freq) vs ln(rank) over each source's top-{ZIPF_TOP_RANKS}
+    words. Natural text runs slope ~ -1; a source drifting toward 0
+    is template/boilerplate-heavy (flat head), one far below -1 has
+    a degenerate vocabulary — word_freq_spectrum's corpus-wide
+    sanity check, sharpened into a per-delivery curation signal.
+
+    Exactness: ranks come from a per-source ROW_NUMBER over the
+    (source, word) count frame (count desc, word asc — identical
+    total order both engines); ln(rank) and ln(freq) are quantized
+    to int64 micro-nats BEFORE any sum (the bigram_pmi idiom); the
+    normal-equation sums n*Sxy - Sx*Sy and n*Sxx - Sx^2 stay int64
+    to ~1e12 tokens per source (n <= 200, x <= ln(200)*1e6, y <=
+    ln(1e12)*1e6 keeps n*Sxy < 2^63); the single final division is
+    correctly-rounded float64, identical on identical integer inputs.
+    NULL when fewer than two distinct ranks (slope undefined).
+
+    Scale posture (100 TB): one (source, word) groupBy collapses
+    map-side to the vocabulary frame; the rank window slides over
+    each source's DISTINCT words (vocabulary-granular, never
+    per-token); the regression is a |sources|-row rollup of the
+    top-200 cells.
+    """
+    words = _words_per_doc(spark, sf_dir).select(
+        "doc_id", F.explode("words").alias("word")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = words.join(src, "doc_id").groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("word"))
+    ranked = (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ZIPF_TOP_RANKS)
+        .select(
+            "source",
+            F.round(F.log(F.col("rank").cast("double")) * 1_000_000, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("cnt").cast("double")) * 1_000_000, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ranks"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n_ranks") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n_ranks") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "source",
+        "n_ranks",
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.round(
+                num.cast("double") / den.cast("double") * 1_000_000, 0
+            ).cast("long")
+        )
+        .alias("zipf_slope_micro"),
+    )
+
+
+ZIPF_SLOPE_SQL = f"""
+WITH {{words_cte}},
+tok AS (SELECT doc_id, unnest(words) AS word FROM w),
+counts AS (
+  SELECT d.source, t.word, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok t JOIN documents d USING (doc_id)
+  GROUP BY d.source, t.word
+),
+ranked AS (
+  SELECT source,
+         CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+  FROM (
+    SELECT source, cnt,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY cnt DESC, word ASC) AS rank
+    FROM counts
+  ) WHERE rank <= {ZIPF_TOP_RANKS}
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM ranked GROUP BY source
+)
+SELECT source, n_ranks,
+       CASE WHEN n_ranks * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(round(
+              CAST(n_ranks * sxy - sx * sy AS DOUBLE)
+              / CAST(n_ranks * sxx - sx * sx AS DOUBLE)
+              * 1000000, 0) AS BIGINT)
+       END AS zipf_slope_micro
+FROM agg
+"""
+
+
+def _zipf_slope_sql() -> str:
+    return ZIPF_SLOPE_SQL.format(words_cte=_words_cte().lstrip())
+
+
+ZIPF_SLOPE_ORACLE = _zipf_slope_sql()

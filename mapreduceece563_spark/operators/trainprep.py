@@ -1078,3 +1078,248 @@ LEFT JOIN hist h ON h._bin = b.b
 
 
 CONTAMINATION_OVERLAP_SQL = _overlap_sql()
+
+
+# --- packing-budget sensitivity (round-12 queue, built round 10) -----------
+
+PACK_SWEEP_BUDGETS = (256, 512, 1024, 2048)
+
+
+def pack_len_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much context-window capacity does each sequence-length
+    budget waste — the session_gap_sensitivity of the packing
+    family: token_pack hardcodes a {PACK_BUDGET_TOKENS}-token budget,
+    and the right budget is an empirical trade this sweep answers in
+    one pass. Per candidate budget: bins opened by the SAME next-fit
+    cumulative-sum rule token_pack ships, nominal capacity
+    (bins x budget), packed tokens, and fill_ppm = tokens * 1e6 div
+    capacity (can exceed 1e6: next-fit assigns a doc to the bin where
+    it STARTS, so a straddling doc overflows its bin — the same
+    accounting the packer itself uses).
+
+    One pass: the per-shard running token sum is computed ONCE; each
+    budget is a derived COLUMN off that cumsum (bin index, then a
+    per-(budget, shard) max-bin rollup), not a re-sort. The
+    {PACK_BUDGET_TOKENS}-budget row is pinned equal to token_pack's
+    own bin census through the driver hash.
+
+    Scale posture (100 TB): identical to token_pack — the windows
+    partition on the {PACK_SHARDS} deterministic shards (parallel,
+    spill-safe), the sweep adds |budgets| integer columns and a
+    |budgets| x |shards| rollup, never another pass over text.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).alias("shard"),
+        _ws_tokens(F.col("text")).alias("_t"),
+    )
+    cum = staged.select(
+        "shard",
+        "_t",
+        F.expr(
+            "sum(_t) OVER (PARTITION BY shard ORDER BY doc_id ASC "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - _t"
+        ).alias("_before"),
+    )
+    budgets = F.array(
+        *[F.lit(b).cast("long") for b in PACK_SWEEP_BUDGETS]
+    )
+    exploded = cum.select(
+        "shard",
+        "_t",
+        "_before",
+        F.explode(budgets).alias("budget"),
+    ).select(
+        "budget",
+        "shard",
+        "_t",
+        F.expr("_before div budget").alias("_bin"),
+    )
+    per_shard = exploded.groupBy("budget", "shard").agg(
+        (F.max("_bin") + 1).alias("_bins"),
+        F.sum("_t").alias("_tokens"),
+    )
+    return per_shard.groupBy("budget").agg(
+        F.sum("_bins").alias("n_bins"),
+        F.sum("_tokens").alias("n_tokens"),
+        (F.sum("_bins") * F.col("budget")).alias("capacity_tokens"),
+        F.expr(
+            "CASE WHEN sum(_bins) = 0 THEN NULL"
+            " ELSE (sum(_tokens) * 1000000) div (sum(_bins) * budget) END"
+        ).alias("fill_ppm"),
+    )
+
+
+PACK_SWEEP_SQL = f"""
+WITH staged AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         {_WS_TOKENS_SQL} AS _t
+  FROM documents
+),
+cum AS (
+  SELECT shard, _t,
+         CAST(sum(_t) OVER (PARTITION BY shard ORDER BY doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           - _t AS _before
+  FROM staged
+),
+exploded AS (
+  SELECT b.budget, shard, _t, _before // b.budget AS _bin
+  FROM cum,
+       (SELECT unnest([{", ".join(str(b) for b in PACK_SWEEP_BUDGETS)}])
+          AS budget) b
+),
+per_shard AS (
+  SELECT budget, shard,
+         CAST(max(_bin) + 1 AS BIGINT) AS _bins,
+         CAST(sum(_t) AS BIGINT) AS _tokens
+  FROM exploded GROUP BY budget, shard
+)
+SELECT CAST(budget AS BIGINT) AS budget,
+       CAST(sum(_bins) AS BIGINT) AS n_bins,
+       CAST(sum(_tokens) AS BIGINT) AS n_tokens,
+       CAST(sum(_bins) * budget AS BIGINT) AS capacity_tokens,
+       CASE WHEN sum(_bins) = 0 THEN NULL
+            ELSE CAST((sum(_tokens) * 1000000)
+                      // (sum(_bins) * budget) AS BIGINT)
+       END AS fill_ppm
+FROM per_shard GROUP BY budget
+"""
+
+
+# --- quantization-bits sweep (round-12 queue, built round 10) --------------
+
+QUANT_SWEEP_BITS = (8, 4, 2)
+
+
+def quantization_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much cosine geometry survives b-bit symmetric quantization
+    — the precision axis of the index-compression trade
+    (dim_truncation_recall covers the width axis, pq_codebook_stats
+    the codebook axis). Per bits b in {QUANT_SWEEP_BITS}: quantize
+    each embedding with embedding_quantize's exact rule at L =
+    2^(b-1)-1 levels (q_i = round(x_i / scale * L)), dequantize, and
+    report the per-vector cosine(original, dequantized) distribution
+    as integer ppm: mean (half-up int64 ratio of the quantized
+    per-vector cosines) and min (the worst vector — the one an ANN
+    index would misplace first).
+
+    Engine parity: the quantize expression is embedding_quantize's
+    (one division, one multiply, one round — identical text both
+    engines); dot products and norms are the explicit left-folds;
+    each per-vector cosine is quantized to int64 ppm BEFORE the
+    rollup, so mean and min are pure integer aggregates. Zero-norm
+    vectors are excluded from scoring on both engines (cosine
+    undefined).
+
+    Scale posture (100 TB): map-only per (vector, bits) — the
+    |bits|-row literal explode multiplies rows, not passes; the
+    rollup is |bits| rows. No shuffle carries an embedding.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    staged = emb.withColumn("_scale", scale).filter(F.col("_scale") > 0)
+    bits = spark.createDataFrame(
+        [(b, 2 ** (b - 1) - 1) for b in QUANT_SWEEP_BITS],
+        "bits BIGINT, levels BIGINT",
+    )
+    crossed = staged.crossJoin(F.broadcast(bits))
+    deq = F.transform(
+        F.col("v"),
+        lambda x: F.round(x / F.col("_scale") * F.col("levels"), 0)
+        / F.col("levels")
+        * F.col("_scale"),
+    )
+    scored = crossed.withColumn("_d", deq).select(
+        "bits",
+        (
+            F.aggregate(
+                F.zip_with(
+                    F.col("v"), F.col("_d"), lambda a, b: a * b
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            / F.nullif(
+                F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("v"), lambda a: a * a),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                )
+                * F.sqrt(
+                    F.aggregate(
+                        F.transform(F.col("_d"), lambda a: a * a),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                ),
+                F.lit(0.0),
+            )
+        ).alias("_cos"),
+    )
+    q = scored.select(
+        "bits",
+        F.round(F.col("_cos") * 1_000_000, 0).cast("long").alias("_cp"),
+    ).filter(F.col("_cp").isNotNull())
+    return q.groupBy("bits").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.expr(
+            "(2 * sum(_cp) + count(1)) div (2 * count(1))"
+        ).alias("mean_cos_ppm"),
+        F.min("_cp").alias("min_cos_ppm"),
+    )
+
+
+_QB_DOT = (
+    "list_reduce(list_prepend(0.0, "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x)"
+)
+
+QUANT_SWEEP_SQL = f"""
+WITH e AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+staged AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS _scale
+  FROM e
+),
+bits AS (
+  SELECT CAST(b.bits AS BIGINT) AS bits,
+         CAST(b.levels AS BIGINT) AS levels
+  FROM (VALUES {", ".join(f"({b}, {2 ** (b - 1) - 1})" for b in QUANT_SWEEP_BITS)})
+       b(bits, levels)
+),
+crossed AS (
+  SELECT bits, levels, vec_id, v, _scale,
+         list_transform(v, x -> round(x / _scale * levels, 0)
+                               / levels * _scale) AS _d
+  FROM staged, bits
+  WHERE _scale > 0
+),
+scored AS (
+  SELECT bits,
+         {_QB_DOT.format(a='v', b='_d')}
+           / nullif(sqrt({_QB_DOT.format(a='v', b='v')})
+                    * sqrt({_QB_DOT.format(a='_d', b='_d')}), 0.0) AS _cos
+  FROM crossed
+),
+q AS (
+  SELECT bits, CAST(round(_cos * 1000000, 0) AS BIGINT) AS _cp
+  FROM scored WHERE _cos IS NOT NULL
+)
+SELECT bits,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((2 * sum(_cp) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_cos_ppm,
+       CAST(min(_cp) AS BIGINT) AS min_cos_ppm
+FROM q GROUP BY bits
+"""
