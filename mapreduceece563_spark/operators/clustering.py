@@ -489,3 +489,118 @@ SELECT sub AS subspace, cid AS code, count(*) AS n_vectors,
              / {float(SCALE)}, 6) AS distortion
 FROM a2 GROUP BY sub, cid
 """
+
+
+# --- simplified silhouette (round-13 queue, built round 10) ----------------
+
+
+def silhouette_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per k-means cell — the
+    cluster-quality readout the k-means family lacked: kmeans_2iter
+    reports size and inertia (how tight), the silhouette reports how
+    SEPARATED each cell is from its nearest rival. Per vector,
+    s = 1 - d1/d2 with d1/d2 the Euclidean distances to the nearest
+    and second-nearest round-2 centroids (the simplified silhouette
+    of Hruschka et al. — O(nK) centroid distances instead of the
+    O(n^2) pairwise original, WHICH IS THE POINT at corpus scale).
+    s in [0, 1] here because d1 <= d2 by construction; s ~ 0 means
+    the vector sits on a cell boundary.
+
+    Engine parity: distances are the explicit left-fold + one sqrt
+    (correctly rounded); each s is quantized to int64 ppm before the
+    rollup (half-up integer mean); the d2 = 0 degenerate case
+    (coincident centroids) pins s = 0 on both engines.
+
+    Scale posture (100 TB): the K-row codebook is broadcast; the
+    per-vector top-2 window partitions by vec_id (bounded frames);
+    the rollup is K rows. No shuffle carries a vector except the
+    one argmin exchange kmeans itself already pays.
+    """
+    vecs = _vecs(spark, sf_dir)
+    c0 = vecs.filter(F.col("vec_id") < K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = _assign(vecs, c0)
+    c1 = _update(a1)
+    scored = vecs.crossJoin(F.broadcast(c1)).select(
+        "vec_id",
+        "cid",
+        F.sqrt(_sqdist(F.col("v"), F.col("c"))).alias("dist"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    top2 = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("cid"))).alias("cluster_id"),
+            F.max(F.when(F.col("rn") == 1, F.col("dist"))).alias("d1"),
+            F.max(F.when(F.col("rn") == 2, F.col("dist"))).alias("d2"),
+        )
+    )
+    s_ppm = F.when(F.col("d2") == 0, F.lit(0).cast("long")).otherwise(
+        F.round((F.lit(1.0) - F.col("d1") / F.col("d2")) * 1_000_000, 0)
+        .cast("long")
+    )
+    return (
+        top2.withColumn("_s", s_ppm)
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr(
+                "(2 * sum(_s) + count(1)) div (2 * count(1))"
+            ).alias("mean_silhouette_ppm"),
+            F.min("_s").alias("min_silhouette_ppm"),
+        )
+    )
+
+
+SILHOUETTE_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, v AS c FROM v WHERE vec_id < {K}),
+{_assign_sql('v', 'c0', 'a1').lstrip()},
+e1 AS (
+  SELECT cid, d.dim AS dim,
+         CAST(round(v[d.dim] * {SCALE}, 0) AS BIGINT) AS xs
+  FROM a1 CROSS JOIN (SELECT unnest(range(1, {DIM + 1})) AS dim) d
+),
+m1 AS (
+  SELECT cid, dim, (CAST(sum(xs) AS DOUBLE) / {SCALE}) / count(*) AS m
+  FROM e1 GROUP BY cid, dim
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+scored AS (
+  SELECT v.vec_id, c1.cid,
+         sqrt({_SQDIST_SQL.format(a='v.v', b='c1.c')}) AS dist
+  FROM v CROSS JOIN c1
+),
+top2 AS (
+  SELECT vec_id,
+         max(CASE WHEN rn = 1 THEN cid END) AS cluster_id,
+         max(CASE WHEN rn = 1 THEN dist END) AS d1,
+         max(CASE WHEN rn = 2 THEN dist END) AS d2
+  FROM (
+    SELECT vec_id, cid, dist,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cid) AS rn
+    FROM scored
+  ) WHERE rn <= 2
+  GROUP BY vec_id
+),
+sil AS (
+  SELECT cluster_id,
+         CASE WHEN d2 = 0 THEN CAST(0 AS BIGINT)
+              ELSE CAST(round((1.0 - d1 / d2) * 1000000, 0) AS BIGINT)
+         END AS _s
+  FROM top2
+)
+SELECT cluster_id,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST((2 * sum(_s) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_silhouette_ppm,
+       CAST(min(_s) AS BIGINT) AS min_silhouette_ppm
+FROM sil GROUP BY cluster_id
+"""

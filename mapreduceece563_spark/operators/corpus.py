@@ -1306,3 +1306,183 @@ def _token_weighted_sql() -> str:
 
 
 TOKEN_WEIGHTED_SQL = _token_weighted_sql()
+
+
+# --- Heaps' law fit (round-13 queue, built round 10) ------------------------
+
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law exponent per source: vocabulary grows as
+    V(N) ~ K * N^beta (natural text: beta ~ 0.4-0.6). A source whose
+    beta collapses toward 0 has stopped contributing new vocabulary
+    (template spam, logs); one near 1 is noise/IDs. The fit is the
+    per-source companion of zipf_slope_by_source — the two exponents
+    are the standard corpus-structure fingerprint.
+
+    Checkpointing without a per-document window: the ingest sequence
+    is sliced at {HEAPS_CHECKPOINTS} fixed doc_id cuts computed
+    arithmetically from each source's (min, max) doc_id — cut_k =
+    min + ((max - min + 1) * k) div {HEAPS_CHECKPOINTS} for k = 1..C
+    — so no ordered window ever runs over documents. A word's first
+    occurrence is min(doc_id) per (source, word) (one vocabulary-
+    granular groupBy); V_k counts first occurrences <= cut_k, N_k
+    sums per-doc token counts <= cut_k — both as conditional
+    aggregates over the checkpoint explode. beta is the Zipf-idiom
+    regression: ln V and ln N quantized to int64 micro-nats,
+    integer normal equations, one correctly-rounded float division.
+    Checkpoints with V = 0 are excluded (empty prefix, ln undefined)
+    identically on both engines; NULL beta when fewer than two
+    distinct x values survive.
+
+    Scale posture (100 TB): one (source, word) groupBy (vocabulary
+    frame), one per-doc token-count frame, each exploded by the
+    C-row literal checkpoint spine and collapsed map-side. Nothing
+    sorts documents.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    words = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", words_array(F.col("text")).alias("_ws"))
+        .select(
+            "doc_id",
+            "source",
+            F.explode("_ws").alias("word"),
+        )
+    )
+    bounds = docs.groupBy("source").agg(
+        F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")
+    )
+    ks = F.sequence(F.lit(1), F.lit(HEAPS_CHECKPOINTS))
+    cuts = bounds.select(
+        "source",
+        "_lo",
+        "_hi",
+        F.explode(ks).alias("k"),
+    ).select(
+        "source",
+        "k",
+        F.expr(
+            f"_lo + ((_hi - _lo + 1) * k) div {HEAPS_CHECKPOINTS}"
+        ).alias("cut"),
+    )
+    first_occ = words.groupBy("source", "word").agg(
+        F.min("doc_id").alias("_first")
+    )
+    vocab_k = (
+        first_occ.join(cuts, "source")
+        .filter(F.col("_first") < F.col("cut"))
+        .groupBy("source", "k")
+        .agg(F.count(F.lit(1)).alias("v"))
+    )
+    doc_tokens = words.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    tokens_k = (
+        doc_tokens.join(cuts, "source")
+        .filter(F.col("doc_id") < F.col("cut"))
+        .groupBy("source", "k")
+        .agg(F.sum("_t").alias("n"))
+    )
+    pts = (
+        vocab_k.join(tokens_k, ["source", "k"])
+        .filter((F.col("v") > 0) & (F.col("n") > 0))
+        .select(
+            "source",
+            F.round(F.log(F.col("n").cast("double")) * 1_000_000, 0)
+            .cast("long")
+            .alias("x"),
+            F.round(F.log(F.col("v").cast("double")) * 1_000_000, 0)
+            .cast("long")
+            .alias("y"),
+        )
+    )
+    agg = pts.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_checkpoints"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n_checkpoints") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n_checkpoints") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "source",
+        "n_checkpoints",
+        F.when(den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.round(
+                num.cast("double") / den.cast("double") * 1_000_000, 0
+            ).cast("long")
+        )
+        .alias("heaps_beta_micro"),
+    )
+
+
+HEAPS_LAW_SQL = f"""
+WITH {{words_cte}},
+wsrc AS (
+  SELECT w.doc_id, d.source, unnest(w.words) AS word
+  FROM w JOIN documents d USING (doc_id)
+),
+bounds AS (
+  SELECT source, min(doc_id) AS _lo, max(doc_id) AS _hi
+  FROM documents GROUP BY source
+),
+cuts AS (
+  SELECT source, k.k AS k,
+         _lo + ((_hi - _lo + 1) * k.k) // {HEAPS_CHECKPOINTS} AS cut
+  FROM bounds,
+       (SELECT unnest(range(1, {HEAPS_CHECKPOINTS + 1})) AS k) k
+),
+first_occ AS (
+  SELECT source, word, min(doc_id) AS _first
+  FROM wsrc GROUP BY source, word
+),
+vocab_k AS (
+  SELECT f.source, c.k, CAST(count(*) AS BIGINT) AS v
+  FROM first_occ f JOIN cuts c USING (source)
+  WHERE f._first < c.cut
+  GROUP BY f.source, c.k
+),
+doc_tokens AS (
+  SELECT source, doc_id, CAST(count(*) AS BIGINT) AS _t
+  FROM wsrc GROUP BY source, doc_id
+),
+tokens_k AS (
+  SELECT t.source, c.k, CAST(sum(t._t) AS BIGINT) AS n
+  FROM doc_tokens t JOIN cuts c USING (source)
+  WHERE t.doc_id < c.cut
+  GROUP BY t.source, c.k
+),
+pts AS (
+  SELECT v.source,
+         CAST(round(ln(CAST(t.n AS DOUBLE)) * 1000000, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(v.v AS DOUBLE)) * 1000000, 0) AS BIGINT) AS y
+  FROM vocab_k v JOIN tokens_k t ON v.source = t.source AND v.k = t.k
+  WHERE v.v > 0 AND t.n > 0
+),
+agg AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_checkpoints,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy,
+         CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source, n_checkpoints,
+       CASE WHEN n_checkpoints * sxx - sx * sx = 0 THEN NULL
+            ELSE CAST(round(
+              CAST(n_checkpoints * sxy - sx * sy AS DOUBLE)
+              / CAST(n_checkpoints * sxx - sx * sx AS DOUBLE)
+              * 1000000, 0) AS BIGINT)
+       END AS heaps_beta_micro
+FROM agg
+"""
+
+
+def _heaps_law_sql() -> str:
+    return HEAPS_LAW_SQL.format(words_cte=_words_cte().lstrip())
+
+
+HEAPS_LAW_ORACLE = _heaps_law_sql()

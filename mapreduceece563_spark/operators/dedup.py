@@ -2494,3 +2494,61 @@ SELECT group_leader,
          AS chars_removed
 FROM ranked GROUP BY group_leader
 """
+
+
+# --- cross-source duplicate matrix (round-13 queue, built round 10) --------
+
+
+def cross_source_duplicate_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which deliveries overlap: for every source pair (a < b), how
+    many DISTINCT texts appear in both — the matrix a curation team
+    reads before deciding which feed to drop (dedup_rate_by_source
+    says how much each source repeats ITSELF; this says who repeats
+    WHOM). Also counts each pair's shared duplicate MASS (total doc
+    copies of the shared texts across both sources).
+
+    Digest-only like the whole exact family: texts collapse to md5
+    map-side, one (digest, source) distinct frame joins itself on
+    the digest — fan-out per digest is bounded by |sources|^2 (20
+    sources -> <= 190 pairs per digest), never by copies, because
+    the frame is distinct-per-(digest, source) with per-cell copy
+    counts carried as weights.
+
+    Scale posture (100 TB): one groupBy(digest, source) collapses
+    the corpus map-side; the self-join runs on the 32-byte digest
+    key over the distinct frame; output is bounded by |sources|^2.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    cells = (
+        docs.select("source", F.md5(F.col("text").cast("binary")).alias("_k"))
+        .groupBy("_k", "source")
+        .agg(F.count(F.lit(1)).alias("copies"))
+    )
+    a = cells.select(
+        F.col("_k"),
+        F.col("source").alias("source_a"),
+        F.col("copies").alias("_ca"),
+    )
+    b = cells.select(
+        F.col("_k"),
+        F.col("source").alias("source_b"),
+        F.col("copies").alias("_cb"),
+    )
+    pairs = a.join(b, "_k").filter(F.col("source_a") < F.col("source_b"))
+    return pairs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("n_shared_texts"),
+        F.sum(F.col("_ca") + F.col("_cb")).alias("n_shared_copies"),
+    )
+
+
+CROSS_SOURCE_DUP_SQL = """
+WITH cells AS (
+  SELECT md5(text) AS _k, source, CAST(count(*) AS BIGINT) AS copies
+  FROM documents GROUP BY md5(text), source
+)
+SELECT a.source AS source_a, b.source AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_texts,
+       CAST(sum(a.copies + b.copies) AS BIGINT) AS n_shared_copies
+FROM cells a JOIN cells b ON a._k = b._k AND a.source < b.source
+GROUP BY a.source, b.source
+"""

@@ -911,3 +911,127 @@ SELECT event_type,
        CAST(st.alarms AS BIGINT) AS n_alarms
 FROM folded
 """
+
+
+# --- burstiness / Fano factor (round-13 queue, built round 10) --------------
+
+
+def burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index of dispersion (Fano factor) of the gap-filled hourly
+    count series, per event type: F = sample_variance / mean. A
+    Poisson arrival process has F = 1; F >> 1 is bursty traffic
+    (flash crowds, retry storms), F << 1 is a rate-limited or
+    scheduled feed. The dispersion member of the monitoring family
+    (ACF measures memory, EWMA tracks level, KS/PSI compare epochs;
+    Fano classifies the arrival PROCESS).
+
+    INTEGER-exact end to end: with S = sum(y), Q = sum(y^2), n hours,
+    sample variance = (n*Q - S^2) / (n*(n-1)) and mean = S/n, so
+    F = (n*Q - S^2) / ((n-1) * S) — a single ratio of int64 products
+    (n*Q <= 8.8e3 * (1e12)^2 would overflow, so both engines compute
+    the two products in DECIMAL(38,0)/HUGEINT and the exported
+    fano_milli = 1000 * num div den is the exact floored ratio).
+    The overdispersed flag is the pure integer comparison num > den.
+    NULL when n < 2 or S = 0.
+
+    Scale posture (100 TB): identical to hourly_autocorrelation —
+    one map-side-partial (type, hour) groupBy, a generated hour
+    spine off broadcast bounds, a one-row-per-type rollup. Nothing
+    touches events twice.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))).alias(
+            "_h"
+        ),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    agg = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_q"),
+    )
+    num = F.expr(
+        "CAST(n_hours AS DECIMAL(38,0)) * _q"
+        " - CAST(_s AS DECIMAL(38,0)) * _s"
+    )
+    den = F.expr("CAST(n_hours - 1 AS DECIMAL(38,0)) * _s")
+    return agg.select(
+        "event_type",
+        "n_hours",
+        F.col("_s").alias("n_events"),
+        F.when(
+            (F.col("n_hours") < 2) | (F.col("_s") == 0),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "CAST((1000 * (CAST(n_hours AS DECIMAL(38,0)) * _q"
+                " - CAST(_s AS DECIMAL(38,0)) * _s))"
+                " div (CAST(n_hours - 1 AS DECIMAL(38,0)) * _s)"
+                " AS BIGINT)"
+            )
+        )
+        .alias("fano_milli"),
+        F.when(
+            (F.col("n_hours") < 2) | (F.col("_s") == 0),
+            F.lit(None).cast("boolean"),
+        )
+        .otherwise(num > den)
+        .alias("overdispersed"),
+    )
+
+
+BURSTINESS_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, COALESCE(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c._h = s._h
+),
+agg AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS n_hours,
+         CAST(sum(_y) AS BIGINT) AS _s,
+         CAST(sum(_y * _y) AS BIGINT) AS _q
+  FROM filled GROUP BY event_type
+)
+SELECT event_type, n_hours, _s AS n_events,
+       CASE WHEN n_hours < 2 OR _s = 0 THEN NULL
+            ELSE CAST((1000 * (CAST(n_hours AS HUGEINT) * _q
+                               - CAST(_s AS HUGEINT) * _s))
+                      // (CAST(n_hours - 1 AS HUGEINT) * _s) AS BIGINT)
+       END AS fano_milli,
+       CASE WHEN n_hours < 2 OR _s = 0 THEN NULL
+            ELSE CAST(n_hours AS HUGEINT) * _q
+                 - CAST(_s AS HUGEINT) * _s
+                 > CAST(n_hours - 1 AS HUGEINT) * _s
+       END AS overdispersed
+FROM agg
+"""
