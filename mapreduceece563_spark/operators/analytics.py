@@ -2594,6 +2594,14 @@ def psi_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(1 - F.col("is_b")).alias("ref_n"),
         F.sum("is_b").alias("cur_n"),
     )
+    return _psi_from_cells(cells)
+
+
+def _psi_from_cells(cells: DataFrame) -> DataFrame:
+    """PSI rollup from a (event_type, bin, ref_n, cur_n) cell frame —
+    shared by the batch entry above and the streaming monitor
+    (streaming/psi_stream.py), so the two can never drift apart in
+    arithmetic."""
     totals = cells.groupBy("event_type").agg(
         F.sum("ref_n").alias("ref_total"),
         F.sum("cur_n").alias("cur_total"),

@@ -312,3 +312,115 @@ SELECT q_start, count(*) AS n_allocations,
        sum(alloc_c) / 100.0 AS revenue
 FROM alloc GROUP BY q_start
 """
+
+
+# --- customer value concentration (round-14 queue, built round 10) ----------
+
+
+def customer_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime order value within each
+    market segment — the revenue-concentration audit next to the RFM
+    segmentation: a segment whose revenue is carried by a few whale
+    accounts (gini -> 1) needs different retention/churn treatment
+    than one with even spend, even at identical totals. The
+    token_gini_by_source identity, applied to money.
+
+    INTEGER-exact at histogram granularity: per-customer lifetime
+    cents (one exact groupBy), then per (segment, cents) counts, the
+    cumulative window over DISTINCT lifetime values only, the tied-
+    group identity tok*(2*c*m + c*(c+1)) for twice the rank-weighted
+    sum, and gini_ppm = (w2 - (n+1)*s) * 1e6 div (n*s) in
+    DECIMAL(38,0)/HUGEINT on both engines.
+
+    Scale posture (100 TB): one groupBy(custkey) collapses orders
+    map-side to customer lifetime values, one groupBy(segment, cents)
+    collapses those to the value histogram, the window slides over
+    distinct values per segment, and the rollup is |segments| rows.
+    """
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(round(o_totalprice * 100, 0) AS BIGINT)").alias("_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    ltv = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum("_c").alias("_v"))
+        .join(cust, "o_custkey")
+    )
+    per_val = ltv.groupBy("segment", "_v").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = (
+        Window.partitionBy("segment")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_val.select(
+        "segment",
+        "_v",
+        "_cnt",
+        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_m"),
+    )
+    return (
+        stepped.groupBy("segment")
+        .agg(
+            F.sum("_cnt").alias("n_customers"),
+            F.sum(F.col("_v") * F.col("_cnt")).alias("total_cents"),
+            F.sum(
+                F.expr(
+                    "CAST(_v AS DECIMAL(38,0))"
+                    " * (2 * _cnt * _m + _cnt * (_cnt + 1))"
+                )
+            ).alias("_w2"),
+        )
+        .select(
+            "segment",
+            "n_customers",
+            "total_cents",
+            F.expr(
+                "CAST((_w2 - (CAST(n_customers AS DECIMAL(38,0)) + 1)"
+                " * total_cents) * 1000000 div"
+                " greatest(CAST(n_customers AS DECIMAL(38,0))"
+                " * total_cents, 1) AS BIGINT)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+CUSTOMER_VALUE_GINI_SQL = """
+WITH ltv AS (
+  SELECT c.c_mktsegment AS segment,
+         CAST(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT))
+              AS BIGINT) AS _v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY o.o_custkey, c.c_mktsegment
+),
+per_val AS (
+  SELECT segment, _v, CAST(count(*) AS BIGINT) AS _cnt
+  FROM ltv GROUP BY segment, _v
+),
+stepped AS (
+  SELECT segment, _v, _cnt,
+         COALESCE(CAST(sum(_cnt) OVER (PARTITION BY segment ORDER BY _v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+           0) AS _m
+  FROM per_val
+),
+agg AS (
+  SELECT segment,
+         CAST(sum(_cnt) AS BIGINT) AS n_customers,
+         CAST(sum(_v * _cnt) AS BIGINT) AS total_cents,
+         sum(CAST(_v AS HUGEINT) * (2 * _cnt * _m + _cnt * (_cnt + 1)))
+           AS _w2
+  FROM stepped GROUP BY segment
+)
+SELECT segment, n_customers, total_cents,
+       CAST((_w2 - (CAST(n_customers AS HUGEINT) + 1) * total_cents)
+            * 1000000
+            // greatest(CAST(n_customers AS HUGEINT) * total_cents, 1)
+            AS BIGINT) AS gini_ppm
+FROM agg
+"""

@@ -1229,3 +1229,125 @@ GROUP BY t.from_type
 
 
 MARKOV_ACCURACY_SQL = _markov_sql()
+
+
+# --- sequence entropy rate (round-14 queue, built round 10) -----------------
+
+
+def event_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional entropy H(next | current) of the first-order event
+    chain, per from_type, plus the unconditional next-event entropy —
+    the information-theoretic ceiling on what ANY next-event
+    predictor can achieve (markov_next_event_accuracy measures one
+    predictor; this measures the problem: accuracy can't beat the
+    chain's determinism). Reported in milli-nats: H_row =
+    -sum_j p_j ln p_j over the row's transition distribution, and
+    predictability = 1 - H_row/ln(|types|) as ppm (1e6 = a
+    deterministic row, 0 = uniform).
+
+    Engine parity: transition counts are exact int64 off ONE lead()
+    window per user sequence (the event_transition_matrix shape);
+    each -p ln p term is computed in correctly-rounded float64 from
+    exact integer ratios and quantized to milli-nats BEFORE the row
+    sum (the bigram_pmi idiom), so the exported integers match.
+    The normalizer ln(|types|) uses the OBSERVED to_type cardinality
+    (a broadcast 1-row aggregate), identically on both engines;
+    rows with a single observed destination pin H = 0 exactly.
+
+    Scale posture (100 TB): one partition-bounded lead() per user,
+    one (from, to) groupBy collapsing map-side to <= |types|^2
+    cells; everything after runs on the cell frame.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("to_type", F.lead("event_type").over(seq))
+        .filter(F.col("to_type").isNotNull())
+        .select(F.col("event_type").alias("from_type"), "to_type")
+    )
+    cells = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    row_tot = cells.groupBy("from_type").agg(
+        F.sum("n").alias("row_n"), F.count(F.lit(1)).alias("n_dests")
+    )
+    n_types = cells.select("to_type").distinct().agg(
+        F.count(F.lit(1)).alias("n_types")
+    )
+    term = F.round(
+        -(F.col("n") / F.col("row_n").cast("double"))
+        * F.log(F.col("n") / F.col("row_n").cast("double"))
+        * 1000,
+        0,
+    ).cast("long")
+    rows = (
+        cells.join(row_tot, "from_type")
+        .withColumn("_t", term)
+        .groupBy("from_type")
+        .agg(
+            F.max("row_n").alias("n_transitions"),
+            F.max("n_dests").alias("n_destinations"),
+            F.sum("_t").alias("h_millinat"),
+        )
+    )
+    return rows.crossJoin(F.broadcast(n_types)).select(
+        "from_type",
+        "n_transitions",
+        "n_destinations",
+        "h_millinat",
+        F.when(F.col("n_types") < 2, F.lit(None).cast("long"))
+        .otherwise(
+            F.lit(1_000_000)
+            - F.round(
+                F.col("h_millinat")
+                / (F.log(F.col("n_types").cast("double")) * 1000)
+                * 1_000_000,
+                0,
+            ).cast("long")
+        )
+        .alias("predictability_ppm"),
+    )
+
+
+EVENT_ENTROPY_SQL = """
+WITH seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS to_type
+  FROM events
+),
+cells AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY from_type, to_type
+),
+row_tot AS (
+  SELECT from_type, CAST(sum(n) AS BIGINT) AS row_n,
+         CAST(count(*) AS BIGINT) AS n_dests
+  FROM cells GROUP BY from_type
+),
+nt AS (SELECT CAST(count(DISTINCT to_type) AS BIGINT) AS n_types FROM cells),
+terms AS (
+  SELECT c.from_type, r.row_n, r.n_dests,
+         CAST(round(
+           -(c.n / CAST(r.row_n AS DOUBLE))
+           * ln(c.n / CAST(r.row_n AS DOUBLE)) * 1000, 0) AS BIGINT) AS _t
+  FROM cells c JOIN row_tot r USING (from_type)
+),
+rows_h AS (
+  SELECT from_type,
+         max(row_n) AS n_transitions,
+         max(n_dests) AS n_destinations,
+         CAST(sum(_t) AS BIGINT) AS h_millinat
+  FROM terms GROUP BY from_type
+)
+SELECT from_type, n_transitions, n_destinations, h_millinat,
+       CASE WHEN nt.n_types < 2 THEN NULL
+            ELSE 1000000 - CAST(round(
+              h_millinat / (ln(CAST(nt.n_types AS DOUBLE)) * 1000)
+              * 1000000, 0) AS BIGINT)
+       END AS predictability_ppm
+FROM rows_h, nt
+"""

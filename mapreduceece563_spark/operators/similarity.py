@@ -2303,3 +2303,70 @@ CROSS JOIN nq
 LEFT JOIN hits h ON h.dim = d.dim
 WHERE nq.n_queries > 0
 """
+
+
+# --- MRR@k for the IVF tuning loop (round-14 queue, built round 10) --------
+
+
+def mrr_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank of the first TRUE neighbor in the IVF
+    result list, per probe budget — the third leg of the ANN rank
+    tripod: recall@k (did the true neighbors make the list), NDCG@k
+    (are they near the top, graded), MRR@k (how far does the reader
+    scroll before the FIRST correct answer — the metric that matches
+    single-answer retrieval UX). An nprobe can hold NDCG while the
+    first hit slips from rank 1 to rank 3; MRR catches exactly that.
+
+    Integer-exact past the (oracle-reproduced) cosine ordering:
+    per (nprobe, query), first_rk = min rank of a ground-truth hit;
+    rr = 1e6 div first_rk (floored ppm reciprocal); mean_rr_ppm =
+    sum(rr) div N_QUERIES over the FIXED panel, so a query with no
+    hit in the list contributes 0 rather than shrinking the
+    denominator.
+
+    Scale posture (100 TB): the shared _ivf_tuning_frames scaffold
+    (probed cells only; per-nprobe expansion on the cell ranking)
+    plus one broadcast-sized hit join and a per-(nprobe, query)
+    min — bounded by the k-row result lists, never the corpus.
+    """
+    gt, ann, nprobes = _ivf_tuning_frames(spark, sf_dir)
+    firsts = (
+        ann.join(gt, ["query_id", "neighbor_id"])
+        .groupBy("nprobe", "query_id")
+        .agg(F.min("_rk").alias("first_rk"))
+    )
+    rrs = firsts.groupBy("nprobe").agg(
+        F.count(F.lit(1)).alias("n_queries_hit"),
+        F.sum(F.expr("1000000 div first_rk")).alias("_rr"),
+    )
+    return nprobes.join(F.broadcast(rrs), "nprobe", "left").select(
+        "nprobe",
+        F.coalesce("n_queries_hit", F.lit(0).cast("long")).alias(
+            "n_queries_hit"
+        ),
+        F.expr(f"coalesce(_rr, 0) div {N_QUERIES}").alias("mean_rr_ppm"),
+    )
+
+
+_ANN_PREFIX_SQL = ANN_RANK_QUALITY_SQL.split(",\nhits AS (")[0]
+
+MRR_AT_K_SQL = (
+    _ANN_PREFIX_SQL
+    + f""",
+firsts AS (
+  SELECT a.nprobe, a.query_id, min(a._rk) AS first_rk
+  FROM ann a JOIN gt g
+    ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+  GROUP BY a.nprobe, a.query_id
+),
+rrs AS (
+  SELECT nprobe, CAST(count(*) AS BIGINT) AS n_queries_hit,
+         CAST(sum(1000000 // first_rk) AS BIGINT) AS _rr
+  FROM firsts GROUP BY nprobe
+)
+SELECT p.nprobe,
+       COALESCE(r.n_queries_hit, 0) AS n_queries_hit,
+       CAST(COALESCE(r._rr, 0) // {N_QUERIES} AS BIGINT) AS mean_rr_ppm
+FROM probes p LEFT JOIN rrs r ON p.nprobe = r.nprobe
+"""
+)

@@ -51,6 +51,9 @@ def reset() -> None:
     upsert_stream.reset_upsert()
     enrich_stream.reset_enrich()
     outer_join_stream.reset_outer_join()
+    from . import psi_stream
+
+    psi_stream.reset_psi_stream()
     from ..sources import chunktext
 
     chunktext.reset_stream_wc()
@@ -72,10 +75,20 @@ def drain_round7_streams(spark: SparkSession, sf_dir: str) -> None:
     streaming signal is unchanged, only the wall-clock overlap is
     new. reset() clears the same memos it always did, so bench.py
     still re-measures a real (now concurrent) drain per pass."""
-    from . import enrich_stream, join_stream, outer_join_stream, windowed_stream
+    from . import (
+        enrich_stream,
+        join_stream,
+        outer_join_stream,
+        psi_stream,
+        windowed_stream,
+    )
 
     key = (spark.sparkContext.applicationId, sf_dir)
     starters = []
+    # the pool grew in round 10: the PSI monitor drains concurrently
+    # with the four round-7 entries (same memo/reset discipline)
+    if key not in psi_stream._PSI_CACHE:
+        starters.append((psi_stream._start_psi, psi_stream._PSI_CACHE))
     if key not in enrich_stream._ENRICH_CACHE:
         starters.append((enrich_stream._start_enrich, enrich_stream._ENRICH_CACHE))
     if key not in windowed_stream._SLIDING_CACHE:
