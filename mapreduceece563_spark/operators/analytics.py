@@ -2818,3 +2818,125 @@ SELECT segment,
        END AS trimmed_mean_cents
 FROM scored GROUP BY segment
 """
+
+
+# --- multi-model attribution compare (round-15 queue, built round 10) -------
+
+ATTRIB_WINDOW_MIN = 1440  # 24 h: the cross-session consideration window
+ATTRIB_POS_CAP = 5  # positions 5+ share a bucket
+
+
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch vs linear attribution over the SAME
+    (purchase, preceding-views-within-24h) touch sets, in one pass
+    — the comparison a marketing-analytics migration actually runs
+    before switching models (purchase_attribution ships one model;
+    arguing about models needs them side by side on identical
+    touches). Output: per (model, touch position bucket), touches
+    and credited micro-conversions; positions cap at
+    {ATTRIB_POS_CAP}+ so the frame is bounded.
+
+    INTEGER-exact credit: each converting purchase distributes
+    exactly 1e6 micro-credits under every model. Linear uses the
+    telescoping split credit_i = floor(1e6*i/n) - floor(1e6*(i-1)/n)
+    — deterministic, sums to exactly 1e6 regardless of n, no
+    largest-remainder tie rules to diverge on. First/last are
+    1e6 at position 1 / n. The per-model totals equaling
+    n_converting_purchases * 1e6 is a driver-hash-pinned invariant.
+
+    Scale posture (100 TB): the interval join shuffles once per side
+    on user_id (the stream-stream join's batch shape); the position
+    window partitions by purchase (frames bounded by touches within
+    a 24-hour window, never corpus-sized); models are an explode
+    of a 3-struct literal; the rollup is <= 3 * {ATTRIB_POS_CAP}
+    rows.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.unix_micros("ts").alias("p_us"),
+        F.col("event_id").alias("p_id"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.unix_micros("ts").alias("v_us"),
+        F.col("event_id").alias("v_id"),
+    )
+    # precomputed in Python: a literal*literal product in SQL text
+    # constant-folds in INT32 on both engines (the round-9 gotcha)
+    win_us = ATTRIB_WINDOW_MIN * 60 * 1_000_000
+    touches = p.join(
+        v,
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_us") >= F.col("p_us") - F.lit(win_us))
+        & (F.col("v_us") <= F.col("p_us")),
+    ).select("p_id", "v_us", "v_id")
+    w = Window.partitionBy("p_id").orderBy("v_us", "v_id")
+    wn = Window.partitionBy("p_id")
+    ranked = touches.select(
+        "p_id",
+        F.row_number().over(w).alias("pos"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    lin = F.expr("(1000000 * pos) div n - (1000000 * (pos - 1)) div n")
+    first = F.when(F.col("pos") == 1, 1_000_000).otherwise(0).cast("long")
+    last = F.when(F.col("pos") == F.col("n"), 1_000_000).otherwise(0).cast(
+        "long"
+    )
+    models = F.array(
+        F.struct(F.lit("first_touch").alias("model"), first.alias("credit")),
+        F.struct(F.lit("last_touch").alias("model"), last.alias("credit")),
+        F.struct(F.lit("linear").alias("model"), lin.alias("credit")),
+    )
+    exploded = ranked.select(
+        F.least(F.col("pos"), F.lit(ATTRIB_POS_CAP)).alias("position"),
+        F.explode(models).alias("m"),
+    ).select("position", F.col("m.model").alias("model"), F.col("m.credit"))
+    return exploded.groupBy("model", "position").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.sum("credit").alias("credit_micro"),
+    )
+
+
+ATTRIBUTION_COMPARE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type FROM events
+),
+p AS (SELECT user_id, us AS p_us, event_id AS p_id FROM ev
+      WHERE event_type = 'purchase'),
+v AS (SELECT user_id, us AS v_us, event_id AS v_id FROM ev
+      WHERE event_type = 'view'),
+touches AS (
+  SELECT p.p_id, v.v_us, v.v_id
+  FROM p JOIN v ON v.user_id = p.user_id
+   AND v.v_us >= p.p_us - {ATTRIB_WINDOW_MIN * 60 * 1_000_000}
+   AND v.v_us <= p.p_us
+),
+ranked AS (
+  SELECT p_id,
+         row_number() OVER (PARTITION BY p_id ORDER BY v_us, v_id) AS pos,
+         count(*) OVER (PARTITION BY p_id) AS n
+  FROM touches
+),
+exploded AS (
+  SELECT least(pos, {ATTRIB_POS_CAP}) AS position, m.model,
+         CASE m.model
+           WHEN 'first_touch' THEN CASE WHEN pos = 1
+                                        THEN CAST(1000000 AS BIGINT)
+                                        ELSE 0 END
+           WHEN 'last_touch' THEN CASE WHEN pos = n
+                                       THEN CAST(1000000 AS BIGINT)
+                                       ELSE 0 END
+           ELSE CAST((1000000 * pos) // n
+                     - (1000000 * (pos - 1)) // n AS BIGINT)
+         END AS credit
+  FROM ranked,
+       (SELECT unnest(['first_touch', 'last_touch', 'linear']) AS model) m
+)
+SELECT model, CAST(position AS BIGINT) AS position,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       CAST(sum(credit) AS BIGINT) AS credit_micro
+FROM exploded GROUP BY model, position
+"""

@@ -2552,3 +2552,49 @@ SELECT a.source AS source_a, b.source AS source_b,
 FROM cells a JOIN cells b ON a._k = b._k AND a.source < b.source
 GROUP BY a.source, b.source
 """
+
+
+# --- cluster-size census (round-15 queue, built round 10) -------------------
+
+
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size distribution of the near-dup clusters — the census read
+    BEFORE acting on dedup output: a healthy corpus shows a long
+    tail of pairs and triples; a mega-cluster means the threshold
+    (or the banding) collapsed unrelated docs and the canonical pick
+    (dedup_canonical_pick) would delete real content. Per cluster
+    size: how many clusters, how many docs they hold, and how many
+    docs the keep-one policy would remove — the roll-up that turns
+    neardup_transitivity_audit's warning into a quantified blast
+    radius.
+
+    Scale posture (100 TB): rides dedup_groups' connected components;
+    the census is two tiny groupBys on the (doc, leader) frame
+    (cluster sizes, then size frequencies) — output bounded by the
+    distinct cluster sizes.
+    """
+    labels = dedup_groups(spark, sf_dir)
+    sizes = labels.groupBy("group_leader").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * F.col("cluster_size")).alias("n_docs"),
+        (
+            F.count(F.lit(1)) * (F.col("cluster_size") - 1)
+        ).alias("n_docs_removable"),
+    )
+
+
+DEDUP_CLUSTER_SIZE_SQL = f"""
+WITH cc AS ({DEDUP_GROUPS_SQL}),
+sizes AS (
+  SELECT group_leader, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM cc GROUP BY group_leader
+)
+SELECT cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+       CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_docs_removable
+FROM sizes GROUP BY cluster_size
+"""

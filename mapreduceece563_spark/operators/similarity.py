@@ -2370,3 +2370,115 @@ SELECT p.nprobe,
 FROM probes p LEFT JOIN rrs r ON p.nprobe = r.nprobe
 """
 )
+
+
+# --- embedding anisotropy (round-15 queue, built round 10) ------------------
+
+
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding cloud: the squared norm of the
+    mean UNIT vector, ||mean(v/||v||)||^2 in [0, 1] — equivalently
+    the expected cosine between two random vectors. Isotropic
+    embeddings score ~1/n; a large value means every vector shares a
+    common direction (the classic contextual-embedding pathology),
+    which silently inflates every cosine the ANN stack serves —
+    this is the one-number audit run before trusting cosine
+    thresholds (embedding_similar_pairs' tau, semdedup's cutoff).
+
+    Integer-exact: each unit vector's components are quantized to
+    micro units (round(u*1e6), after the fold-based norm and one
+    correctly-rounded division — identical on both engines);
+    per-dimension sums S_d are exact int64; anisotropy_ppm =
+    (1e6 * sum_d S_d^2) div (n^2 * 1e12) evaluated in
+    DECIMAL(38,0)/HUGEINT (headroom: n ~ 1e9 vectors keeps
+    sum_d S_d^2 ~ 64 * 1e30 inside 38 digits). Zero-norm vectors are
+    excluded identically on both engines. Also reports the dominant
+    dimension (argmax |S_d|, ties to the lower index) — where the
+    common direction points.
+
+    Scale posture (100 TB): map-only normalize + quantize, one
+    posexplode into a d-row aggregate (map-side partials carry 64
+    cells per task), a 1-row finish. No joins, no windows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
+    units = (
+        emb.withColumn("_n", nrm)
+        .filter(F.col("_n") > 0)
+        .select(
+            F.transform(
+                F.col("v"),
+                lambda x: F.round(x / F.col("_n") * 1_000_000, 0).cast(
+                    "long"
+                ),
+            ).alias("u")
+        )
+    )
+    sums = (
+        units.select(F.posexplode("u").alias("d", "x"))
+        .groupBy(F.col("d").cast("long").alias("d"))
+        .agg(F.sum("x").alias("s"))
+    )
+    n_frame = units.agg(F.count(F.lit(1)).alias("n_vectors"))
+    agg = sums.agg(
+        F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("_ss"),
+        F.max(F.struct(F.abs("s").alias("a"), (-F.col("d")).alias("nd"))).alias(
+            "_mx"
+        ),
+    )
+    return agg.crossJoin(F.broadcast(n_frame)).select(
+        "n_vectors",
+        F.when(F.col("n_vectors") == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                "CAST((1000000 * _ss) div"
+                " (CAST(n_vectors AS DECIMAL(38,0)) * n_vectors"
+                "  * 1000000000000) AS BIGINT)"
+            )
+        )
+        .alias("anisotropy_ppm"),
+        (-F.col("_mx.nd")).cast("long").alias("dominant_dim"),
+        F.col("_mx.a").cast("long").alias("dominant_abs_sum"),
+    )
+
+
+EMBEDDING_ANISOTROPY_SQL = """
+WITH e AS (
+  SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+normed AS (
+  SELECT v,
+         sqrt(list_reduce(list_prepend(0.0,
+           list_transform(list_zip(v, v), p -> p[1] * p[2])),
+           (acc, x) -> acc + x)) AS _n
+  FROM e
+),
+units AS (
+  SELECT list_transform(v, x -> CAST(round(x / _n * 1000000, 0)
+                                     AS BIGINT)) AS u
+  FROM normed WHERE _n > 0
+),
+sums AS (
+  SELECT CAST(d.d AS BIGINT) AS d, CAST(sum(u[d.d + 1]) AS BIGINT) AS s
+  FROM units, (SELECT unnest(range(0, 64)) AS d) d
+  GROUP BY d.d
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n_vectors FROM units),
+agg AS (
+  SELECT sum(CAST(s AS HUGEINT) * s) AS _ss,
+         max(struct_pack(a := abs(s), nd := -d)) AS _mx
+  FROM sums
+)
+SELECT nn.n_vectors,
+       CASE WHEN nn.n_vectors = 0 THEN NULL
+            ELSE CAST((1000000 * agg._ss)
+                      // (CAST(nn.n_vectors AS HUGEINT) * nn.n_vectors
+                          * 1000000000000) AS BIGINT)
+       END AS anisotropy_ppm,
+       CAST(-agg._mx.nd AS BIGINT) AS dominant_dim,
+       CAST(agg._mx.a AS BIGINT) AS dominant_abs_sum
+FROM agg, nn
+"""

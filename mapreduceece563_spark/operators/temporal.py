@@ -1035,3 +1035,157 @@ SELECT event_type, n_hours, _s AS n_events,
        END AS overdispersed
 FROM agg
 """
+
+
+# --- seasonality strength (round-15 queue, built round 10) ------------------
+
+
+def seasonality_strength_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much of the hourly-count variance does the hour-of-day
+    profile explain — eta-squared (the one-way ANOVA R^2) of the
+    gap-filled hourly series grouped by hour-of-day, per event type.
+    This is the number that justifies (or kills) every "same hour
+    yesterday" baseline: hourly_autocorrelation's lag-24 r says the
+    series rhymes day over day; eta^2 says how LOUDLY — a type at
+    eta^2 ~ 0 needs a level model, one near 1 is schedule-driven.
+
+    INTEGER/DECIMAL-exact: with S = sum(y), Q = sum(y^2), n hours,
+    and per-hour-of-day totals T_g over n_g hours, eta^2 =
+    (n * sum_g T_g^2/n_g - S^2) / (n*Q - S^2). Each group's
+    T_g^2/n_g is floored at micro scale in DECIMAL(38,0) — a_g =
+    (T_g^2 * 1e6) div n_g — so the cross-group SUM is an integer sum
+    (order-free; a double sum over groups would be fold-order-
+    dependent), and the final eta2_ppm = 1e6 * (n*A - 1e6*S^2) div
+    (1e6*(n*Q - S^2)) is one exact 128-bit division. Headroom: the
+    DECIMAL(38,0) chain holds to T_g ~ 1e13 events per (type, hour-
+    of-day) — far past any real feed. NULL when the series is
+    constant (den = 0) or shorter than 2 hours.
+
+    Scale posture (100 TB): the burstiness_by_type shape — one
+    map-side-partial (type, hour) groupBy, the generated spine, a
+    24-cell hour-of-day rollup, and a one-row-per-type finish.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))).alias(
+            "_h"
+        ),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        (F.col("_h") % 24).alias("_hod"),
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    per_g = filled.groupBy("event_type", "_hod").agg(
+        F.sum("_y").alias("_tg"), F.count(F.lit(1)).alias("_ng")
+    )
+    per_type = per_g.groupBy("event_type").agg(
+        F.sum("_ng").alias("n_hours"),
+        F.sum("_tg").alias("_s"),
+        F.sum(
+            F.expr(
+                "(CAST(_tg AS DECIMAL(38,0)) * _tg * 1000000) div _ng"
+            )
+        ).alias("_a"),
+    )
+    q = filled.groupBy("event_type").agg(
+        F.sum(F.col("_y") * F.col("_y")).alias("_q")
+    )
+    num = F.expr(
+        "CAST(n_hours AS DECIMAL(38,0)) * _a"
+        " - CAST(1000000 AS DECIMAL(38,0)) * _s * _s"
+    )
+    den = F.expr(
+        "CAST(1000000 AS DECIMAL(38,0))"
+        " * (CAST(n_hours AS DECIMAL(38,0)) * _q"
+        " - CAST(_s AS DECIMAL(38,0)) * _s)"
+    )
+    return per_type.join(q, "event_type").select(
+        "event_type",
+        "n_hours",
+        F.col("_s").alias("n_events"),
+        F.when(
+            (F.col("n_hours") < 2)
+            | (
+                F.expr(
+                    "CAST(n_hours AS DECIMAL(38,0)) * _q"
+                    " - CAST(_s AS DECIMAL(38,0)) * _s"
+                )
+                == 0
+            ),
+            F.lit(None).cast("long"),
+        )
+        .otherwise(
+            F.expr(
+                "CAST((CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(n_hours AS DECIMAL(38,0)) * _a"
+                "    - CAST(1000000 AS DECIMAL(38,0)) * _s * _s))"
+                " div (CAST(1000000 AS DECIMAL(38,0))"
+                " * (CAST(n_hours AS DECIMAL(38,0)) * _q"
+                "    - CAST(_s AS DECIMAL(38,0)) * _s)) AS BIGINT)"
+            )
+        )
+        .alias("eta2_ppm"),
+    )
+
+
+SEASONALITY_STRENGTH_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h % 24 AS _hod, COALESCE(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c._h = s._h
+),
+per_g AS (
+  SELECT event_type, _hod,
+         CAST(sum(_y) AS BIGINT) AS _tg,
+         CAST(count(*) AS BIGINT) AS _ng
+  FROM filled GROUP BY event_type, _hod
+),
+per_type AS (
+  SELECT event_type,
+         CAST(sum(_ng) AS BIGINT) AS n_hours,
+         CAST(sum(_tg) AS BIGINT) AS _s,
+         sum((CAST(_tg AS HUGEINT) * _tg * 1000000) // _ng) AS _a
+  FROM per_g GROUP BY event_type
+),
+qq AS (
+  SELECT event_type, CAST(sum(_y * _y) AS BIGINT) AS _q
+  FROM filled GROUP BY event_type
+)
+SELECT p.event_type, p.n_hours, p._s AS n_events,
+       CASE WHEN p.n_hours < 2
+              OR CAST(p.n_hours AS HUGEINT) * q._q
+                 - CAST(p._s AS HUGEINT) * p._s = 0 THEN NULL
+            ELSE CAST((CAST(1000000 AS HUGEINT)
+                       * (CAST(p.n_hours AS HUGEINT) * p._a
+                          - CAST(1000000 AS HUGEINT) * p._s * p._s))
+                      // (CAST(1000000 AS HUGEINT)
+                          * (CAST(p.n_hours AS HUGEINT) * q._q
+                             - CAST(p._s AS HUGEINT) * p._s)) AS BIGINT)
+       END AS eta2_ppm
+FROM per_type p JOIN qq q USING (event_type)
+"""
