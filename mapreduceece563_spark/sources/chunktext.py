@@ -686,7 +686,7 @@ def streaming_wordcount_via_datasource(spark, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     sink = _STREAM_WC_CACHE.get(key)
     if sink is None:
-        work = _fresh_workdir("chunktext_stream")
+        work = _fresh_workdir("chunktext_stream", sf_dir)
         sink = os.path.join(work, "partials")
         os.makedirs(sink, exist_ok=True)
         prev_parts = spark.conf.get("spark.sql.shuffle.partitions")

@@ -52,7 +52,7 @@ def _start_enrich(spark: SparkSession, sf_dir: str):
     concurrently so one registry pass pays max(drain), the same
     consolidation the r4 event entries already ride. Returns
     (query, work dir, sink dir)."""
-    work = _fresh_workdir("enrich")
+    work = _fresh_workdir("enrich", sf_dir)
     sink = os.path.join(work, "updates")
     os.makedirs(sink, exist_ok=True)
 

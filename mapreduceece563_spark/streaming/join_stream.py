@@ -90,13 +90,13 @@ def _start_join(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     from .wordcount_stream import _fresh_workdir
 
-    work = _fresh_workdir("stream_join")
+    work = _fresh_workdir("stream_join", sf_dir)
     sink = os.path.join(work, "pairs")
     os.makedirs(sink, exist_ok=True)
 
     srcs = _JOIN_SRC_CACHE.get(key)
     if srcs is None:
-        src_work = _fresh_workdir("stream_join_src")
+        src_work = _fresh_workdir("stream_join_src", sf_dir)
         p_src = os.path.join(src_work, "purchases")
         v_src = os.path.join(src_work, "views")
         for d in (p_src, v_src):

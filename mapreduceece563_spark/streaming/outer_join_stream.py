@@ -82,13 +82,13 @@ def _start_outer_join(spark: SparkSession, sf_dir: str):
     key = (spark.sparkContext.applicationId, sf_dir)
     from .wordcount_stream import _fresh_workdir
 
-    work = _fresh_workdir("stream_outer_join")
+    work = _fresh_workdir("stream_outer_join", sf_dir)
     sink = os.path.join(work, "rows")
     os.makedirs(sink, exist_ok=True)
 
     srcs = _OUTER_SRC_CACHE.get(key)
     if srcs is None:
-        src_work = _fresh_workdir("stream_outer_src")
+        src_work = _fresh_workdir("stream_outer_src", sf_dir)
         p_src = os.path.join(src_work, "purchases")
         v_src = os.path.join(src_work, "views")
         for d in (p_src, v_src):

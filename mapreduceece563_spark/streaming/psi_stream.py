@@ -69,7 +69,7 @@ def _start_psi(spark: SparkSession, sf_dir: str):
         "ts", "event_type", "user_id", "value"
     )
     src = spill_chunks(ev, sf_dir, "events_shared")
-    work = _fresh_workdir("psi_monitor")
+    work = _fresh_workdir("psi_monitor", sf_dir)
     sink = os.path.join(work, "updates")
     os.makedirs(sink, exist_ok=True)
 

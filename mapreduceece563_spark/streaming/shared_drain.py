@@ -128,7 +128,7 @@ def drain_event_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     if hit is not None:
         return hit
 
-    work = _fresh_workdir("shared_events")
+    work = _fresh_workdir("shared_events", sf_dir)
     dirs = {
         name: os.path.join(work, name)
         for name in ("profile", "hourly", "dedup")

@@ -182,7 +182,7 @@ def _tws_drain(spark, sf_dir: str) -> str:
         "user_id", "event_type", "value"
     )
     src = spill_chunks(ev, sf_dir, "tws_events")
-    work = _fresh_workdir("tws_profile")
+    work = _fresh_workdir("tws_profile", sf_dir)
     sink = os.path.join(work, "emissions")
     os.makedirs(sink, exist_ok=True)
 

@@ -141,7 +141,7 @@ def _upsert_drain(spark: SparkSession, sf_dir: str) -> str:
         "user_id", "ts", "event_type", "value"
     )
     src = spill_chunks(ev, sf_dir, "upsert_events")
-    work = _fresh_workdir("merge_upsert")
+    work = _fresh_workdir("merge_upsert", sf_dir)
     root = os.path.join(work, "target")
     os.makedirs(root, exist_ok=True)
 

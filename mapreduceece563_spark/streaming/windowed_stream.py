@@ -114,13 +114,13 @@ def _session_window_drain(spark: SparkSession, sf_dir: str) -> str:
         return hit
     from .wordcount_stream import _fresh_workdir
 
-    work = _fresh_workdir("session_win")
+    work = _fresh_workdir("session_win", sf_dir)
     sink = os.path.join(work, "sessions")
     os.makedirs(sink, exist_ok=True)
 
     src = _SESSION_SRC_CACHE.get(key)
     if src is None:
-        src = os.path.join(_fresh_workdir("session_win_src"), "src")
+        src = os.path.join(_fresh_workdir("session_win_src", sf_dir), "src")
         os.makedirs(src, exist_ok=True)
         ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
         # Harness setup (not a query path): one 1-row min/max action
@@ -262,7 +262,7 @@ def _start_sliding(spark: SparkSession, sf_dir: str):
         "ts", "event_type", "user_id", "value"
     )
     src = spill_chunks(ev, sf_dir, "events_shared")
-    work = _fresh_workdir("sliding_win")
+    work = _fresh_workdir("sliding_win", sf_dir)
     sink = os.path.join(work, "updates")
     os.makedirs(sink, exist_ok=True)
 

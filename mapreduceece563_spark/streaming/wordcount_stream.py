@@ -39,12 +39,20 @@ from ..sources.catalog import load_table
 _PREV_WORK: dict[str, str] = {}
 
 
-def _fresh_workdir(tag: str) -> str:
-    old = _PREV_WORK.get(tag)
+def _fresh_workdir(tag: str, scope: str = "") -> str:
+    """Recycle the PREVIOUS workdir for this (tag, scope) before
+    minting a new one. ``scope`` (pass the sf_dir) keeps concurrent
+    scale factors from clobbering each other: the drain caches key on
+    (appId, sf_dir), so a drain at a SECOND sf_dir recycling a
+    same-tag dir would delete fixture/sink dirs the first sf_dir's
+    cache still points at (the round-10 lesson: an empty-table drain
+    invalidated the sf0.001 outer-join source mid-session)."""
+    key = f"{tag}@{scope}"
+    old = _PREV_WORK.get(key)
     if old:
         shutil.rmtree(old, ignore_errors=True)
     work = tempfile.mkdtemp(prefix=f"stream_{tag}_")
-    _PREV_WORK[tag] = work
+    _PREV_WORK[key] = work
     return work
 
 
@@ -188,7 +196,7 @@ def streaming_wordcount_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation — SCALE.md); the final merge is an ordinary
     vocabulary-keyed aggregation.
     """
-    work = _fresh_workdir("wc")
+    work = _fresh_workdir("wc", sf_dir)
     partials_dir = os.path.join(work, "partials")
     ckpt = os.path.join(work, "ckpt")
     os.makedirs(partials_dir, exist_ok=True)
