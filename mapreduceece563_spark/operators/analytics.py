@@ -2940,3 +2940,212 @@ SELECT model, CAST(position AS BIGINT) AS position,
        CAST(sum(credit) AS BIGINT) AS credit_micro
 FROM exploded GROUP BY model, position
 """
+
+
+# --- single-split changepoint (round-16 queue, built round 10) --------------
+
+
+def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-segmentation changepoint localization on the gap-filled
+    hourly count series, per event type: the single split k that
+    maximizes the between-segment sum of squares — WHERE the level
+    shifted and by how much, where cusum_drift_scan reports THAT a
+    shift exists and its peak. The first step of the standard binary
+    segmentation recursion, run at hour granularity.
+
+    Integer-exact selection: with prefix sums S_k over the dense
+    hourly series, the split score S_k^2*(n-k) + (S-S_k)^2*k over
+    k*(n-k) is compared in ppm fixed point — score_k = (num_k * 1e12)
+    div (k*(n-k)) in DECIMAL(38,0)/HUGEINT — and the argmax resolves
+    ties to the SMALLEST k via a struct max on (score, -k), so both
+    engines pick the identical split. Reported: the split's first
+    post-segment hour, the two segment means (half-up integer milli),
+    and gain_ppm — the variance fraction the split explains:
+    (n*num_k - k*(n-k)*S^2) over (k*(n-k)*(n*Q - S^2)), all exact
+    128-bit integers, one floored ppm ratio. NULL gain when the
+    series is constant.
+
+    Scale posture (100 TB): the burstiness/seasonality spine (one
+    map-side-partial (type, hour) groupBy, generated hour spine); the
+    prefix window and the argmax run over the per-type HOUR series
+    (~8.8k rows/type/year), never events.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        "_h0",
+        ((F.col("_h1") - F.col("_h0")) + 1).alias("n"),
+        F.explode(F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))).alias(
+            "_h"
+        ),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        "_h0",
+        "n",
+        (F.col("_h") - F.col("_h0") + 1).alias("k"),
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("event_type")
+    stepped = filled.select(
+        "event_type",
+        "_h0",
+        "n",
+        "k",
+        F.sum("_y").over(w_cum).alias("sk"),
+        F.sum("_y").over(w_all).alias("s"),
+        F.sum(F.col("_y") * F.col("_y")).over(w_all).alias("q"),
+    ).filter(F.col("k") < F.col("n"))
+    num = F.expr(
+        "CAST(sk AS DECIMAL(38,0)) * sk * (n - k)"
+        " + CAST(s - sk AS DECIMAL(38,0)) * (s - sk) * k"
+    )
+    score = F.expr(
+        "(CAST(sk AS DECIMAL(38,0)) * sk * (n - k)"
+        " + CAST(s - sk AS DECIMAL(38,0)) * (s - sk) * k)"
+        " * 1000000000000"
+        " div (CAST(k AS DECIMAL(38,0)) * (n - k))"
+    )
+    best = (
+        stepped.withColumn("_num", num)
+        .withColumn("_score", score)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_hours"),
+            F.max("_h0").alias("_h0"),
+            F.max("s").alias("n_events"),
+            F.max("q").alias("_q"),
+            F.max(
+                F.struct(
+                    F.col("_score").alias("sc"),
+                    (-F.col("k")).alias("nk"),
+                    F.col("sk").alias("sk"),
+                    F.col("_num").alias("nm"),
+                )
+            ).alias("_b"),
+        )
+    )
+    k_ = -F.col("_b.nk")
+    gain_den = F.expr(
+        "CAST(-_b.nk AS DECIMAL(38,0)) * (n_hours + _b.nk)"
+        " * (CAST(n_hours AS DECIMAL(38,0)) * _q"
+        "    - CAST(n_events AS DECIMAL(38,0)) * n_events)"
+    )
+    return best.select(
+        "event_type",
+        "n_hours",
+        "n_events",
+        (F.col("_h0") + k_).alias("split_hour"),
+        F.expr("(2 * 1000 * _b.sk + (-_b.nk)) div (2 * (-_b.nk))").alias(
+            "mean_before_milli"
+        ),
+        F.expr(
+            "(2 * 1000 * (n_events - _b.sk) + (n_hours + _b.nk))"
+            " div (2 * (n_hours + _b.nk))"
+        ).alias("mean_after_milli"),
+        F.when(gain_den == 0, F.lit(None).cast("long"))
+        .otherwise(
+            F.expr(
+                # div (integer division), never decimal '/' + cast:
+                # Spark's decimal divide ROUNDS at the result scale
+                # while DuckDB's // floors — a boundary quotient
+                # could straddle engines
+                "CAST((1000000 * (CAST(n_hours AS DECIMAL(38,0)) * _b.nm"
+                " - CAST(-_b.nk AS DECIMAL(38,0)) * (n_hours + _b.nk)"
+                " * CAST(n_events AS DECIMAL(38,0)) * n_events))"
+                " div (CAST(-_b.nk AS DECIMAL(38,0)) * (n_hours + _b.nk)"
+                " * (CAST(n_hours AS DECIMAL(38,0)) * _q"
+                "    - CAST(n_events AS DECIMAL(38,0)) * n_events))"
+                " AS BIGINT)"
+            )
+        )
+        .alias("gain_ppm"),
+    )
+
+
+CHANGEPOINT_SPLIT_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, _h0, (_h1 - _h0) + 1 AS n,
+         unnest(range(_h0, _h1 + 1)) AS _h
+  FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h0, s.n, s._h - s._h0 + 1 AS k,
+         COALESCE(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c._h = s._h
+),
+stepped AS (
+  SELECT event_type, _h0, n, k,
+         CAST(sum(_y) OVER (PARTITION BY event_type ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS sk,
+         CAST(sum(_y) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+         CAST(sum(_y * _y) OVER (PARTITION BY event_type) AS BIGINT) AS q
+  FROM filled
+),
+scored AS (
+  SELECT *,
+         CAST(sk AS HUGEINT) * sk * (n - k)
+           + CAST(s - sk AS HUGEINT) * (s - sk) * k AS _num,
+         (CAST(sk AS HUGEINT) * sk * (n - k)
+           + CAST(s - sk AS HUGEINT) * (s - sk) * k)
+           * 1000000000000
+           // (CAST(k AS HUGEINT) * (n - k)) AS _score
+  FROM stepped WHERE k < n
+),
+best AS (
+  SELECT event_type,
+         max(n) AS n_hours,
+         max(_h0) AS _h0,
+         max(s) AS n_events,
+         max(q) AS _q,
+         max(struct_pack(sc := _score, nk := -k, sk := sk, nm := _num))
+           AS _b
+  FROM scored GROUP BY event_type
+)
+SELECT event_type, n_hours, n_events,
+       _h0 + (-(_b.nk)) AS split_hour,
+       CAST((2 * 1000 * _b.sk + (-(_b.nk)))
+            // (2 * (-(_b.nk))) AS BIGINT) AS mean_before_milli,
+       CAST((2 * 1000 * (n_events - _b.sk) + (n_hours + _b.nk))
+            // (2 * (n_hours + _b.nk)) AS BIGINT) AS mean_after_milli,
+       CASE WHEN CAST(-(_b.nk) AS HUGEINT) * (n_hours + _b.nk)
+                 * (CAST(n_hours AS HUGEINT) * _q
+                    - CAST(n_events AS HUGEINT) * n_events) = 0 THEN NULL
+            ELSE CAST((1000000 *
+                   (CAST(n_hours AS HUGEINT) * _b.nm
+                    - CAST(-(_b.nk) AS HUGEINT) * (n_hours + _b.nk)
+                      * CAST(n_events AS HUGEINT) * n_events))
+                 // (CAST(-(_b.nk) AS HUGEINT) * (n_hours + _b.nk)
+                     * (CAST(n_hours AS HUGEINT) * _q
+                        - CAST(n_events AS HUGEINT) * n_events))
+                 AS BIGINT)
+       END AS gain_ppm
+FROM best
+"""

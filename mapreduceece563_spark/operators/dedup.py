@@ -2598,3 +2598,180 @@ SELECT cluster_size,
        CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_docs_removable
 FROM sizes GROUP BY cluster_size
 """
+
+
+# --- MinHash permutation-count sensitivity (round-16 queue, round 10) -------
+
+PERM_SWEEP = (4, 8, 16)
+
+
+def minhash_perm_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much Jaccard-estimation accuracy does each signature width
+    buy — the missing knob sweep of the MinHash family (the band
+    advisor tunes (bands, rows) AT a width; this asks whether the 16
+    permutations are even the right budget). For each prefix width
+    k in {PERM_SWEEP}: over the FIXED candidate-pair set (the shipped
+    4x4 banding), the k-slot estimate est = matches*1e6 div k against
+    the exact shingle Jaccard, reported as mean and max absolute
+    error (ppm) plus the estimator's usable resolution step
+    1e6 div k. Halving the width halves signature bytes at index
+    scale; this is the error that saving costs.
+
+    Integer-exact: slot matches are equality counts over the shared
+    signature frame; the exact side is the integer shingle ratio
+    (1e6*n_common div union, candidate pairs with zero shared
+    shingles — band-hash collisions — coalesce to 0 on both
+    engines); errors are int64 |est - exact| with half-up means.
+
+    Scale posture (100 TB): signatures computed once (the cached
+    single-groupBy stage), candidates from the banded join (never
+    all-pairs); the exact side restricts shingles to candidate docs
+    with a broadcastable semi-join before its one h0-keyed exchange.
+    """
+    sig = minhash_signatures(spark, sf_dir).cache()
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"a{i}") for i in range(len(MINHASH_PERMS))],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"b{i}") for i in range(len(MINHASH_PERMS))],
+    )
+    withsig = pairs.join(a, "doc_a").join(b, "doc_b")
+
+    # exact Jaccard for the candidate pairs (shingles restricted to
+    # candidate docs before the h0 self-join)
+    sh = doc_shingle_hashes(spark, sf_dir)
+    docs_in = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    shc = sh.join(F.broadcast(docs_in), "doc_id", "left_semi")
+    sa_, sb_ = shc.alias("x"), shc.alias("y")
+    inter = (
+        sa_.join(
+            sb_,
+            (F.col("x.h0") == F.col("y.h0"))
+            & (F.col("x.doc_id") < F.col("y.doc_id")),
+        )
+        .groupBy(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    exact = (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(
+                "(coalesce(n_common, 0) * 1000000)"
+                " div (_sa + _sb - coalesce(n_common, 0))"
+            ).alias("exact_ppm"),
+        )
+    )
+    scored = withsig.join(exact, ["doc_a", "doc_b"])
+    ks = spark.createDataFrame([(k,) for k in PERM_SWEEP], "k BIGINT")
+    matches = sum(
+        [
+            F.when(
+                (F.col(f"a{i}") == F.col(f"b{i}")) & (F.col("k") > i), 1
+            ).otherwise(0)
+            for i in range(len(MINHASH_PERMS))
+        ],
+        F.lit(0),
+    )
+    est = (
+        scored.crossJoin(F.broadcast(ks))
+        .withColumn("_matches", matches.cast("long"))
+        .select(
+            "k",
+            F.expr(
+                "abs(((_matches * 1000000) div k) - exact_ppm)"
+            ).alias("_err"),
+        )
+    )
+    return (
+        est.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("(2 * sum(_err) + count(1)) div (2 * count(1))").alias(
+                "mean_abs_err_ppm"
+            ),
+            F.max("_err").alias("max_abs_err_ppm"),
+        )
+        .select(
+            "k",
+            "n_pairs",
+            "mean_abs_err_ppm",
+            "max_abs_err_ppm",
+            F.expr("1000000 div k").alias("resolution_ppm"),
+        )
+    )
+
+
+def _perm_sweep_sql() -> str:
+    sig_cols = ", ".join(
+        f"min((h0 * {a} + {b}) % {HASH_MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    match_sum = " + ".join(
+        f"(CASE WHEN a.mh{i} = b.mh{i} AND k.k > {i} THEN 1 ELSE 0 END)"
+        for i in range(len(MINHASH_PERMS))
+    )
+    ks = ", ".join(str(k) for k in PERM_SWEEP)
+    return f"""
+WITH {shingle_hashes_cte_sql().lstrip()},
+sig AS (SELECT doc_id, {sig_cols} FROM sh GROUP BY doc_id),
+pairs AS ({DEDUP_MINHASH_SQL.strip()}),
+cand AS (SELECT doc_a, doc_b FROM pairs),
+docs_in AS (
+  SELECT doc_a AS doc_id FROM cand UNION SELECT doc_b FROM cand
+),
+shc AS (SELECT sh.doc_id, sh.h0 FROM sh JOIN docs_in USING (doc_id)),
+inter AS (
+  SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, count(*) AS n_common
+  FROM shc x JOIN shc y ON x.h0 = y.h0 AND x.doc_id < y.doc_id
+  GROUP BY x.doc_id, y.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+exact AS (
+  SELECT c.doc_a, c.doc_b,
+         (COALESCE(i.n_common, 0) * 1000000)
+           // (sa.sz + sb.sz - COALESCE(i.n_common, 0)) AS exact_ppm
+  FROM cand c
+  LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+),
+errs AS (
+  SELECT k.k,
+         abs((({match_sum}) * 1000000) // k.k - e.exact_ppm) AS _err
+  FROM exact e
+  JOIN sig a ON a.doc_id = e.doc_a
+  JOIN sig b ON b.doc_id = e.doc_b
+  CROSS JOIN (SELECT unnest([{ks}]) AS k) k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((2 * sum(_err) + count(*)) // (2 * count(*)) AS BIGINT)
+         AS mean_abs_err_ppm,
+       CAST(max(_err) AS BIGINT) AS max_abs_err_ppm,
+       CAST(1000000 // k AS BIGINT) AS resolution_ppm
+FROM errs GROUP BY k
+"""
+
+
+MINHASH_PERM_SENSITIVITY_ORACLE = _perm_sweep_sql()

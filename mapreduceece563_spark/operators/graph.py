@@ -235,19 +235,10 @@ ORDER BY rank_scaled DESC, word ASC LIMIT {PR_TOP}
 
 # --- triangle counting ------------------------------------------------
 
-def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global triangle count of the word co-occurrence graph via
-    DEGREE-ORIENTED wedge join — the shape that makes distributed
-    triangle counting feasible on skewed graphs.
-
-    Each undirected edge is oriented from its lower-(degree, name)
-    endpoint to the higher one, so every node's out-degree is
-    O(sqrt(m)) and the wedge self-join is sum(outdeg^2) — bounded even
-    when a stopword hub touches half the vocabulary (the naive
-    edge-edge-edge join explodes exactly there). Wedges close against
-    the canonical undirected edge set; each triangle is counted once.
-    One bounded summary row: nodes, edges, triangles."""
-    sym = _cooc_edges(spark, sf_dir).persist()
+def _oriented_triangle_frames(sym: DataFrame):
+    """(undirected edges, degree frame, 1-row triangle count) via the
+    degree-oriented wedge join — factored so triangle_count and
+    global_clustering_coefficient share the identical counting plan."""
     und = sym.filter(F.col("src") < F.col("dst"))
     deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
     ed = (
@@ -279,6 +270,23 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_triangles"))
     )
+    return und, deg, tri
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global triangle count of the word co-occurrence graph via
+    DEGREE-ORIENTED wedge join — the shape that makes distributed
+    triangle counting feasible on skewed graphs.
+
+    Each undirected edge is oriented from its lower-(degree, name)
+    endpoint to the higher one, so every node's out-degree is
+    O(sqrt(m)) and the wedge self-join is sum(outdeg^2) — bounded even
+    when a stopword hub touches half the vocabulary (the naive
+    edge-edge-edge join explodes exactly there). Wedges close against
+    the canonical undirected edge set; each triangle is counted once.
+    One bounded summary row: nodes, edges, triangles."""
+    sym = _cooc_edges(spark, sf_dir).persist()
+    und, deg, tri = _oriented_triangle_frames(sym)
     n_edges = und.agg(F.count("*").alias("n_edges"))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
     return (
@@ -827,3 +835,119 @@ SELECT a, b, cn, jaccard_ppm FROM scored
 ORDER BY jaccard_ppm DESC, cn DESC, a ASC, b ASC
 LIMIT {LP_TOP}
 """
+
+
+# --- global clustering coefficient (round-16 queue, built round 10) ---------
+
+
+def global_clustering_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the word
+    co-occurrence graph: 3 * triangles / wedges — how often two words
+    that share a neighbor also co-occur themselves. Natural-language
+    co-occurrence graphs are strongly clustered; boilerplate/template
+    corpora collapse toward chains (gcc -> 0) and ID-noise toward
+    near-cliques — the one-number structure audit beside
+    triangle_count's raw census.
+
+    Integer-exact: triangles come from the SAME degree-oriented wedge
+    plan triangle_count uses (shared _oriented_triangle_frames);
+    wedges are sum(deg * (deg - 1)) div 2 over the exact degree frame
+    (DECIMAL(38,0)/HUGEINT headroom for hub degrees); gcc_ppm =
+    (3 * T * 1e6) div W, NULL when the graph has no wedges.
+
+    Scale posture (100 TB): identical to triangle_count — the
+    orientation bounds out-degree at O(sqrt(m)) so the wedge join is
+    sum(outdeg^2)-bounded even under stopword hubs; the wedge COUNT
+    is a degree-frame aggregate, not a wedge materialization.
+    """
+    sym = _cooc_edges(spark, sf_dir).persist()
+    und, deg, tri = _oriented_triangle_frames(sym)
+    wedges = deg.agg(
+        F.expr(
+            "CAST(sum(CAST(deg AS DECIMAL(38,0)) * (deg - 1)) div 2"
+            " AS DECIMAL(38,0))"
+        ).alias("_w")
+    )
+    n_edges = und.agg(F.count("*").alias("n_edges"))
+    n_nodes = deg.agg(F.count("*").alias("n_nodes"))
+    return (
+        tri.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(n_nodes))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.col("_w").cast("long").alias("n_wedges"),
+            "n_triangles",
+            F.when(F.col("_w") == 0, F.lit(None).cast("long"))
+            .otherwise(
+                F.expr(
+                    "CAST((3 * CAST(n_triangles AS DECIMAL(38,0))"
+                    " * 1000000) div _w AS BIGINT)"
+                )
+            )
+            .alias("gcc_ppm"),
+        )
+    )
+
+
+GLOBAL_CLUSTERING_SQL = f"""
+WITH {{words_cte}},
+arcs0 AS (
+  SELECT e.* FROM (
+    SELECT unnest(CASE WHEN len(words) >= 2 THEN
+             list_transform(range(1, len(words)),
+                            i -> {{{{'src': words[i], 'dst': words[i+1]}}}})
+           ELSE CAST([] AS STRUCT(src VARCHAR, dst VARCHAR)[]) END) AS e
+    FROM w) t
+),
+e0 AS (SELECT src, dst FROM arcs0 WHERE src <> dst),
+edges AS (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+),
+und AS (SELECT src, dst FROM edges WHERE src < dst),
+deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY src),
+ed AS (
+  SELECT u.src, u.dst, a.deg AS dsrc, b.deg AS ddst
+  FROM und u JOIN deg a ON a.node = u.src JOIN deg b ON b.node = u.dst
+),
+arcs AS (
+  SELECT CASE WHEN dsrc < ddst OR (dsrc = ddst AND src < dst)
+              THEN src ELSE dst END AS u,
+         CASE WHEN dsrc < ddst OR (dsrc = ddst AND src < dst)
+              THEN dst ELSE src END AS v
+  FROM ed
+),
+wedge_pairs AS (
+  SELECT a.v AS x, b.v AS y
+  FROM arcs a JOIN arcs b ON a.u = b.u AND a.v < b.v
+),
+tri AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+  FROM wedge_pairs wg
+  WHERE EXISTS (SELECT 1 FROM und
+                WHERE und.src = wg.x AND und.dst = wg.y)
+),
+wsum AS (
+  SELECT sum(CAST(deg AS HUGEINT) * (deg - 1)) // 2 AS _w FROM deg
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM und) AS n_edges,
+       CAST(wsum._w AS BIGINT) AS n_wedges,
+       tri.n_triangles,
+       CASE WHEN wsum._w = 0 THEN NULL
+            ELSE CAST((3 * CAST(tri.n_triangles AS HUGEINT) * 1000000)
+                      // wsum._w AS BIGINT)
+       END AS gcc_ppm
+FROM tri, wsum
+"""
+
+
+def _gcc_sql() -> str:
+    return GLOBAL_CLUSTERING_SQL.format(words_cte=_words_cte().lstrip())
+
+
+GLOBAL_CLUSTERING_ORACLE = _gcc_sql()

@@ -1468,3 +1468,142 @@ def _zipf_slope_sql() -> str:
 
 
 ZIPF_SLOPE_ORACLE = _zipf_slope_sql()
+
+
+# --- surprisal filter curve (round-16 queue, built round 10) ----------------
+
+SURPRISAL_KEEP_PCTS = (10, 20, 30, 40, 50, 60, 70, 80, 90)
+
+
+def surprisal_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet perplexity-filter TRADE made explicit: for each
+    keep-the-best d% cut on the per-doc LM surprisal ranking, what
+    threshold does that imply and how much bigram mass survives —
+    the curve a curation team reads before choosing the cutoff
+    doc_lm_surprisal only scores. (Keeping LOW surprisal keeps
+    corpus-typical text; the tail is the noise candidate.)
+
+    Histogram order statistics over DISTINCT quantized surprisal
+    values (never a per-doc rank): per value, doc and bigram-mass
+    counts; one cumulative window; for each d, rank = (N*d) div 100
+    and the threshold is the SMALLEST value whose cumulative doc
+    count reaches the rank — whole tie-groups stay together, so
+    n_docs_kept can overshoot the rank by the boundary group
+    (deterministic on both engines; documented rather than split).
+    Deciles whose rank is 0 (tiny corpora) are omitted identically.
+    The per-doc score re-enters integer space as round(avg * 1e6) —
+    exact, because avg_surprisal is an int64 micro value divided by
+    1e6 (round() undoes the one correctly-rounded division).
+
+    Scale posture (100 TB): rides doc_lm_surprisal's one
+    vocabulary-keyed shuffle; the curve adds a value-histogram
+    groupBy, a distinct-value window, and a 9-row spine join.
+    """
+    s = doc_lm_surprisal(spark, sf_dir).select(
+        F.round(F.col("avg_surprisal") * 1_000_000, 0)
+        .cast("long")
+        .alias("v"),
+        "n_bigrams",
+    )
+    hist = s.groupBy("v").agg(
+        F.count(F.lit(1)).alias("_d"), F.sum("n_bigrams").alias("_m")
+    )
+    w_cum = (
+        Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = hist.select(
+        "v",
+        F.sum("_d").over(w_cum).alias("cd"),
+        F.sum("_m").over(w_cum).alias("cm"),
+    )
+    totals = s.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("total_mass"),
+    )
+    spine = totals.select(
+        "n_docs",
+        "total_mass",
+        F.explode(
+            F.array(*[F.lit(p) for p in SURPRISAL_KEEP_PCTS])
+        ).alias("keep_pct"),
+    ).select(
+        "keep_pct",
+        "n_docs",
+        "total_mass",
+        F.expr("(n_docs * keep_pct) div 100").alias("_rank"),
+    ).filter(F.col("_rank") >= 1)
+    joined = spine.join(
+        stepped, F.col("cd") >= F.col("_rank"), "inner"
+    ).groupBy("keep_pct", "total_mass").agg(
+        F.min(F.struct("v", "cd", "cm")).alias("_b")
+    )
+    return joined.select(
+        F.col("keep_pct").cast("long").alias("keep_pct"),
+        F.col("_b.v").alias("threshold_micro"),
+        F.col("_b.cd").alias("n_docs_kept"),
+        F.col("_b.cm").alias("n_bigrams_kept"),
+        F.expr(
+            "(_b.cm * 1000000) div total_mass"
+        ).alias("mass_share_ppm"),
+    )
+
+
+_SURPRISAL_PCTS_SQL = ", ".join(str(p) for p in SURPRISAL_KEEP_PCTS)
+
+SURPRISAL_CURVE_SQL = f"""
+WITH base AS ({{surprisal_sql}}),
+s AS (
+  SELECT CAST(round(avg_surprisal * 1000000, 0) AS BIGINT) AS v,
+         n_bigrams
+  FROM base
+),
+hist AS (
+  SELECT v, CAST(count(*) AS BIGINT) AS _d,
+         CAST(sum(n_bigrams) AS BIGINT) AS _m
+  FROM s GROUP BY v
+),
+stepped AS (
+  SELECT v,
+         CAST(sum(_d) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cd,
+         CAST(sum(_m) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cm
+  FROM hist
+),
+totals AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_bigrams) AS BIGINT) AS total_mass
+  FROM s
+),
+spine AS (
+  SELECT p.keep_pct, t.n_docs, t.total_mass,
+         (t.n_docs * p.keep_pct) // 100 AS _rank
+  FROM totals t,
+       (SELECT unnest([{_SURPRISAL_PCTS_SQL}]) AS keep_pct) p
+  WHERE (t.n_docs * p.keep_pct) // 100 >= 1
+),
+joined AS (
+  SELECT sp.keep_pct, sp.total_mass,
+         min(struct_pack(v := st.v, cd := st.cd, cm := st.cm)) AS _b
+  FROM spine sp JOIN stepped st ON st.cd >= sp._rank
+  GROUP BY sp.keep_pct, sp.total_mass
+)
+SELECT CAST(keep_pct AS BIGINT) AS keep_pct,
+       _b.v AS threshold_micro,
+       _b.cd AS n_docs_kept,
+       _b.cm AS n_bigrams_kept,
+       CAST((_b.cm * 1000000) // total_mass AS BIGINT) AS mass_share_ppm
+FROM joined
+"""
+
+
+def _surprisal_curve_sql() -> str:
+    return SURPRISAL_CURVE_SQL.format(
+        surprisal_sql=DOC_LM_SURPRISAL_SQL.strip()
+    )
+
+
+SURPRISAL_CURVE_ORACLE = _surprisal_curve_sql()
