@@ -3149,3 +3149,174 @@ SELECT event_type, n_hours, n_events,
        END AS gain_ppm
 FROM best
 """
+
+
+# --- conformal alpha sweep (round-17 queue, built round 10) -----------------
+
+CONF_TARGETS_PPM = (900_000, 950_000, 990_000)
+
+
+def conformal_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conformal interval at THREE coverage targets (90/95/99%)
+    off ONE calibration pass — the sensitivity sweep of
+    conformal_event_value_interval (which ships alpha = 0.1): the
+    width-vs-coverage trade IS the decision an interval consumer
+    makes, and all three quantiles are order statistics on the same
+    CAL residual histogram, so sweeping them costs three rank
+    thresholds, not three passes.
+
+    Same exactness contract as the parent: frozen affine-hash FIT/
+    CAL/TEST split, integer-cents residuals, rank k = least(
+    ceil(target*(n_cal+1)), n_cal) read off the cumulative window
+    over DISTINCT residual values, exact integer coverage ratio on
+    TEST. The conformal guarantee (coverage >= target in
+    expectation) is the physics the exported table exhibits.
+
+    Scale posture (100 TB): identical to the parent plus a 3-row
+    target spine joined against the histogram — no extra pass over
+    events.
+    """
+    from ..functions.hashing import HASH_MOD
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("_c"),
+        F.expr(
+            f"(({CONF_A} * (user_id % {HASH_MOD}) + {CONF_B})"
+            f" % {HASH_MOD}) % 4"
+        ).alias("_h"),
+    )
+    fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
+        F.expr("sum(_c) div count(1)").alias("_pred"),
+        F.count(F.lit(1)).alias("n_fit"),
+    )
+    cal = (
+        ev.filter(F.col("_h") == 2)
+        .join(fit.select("event_type", "_pred"), "event_type")
+        .select(
+            "event_type", F.abs(F.col("_c") - F.col("_pred")).alias("_r")
+        )
+    )
+    cal_hist = cal.groupBy("event_type", "_r").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("_r")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    stepped = cal_hist.select(
+        "event_type",
+        "_r",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_all).alias("_ncal"),
+    )
+    targets = spark.createDataFrame(
+        [(t,) for t in CONF_TARGETS_PPM], "target_ppm BIGINT"
+    )
+    ranked = stepped.crossJoin(F.broadcast(targets)).filter(
+        F.col("_cum")
+        >= F.expr(
+            "least((target_ppm * (_ncal + 1) + 999999) div 1000000,"
+            " _ncal)"
+        )
+    )
+    q = ranked.groupBy("event_type", "target_ppm").agg(
+        F.min("_r").alias("q_resid"), F.max("_ncal").alias("n_cal")
+    )
+    test = (
+        ev.filter(F.col("_h") == 3)
+        .join(fit.select("event_type", "_pred"), "event_type")
+        .join(
+            q.select("event_type", "target_ppm", "q_resid"),
+            "event_type",
+        )
+        .groupBy("event_type", "target_ppm")
+        .agg(
+            F.count(F.lit(1)).alias("n_test"),
+            F.sum(
+                (
+                    F.abs(F.col("_c") - F.col("_pred")) <= F.col("q_resid")
+                ).cast("long")
+            ).alias("_hits"),
+        )
+    )
+    return (
+        q.join(test, ["event_type", "target_ppm"])
+        .select(
+            "event_type",
+            "target_ppm",
+            "n_cal",
+            "n_test",
+            "q_resid",
+            F.expr("_hits * 1000000 div greatest(n_test, 1)").alias(
+                "coverage_ppm"
+            ),
+        )
+    )
+
+
+def _conformal_sweep_sql() -> str:
+    from ..functions.hashing import HASH_MOD as MOD
+
+    ts = ", ".join(str(t) for t in CONF_TARGETS_PPM)
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS _c,
+         (({CONF_A} * (user_id % {MOD}) + {CONF_B}) % {MOD}) % 4 AS _h
+  FROM events
+),
+fit AS (
+  SELECT event_type, CAST(sum(_c) // count(*) AS BIGINT) AS _pred,
+         CAST(count(*) AS BIGINT) AS n_fit
+  FROM ev WHERE _h <= 1 GROUP BY event_type
+),
+cal AS (
+  SELECT e.event_type, abs(e._c - f._pred) AS _r
+  FROM ev e JOIN fit f USING (event_type) WHERE e._h = 2
+),
+cal_hist AS (
+  SELECT event_type, _r, CAST(count(*) AS BIGINT) AS _cnt
+  FROM cal GROUP BY event_type, _r
+),
+stepped AS (
+  SELECT event_type, _r,
+         CAST(sum(_cnt) OVER (PARTITION BY event_type ORDER BY _r
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS _cum,
+         CAST(sum(_cnt) OVER (PARTITION BY event_type) AS BIGINT)
+           AS _ncal
+  FROM cal_hist
+),
+targets AS (SELECT CAST(unnest([{ts}]) AS BIGINT) AS target_ppm),
+q AS (
+  SELECT event_type, target_ppm,
+         CAST(min(_r) AS BIGINT) AS q_resid,
+         CAST(max(_ncal) AS BIGINT) AS n_cal
+  FROM stepped, targets
+  WHERE _cum >= least((target_ppm * (_ncal + 1) + 999999) // 1000000,
+                      _ncal)
+  GROUP BY event_type, target_ppm
+),
+test AS (
+  SELECT e.event_type, qq.target_ppm,
+         CAST(count(*) AS BIGINT) AS n_test,
+         CAST(sum(CASE WHEN abs(e._c - f._pred) <= qq.q_resid
+                       THEN 1 ELSE 0 END) AS BIGINT) AS _hits
+  FROM ev e
+  JOIN fit f USING (event_type)
+  JOIN q qq ON qq.event_type = e.event_type
+  WHERE e._h = 3
+  GROUP BY e.event_type, qq.target_ppm
+)
+SELECT q.event_type, q.target_ppm, q.n_cal, t.n_test, q.q_resid,
+       CAST(t._hits * 1000000 // greatest(t.n_test, 1) AS BIGINT)
+         AS coverage_ppm
+FROM q JOIN test t
+  ON t.event_type = q.event_type AND t.target_ppm = q.target_ppm
+"""
+
+
+CONFORMAL_SWEEP_ORACLE = _conformal_sweep_sql()

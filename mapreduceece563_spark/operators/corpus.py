@@ -1486,3 +1486,64 @@ def _heaps_law_sql() -> str:
 
 
 HEAPS_LAW_ORACLE = _heaps_law_sql()
+
+
+# --- chunk-level dedup census (round-17 queue, built round 10) --------------
+
+
+def chunk_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup at RAG-CHUNK granularity: doc_chunk_manifest
+    already emits (doc, chunk, hash) for the overlapping context
+    windows a retrieval index stores; this is the census an indexing
+    pipeline runs before embedding them — duplicate chunks waste
+    embedding compute AND pollute retrieval (the same passage
+    retrieved k times crowds out diversity). Reported: chunks,
+    distinct hashes, chunks in duplicate families, and the
+    cross-document duplicate tier (hashes spanning >1 doc — true
+    redundancy, not self-overlap within a document).
+
+    Scale posture (100 TB): rides the map-only manifest (chunk text
+    never shuffles — 40-byte manifest rows); ONE groupBy(chunk_hash)
+    carrying count + distinct-doc count; a 1-row rollup.
+    """
+    m = doc_chunk_manifest(spark, sf_dir)
+    fams = m.groupBy("chunk_hash").agg(
+        F.count(F.lit(1)).alias("n_copies"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return fams.agg(
+        F.sum("n_copies").alias("n_chunks"),
+        F.count(F.lit(1)).alias("n_distinct_chunks"),
+        F.sum(
+            F.when(F.col("n_copies") > 1, F.col("n_copies")).otherwise(0)
+        ).alias("n_chunks_in_dup_families"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).alias(
+            "n_cross_doc_hashes"
+        ),
+        F.sum(
+            F.when(F.col("n_docs") > 1, F.col("n_copies")).otherwise(0)
+        ).alias("n_chunks_cross_doc"),
+    )
+
+
+def _chunk_dedup_sql() -> str:
+    return f"""
+WITH manifest AS ({DOC_CHUNK_MANIFEST_SQL.strip()}),
+fams AS (
+  SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM manifest GROUP BY chunk_hash
+)
+SELECT CAST(sum(n_copies) AS BIGINT) AS n_chunks,
+       CAST(count(*) AS BIGINT) AS n_distinct_chunks,
+       CAST(sum(CASE WHEN n_copies > 1 THEN n_copies ELSE 0 END)
+            AS BIGINT) AS n_chunks_in_dup_families,
+       CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_cross_doc_hashes,
+       CAST(sum(CASE WHEN n_docs > 1 THEN n_copies ELSE 0 END)
+            AS BIGINT) AS n_chunks_cross_doc
+FROM fams
+"""
+
+
+CHUNK_DEDUP_ORACLE = _chunk_dedup_sql()

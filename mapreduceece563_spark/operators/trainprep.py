@@ -1323,3 +1323,135 @@ SELECT bits,
        CAST(min(_cp) AS BIGINT) AS min_cos_ppm
 FROM q GROUP BY bits
 """
+
+
+# --- split leakage audit (round-17 queue, built round 10) -------------------
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the held-out split actually hold anything out —
+    duplicates straddling the train/test boundary inflate every eval
+    number, and the hash split assigns COPIES of the same text
+    independently, so exact and near duplicates leak by construction
+    unless dedup ran first. This audit quantifies the leak:
+    test-split docs whose exact text also appears in train, and
+    test docs in a MinHash candidate pair with a train doc — the two
+    tiers of contamination_check, turned inward on our own split.
+
+    Digest/band-only: exact leakage joins (digest, split) distinct
+    frames on the 32-byte md5; near-dup leakage filters the banded
+    candidate pairs (never all-pairs) to cross-split ones. Rates are
+    integer ppm over the test-doc census.
+
+    Scale posture (100 TB): the exact tier is dedup_exact_stats'
+    digest shuffle with a split tag; the near tier reuses
+    dedup_minhash's banded join output; the rollup is one row.
+    """
+    from ..operators.dedup import dedup_minhash
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", _split_col().alias("split")
+    )
+    keyed = docs.select(
+        "doc_id", "split", F.md5(F.col("text").cast("binary")).alias("_k")
+    )
+    train_keys = (
+        keyed.filter(F.col("split") == "train").select("_k").distinct()
+    )
+    test_docs = keyed.filter(F.col("split") == "test")
+    exact_leaked = test_docs.join(train_keys, "_k", "left_semi")
+    splits = keyed.select("doc_id", "split")
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    tagged = (
+        pairs.join(
+            splits.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("split").alias("_sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            splits.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("split").alias("_sb"),
+            ),
+            "doc_b",
+        )
+    )
+    near_test = (
+        tagged.filter(
+            (F.col("_sa") == "train") & (F.col("_sb") == "test")
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .union(
+            tagged.filter(
+                (F.col("_sa") == "test") & (F.col("_sb") == "train")
+            ).select(F.col("doc_a").alias("doc_id"))
+        )
+        .distinct()
+    )
+    n_test = test_docs.agg(F.count(F.lit(1)).alias("n_test_docs"))
+    n_exact = exact_leaked.agg(
+        F.count(F.lit(1)).alias("n_exact_leaked")
+    )
+    n_near = near_test.agg(F.count(F.lit(1)).alias("n_neardup_leaked"))
+    return (
+        n_test.crossJoin(F.broadcast(n_exact))
+        .crossJoin(F.broadcast(n_near))
+        .select(
+            "n_test_docs",
+            "n_exact_leaked",
+            "n_neardup_leaked",
+            F.expr(
+                "(n_exact_leaked * 1000000) div greatest(n_test_docs, 1)"
+            ).alias("exact_leak_ppm"),
+            F.expr(
+                "(n_neardup_leaked * 1000000) div greatest(n_test_docs, 1)"
+            ).alias("neardup_leak_ppm"),
+        )
+    )
+
+
+def _split_leakage_sql() -> str:
+    from ..operators.dedup import DEDUP_MINHASH_SQL
+
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, {_SPLIT_SQL} AS split, md5(text) AS _k FROM documents
+),
+train_keys AS (
+  SELECT DISTINCT _k FROM keyed WHERE split = 'train'
+),
+test_docs AS (SELECT doc_id, _k FROM keyed WHERE split = 'test'),
+pairs AS ({DEDUP_MINHASH_SQL.strip()}),
+tagged AS (
+  SELECT p.doc_a, p.doc_b, a.split AS _sa, b.split AS _sb
+  FROM pairs p
+  JOIN keyed a ON a.doc_id = p.doc_a
+  JOIN keyed b ON b.doc_id = p.doc_b
+),
+near_test AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_b AS doc_id FROM tagged
+    WHERE _sa = 'train' AND _sb = 'test'
+    UNION ALL
+    SELECT doc_a AS doc_id FROM tagged
+    WHERE _sa = 'test' AND _sb = 'train'
+  )
+)
+SELECT
+  (SELECT CAST(count(*) AS BIGINT) FROM test_docs) AS n_test_docs,
+  (SELECT CAST(count(*) AS BIGINT) FROM test_docs
+   WHERE _k IN (SELECT _k FROM train_keys)) AS n_exact_leaked,
+  (SELECT CAST(count(*) AS BIGINT) FROM near_test) AS n_neardup_leaked,
+  CAST((SELECT count(*) FROM test_docs
+        WHERE _k IN (SELECT _k FROM train_keys)) * 1000000
+       // greatest((SELECT count(*) FROM test_docs), 1) AS BIGINT)
+    AS exact_leak_ppm,
+  CAST((SELECT count(*) FROM near_test) * 1000000
+       // greatest((SELECT count(*) FROM test_docs), 1) AS BIGINT)
+    AS neardup_leak_ppm
+"""
+
+
+SPLIT_LEAKAGE_ORACLE = _split_leakage_sql()
