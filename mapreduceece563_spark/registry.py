@@ -1284,6 +1284,24 @@ register("df_cap_sensitivity", dd.df_cap_sensitivity, dd.DF_CAP_SENSITIVITY_ORAC
 # (the NULL-vs-0 unseen-from_type fix, ADVICE r9) and is in the new 39.
 # The post-window block leads with the stalest certifications (latest
 # green = round 4) so the round-11 rotation picks them first.
+#
+# ROUND-11 SCHEDULING NOTE (written round 10): the queue now carries
+# 29 oracle-tested operators across tests/test_queue_r1{1..7}.py —
+# every one certified at THREE scale factors in round 10, model-
+# fuzzed, plan/empty-pinned, and budgeted in SCALE.md ("Round-N queue
+# probes (round 10)" sections). If CORRECTNESS_r10 lands green
+# (50/50), round 11 can absorb the ENTIRE queue the same way round 10
+# absorbed its 39: raise coverage_highwater.json to 29 in the same
+# commit with the rationale, lead the window with all 29, and fill
+# the remaining 21 slots with _R10_NEXT (the r4-vintage stalest
+# entries below) plus the next-stalest r4 rows in registry order.
+# Implementations changed in round 10 (schedule for recertification
+# if slots remain): triangle_count (shared _oriented_triangle_frames
+# refactor), psi batch entry is NEW (registered round 11 as
+# psi_drift_by_type), markov_next_event_accuracy (already in the r10
+# window), and every streaming entry (workdir scoping — all 12 were
+# driver-compare re-verified in round 10 and sit below the window
+# with cumulative green).
 # ======================================================================
 
 _R10_WINDOW = [
