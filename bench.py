@@ -267,6 +267,39 @@ BUDGETS = {
     "session_gap_sensitivity": 1.5,
     "jaccard_threshold_sweep": 2.5,
     "df_cap_sensitivity": 3.5,  # df-capped shingle join at 3 caps: 1.2-1.5s
+    # --- round-11 registrations: the full rounds-11..17 queue. Every
+    # budget below is the ~2.5x-steady figure recorded with its
+    # two-scale probe in SCALE.md ("Round-N queue probes (round 10)"
+    # sections) when the entry was implemented and probed in round 10 ---
+    "lsh_band_plan": 5.0,  # shared shingle stage + 5-row literal grid
+    "psi_drift_by_type": 1.0,
+    "dedup_canonical_pick": 4.5,  # rides dedup_groups' CC rounds
+    "contamination_overlap_fraction": 2.5,
+    "dim_truncation_recall": 4.0,  # 4 truncation widths ~ 2x full-width kNN
+    "pq_codebook_stats": 3.5,  # 4-subspace explode, 2 Lloyd rounds
+    "trimmed_mean_by_segment": 2.5,
+    "zipf_slope_by_source": 2.5,
+    "pack_len_sensitivity": 1.5,
+    "quantization_bits_sweep": 4.0,  # map-only |bits| explode of embeddings
+    "silhouette_by_cell": 3.0,
+    "heaps_law_fit": 2.5,
+    "cross_source_duplicate_matrix": 1.0,
+    "burstiness_by_type": 1.0,
+    "streaming_psi_monitor": 6.0,  # lightest drain in the pool; first-of-pool insurance
+    "mrr_at_k": 4.0,  # rides the ivf_recall_tuning scaffold
+    "event_entropy_rate": 1.5,
+    "customer_value_gini": 1.0,
+    "attribution_model_compare": 1.5,
+    "seasonality_strength_by_type": 1.5,
+    "embedding_anisotropy": 4.0,  # map-only; growth is the raw embedding scan
+    "dedup_cluster_size_histogram": 4.0,  # re-runs dedup_groups' CC rounds
+    "global_clustering_coefficient": 3.5,  # shares triangle_count's wedge plan
+    "changepoint_binary_split": 1.5,
+    "surprisal_filter_curve": 5.5,  # rides doc_lm_surprisal's scoring pass
+    "minhash_perm_sensitivity": 6.0,  # signature join onto banded candidates
+    "split_leakage_audit": 3.5,
+    "chunk_dedup_stats": 1.5,
+    "conformal_alpha_sweep": 2.5,
 }
 
 # Steady-state measurement: each timed pass runs the whole registry in

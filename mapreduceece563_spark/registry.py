@@ -38,6 +38,7 @@ from .session import ship_package
 from .streaming import enrich_stream as es
 from .streaming import join_stream as js
 from .streaming import outer_join_stream as oj
+from .streaming import psi_stream as ps
 from .streaming import upsert_stream as us
 from .streaming import stateful as sf
 from .streaming import windowed_stream as ws
@@ -1264,6 +1265,110 @@ register(
 )
 register("df_cap_sensitivity", dd.df_cap_sensitivity, dd.DF_CAP_SENSITIVITY_ORACLE)
 
+# ---- round-11 registrations: the FULL rounds-11..17 queue (29) ----
+# VERDICT r10 ask #1: the 29 operators built and oracle-tested in
+# round 10 (tests/test_queue_r1{1..7}.py) register in one tranche, the
+# same way round 10 absorbed its 39. Each was certified at three scale
+# factors in round 10, pure-Python-model fuzzed, invariant-plan-pinned,
+# empty-table-pinned, and two-scale probed with budgets recorded in
+# SCALE.md ("Round-N queue probes (round 10)" sections); each was
+# re-verified with the driver-identical compare at sf0.01 in this
+# session before this block was committed. coverage_highwater.json
+# rises to exactly 29 in the same commit with the rationale.
+
+# round-11 queue (tests/test_queue_r11.py)
+register("lsh_band_plan", dd.lsh_band_plan, dd.LSH_BAND_PLAN_ORACLE)
+register("psi_drift_by_type", an.psi_drift_by_type, an.PSI_DRIFT_SQL)
+register("dedup_canonical_pick", dd.dedup_canonical_pick, dd.DEDUP_CANONICAL_SQL)
+register(
+    "contamination_overlap_fraction",
+    tr.contamination_overlap_fraction,
+    tr.CONTAMINATION_OVERLAP_SQL,
+)
+register("dim_truncation_recall", sim.dim_truncation_recall, sim.DIM_TRUNCATION_SQL)
+register("pq_codebook_stats", cl.pq_codebook_stats, cl.PQ_CODEBOOK_SQL)
+# round-12 queue (tests/test_queue_r12.py)
+register(
+    "trimmed_mean_by_segment",
+    an.trimmed_mean_by_segment,
+    an.TRIMMED_MEAN_SQL,
+)
+register("zipf_slope_by_source", ng.zipf_slope_by_source, ng.ZIPF_SLOPE_ORACLE)
+register("pack_len_sensitivity", tr.pack_len_sensitivity, tr.PACK_SWEEP_SQL)
+register(
+    "quantization_bits_sweep",
+    tr.quantization_bits_sweep,
+    tr.QUANT_SWEEP_SQL,
+)
+# round-13 queue (tests/test_queue_r13.py)
+register("silhouette_by_cell", cl.silhouette_by_cell, cl.SILHOUETTE_SQL)
+register("heaps_law_fit", cp.heaps_law_fit, cp.HEAPS_LAW_ORACLE)
+register(
+    "cross_source_duplicate_matrix",
+    dd.cross_source_duplicate_matrix,
+    dd.CROSS_SOURCE_DUP_SQL,
+)
+register("burstiness_by_type", tp.burstiness_by_type, tp.BURSTINESS_SQL)
+# round-14 queue (tests/test_queue_r14.py)
+register(
+    "streaming_psi_monitor",
+    ps.streaming_psi_monitor,
+    ps.STREAMING_PSI_SQL,
+)
+register("mrr_at_k", sim.mrr_at_k, sim.MRR_AT_K_SQL)
+register("event_entropy_rate", mn.event_entropy_rate, mn.EVENT_ENTROPY_SQL)
+register("customer_value_gini", lc.customer_value_gini, lc.CUSTOMER_VALUE_GINI_SQL)
+# round-15 queue (tests/test_queue_r15.py)
+register(
+    "attribution_model_compare",
+    an.attribution_model_compare,
+    an.ATTRIBUTION_COMPARE_SQL,
+)
+register(
+    "seasonality_strength_by_type",
+    tp.seasonality_strength_by_type,
+    tp.SEASONALITY_STRENGTH_SQL,
+)
+register(
+    "embedding_anisotropy",
+    sim.embedding_anisotropy,
+    sim.EMBEDDING_ANISOTROPY_SQL,
+)
+register(
+    "dedup_cluster_size_histogram",
+    dd.dedup_cluster_size_histogram,
+    dd.DEDUP_CLUSTER_SIZE_SQL,
+)
+# round-16 queue (tests/test_queue_r16.py)
+register(
+    "global_clustering_coefficient",
+    gph.global_clustering_coefficient,
+    gph.GLOBAL_CLUSTERING_ORACLE,
+)
+register(
+    "changepoint_binary_split",
+    an.changepoint_binary_split,
+    an.CHANGEPOINT_SPLIT_SQL,
+)
+register(
+    "surprisal_filter_curve",
+    ng.surprisal_filter_curve,
+    ng.SURPRISAL_CURVE_ORACLE,
+)
+register(
+    "minhash_perm_sensitivity",
+    dd.minhash_perm_sensitivity,
+    dd.MINHASH_PERM_SENSITIVITY_ORACLE,
+)
+# round-17 queue (tests/test_queue_r17.py)
+register("split_leakage_audit", tr.split_leakage_audit, tr.SPLIT_LEAKAGE_ORACLE)
+register("chunk_dedup_stats", cp.chunk_dedup_stats, cp.CHUNK_DEDUP_ORACLE)
+register(
+    "conformal_alpha_sweep",
+    an.conformal_alpha_sweep,
+    an.CONFORMAL_SWEEP_ORACLE,
+)
+
 
 # ======================================================================
 # ======================================================================
@@ -1285,86 +1390,56 @@ register("df_cap_sensitivity", dd.df_cap_sensitivity, dd.DF_CAP_SENSITIVITY_ORAC
 # The post-window block leads with the stalest certifications (latest
 # green = round 4) so the round-11 rotation picks them first.
 #
-# ROUND-11 SCHEDULING NOTE (written round 10): the queue now carries
-# 29 oracle-tested operators across tests/test_queue_r1{1..7}.py —
-# every one certified at THREE scale factors in round 10, model-
-# fuzzed, plan/empty-pinned, and budgeted in SCALE.md ("Round-N queue
-# probes (round 10)" sections). If CORRECTNESS_r10 lands green
-# (50/50), round 11 can absorb the ENTIRE queue the same way round 10
-# absorbed its 39: raise coverage_highwater.json to 29 in the same
-# commit with the rationale, lead the window with all 29, and fill
-# the remaining 21 slots with _R10_NEXT (the r4-vintage stalest
-# entries below) plus the next-stalest r4 rows in registry order.
-# Implementations changed in round 10 (schedule for recertification
-# if slots remain): triangle_count (shared _oriented_triangle_frames
-# refactor), psi batch entry is NEW (registered round 11 as
-# psi_drift_by_type), markov_next_event_accuracy (already in the r10
-# window), and every streaming entry (workdir scoping — all 12 were
-# driver-compare re-verified in round 10 and sit below the window
-# with cumulative green).
+# ROUND-11 WINDOW ROTATION: CORRECTNESS_r10 landed 50/50 green (ten
+# consecutive green windows; carried debt 0), so per the round-10
+# scheduling note this round's window is (a) the 29 round-11
+# registrations — the entire rounds-11..17 queue, per VERDICT r10 ask
+# #1 — followed by (b) 21 recertification slots per asks #2 and #5:
+# the ten r4-vintage _R10_NEXT entries, the next-stalest r4 rows in
+# registry order (bm25_search r4; triangle_count r4, whose
+# implementation changed in round 10 — the shared
+# _oriented_triangle_frames refactor that global_clustering_coefficient
+# rides; pagerank_2iter, passage_dedup, bucketed_join_revenue,
+# partition_pruned_purchases), and the wordcount-family anchors the
+# verdict named (wordcount_sink_roundtrip r5, wordcount_via_datasource
+# r5, bpe_merge_candidates r5, wordcount_by_lang r8, topk_words r8).
+# 29 + 21 = 50. The post-window block leads with the remaining
+# r4-vintage rows (_R11_NEXT) so the round-12 rotation picks them
+# first.
 # ======================================================================
 
-_R10_WINDOW = [
-    # never-green: rounds-10..13 queue registrations
-    "srp_signature",
-    "domain_cap_survivors",
-    "cusum_drift_scan",
-    "temperature_mixture_weights",
-    "srp_hamming_neardup",
-    "ndcg_at_k",
-    "quality_calibration_ece",
-    "token_gini_by_source",
-    "simpson_vocab_diversity",
-    "mann_whitney_drift",
-    "video_scene_cuts",
-    "spearman_quality_length",
-    "quality_mad_outliers",
-    "l_diversity_audit",
-    "audio_silence_segmentation",
-    "hourly_autocorrelation",
-    # changed implementation in round 9 — recertify, and write the
-    # memoized merge fixture before vacuum_orphan_scan runs
-    "merge_compaction_roundtrip",
-    "table_versions_diff",
-    "ivf_recall_tuning",
-    # never-green: rounds-14..19 queue registrations
-    "vacuum_orphan_scan",
-    "bootstrap_ci_revenue",
-    "cuped_ab_readout",
-    "lang_id_cohens_kappa",
-    "conformal_event_value_interval",
-    "ann_rank_quality",
-    "image_phash_dct",
-    "link_prediction_jaccard",
-    "seasonal_naive_backtest",
-    "filter_disparate_impact",
-    "token_weighted_quality",
-    "aa_test_calibration",
-    "template_dedup_stats",
-    "cdc_chunk_stats",
-    "markov_next_event_accuracy",
-    "neardup_transitivity_audit",
-    "salt_plan_advisor",
-    "audio_quality_audit",
-    "ewma_control_chart",
-    "image_exposure_audit",
-    "session_gap_sensitivity",
-    "jaccard_threshold_sweep",
-    "df_cap_sensitivity",
-    # r3-vintage leftovers queued first by the round-9 rotation
-    "streaming_wordcount",
-    "image_decode_stats",
-    "image_decode_resize",
-    "events_salted_join",
-    "kmeans_2iter",
-    "streaming_events_hourly",
-    "training_manifest",
-    "boilerplate_ngrams",
-]
-
-# stalest certifications (latest green = round 4), registry order:
-# first in line for the round-11 window
-_R10_NEXT = [
+_R11_WINDOW = [
+    # never-green: the rounds-11..17 queue registered this round
+    "lsh_band_plan",
+    "psi_drift_by_type",
+    "dedup_canonical_pick",
+    "contamination_overlap_fraction",
+    "dim_truncation_recall",
+    "pq_codebook_stats",
+    "trimmed_mean_by_segment",
+    "zipf_slope_by_source",
+    "pack_len_sensitivity",
+    "quantization_bits_sweep",
+    "silhouette_by_cell",
+    "heaps_law_fit",
+    "cross_source_duplicate_matrix",
+    "burstiness_by_type",
+    "streaming_psi_monitor",
+    "mrr_at_k",
+    "event_entropy_rate",
+    "customer_value_gini",
+    "attribution_model_compare",
+    "seasonality_strength_by_type",
+    "embedding_anisotropy",
+    "dedup_cluster_size_histogram",
+    "global_clustering_coefficient",
+    "changepoint_binary_split",
+    "surprisal_filter_curve",
+    "minhash_perm_sensitivity",
+    "split_leakage_audit",
+    "chunk_dedup_stats",
+    "conformal_alpha_sweep",
+    # stalest certifications (r4 vintage), registry order
     "wordcount",
     "region_nations_agg",
     "boilerplate_fraction",
@@ -1375,6 +1450,37 @@ _R10_NEXT = [
     "cohort_retention",
     "events_daily_pivot",
     "inverted_index",
+    "bm25_search",
+    # r4 vintage AND its implementation changed in round 10 (the
+    # shared oriented-wedge refactor) — recertify before the round
+    # ends
+    "triangle_count",
+    "pagerank_2iter",
+    "passage_dedup",
+    "bucketed_join_revenue",
+    "partition_pruned_purchases",
+    # wordcount-family anchors (VERDICT r10 ask #5) + r5 stragglers
+    # the verdict named in ask #2
+    "wordcount_sink_roundtrip",
+    "wordcount_via_datasource",
+    "bpe_merge_candidates",
+    "wordcount_by_lang",
+    "topk_words",
+]
+
+# stalest remaining certifications (latest green = round 4), registry
+# order: first in line for the round-12 window
+_R11_NEXT = [
+    "event_transition_matrix",
+    "user_latest_state",
+    "events_value_histogram",
+    "part_name_match_stats",
+    "doc_lm_surprisal",
+    "doc_chunk_manifest",
+    "streaming_user_profile",
+    "oov_rate",
+    "word_freq_spectrum",
+    "bigram_pmi_top",
 ]
 
 
@@ -1386,5 +1492,5 @@ def _rotate(head: list[str]) -> None:
     _REGISTRY = {n: _REGISTRY[n] for n in [*head, *rest]}
 
 
-_rotate(_R10_WINDOW + _R10_NEXT)
-assert len(_R10_WINDOW) == 50, len(_R10_WINDOW)
+_rotate(_R11_WINDOW + _R11_NEXT)
+assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
