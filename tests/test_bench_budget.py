@@ -33,6 +33,46 @@ def test_bench_detail_within_budgets():
     )
 
 
+def test_post_drain_members_within_budgets():
+    """Per-member post-drain gate (VERDICT r10 ask #3): the shared
+    streaming drain lands on whichever sibling runs first in registry
+    order, so the wide sweep budgets can hide a per-stream regression
+    (a sink read-back growing a shuffle, a layout rebuilt per call).
+    bench.py re-times every streaming member against warm sinks and
+    records post_drain_violations; this test makes any such violation
+    fail CI."""
+    if not os.path.exists(DETAIL):
+        pytest.skip("no BENCH_DETAIL.json committed yet")
+    with open(DETAIL) as fh:
+        detail = json.load(fh)
+    if "post_drain" not in detail:
+        pytest.skip("detail predates the post-drain gate (round <= 10)")
+    assert detail["post_drain_violations"] == {}, (
+        "streaming members over their post-drain budget: "
+        + json.dumps(detail["post_drain_violations"], indent=1)
+    )
+
+
+def test_every_streaming_member_has_post_drain_budget():
+    """A new streaming entry must get an explicit post-drain budget
+    when it is probed; until then the default applies, but the bench
+    must at least have MEASURED it (a member missing from post_drain
+    means the gate never saw it)."""
+    if not os.path.exists(DETAIL):
+        pytest.skip("no BENCH_DETAIL.json committed yet")
+    with open(DETAIL) as fh:
+        detail = json.load(fh)
+    if "post_drain" not in detail:
+        pytest.skip("detail predates the post-drain gate (round <= 10)")
+    from mapreduceece563_spark.registry import queries
+
+    streaming = {n for n in queries() if n.startswith("streaming_")}
+    missing = sorted(streaming - set(detail["post_drain"]))
+    assert not missing, (
+        f"streaming members never measured post-drain: {missing}"
+    )
+
+
 def test_no_repeat_rescues():
     """Escalation rule (VERDICT r9 ask #7): a standalone-re-run rescue
     is a one-time benefit of the doubt. bench.py reads the PRIOR
