@@ -1481,6 +1481,49 @@ MWU_Z2_005_NUM = 2561
 MWU_Z2_005_DEN = 2000
 
 
+def _mwu_rolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-type MWU scaffold: tie-averaged doubled rank sums
+    off the (event_type, cents) value histogram. Returns one row per
+    event type with n_a, n_b, _ra_x2 (doubled rank-sum of epoch A)
+    and _t (the tie-correction sum of c^3 - c, DECIMAL(38,0)).
+    mann_whitney_drift and bh_fdr_drift_control both ride this —
+    identical exchanges, identical integer contract."""
+    mid = F.lit(KS_SPLIT).cast("timestamp")
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+        (F.col("ts") >= mid).cast("long").alias("is_b"),
+    )
+    per_val = ev.groupBy("event_type", "cents").agg(
+        F.sum(1 - F.col("is_b")).alias("da"),
+        F.sum("is_b").alias("db"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = per_val.select(
+        "event_type",
+        "da",
+        "db",
+        (F.col("da") + F.col("db")).alias("_c"),
+        F.coalesce(
+            F.sum(F.col("da") + F.col("db")).over(w_cum), F.lit(0)
+        ).alias("_m"),
+    )
+    return stepped.groupBy("event_type").agg(
+        F.sum("da").alias("n_a"),
+        F.sum("db").alias("n_b"),
+        F.sum(F.col("da") * (2 * F.col("_m") + F.col("_c") + 1)).alias(
+            "_ra_x2"
+        ),
+        F.sum(
+            F.expr("CAST(_c AS DECIMAL(38,0)) * _c * _c - _c")
+        ).alias("_t"),
+    )
+
+
 def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mann-Whitney / Wilcoxon rank-sum drift between the two epochs,
     per event type — the rank-based member of the drift family (KS:
@@ -1511,40 +1554,7 @@ def mann_whitney_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     (never a per-row rank), and the rollup rides the same
     partitioning. Output is one row per event type.
     """
-    mid = F.lit(KS_SPLIT).cast("timestamp")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
-        (F.col("ts") >= mid).cast("long").alias("is_b"),
-    )
-    per_val = ev.groupBy("event_type", "cents").agg(
-        F.sum(1 - F.col("is_b")).alias("da"),
-        F.sum("is_b").alias("db"),
-    )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("cents")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    stepped = per_val.select(
-        "event_type",
-        "da",
-        "db",
-        (F.col("da") + F.col("db")).alias("_c"),
-        F.coalesce(
-            F.sum(F.col("da") + F.col("db")).over(w_cum), F.lit(0)
-        ).alias("_m"),
-    )
-    rolled = stepped.groupBy("event_type").agg(
-        F.sum("da").alias("n_a"),
-        F.sum("db").alias("n_b"),
-        F.sum(F.col("da") * (2 * F.col("_m") + F.col("_c") + 1)).alias(
-            "_ra_x2"
-        ),
-        F.sum(
-            F.expr("CAST(_c AS DECIMAL(38,0)) * _c * _c - _c")
-        ).alias("_t"),
-    )
+    rolled = _mwu_rolled(spark, sf_dir)
     return rolled.select(
         "event_type",
         "n_a",
@@ -3320,3 +3330,365 @@ FROM q JOIN test t
 
 
 CONFORMAL_SWEEP_ORACLE = _conformal_sweep_sql()
+
+
+# --- Benjamini-Hochberg FDR control over the drift family (r12 queue) ----
+
+# BH step-up at FDR q = 0.05 needs, for family size m and rank k, the
+# two-sided normal critical value z_c = Phi^-1(1 - (k*q/m)/2). Neither
+# engine has a correctly-rounded probit, so the critical values are
+# PRECOMPUTED here (stdlib NormalDist, one deterministic literal grid
+# baked identically into the Spark plan and the oracle SQL) as
+# t_num = round(2000 * z_c^2): the per-type decision is then the pure
+# 128-bit integer comparison 2000*z2_num >= t_num*z2_den, the
+# ks_drift/mann_whitney alpha-decision idiom generalized to a grid.
+BH_FDR_Q = 0.05
+BH_FDR_MAX_M = 16
+
+
+def _bh_grid() -> list[tuple[int, int, int]]:
+    from statistics import NormalDist
+
+    nd = NormalDist()
+    rows = []
+    for m in range(1, BH_FDR_MAX_M + 1):
+        for k in range(1, m + 1):
+            z = nd.inv_cdf(1.0 - (k * BH_FDR_Q / m) / 2.0)
+            rows.append((m, k, round(2000 * z * z)))
+    return rows
+
+
+def bh_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control across the per-event-type MWU
+    drift tests — the multiple-testing layer the drift family was
+    missing: running |types| tests at alpha = 0.05 each inflates the
+    family-wise false-alarm rate (5 independent nulls alarm ~23% of
+    the time); BH step-up bounds the expected FALSE DISCOVERY rate at
+    q = 0.05 while keeping far more power than Bonferroni.
+
+    Procedure, fully integer: per type, the tie-corrected MWU z^2 as
+    the exact rational z2_num/z2_den (z2_num = 3n(n-1)(u2-n_a*n_b)^2,
+    z2_den = n_a*n_b*((n+1)n(n-1) - T), both DECIMAL(38,0)/HUGEINT,
+    off the shared _mwu_rolled scaffold); types ranked by evidence
+    via the engine-identical proxy z2_milli = (1000*z2_num) div
+    z2_den descending (tie -> event_type; BOTH engines rank by the
+    same quantized integer, so parity holds even when two exact z^2
+    differ within 1e-3); rank r passes iff 2000*z2_num >=
+    t_num[m][r]*z2_den against the precomputed grid; discoveries =
+    every rank <= the LARGEST passing rank (the step-up). Types with
+    z2_den = 0 (an epoch empty, or all values tied) are untestable:
+    excluded from the family size m, exported with NULL rank and
+    discovery = false.
+
+    Exactness bound: 2000*z2_num <= 375*n^6 needs n <= ~7e5 rows per
+    event type inside DECIMAL(38,0) — the documented mann_whitney
+    bound; past that, pre-aggregate to a coarser value grid.
+
+    Scale posture (100 TB): everything up to the per-type rollup is
+    the mann_whitney plan (histogram groupBy + cumulative window over
+    distinct cents). The BH step itself runs on the |types|-row
+    frame: one broadcast grid join, one |types|-row window. Output is
+    one row per event type.
+    """
+    rolled = _mwu_rolled(spark, sf_dir)
+    base = rolled.select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.expr(
+            "CAST(3 AS DECIMAL(38,0)) * (n_a + n_b) * (n_a + n_b - 1)"
+            " * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b)"
+            " * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b)"
+        ).alias("_z2num"),
+        F.expr(
+            "CAST(n_a AS DECIMAL(38,0)) * n_b"
+            " * ((CAST(n_a AS DECIMAL(38,0)) + n_b + 1) * (n_a + n_b)"
+            "    * (n_a + n_b - 1) - _t)"
+        ).alias("_z2den"),
+    )
+    testable = base.filter(F.col("_z2den") > 0)
+    rest = base.filter(
+        (F.col("_z2den") <= 0) | F.col("_z2den").isNull()
+    )
+    m_fr = testable.agg(F.count(F.lit(1)).alias("m_tests"))
+    grid = spark.createDataFrame(
+        _bh_grid(), "m_tests INT, bh_rank INT, t_num BIGINT"
+    )
+    w_rank = Window.orderBy(F.desc("z2_milli"), F.asc("event_type"))
+    w_all = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = (
+        testable.withColumn(
+            "z2_milli",
+            F.expr("CAST((1000 * _z2num) div _z2den AS BIGINT)"),
+        )
+        .crossJoin(F.broadcast(m_fr))
+        .withColumn("bh_rank", F.row_number().over(w_rank))
+        .join(F.broadcast(grid), ["m_tests", "bh_rank"], "left")
+        .withColumn(
+            "_pass",
+            F.expr("2000 * _z2num >= t_num * _z2den"),
+        )
+        .withColumn(
+            "_max_pass",
+            F.max(F.when(F.col("_pass"), F.col("bh_rank"))).over(w_all),
+        )
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "z2_milli",
+            F.col("m_tests").cast("long").alias("m_tests"),
+            F.col("bh_rank").cast("long").alias("bh_rank"),
+            F.coalesce(
+                F.col("bh_rank") <= F.col("_max_pass"), F.lit(False)
+            ).alias("discovery"),
+        )
+    )
+    rest_out = rest.crossJoin(F.broadcast(m_fr)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.lit(None).cast("long").alias("z2_milli"),
+        F.col("m_tests").cast("long").alias("m_tests"),
+        F.lit(None).cast("long").alias("bh_rank"),
+        F.lit(False).alias("discovery"),
+    )
+    return ranked.unionByName(rest_out)
+
+
+def _bh_fdr_sql() -> str:
+    grid_values = ",\n    ".join(
+        f"({m}, {k}, {t})" for m, k, t in _bh_grid()
+    )
+    return f"""
+WITH ev AS (
+  SELECT event_type,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents,
+         CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_b
+  FROM events
+),
+per_val AS (
+  SELECT event_type, cents,
+         CAST(sum(1 - is_b) AS BIGINT) AS da,
+         CAST(sum(is_b) AS BIGINT) AS db
+  FROM ev GROUP BY event_type, cents
+),
+stepped AS (
+  SELECT event_type, da, db, da + db AS _c,
+         coalesce(sum(da + db) OVER (PARTITION BY event_type ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS _m
+  FROM per_val
+),
+rolled AS (
+  SELECT event_type,
+         CAST(sum(da) AS BIGINT) AS n_a,
+         CAST(sum(db) AS BIGINT) AS n_b,
+         CAST(sum(da * (2 * _m + _c + 1)) AS BIGINT) AS _ra_x2,
+         CAST(sum(CAST(_c AS HUGEINT) * _c * _c - _c) AS HUGEINT) AS _t
+  FROM stepped GROUP BY event_type
+),
+base AS (
+  SELECT event_type, n_a, n_b,
+         CAST(3 AS HUGEINT) * (n_a + n_b) * (n_a + n_b - 1)
+           * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b)
+           * (_ra_x2 - n_a * (n_a + 1) - n_a * n_b) AS _z2num,
+         CAST(n_a AS HUGEINT) * n_b
+           * ((CAST(n_a AS HUGEINT) + n_b + 1) * (n_a + n_b)
+              * (n_a + n_b - 1) - _t) AS _z2den
+  FROM rolled
+),
+grid(m_tests, bh_rank, t_num) AS (
+  VALUES {grid_values}
+),
+m_fr AS (
+  SELECT CAST(count(*) AS BIGINT) AS m_tests FROM base WHERE _z2den > 0
+),
+ranked AS (
+  SELECT event_type, n_a, n_b, _z2num, _z2den,
+         CAST((1000 * _z2num) // _z2den AS BIGINT) AS z2_milli,
+         row_number() OVER (
+           ORDER BY CAST((1000 * _z2num) // _z2den AS BIGINT) DESC,
+                    event_type ASC) AS bh_rank
+  FROM base WHERE _z2den > 0
+),
+passed AS (
+  SELECT r.*, m.m_tests,
+         2000 * r._z2num >= g.t_num * r._z2den AS _pass
+  FROM ranked r
+  CROSS JOIN m_fr m
+  LEFT JOIN grid g
+    ON g.m_tests = m.m_tests AND g.bh_rank = r.bh_rank
+),
+flagged AS (
+  SELECT event_type, n_a, n_b, z2_milli,
+         CAST(m_tests AS BIGINT) AS m_tests,
+         CAST(bh_rank AS BIGINT) AS bh_rank,
+         coalesce(bh_rank <= max(CASE WHEN _pass THEN bh_rank END)
+                              OVER (), FALSE) AS discovery
+  FROM passed
+)
+SELECT * FROM flagged
+UNION ALL
+SELECT b.event_type, b.n_a, b.n_b,
+       CAST(NULL AS BIGINT) AS z2_milli,
+       CAST(m.m_tests AS BIGINT) AS m_tests,
+       CAST(NULL AS BIGINT) AS bh_rank,
+       FALSE AS discovery
+FROM base b CROSS JOIN m_fr m
+WHERE NOT (b._z2den > 0)
+"""
+
+
+BH_FDR_SQL = _bh_fdr_sql()
+
+
+# --- rank-biased overlap: quality vs length top lists (r12 queue) --------
+
+# Truncated RBO at depth K with persistence p: (1-p) * sum_{d=1..K}
+# p^(d-1) * |A_d ^ B_d| / d. The per-depth weights are PRECOMPUTED as
+# e-12-scaled integer literals (one deterministic grid in both
+# engines), and the depth sum telescopes per overlapping doc into ONE
+# suffix-weight lookup: a doc entering both lists at depth
+# mr = max(rank_A, rank_B) contributes c_d to every d >= mr, so
+# rbo_e12 = sum over overlapping docs of W[mr], W[r] = sum_{d=r..K}
+# c_d — no depth spine, no explode, pure int64.
+RBO_K = 20
+RBO_P = 0.9
+
+
+def _rbo_weights() -> tuple[list[int], int]:
+    c = [
+        round((1.0 - RBO_P) * RBO_P ** (d - 1) / d * 1_000_000_000_000)
+        for d in range(1, RBO_K + 1)
+    ]
+    suffix = [sum(c[r:]) for r in range(RBO_K)]  # W[r+1] = suffix[r]
+    max_e12 = sum(cd * d for d, cd in enumerate(c, start=1))
+    return suffix, max_e12
+
+
+def rbo_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-biased overlap (Webber et al.'s top-weighted list-overlap
+    measure) between the top-20 documents by QUALITY and the top-20
+    by LENGTH, per language — the top-of-list complement to
+    spearman_quality_length: Spearman weights every rank equally, so
+    a quality gate that agrees with length exactly where it matters
+    (the head picks a curator actually keeps) can hide behind a
+    modest whole-distribution rho. RBO's geometric weighting (p=0.9)
+    answers "do the two orderings surface the SAME top documents?".
+
+    Truncated (no extrapolation): rbo_e12 is the exact integer
+    sum of precomputed e-12 weights over docs in BOTH top-20s,
+    rbo_norm_ppm normalizes against the full-depth-20 maximum (a
+    literal), so 1e6 = identical top-20s. Rankings tiebreak on doc_id
+    after the ppm-quantized quality / n_chars keys — engine-identical
+    total orders, so the top-20 sets match by construction.
+
+    Scale posture (100 TB): the ONLY per-document work is two
+    rank<=20 filters over row_number windows, which Spark plans as
+    WindowGroupLimit — each partition keeps 20 rows per lang before
+    the exchange, nothing global-sorts. Everything after runs on
+    <= 20-row-per-lang frames (one equi-join, one groupBy).
+    """
+    from .textstats import quality_score
+
+    suffix, max_e12 = _rbo_weights()
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").alias("_nc")
+    )
+    j = q.join(meta, "doc_id").select("lang", "doc_id", "_qp", "_nc")
+    wa = Window.partitionBy("lang").orderBy(F.desc("_qp"), F.asc("doc_id"))
+    wb = Window.partitionBy("lang").orderBy(F.desc("_nc"), F.asc("doc_id"))
+    top_a = (
+        j.withColumn("ra", F.row_number().over(wa))
+        .filter(F.col("ra") <= RBO_K)
+        .select("lang", "doc_id", "ra")
+    )
+    top_b = (
+        j.withColumn("rb", F.row_number().over(wb))
+        .filter(F.col("rb") <= RBO_K)
+        .select("lang", "doc_id", "rb")
+    )
+    sizes = top_a.groupBy("lang").agg(F.count(F.lit(1)).alias("n_top"))
+    w_arr = f"array({', '.join(str(w) for w in suffix)})"
+    overlap = (
+        top_a.join(top_b, ["lang", "doc_id"])
+        .select(
+            "lang",
+            F.expr(f"element_at({w_arr}, greatest(ra, rb))").alias("_w"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_joint"),
+            F.sum("_w").alias("rbo_e12"),
+        )
+    )
+    return sizes.join(overlap, "lang", "left").select(
+        "lang",
+        "n_top",
+        F.coalesce("n_joint", F.lit(0)).alias("n_joint"),
+        F.coalesce("rbo_e12", F.lit(0)).alias("rbo_e12"),
+        F.expr(
+            f"coalesce(rbo_e12, 0) * 1000000 div {max_e12}"
+        ).alias("rbo_norm_ppm"),
+    )
+
+
+def _rbo_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    suffix, max_e12 = _rbo_weights()
+    w_values = ", ".join(
+        f"({r}, {w})" for r, w in enumerate(suffix, start=1)
+    )
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+j AS (
+  SELECT d.lang, d.doc_id,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         d.n_chars AS _nc
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+ta AS (
+  SELECT lang, doc_id, ra FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY _qp DESC, doc_id ASC) AS ra
+    FROM j) t WHERE ra <= {RBO_K}
+),
+tb AS (
+  SELECT lang, doc_id, rb FROM (
+    SELECT lang, doc_id,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY _nc DESC, doc_id ASC) AS rb
+    FROM j) t WHERE rb <= {RBO_K}
+),
+sizes AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_top FROM ta GROUP BY lang
+),
+wt(mr, w) AS (VALUES {w_values}),
+overlap AS (
+  SELECT a.lang,
+         CAST(count(*) AS BIGINT) AS n_joint,
+         CAST(sum(wt.w) AS BIGINT) AS rbo_e12
+  FROM ta a
+  JOIN tb b ON a.lang = b.lang AND a.doc_id = b.doc_id
+  JOIN wt ON wt.mr = greatest(a.ra, b.rb)
+  GROUP BY a.lang
+)
+SELECT s.lang, s.n_top,
+       coalesce(o.n_joint, 0) AS n_joint,
+       coalesce(o.rbo_e12, 0) AS rbo_e12,
+       CAST(coalesce(o.rbo_e12, 0) * 1000000 // {max_e12} AS BIGINT)
+         AS rbo_norm_ppm
+FROM sizes s LEFT JOIN overlap o ON s.lang = o.lang
+"""
+
+
+RBO_QUALITY_LENGTH_SQL = _rbo_sql()

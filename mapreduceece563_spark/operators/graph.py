@@ -951,3 +951,158 @@ def _gcc_sql() -> str:
 
 
 GLOBAL_CLUSTERING_ORACLE = _gcc_sql()
+
+
+# --- k-core decomposition (r12 queue) -------------------------------------
+
+# Peeling rounds unrolled in the oracle; the Spark side RAISES if a
+# core has not stabilized within this bound (the dedup_groups
+# convergence contract: loud failure, never a silently-truncated
+# result). Word co-occurrence degrees collapse fast under peeling —
+# the observed maximum across SFs is recorded in the test file.
+KCORE_KS = (2, 3, 4)
+KCORE_MAX_ROUNDS = 8
+
+
+def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the word co-occurrence graph: for each
+    k in (2, 3, 4), the maximal subgraph where every node keeps
+    degree >= k — the standard density ladder for separating the
+    corpus's connective tissue (function-word hubs survive every
+    peel) from its periphery (hapax chains fall out at k=2). Exports
+    one row per k: surviving nodes, surviving undirected edges, and
+    the maximum in-core degree.
+
+    Algorithm: iterative peeling to a FIXPOINT — drop nodes with
+    in-subgraph degree < k, recompute degrees, repeat; cores nest, so
+    the k=3 peel starts from the k=2 core's edges (and k=4 from
+    k=3's), never from the full graph. Each round is one
+    groupBy(degree) + two semi-joins on the surviving node set; the
+    driver sees ONE count per round (did any node drop?), the
+    per-round frame is localCheckpoint'ed so analysis cost stays
+    linear in rounds (the dedup_groups CC contract), and a core not
+    stabilizing within {KCORE_MAX_ROUNDS} rounds raises instead of
+    truncating. The oracle replays the identical peel with the same
+    round bound unrolled as CTEs — convergence within the bound is
+    therefore part of the verified contract, and a fixpoint reached
+    early makes the oracle's remaining rounds no-ops, so both engines
+    agree exactly.
+
+    Scale posture (100 TB): no per-round driver data beyond one
+    count; edges stay partitioned by src across rounds (the groupBy
+    and both semi-joins key on node ids); rounds are bounded by the
+    peel depth, not graph size — real co-occurrence graphs stabilize
+    in a handful of rounds because peeling cascades exhaust the
+    low-degree fringe geometrically.
+    """
+    edges0 = _cooc_edges(spark, sf_dir).persist()
+    per_k = []
+    edges = edges0
+    for k in KCORE_KS:
+        converged = False
+        for _ in range(KCORE_MAX_ROUNDS):
+            deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            keep = deg.filter(F.col("deg") >= k).select("src")
+            new_edges = (
+                edges.join(keep, "src", "left_semi")
+                .join(
+                    keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+                )
+                .localCheckpoint(eager=True)
+            )
+            # the only values the driver ever sees: two counts
+            n_nodes = deg.count()
+            n_keep = keep.count()
+            edges = new_edges
+            if n_keep == n_nodes:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"k-core peel for k={k} did not stabilize within "
+                f"{KCORE_MAX_ROUNDS} rounds — raise KCORE_MAX_ROUNDS "
+                f"(and the oracle unroll) rather than truncating"
+            )
+        per_k.append(
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).alias("core_nodes"),
+                F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias(
+                    "core_edges"
+                ),
+                F.coalesce(F.max("deg"), F.lit(0)).alias(
+                    "max_core_degree"
+                ),
+            )
+        )
+    edges0.unpersist()
+    out = per_k[0]
+    for fr in per_k[1:]:
+        out = out.unionByName(fr)
+    return out
+
+
+def _kcore_sql() -> str:
+    """Unrolled peel: for each k, KCORE_MAX_ROUNDS rounds of
+    degree-filter + induced-subgraph CTEs chained from the previous
+    k's converged core (cores nest). A round after the fixpoint is a
+    no-op, so the fixed unroll equals the converged core whenever the
+    Spark side converged (which it certifies by raising otherwise)."""
+    from ..operators.ngrams import _words_cte
+
+    parts = [
+        f"""WITH {_words_cte().lstrip()},
+arcs AS (
+  SELECT e.* FROM (
+    SELECT unnest(CASE WHEN len(words) >= 2 THEN
+             list_transform(range(1, len(words)),
+                            i -> {{'src': words[i], 'dst': words[i+1]}})
+           ELSE CAST([] AS STRUCT(src VARCHAR, dst VARCHAR)[]) END) AS e
+    FROM w) t
+),
+e0 AS (SELECT src, dst FROM arcs WHERE src <> dst),
+edges_k0_r0 AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM
+    (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0)
+)"""
+    ]
+    prev = "edges_k0_r0"
+    selects = []
+    for k in KCORE_KS:
+        cur = prev
+        for r in range(1, KCORE_MAX_ROUNDS + 1):
+            keep = f"keep_k{k}_r{r}"
+            nxt = f"edges_k{k}_r{r}"
+            parts.append(
+                f"""{keep} AS MATERIALIZED (
+  SELECT src FROM {cur} GROUP BY src HAVING count(*) >= {k}
+)"""
+            )
+            parts.append(
+                f"""{nxt} AS MATERIALIZED (
+  SELECT e.src, e.dst FROM {cur} e
+  WHERE e.src IN (SELECT src FROM {keep})
+    AND e.dst IN (SELECT src FROM {keep})
+)"""
+            )
+            cur = nxt
+        prev = cur
+        selects.append(
+            f"""SELECT {k} AS k,
+       CAST(count(DISTINCT src) AS BIGINT) AS core_nodes,
+       CAST(count(*) // 2 AS BIGINT) AS core_edges,
+       CAST(coalesce((SELECT max(cnt) FROM
+         (SELECT count(*) AS cnt FROM {cur} GROUP BY src) t), 0)
+         AS BIGINT) AS max_core_degree
+FROM {cur}"""
+        )
+    return (
+        ",\n".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )
+
+
+KCORE_SQL = _kcore_sql()

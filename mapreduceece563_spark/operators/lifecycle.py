@@ -424,3 +424,207 @@ SELECT segment, n_customers, total_cents,
             AS BIGINT) AS gini_ppm
 FROM agg
 """
+
+
+# --- Kaplan-Meier churn survival (r12 queue) ------------------------------
+
+# Probe horizons (days since first order) at which the cumulative
+# log-survival is read out.
+KM_PROBE_DAYS = (365, 730, 1095, 1460)
+
+
+def km_survival_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier churn-survival readout per market segment — the
+    right-censoring-aware member of the lifecycle family: churn_by_
+    segment's raw rate silently treats recently-acquired customers as
+    survivors, biasing retention UP for growing segments. The KM
+    product-limit estimator counts a customer only while observable.
+
+    Time axis: days since first order. A customer churns (event) at
+    t = days(first -> last order) + CHURN_WINDOW_DAYS (365) — the day
+    the quiet window completes — iff their last order predates the
+    fixed horizon (RFM_REF_DATE, 2001-08-02) by more than the window;
+    otherwise they are right-censored at t = days(first -> horizon),
+    still alive when observation ends. Event time <= censor time by
+    construction.
+
+    Integer contract: event/censor times are exact day counts; at
+    each death time n_t (at risk: everyone with time >= t, the
+    standard censored-after-deaths tie rule) and d_t are exact int64;
+    each KM factor ln((n_t - d_t)/n_t) is quantized to MICRO-NATS
+    before the sum (the bigram_pmi idiom: identical exact integer
+    ratios -> identical correctly-rounded doubles -> identical
+    rounded terms), so log_surv_micronats is an exact integer sum and
+    S(t) = exp(log_surv_micronats / 1e6) is the reader's one float.
+    If a segment's risk set empties at a death time <= the probe
+    (n_t = d_t, S -> 0, log -> -inf), the readout is NULL — explicit,
+    engine-identical.
+
+    Scale posture (100 TB): one groupBy(o_custkey) collapses orders
+    map-side, one dim join, then a groupBy(segment, t) histogram —
+    everything after (the cumulative at-risk window, the 4-probe
+    fan-out, the rollup) runs on <= |segments| x |distinct day
+    counts| cells, never per customer.
+    """
+    horizon = F.lit(RFM_REF_DATE).cast("date")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("od").alias("first_od"), F.max("od").alias("last_od")
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    timed = per_cust.join(
+        cust, per_cust["o_custkey"] == cust["c_custkey"]
+    ).select(
+        "c_mktsegment",
+        F.when(
+            F.datediff(horizon, F.col("last_od")) > CHURN_WINDOW_DAYS,
+            F.datediff(F.col("last_od"), F.col("first_od"))
+            + CHURN_WINDOW_DAYS,
+        )
+        .otherwise(F.datediff(horizon, F.col("first_od")))
+        .alias("t"),
+        F.when(
+            F.datediff(horizon, F.col("last_od")) > CHURN_WINDOW_DAYS, 1
+        )
+        .otherwise(0)
+        .alias("is_event"),
+    )
+    cells = timed.groupBy("c_mktsegment", "t").agg(
+        F.sum("is_event").alias("d"),
+        F.sum(1 - F.col("is_event")).alias("c"),
+    )
+    w_risk = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.desc("t"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risked = cells.select(
+        "c_mktsegment",
+        "t",
+        "d",
+        "c",
+        F.sum(F.col("d") + F.col("c")).over(w_risk).alias("n_t"),
+    ).select(
+        "c_mktsegment",
+        "t",
+        "d",
+        "c",
+        "n_t",
+        F.when(
+            (F.col("d") > 0) & (F.col("n_t") > F.col("d")),
+            F.round(
+                F.log(
+                    (F.col("n_t") - F.col("d"))
+                    / F.col("n_t").cast("double")
+                )
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        ).alias("term"),
+        ((F.col("d") > 0) & (F.col("n_t") == F.col("d")))
+        .cast("long")
+        .alias("zeroed"),
+    )
+    probes = F.explode(
+        F.array(*[F.lit(p) for p in KM_PROBE_DAYS])
+    ).alias("probe_days")
+    fanned = risked.select("*", probes)
+    rolled = fanned.groupBy("c_mktsegment", "probe_days").agg(
+        F.sum(F.col("d") + F.col("c")).alias("n_customers"),
+        F.sum("d").alias("n_churned"),
+        F.sum(
+            F.when(F.col("t") >= F.col("probe_days"), F.col("d") + F.col("c"))
+        ).alias("_ar"),
+        F.sum(
+            F.when(F.col("t") <= F.col("probe_days"), F.col("term"))
+        ).alias("_ls"),
+        F.max(
+            F.when(F.col("t") <= F.col("probe_days"), F.col("zeroed"))
+        ).alias("_z"),
+    )
+    return rolled.select(
+        "c_mktsegment",
+        F.col("probe_days").cast("long").alias("probe_days"),
+        "n_customers",
+        "n_churned",
+        F.coalesce("_ar", F.lit(0)).alias("at_risk"),
+        F.when(
+            F.coalesce("_z", F.lit(0)) == 1, F.lit(None).cast("long")
+        )
+        .otherwise(F.coalesce("_ls", F.lit(0)))
+        .alias("log_surv_micronats"),
+    )
+
+
+def _km_sql() -> str:
+    probe_values = ", ".join(f"({p})" for p in KM_PROBE_DAYS)
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey,
+         CAST(min(o_orderdate) AS DATE) AS first_od,
+         CAST(max(o_orderdate) AS DATE) AS last_od
+  FROM orders GROUP BY o_custkey
+),
+timed AS (
+  SELECT c.c_mktsegment,
+         CASE WHEN date_diff('day', p.last_od, DATE '{RFM_REF_DATE}')
+                   > {CHURN_WINDOW_DAYS}
+              THEN date_diff('day', p.first_od, p.last_od)
+                   + {CHURN_WINDOW_DAYS}
+              ELSE date_diff('day', p.first_od, DATE '{RFM_REF_DATE}')
+         END AS t,
+         CASE WHEN date_diff('day', p.last_od, DATE '{RFM_REF_DATE}')
+                   > {CHURN_WINDOW_DAYS}
+              THEN 1 ELSE 0 END AS is_event
+  FROM per_cust p JOIN customer c ON p.o_custkey = c.c_custkey
+),
+cells AS (
+  SELECT c_mktsegment, t,
+         CAST(sum(is_event) AS BIGINT) AS d,
+         CAST(sum(1 - is_event) AS BIGINT) AS c
+  FROM timed GROUP BY c_mktsegment, t
+),
+risked AS (
+  SELECT c_mktsegment, t, d, c,
+         CAST(sum(d + c) OVER (PARTITION BY c_mktsegment ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS n_t
+  FROM cells
+),
+termed AS (
+  SELECT c_mktsegment, t, d, c, n_t,
+         CASE WHEN d > 0 AND n_t > d
+              THEN CAST(round(ln((n_t - d) / CAST(n_t AS DOUBLE))
+                              * 1000000, 0) AS BIGINT)
+         END AS term,
+         CASE WHEN d > 0 AND n_t = d THEN 1 ELSE 0 END AS zeroed
+  FROM risked
+),
+probes(probe_days) AS (VALUES {probe_values}),
+rolled AS (
+  SELECT c_mktsegment, probe_days,
+         CAST(sum(d + c) AS BIGINT) AS n_customers,
+         CAST(sum(d) AS BIGINT) AS n_churned,
+         CAST(sum(CASE WHEN t >= probe_days THEN d + c END) AS BIGINT)
+           AS _ar,
+         CAST(sum(CASE WHEN t <= probe_days THEN term END) AS BIGINT)
+           AS _ls,
+         max(CASE WHEN t <= probe_days THEN zeroed END) AS _z
+  FROM termed CROSS JOIN probes
+  GROUP BY c_mktsegment, probe_days
+)
+SELECT c_mktsegment,
+       CAST(probe_days AS BIGINT) AS probe_days,
+       n_customers, n_churned,
+       coalesce(_ar, 0) AS at_risk,
+       CASE WHEN coalesce(_z, 0) = 1 THEN NULL
+            ELSE coalesce(_ls, 0) END AS log_surv_micronats
+FROM rolled
+"""
+
+
+KM_SURVIVAL_SQL = _km_sql()

@@ -1368,6 +1368,27 @@ register(
     an.conformal_alpha_sweep,
     an.CONFORMAL_SWEEP_ORACLE,
 )
+# ROUND-12 QUEUE (tests/test_queue_r12b.py) — implemented and
+# oracle-tested in round 11, registration held until CORRECTNESS_r11
+# certifies the 29-entry tranche above (VERDICT r10 ask #6: queue
+# growth stays below registration throughput). Each is two-scale
+# probed (SCALE.md "Round-12 queue probes (round 11)"), Python-model
+# fuzzed, plan/empty-pinned:
+#   bh_fdr_drift_control (analytics / BH_FDR_SQL) — Benjamini-
+#   Hochberg FDR step-up across the per-type MWU drift family;
+#   precomputed probit grid, pure 128-bit integer decisions on the
+#   shared _mwu_rolled scaffold.
+#   rbo_quality_length (analytics / RBO_QUALITY_LENGTH_SQL) —
+#   truncated rank-biased overlap of the top-20-by-quality vs
+#   top-20-by-length lists per lang; literal e-12 weights, suffix-
+#   weight telescoping, WindowGroupLimit top-k.
+#   km_survival_by_segment (lifecycle / KM_SURVIVAL_SQL) — Kaplan-
+#   Meier churn survival with right-censoring at the fixed horizon;
+#   micro-nat-quantized log factors, histogram-granular.
+#   kcore_decomposition (graph / KCORE_SQL) — k-core peeling to a
+#   fixpoint for k in (2,3,4), nested-core chaining, dedup_groups
+#   convergence contract; oracle unrolls the peel as MATERIALIZED
+#   CTEs.
 
 
 # ======================================================================

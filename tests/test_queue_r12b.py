@@ -1,0 +1,521 @@
+"""Round-12 registration queue, built and oracle-tested in round 11.
+
+Four operators covering classes the registry lacked — multiple-testing
+control (Benjamini-Hochberg FDR over the drift family), survival
+analysis (Kaplan-Meier churn curves with right-censoring), graph core
+decomposition (iterative k-core peeling with the dedup_groups
+convergence contract), and top-weighted rank agreement (truncated
+rank-biased overlap). Each gets the driver's oracle compare, a
+pure-Python model for the math the hash cannot see, invariant plan
+pins, an engineered-graph fixture for the peel cascade, and the
+empty-table pin.
+
+Registration plan (VERDICT r10 ask #6: growth stays below the
+29-entry registration throughput of round 11): these four register in
+round 12, after CORRECTNESS_r11 certifies the round-11 tranche.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR, assert_frames_match
+
+
+# --- bh_fdr_drift_control -------------------------------------------------
+
+
+def test_bh_fdr_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.bh_fdr_drift_control(spark, SF_DIR),
+        duck.execute(an.BH_FDR_SQL),
+        ctx="bh_fdr_drift_control",
+    )
+
+
+def test_bh_fdr_python_model(spark):
+    """Recompute the whole procedure from scratch: exact MWU rank
+    sums with tie handling via Fractions, exact z^2 rationals, the
+    same literal grid, and the step-up — ranks, z2_milli, and
+    discovery flags must all match."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import analytics as an
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type,
+                   CAST(round(value * 100, 0) AS BIGINT) AS cents,
+                   CASE WHEN ts >= TIMESTAMP '{an.KS_SPLIT}'
+                        THEN 1 ELSE 0 END AS is_b
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    by_type: dict[str, dict[int, list[int]]] = {}
+    for et, cents, is_b in rows:
+        by_type.setdefault(et, {}).setdefault(cents, [0, 0])[is_b] += 1
+    grid = {(m, k): t for m, k, t in an._bh_grid()}
+    model = {}
+    for et, hist in by_type.items():
+        n_a = sum(v[0] for v in hist.values())
+        n_b = sum(v[1] for v in hist.values())
+        ra_x2, m_prev, t_sum = 0, 0, 0
+        for cents in sorted(hist):
+            da, db = hist[cents]
+            c = da + db
+            ra_x2 += da * (2 * m_prev + c + 1)
+            t_sum += c**3 - c
+            m_prev += c
+        n = n_a + n_b
+        u2d = ra_x2 - n_a * (n_a + 1) - n_a * n_b
+        z2num = 3 * n * (n - 1) * u2d * u2d
+        z2den = n_a * n_b * ((n + 1) * n * (n - 1) - t_sum)
+        model[et] = (n_a, n_b, z2num, z2den)
+    testable = {et: v for et, v in model.items() if v[3] > 0}
+    m = len(testable)
+    order = sorted(
+        testable,
+        key=lambda et: (
+            -(1000 * testable[et][2] // testable[et][3]),
+            et,
+        ),
+    )
+    max_pass = 0
+    for r, et in enumerate(order, start=1):
+        _, _, z2num, z2den = testable[et]
+        if 2000 * z2num >= grid[(m, r)] * z2den:
+            max_pass = r
+    got = {
+        r["event_type"]: r.asDict()
+        for r in an.bh_fdr_drift_control(spark, SF_DIR).collect()
+    }
+    assert set(got) == set(model)
+    for r, et in enumerate(order, start=1):
+        n_a, n_b, z2num, z2den = testable[et]
+        g = got[et]
+        assert g["m_tests"] == m
+        assert g["bh_rank"] == r
+        assert g["z2_milli"] == 1000 * z2num // z2den
+        assert g["discovery"] == (r <= max_pass), et
+    for et in set(model) - set(testable):
+        assert got[et]["bh_rank"] is None
+        assert got[et]["discovery"] is False
+
+
+def test_bh_fdr_grid_is_monotone():
+    """Step-up sanity baked into the literals: within a family size m
+    the critical z^2 DECREASES with rank (later ranks are easier), and
+    rank-1 thresholds grow with m (more tests -> harsher leader)."""
+    from mapreduceece563_spark.operators import analytics as an
+
+    grid = {(m, k): t for m, k, t in an._bh_grid()}
+    for m in range(1, an.BH_FDR_MAX_M + 1):
+        for k in range(2, m + 1):
+            assert grid[(m, k)] < grid[(m, k - 1)]
+    for m in range(2, an.BH_FDR_MAX_M + 1):
+        assert grid[(m, 1)] > grid[(m - 1, 1)]
+    # m = 1 degenerates to the single-test alpha = 0.05 critical value
+    assert grid[(1, 1)] == 7683  # round(2000 * 1.959964^2)
+
+
+def test_bh_fdr_positive_control(spark, tmp_path):
+    """A planted shift must be discovered and an exchangeable null
+    must not: two event types, one with epoch B shifted far up, one
+    with A and B identical — BH flags exactly the shifted type."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import analytics as an
+
+    d = tmp_path / "bh_sf"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for i in range(300):
+        for ts, is_b in (("2024-01-10 00:00:00", 0), ("2024-01-20 00:00:00", 1)):
+            eid += 1
+            rows.append(
+                ("shifted", ts, float(i % 50 + (500 if is_b else 0)), eid, f"u{i%7}")
+            )
+            eid += 1
+            rows.append(("nullish", ts, float(i % 50), eid, f"u{i%7}"))
+    spark.createDataFrame(
+        rows, "event_type string, ts string, value double, event_id long, user_id string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        r["event_type"]: r["discovery"]
+        for r in an.bh_fdr_drift_control(spark, str(d)).collect()
+    }
+    assert got == {"shifted": True, "nullish": False}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    assert_frames_match(
+        an.bh_fdr_drift_control(spark, str(d)),
+        con.execute(an.BH_FDR_SQL),
+        ctx="bh_fdr_positive_control",
+    )
+
+
+# --- rbo_quality_length ---------------------------------------------------
+
+
+def test_rbo_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.rbo_quality_length(spark, SF_DIR),
+        duck.execute(an.RBO_QUALITY_LENGTH_SQL),
+        ctx="rbo_quality_length",
+    )
+
+
+def test_rbo_python_model(spark):
+    """Recompute via the DIRECT depth-sum definition (sum over depths
+    of c_d * |A_d ^ B_d|) — independent of the suffix-weight
+    telescoping the implementation uses."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    meta = [
+        (r["lang"], r["doc_id"], r["n_chars"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("lang", "doc_id", "n_chars")
+        .collect()
+    ]
+    suffix, max_e12 = an._rbo_weights()
+    c = [
+        suffix[i] - (suffix[i + 1] if i + 1 < len(suffix) else 0)
+        for i in range(len(suffix))
+    ]
+    langs = sorted({m[0] for m in meta})
+    model = {}
+    for lang in langs:
+        docs = [(did, q[did], nc) for lg, did, nc in meta if lg == lang]
+        top_a = [
+            d
+            for d, _, _ in sorted(docs, key=lambda x: (-x[1], x[0]))[
+                : an.RBO_K
+            ]
+        ]
+        top_b = [
+            d
+            for d, _, _ in sorted(docs, key=lambda x: (-x[2], x[0]))[
+                : an.RBO_K
+            ]
+        ]
+        rbo = sum(
+            c[d - 1] * len(set(top_a[:d]) & set(top_b[:d]))
+            for d in range(1, an.RBO_K + 1)
+        )
+        model[lang] = (
+            len(top_a),
+            len(set(top_a) & set(top_b)),
+            rbo,
+            rbo * 1_000_000 // max_e12,
+        )
+    got = {
+        r["lang"]: (r["n_top"], r["n_joint"], r["rbo_e12"], r["rbo_norm_ppm"])
+        for r in an.rbo_quality_length(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_rbo_plan_uses_window_group_limit(spark):
+    """Scale pin: the rank <= 20 filters plan as WindowGroupLimit
+    (per-partition bounded top-k before the exchange), and nothing
+    cartesian-joins."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.rbo_quality_length(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_rbo_identical_lists_hit_the_ceiling():
+    """Weight algebra: full agreement at every depth reaches exactly
+    the literal maximum, so rbo_norm_ppm = 1e6 means identical
+    top-20s by construction."""
+    from mapreduceece563_spark.operators import analytics as an
+
+    suffix, max_e12 = an._rbo_weights()
+    c = [
+        suffix[i] - (suffix[i + 1] if i + 1 < len(suffix) else 0)
+        for i in range(len(suffix))
+    ]
+    assert sum(cd * d for d, cd in enumerate(c, start=1)) == max_e12
+    # telescoping identity: a doc at max-rank r contributes suffix[r-1]
+    assert all(
+        suffix[r - 1] == sum(c[r - 1 :]) for r in range(1, an.RBO_K + 1)
+    )
+
+
+# --- km_survival_by_segment ----------------------------------------------
+
+
+def test_km_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import lifecycle as lc
+
+    assert_frames_match(
+        lc.km_survival_by_segment(spark, SF_DIR),
+        duck.execute(lc.KM_SURVIVAL_SQL),
+        ctx="km_survival_by_segment",
+    )
+
+
+def test_km_python_model(spark):
+    """Recompute the product-limit estimator directly: per segment,
+    sort the (time, is_event) pairs, walk death times with the exact
+    at-risk counts, quantize each ln factor to micro-nats, and check
+    every probe readout (including at_risk and the counts)."""
+    import datetime
+
+    import duckdb
+
+    from mapreduceece563_spark.operators import lifecycle as lc
+
+    rows = duckdb.connect().execute(
+        f"""SELECT c.c_mktsegment,
+                   CAST(min(o.o_orderdate) AS DATE) AS first_od,
+                   CAST(max(o.o_orderdate) AS DATE) AS last_od
+            FROM '{SF_DIR}/orders.parquet' o
+            JOIN '{SF_DIR}/customer.parquet' c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment, o.o_custkey"""
+    ).fetchall()
+    horizon = datetime.date.fromisoformat(lc.RFM_REF_DATE)
+    by_seg: dict[str, list[tuple[int, int]]] = {}
+    for seg, first, last in rows:
+        churned = (horizon - last).days > lc.CHURN_WINDOW_DAYS
+        t = (
+            (last - first).days + lc.CHURN_WINDOW_DAYS
+            if churned
+            else (horizon - first).days
+        )
+        by_seg.setdefault(seg, []).append((t, 1 if churned else 0))
+    model = {}
+    for seg, pairs in by_seg.items():
+        n_customers = len(pairs)
+        n_churned = sum(e for _, e in pairs)
+        for probe in lc.KM_PROBE_DAYS:
+            log_s, zeroed = 0, False
+            deaths: dict[int, int] = {}
+            for t, e in pairs:
+                if e:
+                    deaths[t] = deaths.get(t, 0) + 1
+            for t in sorted(deaths):
+                if t > probe:
+                    break
+                n_t = sum(1 for tt, _ in pairs if tt >= t)
+                d_t = deaths[t]
+                if n_t == d_t:
+                    zeroed = True
+                    break
+                log_s += round(math.log((n_t - d_t) / n_t) * 1_000_000)
+            at_risk = sum(1 for tt, _ in pairs if tt >= probe)
+            model[(seg, probe)] = (
+                n_customers,
+                n_churned,
+                at_risk,
+                None if zeroed else log_s,
+            )
+    got = {
+        (r["c_mktsegment"], r["probe_days"]): (
+            r["n_customers"],
+            r["n_churned"],
+            r["at_risk"],
+            r["log_surv_micronats"],
+        )
+        for r in lc.km_survival_by_segment(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_km_survival_monotone_and_bounded(spark):
+    """KM invariants: log-survival is <= 0, nonincreasing in the
+    probe horizon, and a probe with zero churn so far reads exactly
+    0 (S = 1)."""
+    from mapreduceece563_spark.operators import lifecycle as lc
+
+    rows = lc.km_survival_by_segment(spark, SF_DIR).collect()
+    by_seg: dict[str, list] = {}
+    for r in rows:
+        by_seg.setdefault(r["c_mktsegment"], []).append(r)
+    assert by_seg, "no segments at this SF"
+    for seg, rs in by_seg.items():
+        rs.sort(key=lambda r: r["probe_days"])
+        prev = 0
+        for r in rs:
+            if r["log_surv_micronats"] is None:
+                continue
+            assert r["log_surv_micronats"] <= 0
+            assert r["log_surv_micronats"] <= prev
+            prev = r["log_surv_micronats"]
+            assert 0 <= r["n_churned"] <= r["n_customers"]
+            assert 0 <= r["at_risk"] <= r["n_customers"]
+
+
+def test_km_plan_histogram_granular(spark):
+    """Invariant pin: the at-risk window partitions by segment over
+    the (segment, t) cells — never a per-customer or per-order sort;
+    the probe fan-out is a Generate (explode), not a join."""
+    from mapreduceece563_spark.operators import lifecycle as lc
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(lc.km_survival_by_segment(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert "Generate explode" in p
+
+
+# --- kcore_decomposition --------------------------------------------------
+
+
+def test_kcore_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import graph as gph
+
+    assert_frames_match(
+        gph.kcore_decomposition(spark, SF_DIR),
+        duck.execute(gph.KCORE_SQL),
+        ctx="kcore_decomposition",
+    )
+
+
+def test_kcore_python_model(spark):
+    """Pure-Python peel over the same edge list: collect the
+    co-occurrence arcs once, peel to fixpoint per k, compare node and
+    edge counts plus the max in-core degree."""
+    from mapreduceece563_spark.operators import graph as gph
+
+    arcs = {
+        (r["src"], r["dst"])
+        for r in gph._cooc_edges(spark, SF_DIR).collect()
+    }
+    model = {}
+    edges = set(arcs)
+    for k in gph.KCORE_KS:
+        while True:
+            deg: dict[str, int] = {}
+            for s, _ in edges:
+                deg[s] = deg.get(s, 0) + 1
+            keep = {n for n, d in deg.items() if d >= k}
+            new_edges = {
+                (s, d) for s, d in edges if s in keep and d in keep
+            }
+            if len(keep) == len(deg):
+                break
+            edges = new_edges
+        deg = {}
+        for s, _ in edges:
+            deg[s] = deg.get(s, 0) + 1
+        model[k] = (
+            len(deg),
+            len(edges) // 2,
+            max(deg.values()) if deg else 0,
+        )
+    got = {
+        r["k"]: (r["core_nodes"], r["core_edges"], r["max_core_degree"])
+        for r in gph.kcore_decomposition(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_kcore_engineered_cascade(spark, tmp_path):
+    """The peel must CASCADE, not just filter once: a 6-node chain
+    (dissolves at k=2 over three rounds), a 4-cycle (2-core, dies at
+    k=3), a K5 clique via an Eulerian circuit (survives through
+    k=4), and a pendant off the clique (dies at k=2 without taking
+    the clique down). Verified against the oracle AND the known
+    closed-form core sizes."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import graph as gph
+
+    d = tmp_path / "kcore_sf"
+    d.mkdir()
+    texts = [
+        "ca cb cc cd ce cf",  # chain: peels away entirely at k=2
+        "xa xb xc xd xa",  # 4-cycle: exactly a 2-core
+        "qq rr ss tt uu qq ss uu rr tt qq",  # Eulerian circuit of K5
+        "qq pendant",  # pendant off the clique
+    ]
+    spark.createDataFrame(
+        [
+            (i, t, "en", "fixture", len(t))
+            for i, t in enumerate(texts, start=1)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(d / "documents.parquet"))
+    got = {
+        r["k"]: (r["core_nodes"], r["core_edges"], r["max_core_degree"])
+        for r in gph.kcore_decomposition(spark, str(d)).collect()
+    }
+    assert got == {
+        2: (9, 14, 4),  # 4-cycle + K5
+        3: (5, 10, 4),  # K5 only
+        4: (5, 10, 4),  # K5 is a 4-core
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet/*.parquet'"
+    )
+    assert_frames_match(
+        gph.kcore_decomposition(spark, str(d)),
+        con.execute(gph.KCORE_SQL),
+        ctx="kcore_engineered",
+    )
+
+
+def test_kcore_cores_nest(spark):
+    """Nesting invariant: core sizes are nonincreasing in k on every
+    axis (nodes, edges, max degree)."""
+    from mapreduceece563_spark.operators import graph as gph
+
+    rows = sorted(
+        gph.kcore_decomposition(spark, SF_DIR).collect(),
+        key=lambda r: r["k"],
+    )
+    for a, b in zip(rows, rows[1:]):
+        assert b["core_nodes"] <= a["core_nodes"]
+        assert b["core_edges"] <= a["core_edges"]
+        assert b["max_core_degree"] <= a["max_core_degree"]
+
+
+# --- empty-table behavior, all four --------------------------------------
+
+
+def test_queue_r12b_on_empty_tables(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators import graph as gph
+    from mapreduceece563_spark.operators import lifecycle as lc
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    for name, fn, sql in [
+        ("bh_fdr_drift_control", an.bh_fdr_drift_control, an.BH_FDR_SQL),
+        ("rbo_quality_length", an.rbo_quality_length, an.RBO_QUALITY_LENGTH_SQL),
+        ("km_survival_by_segment", lc.km_survival_by_segment, lc.KM_SURVIVAL_SQL),
+        ("kcore_decomposition", gph.kcore_decomposition, gph.KCORE_SQL),
+    ]:
+        assert_frames_match(
+            fn(spark, str(d)), con.execute(sql), ctx=f"empty:{name}"
+        )
