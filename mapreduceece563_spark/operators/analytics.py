@@ -3382,7 +3382,12 @@ def bh_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness bound: 2000*z2_num <= 375*n^6 needs n <= ~7e5 rows per
     event type inside DECIMAL(38,0) — the documented mann_whitney
-    bound; past that, pre-aggregate to a coarser value grid.
+    bound; past that, pre-aggregate to a coarser value grid. The
+    precomputed grid covers family sizes m <= BH_FDR_MAX_M (16); a
+    family larger than the grid leaves t_num NULL for the excess
+    ranks, which makes those ranks non-passing (conservative — BH
+    can only UNDER-discover, never inflate FDR); widen BH_FDR_MAX_M
+    if the event-type domain grows past it.
 
     Scale posture (100 TB): everything up to the per-type rollup is
     the mann_whitney plan (histogram groupBy + cumulative window over
@@ -3692,3 +3697,139 @@ FROM sizes s LEFT JOIN overlap o ON s.lang = o.lang
 
 
 RBO_QUALITY_LENGTH_SQL = _rbo_sql()
+
+
+# --- Hill tail-index estimator (r12 queue, batch 2) -----------------------
+
+# Order statistics used per event type: the top HILL_K positive
+# values (the classic bias/variance compromise for the Hill plot's
+# stable region at these row counts).
+HILL_K = 100
+
+
+def hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of `value` per
+    event type — the tail-risk member of the distribution family:
+    moments and percentiles say where the bulk sits; the Hill index
+    alpha says how fast P(X > x) decays (alpha <= 2 means infinite
+    variance — winsorization thresholds and revenue projections off
+    sample moments silently break, and this is the operator that
+    says so).
+
+    hill_mean = (1/(k-1)) * sum_{i<k} ln(x_(i)/x_(k)) over the
+    descending order statistics x_(1) >= ... >= x_(k) of the
+    cents-quantized positive values; alpha = 1/hill_mean. Each ln of
+    an exact integer ratio is quantized to MICRO-NATS before the sum
+    (the bigram_pmi idiom), the mean is the pure-int64 half-up
+    division, and alpha_milli = 1e9 div hill_mean_micronats is one
+    more integer division. Types with fewer than 2 positive values —
+    or a degenerate tail (x_(1) = x_(k), hill_mean = 0) — export
+    NULL. Ties at the k-th value are value-identical, so the
+    row_number cut is order-stable by construction (event_id
+    tiebreak pins the rows too).
+
+    Scale posture (100 TB): the rank <= k filter plans as
+    WindowGroupLimit (per-partition top-k per type before one
+    exchange); everything after runs on <= k rows per type (one
+    broadcast-sized tail-ref join, one rollup).
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    ).filter(F.col("cents") > 0)
+    w_top = Window.partitionBy("event_type").orderBy(
+        F.desc("cents"), F.asc("event_id")
+    )
+    topk = ev.withColumn("rn", F.row_number().over(w_top)).filter(
+        F.col("rn") <= HILL_K
+    )
+    tails = topk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.min("cents").alias("x_tail_cents"),
+    )
+    terms = topk.join(F.broadcast(tails), "event_type").select(
+        "event_type",
+        "k_used",
+        "x_tail_cents",
+        F.when(
+            F.col("rn") < F.col("k_used"),
+            F.round(
+                F.log(
+                    F.col("cents") / F.col("x_tail_cents").cast("double")
+                )
+                * 1_000_000,
+                0,
+            ).cast("long"),
+        ).alias("_t"),
+    )
+    rolled = terms.groupBy("event_type").agg(
+        F.max("k_used").alias("k_used"),
+        F.max("x_tail_cents").alias("x_tail_cents"),
+        F.sum("_t").alias("_s"),
+    )
+    return rolled.select(
+        "event_type",
+        "k_used",
+        "x_tail_cents",
+        F.when(
+            F.col("k_used") >= 2,
+            F.expr("(2 * _s + (k_used - 1)) div (2 * (k_used - 1))"),
+        ).alias("hill_mean_micronats"),
+        F.when(
+            (F.col("k_used") >= 2)
+            & (F.expr("(2 * _s + (k_used - 1)) div (2 * (k_used - 1))") > 0),
+            F.expr(
+                "1000000000 div ((2 * _s + (k_used - 1))"
+                " div (2 * (k_used - 1)))"
+            ),
+        ).alias("alpha_milli"),
+    )
+
+
+HILL_TAIL_SQL = f"""
+WITH ev AS (
+  SELECT event_type, event_id,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM events
+  WHERE CAST(round(value * 100, 0) AS BIGINT) > 0
+),
+topk AS (
+  SELECT event_type, cents, rn FROM (
+    SELECT event_type, cents,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cents DESC, event_id ASC) AS rn
+    FROM ev) t WHERE rn <= {HILL_K}
+),
+tails AS (
+  SELECT event_type,
+         CAST(count(*) AS BIGINT) AS k_used,
+         min(cents) AS x_tail_cents
+  FROM topk GROUP BY event_type
+),
+terms AS (
+  SELECT t.event_type, ta.k_used, ta.x_tail_cents,
+         CASE WHEN t.rn < ta.k_used THEN
+           CAST(round(ln(t.cents / CAST(ta.x_tail_cents AS DOUBLE))
+                      * 1000000, 0) AS BIGINT)
+         END AS _t
+  FROM topk t JOIN tails ta USING (event_type)
+),
+rolled AS (
+  SELECT event_type,
+         max(k_used) AS k_used,
+         max(x_tail_cents) AS x_tail_cents,
+         CAST(sum(_t) AS BIGINT) AS _s
+  FROM terms GROUP BY event_type
+)
+SELECT event_type, k_used, x_tail_cents,
+       CASE WHEN k_used >= 2
+            THEN (2 * _s + (k_used - 1)) // (2 * (k_used - 1)) END
+         AS hill_mean_micronats,
+       CASE WHEN k_used >= 2
+             AND (2 * _s + (k_used - 1)) // (2 * (k_used - 1)) > 0
+            THEN 1000000000
+                 // ((2 * _s + (k_used - 1)) // (2 * (k_used - 1)))
+       END AS alpha_milli
+FROM rolled
+"""

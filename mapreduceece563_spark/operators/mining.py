@@ -1351,3 +1351,332 @@ SELECT from_type, n_transitions, n_destinations, h_millinat,
        END AS predictability_ppm
 FROM rows_h, nt
 """
+
+
+# --- t-closeness audit (r12 queue, batch 2) -------------------------------
+
+# Conventional t-closeness release threshold (EMD <= 0.2).
+T_CLOSENESS_PPM = 200_000
+
+
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit under the QI (event_type, hour-of-day) with
+    the numeric sensitive attribute `value` — the third rung of the
+    privacy ladder k_anonymity_audit and l_diversity_audit climb: a
+    QI class can be k-large and l-diverse yet still leak (its value
+    DISTRIBUTION can differ wildly from the table's — "this hour's
+    purchases are all huge"). t-closeness bounds the Earth Mover's
+    Distance between each class's value distribution and the global
+    one.
+
+    For ordered numeric attributes the EMD has the closed cumulative
+    form D(P,Q) = sum_i |cumP_i - cumQ_i| / (m-1) over the m global
+    distinct values — and with cumP_i/n and cumQ_i/N cross-multiplied
+    onto the common denominator n*N, every |term| is the exact int64
+    |cumP_i*N - cumQ_i*n|; one DECIMAL(38,0) division at the end
+    yields emd_ppm. Rolled up per event type: classes, worst EMD,
+    violations of the conventional t = 0.2, rows in violating
+    classes.
+
+    Scale posture (100 TB): the sensitive attribute is discretized
+    to WHOLE UNITS (the conventional numeric-t-closeness move — the
+    distance is over a binned domain by definition), so the global
+    value spine is DOMAIN-bounded (~1e3 distinct units here, <= the
+    value range at any corpus size) and the per-class cumulative
+    grid is |classes| x |domain| — a broadcast of the tiny class
+    frame against the spine, one window per class over domain
+    values, never a per-row rank. The class and global histograms
+    partial-aggregate map-side. (First cut used cents and the grid
+    cost 5-9 s at sf0.1 for zero audit value — measured, fixed.)
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").alias("hour_of_day"),
+        F.round(F.col("value"), 0).cast("long").alias("units"),
+    )
+    cls_cells = ev.groupBy("event_type", "hour_of_day", "units").agg(
+        F.count(F.lit(1)).alias("n_v")
+    )
+    classes = ev.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    gl = ev.groupBy("units").agg(F.count(F.lit(1)).alias("g_v"))
+    w_q = Window.orderBy("units").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    spine = gl.select(
+        "units", F.sum("g_v").over(w_q).alias("cum_q")
+    ).crossJoin(
+        F.broadcast(
+            gl.agg(
+                F.sum("g_v").alias("n_total"),
+                F.count(F.lit(1)).alias("m_vals"),
+            )
+        )
+    )
+    grid = spine.join(F.broadcast(classes), how="cross")
+    w_p = Window.partitionBy("event_type", "hour_of_day").orderBy(
+        "units"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        grid.join(
+            cls_cells, ["event_type", "hour_of_day", "units"], "left"
+        )
+        .withColumn(
+            "cum_p",
+            F.sum(F.coalesce("n_v", F.lit(0))).over(w_p),
+        )
+        .withColumn(
+            "_term",
+            F.abs(
+                F.col("cum_p") * F.col("n_total")
+                - F.col("cum_q") * F.col("n")
+            ),
+        )
+    )
+    per_class = cum.groupBy("event_type", "hour_of_day").agg(
+        F.max("n").alias("n"),
+        F.max("n_total").alias("n_total"),
+        F.max("m_vals").alias("m_vals"),
+        F.sum("_term").alias("_emd_sum"),
+    )
+    scored = per_class.select(
+        "event_type",
+        "n",
+        F.expr(
+            "CAST((1000000 * CAST(_emd_sum AS DECIMAL(38,0)))"
+            " div (CAST(n AS DECIMAL(38,0)) * n_total"
+            "      * greatest(m_vals - 1, 1)) AS BIGINT)"
+        ).alias("emd_ppm"),
+    )
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.max("emd_ppm").alias("worst_emd_ppm"),
+        F.sum(
+            F.when(F.col("emd_ppm") > T_CLOSENESS_PPM, 1).otherwise(0)
+        ).alias("n_violations"),
+        F.sum(
+            F.when(F.col("emd_ppm") > T_CLOSENESS_PPM, F.col("n")).otherwise(
+                0
+            )
+        ).alias("n_rows_at_risk"),
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH ev AS (
+  SELECT event_type, hour(ts) AS hour_of_day,
+         CAST(round(value, 0) AS BIGINT) AS units
+  FROM events
+),
+cls_cells AS (
+  SELECT event_type, hour_of_day, units,
+         CAST(count(*) AS BIGINT) AS n_v
+  FROM ev GROUP BY event_type, hour_of_day, units
+),
+classes AS (
+  SELECT event_type, hour_of_day, CAST(count(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, hour_of_day
+),
+gl AS (
+  SELECT units, CAST(count(*) AS BIGINT) AS g_v FROM ev GROUP BY units
+),
+gtot AS (
+  SELECT CAST(sum(g_v) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS m_vals
+  FROM gl
+),
+spine AS (
+  SELECT units,
+         CAST(sum(g_v) OVER (ORDER BY units
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_q
+  FROM gl
+),
+grid AS (
+  SELECT s.units, s.cum_q, c.event_type, c.hour_of_day, c.n,
+         g.n_total, g.m_vals
+  FROM spine s CROSS JOIN classes c CROSS JOIN gtot g
+),
+cum AS (
+  SELECT g.event_type, g.hour_of_day, g.n, g.n_total, g.m_vals,
+         abs(CAST(sum(coalesce(cc.n_v, 0)) OVER (
+               PARTITION BY g.event_type, g.hour_of_day ORDER BY g.units
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) * g.n_total - g.cum_q * g.n) AS _term
+  FROM grid g
+  LEFT JOIN cls_cells cc
+    ON cc.event_type = g.event_type
+   AND cc.hour_of_day = g.hour_of_day
+   AND cc.units = g.units
+),
+per_class AS (
+  SELECT event_type, hour_of_day,
+         max(n) AS n, max(n_total) AS n_total, max(m_vals) AS m_vals,
+         CAST(sum(_term) AS BIGINT) AS _emd_sum
+  FROM cum GROUP BY event_type, hour_of_day
+),
+scored AS (
+  SELECT event_type, n,
+         CAST((1000000 * CAST(_emd_sum AS HUGEINT))
+              // (CAST(n AS HUGEINT) * n_total
+                  * greatest(m_vals - 1, 1)) AS BIGINT) AS emd_ppm
+  FROM per_class
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       max(emd_ppm) AS worst_emd_ppm,
+       CAST(sum(CASE WHEN emd_ppm > {T_CLOSENESS_PPM} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_violations,
+       CAST(sum(CASE WHEN emd_ppm > {T_CLOSENESS_PPM} THEN n ELSE 0 END)
+            AS BIGINT) AS n_rows_at_risk
+FROM scored GROUP BY event_type
+"""
+
+
+# --- Cramér's V association (r12 queue, batch 2) --------------------------
+
+
+def cramers_v_assoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between event_type and
+    hour-of-day — the effect-size companion the contingency family
+    was missing: event_drift_chisq answers "is the mix different?"
+    (a p-value question that ALWAYS fires at 100 TB row counts);
+    V = sqrt(chi^2 / (N * (min(R,C) - 1))) answers "how strongly do
+    the dimensions actually associate?" on a 0..1 scale that row
+    count cannot inflate.
+
+    Integer contract (the event_drift_chisq idiom, extended to the
+    FULL R x C spine): zero cells contribute (N*0 - r*c)^2/(N*r*c)
+    and must not be dropped, so the table is densified by cross-
+    joining the distinct type and hour frames before the left join;
+    each cell's chi term is the exact 128-bit milli-floor
+    (1000*(N*obs - r*c)^2) div (N*r*c); v2_ppm = (1000*chi2_milli)
+    div (N*k) is one more integer division, and v_milli =
+    floor(sqrt(v2_ppm)) rides the correctly-rounded-sqrt contract on
+    an identical integer input (the spearman wording).
+
+    Scale posture (100 TB): one groupBy((type, hour)) collapses the
+    stream map-side to <= |types| x 24 cells; the spine cross join,
+    the marginal windows, and the rollup all run on that cell frame.
+    Output is one row.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").alias("hour_of_day")
+    )
+    cells = ev.groupBy("event_type", "hour_of_day").agg(
+        F.count(F.lit(1)).alias("obs")
+    )
+    types = cells.select("event_type").distinct()
+    hours = cells.select("hour_of_day").distinct()
+    dense = types.crossJoin(hours).join(
+        cells, ["event_type", "hour_of_day"], "left"
+    ).select(
+        "event_type",
+        "hour_of_day",
+        F.coalesce("obs", F.lit(0)).alias("obs"),
+    )
+    w_r = Window.partitionBy("event_type")
+    w_c = Window.partitionBy("hour_of_day")
+    scored = dense.select(
+        "obs",
+        F.sum("obs").over(w_r).alias("_r"),
+        F.sum("obs").over(w_c).alias("_c"),
+    ).crossJoin(
+        F.broadcast(
+            dense.agg(
+                F.sum("obs").alias("_n"),
+                F.count_distinct("event_type").alias("_nr"),
+                F.count_distinct("hour_of_day").alias("_nc"),
+            )
+        )
+    )
+    per_cell = scored.select(
+        "_n",
+        "_nr",
+        "_nc",
+        F.expr(
+            "CAST((1000 * (CAST(_n AS DECIMAL(38,0)) * obs - CAST(_r AS"
+            " DECIMAL(38,0)) * _c) * (CAST(_n AS DECIMAL(38,0)) * obs -"
+            " CAST(_r AS DECIMAL(38,0)) * _c)) div (CAST(_n AS"
+            " DECIMAL(38,0)) * _r * _c) AS BIGINT)"
+        ).alias("_chi_milli"),
+    )
+    rolled = per_cell.groupBy().agg(
+        F.max("_n").alias("n_rows"),
+        F.max("_nr").alias("n_types"),
+        F.max("_nc").alias("n_hours"),
+        F.sum("_chi_milli").alias("chi2_milli"),
+    )
+    return rolled.select(
+        "n_rows",
+        "n_types",
+        "n_hours",
+        ((F.col("n_types") - 1) * (F.col("n_hours") - 1)).alias("df"),
+        "chi2_milli",
+        F.expr(
+            "CAST((1000 * chi2_milli)"
+            " div (n_rows * greatest(least(n_types, n_hours) - 1, 1))"
+            " AS BIGINT)"
+        ).alias("v2_ppm"),
+        F.expr(
+            "CAST(floor(sqrt(CAST((1000 * chi2_milli)"
+            " div (n_rows * greatest(least(n_types, n_hours) - 1, 1))"
+            " AS DOUBLE))) AS BIGINT)"
+        ).alias("v_milli"),
+    )
+
+
+CRAMERS_V_SQL = """
+WITH ev AS (
+  SELECT event_type, hour(ts) AS hour_of_day FROM events
+),
+cells AS (
+  SELECT event_type, hour_of_day, CAST(count(*) AS BIGINT) AS obs
+  FROM ev GROUP BY event_type, hour_of_day
+),
+dense AS (
+  SELECT t.event_type, h.hour_of_day, coalesce(c.obs, 0) AS obs
+  FROM (SELECT DISTINCT event_type FROM cells) t
+  CROSS JOIN (SELECT DISTINCT hour_of_day FROM cells) h
+  LEFT JOIN cells c
+    ON c.event_type = t.event_type AND c.hour_of_day = h.hour_of_day
+),
+scored AS (
+  SELECT obs,
+         CAST(sum(obs) OVER (PARTITION BY event_type) AS BIGINT) AS _r,
+         CAST(sum(obs) OVER (PARTITION BY hour_of_day) AS BIGINT) AS _c
+  FROM dense
+),
+tot AS (
+  SELECT CAST(sum(obs) AS BIGINT) AS _n,
+         CAST(count(DISTINCT event_type) AS BIGINT) AS _nr,
+         CAST(count(DISTINCT hour_of_day) AS BIGINT) AS _nc
+  FROM dense
+),
+per_cell AS (
+  SELECT t._n, t._nr, t._nc,
+         CAST((1000 * (CAST(t._n AS HUGEINT) * s.obs
+                       - CAST(s._r AS HUGEINT) * s._c)
+                    * (CAST(t._n AS HUGEINT) * s.obs
+                       - CAST(s._r AS HUGEINT) * s._c))
+              // (CAST(t._n AS HUGEINT) * s._r * s._c) AS BIGINT)
+           AS _chi_milli
+  FROM scored s CROSS JOIN tot t
+),
+rolled AS (
+  SELECT max(_n) AS n_rows, max(_nr) AS n_types, max(_nc) AS n_hours,
+         CAST(sum(_chi_milli) AS BIGINT) AS chi2_milli
+  FROM per_cell
+)
+SELECT n_rows, n_types, n_hours,
+       (n_types - 1) * (n_hours - 1) AS df,
+       chi2_milli,
+       CAST((1000 * chi2_milli)
+            // (n_rows * greatest(least(n_types, n_hours) - 1, 1))
+            AS BIGINT) AS v2_ppm,
+       CAST(floor(sqrt(CAST((1000 * chi2_milli)
+            // (n_rows * greatest(least(n_types, n_hours) - 1, 1))
+            AS DOUBLE))) AS BIGINT) AS v_milli
+FROM rolled
+"""

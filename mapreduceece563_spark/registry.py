@@ -1389,6 +1389,15 @@ register(
 #   fixpoint for k in (2,3,4), nested-core chaining, dedup_groups
 #   convergence contract; oracle unrolls the peel as MATERIALIZED
 #   CTEs.
+#   t_closeness_audit (mining / T_CLOSENESS_SQL) — the third privacy
+#   rung: exact ordered-EMD per QI class over the unit-discretized
+#   value domain, cross-multiplied int64 terms, domain-bounded grid.
+#   cramers_v_assoc (mining / CRAMERS_V_SQL) — association effect
+#   size on the densified type x hour contingency table; 128-bit
+#   milli-floor chi terms, V via floor(sqrt(identical int)).
+#   hill_tail_index (analytics / HILL_TAIL_SQL) — power-law tail
+#   index from top-k order statistics; micro-nat terms, half-up
+#   mean, WindowGroupLimit top-k.
 
 
 # ======================================================================

@@ -1,18 +1,21 @@
 """Round-12 registration queue, built and oracle-tested in round 11.
 
-Four operators covering classes the registry lacked — multiple-testing
-control (Benjamini-Hochberg FDR over the drift family), survival
-analysis (Kaplan-Meier churn curves with right-censoring), graph core
-decomposition (iterative k-core peeling with the dedup_groups
-convergence contract), and top-weighted rank agreement (truncated
-rank-biased overlap). Each gets the driver's oracle compare, a
-pure-Python model for the math the hash cannot see, invariant plan
-pins, an engineered-graph fixture for the peel cascade, and the
-empty-table pin.
+Seven operators covering classes the registry lacked — multiple-
+testing control (Benjamini-Hochberg FDR over the drift family),
+survival analysis (Kaplan-Meier churn curves with right-censoring),
+graph core decomposition (iterative k-core peeling with the
+dedup_groups convergence contract), top-weighted rank agreement
+(truncated rank-biased overlap), the third privacy rung
+(t-closeness via the exact ordered EMD), categorical association
+effect size (Cramér's V on the densified contingency table), and
+heavy-tail risk (the Hill tail-index estimator). Each gets the
+driver's oracle compare, a pure-Python model for the math the hash
+cannot see, invariant plan pins, planted-fixture positive controls,
+and the empty-table pin.
 
 Registration plan (VERDICT r10 ask #6: growth stays below the
-29-entry registration throughput of round 11): these four register in
-round 12, after CORRECTNESS_r11 certifies the round-11 tranche.
+29-entry registration throughput of round 11): these seven register
+in round 12, after CORRECTNESS_r11 certifies the round-11 tranche.
 """
 
 from __future__ import annotations
@@ -159,6 +162,20 @@ def test_bh_fdr_positive_control(spark, tmp_path):
         con.execute(an.BH_FDR_SQL),
         ctx="bh_fdr_positive_control",
     )
+
+
+def test_bh_fdr_plan_invariants(spark):
+    """Invariant pin: the probit grid attaches by broadcast (never a
+    shuffled join against a 136-row literal), the family size rides a
+    broadcast 1-row frame, and nothing cartesian-products. The heavy
+    part of the plan is the mann_whitney histogram scaffold, pinned
+    by that entry's own tests."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.bh_fdr_drift_control(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
 
 
 # --- rbo_quality_length ---------------------------------------------------
@@ -515,6 +532,333 @@ def test_queue_r12b_on_empty_tables(spark, tmp_path):
         ("rbo_quality_length", an.rbo_quality_length, an.RBO_QUALITY_LENGTH_SQL),
         ("km_survival_by_segment", lc.km_survival_by_segment, lc.KM_SURVIVAL_SQL),
         ("kcore_decomposition", gph.kcore_decomposition, gph.KCORE_SQL),
+    ]:
+        assert_frames_match(
+            fn(spark, str(d)), con.execute(sql), ctx=f"empty:{name}"
+        )
+
+
+# --- t_closeness_audit (batch 2) ------------------------------------------
+
+
+def test_t_closeness_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import mining as mn
+
+    assert_frames_match(
+        mn.t_closeness_audit(spark, SF_DIR),
+        duck.execute(mn.T_CLOSENESS_SQL),
+        ctx="t_closeness_audit",
+    )
+
+
+def test_t_closeness_python_model(spark):
+    """Recompute the ordered EMD from scratch: per class, walk the
+    GLOBAL value spine accumulating |cumP*N - cumQ*n|, divide once —
+    worst EMD, violation counts, and class counts must match."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import mining as mn
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type, hour(ts) AS h,
+                   CAST(round(value, 0) AS BIGINT) AS units
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    gl: dict[int, int] = {}
+    cls: dict[tuple, dict[int, int]] = {}
+    for et, h, c in rows:
+        gl[c] = gl.get(c, 0) + 1
+        cls.setdefault((et, h), {}).setdefault(c, 0)
+        cls[(et, h)][c] += 1
+    spine = sorted(gl)
+    n_total = sum(gl.values())
+    m = len(spine)
+    per_type: dict[str, list[tuple[int, int]]] = {}
+    for (et, h), hist in cls.items():
+        n = sum(hist.values())
+        cum_p = cum_q = emd = 0
+        for c in spine:
+            cum_p += hist.get(c, 0)
+            cum_q += gl[c]
+            emd += abs(cum_p * n_total - cum_q * n)
+        emd_ppm = 1_000_000 * emd // (n * n_total * max(m - 1, 1))
+        per_type.setdefault(et, []).append((emd_ppm, n))
+    model = {
+        et: (
+            len(v),
+            max(e for e, _ in v),
+            sum(1 for e, _ in v if e > mn.T_CLOSENESS_PPM),
+            sum(n for e, n in v if e > mn.T_CLOSENESS_PPM),
+        )
+        for et, v in per_type.items()
+    }
+    got = {
+        r["event_type"]: (
+            r["n_classes"],
+            r["worst_emd_ppm"],
+            r["n_violations"],
+            r["n_rows_at_risk"],
+        )
+        for r in mn.t_closeness_audit(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_t_closeness_planted_violation(spark, tmp_path):
+    """A class whose values sit entirely in the global tail must
+    violate t = 0.2; a class sampled like the global mix must not."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import mining as mn
+
+    d = tmp_path / "tc_sf"
+    d.mkdir()
+    rows = []
+    eid = 0
+    # 'mixed' class at hour 1 mirrors the global mix; 'leaky' class
+    # at hour 2 is all-top-value
+    for i in range(400):
+        eid += 1
+        rows.append(("mixed", f"2024-01-15 01:00:{i % 60:02d}", float(i % 100), eid, "u1"))
+    for i in range(100):
+        eid += 1
+        rows.append(("leaky", f"2024-01-15 02:00:{i % 60:02d}", 99.0, eid, "u2"))
+    spark.createDataFrame(
+        rows,
+        "event_type string, ts string, value double, event_id long, user_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        r["event_type"]: r["n_violations"]
+        for r in mn.t_closeness_audit(spark, str(d)).collect()
+    }
+    assert got["leaky"] == 1
+    assert got["mixed"] == 0
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    assert_frames_match(
+        mn.t_closeness_audit(spark, str(d)),
+        con.execute(mn.T_CLOSENESS_SQL),
+        ctx="t_closeness_planted",
+    )
+
+
+def test_t_closeness_plan_broadcasts_classes(spark):
+    """Scale pin: the |classes| x |domain| grid comes from a
+    BROADCAST of the tiny class frame (never a shuffled cartesian),
+    and the class histograms partial-aggregate before their
+    exchange."""
+    from mapreduceece563_spark.operators import mining as mn
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(mn.t_closeness_audit(spark, SF_DIR), "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p
+
+
+# --- cramers_v_assoc (batch 2) ---------------------------------------------
+
+
+def test_cramers_v_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import mining as mn
+
+    assert_frames_match(
+        mn.cramers_v_assoc(spark, SF_DIR),
+        duck.execute(mn.CRAMERS_V_SQL),
+        ctx="cramers_v_assoc",
+    )
+
+
+def test_cramers_v_python_model(spark):
+    """Recompute the densified contingency chi-square with the exact
+    per-cell milli floors and both derived statistics."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import mining as mn
+
+    rows = duckdb.connect().execute(
+        f"SELECT event_type, hour(ts) FROM '{SF_DIR}/events.parquet'"
+    ).fetchall()
+    cells: dict[tuple, int] = {}
+    for et, h in rows:
+        cells[(et, h)] = cells.get((et, h), 0) + 1
+    types = sorted({k[0] for k in cells})
+    hours = sorted({k[1] for k in cells})
+    n = sum(cells.values())
+    chi = 0
+    for t in types:
+        r = sum(v for (tt, _), v in cells.items() if tt == t)
+        for h in hours:
+            c = sum(v for (_, hh), v in cells.items() if hh == h)
+            o = cells.get((t, h), 0)
+            chi += 1000 * (n * o - r * c) ** 2 // (n * r * c)
+    k = max(min(len(types), len(hours)) - 1, 1)
+    v2_ppm = 1000 * chi // (n * k)
+    got = mn.cramers_v_assoc(spark, SF_DIR).collect()
+    assert len(got) == 1
+    g = got[0]
+    assert g["n_rows"] == n
+    assert g["n_types"] == len(types)
+    assert g["n_hours"] == len(hours)
+    assert g["df"] == (len(types) - 1) * (len(hours) - 1)
+    assert g["chi2_milli"] == chi
+    assert g["v2_ppm"] == v2_ppm
+    assert g["v_milli"] == math.floor(math.sqrt(v2_ppm))
+
+
+def test_cramers_v_bounds(spark):
+    """V^2 lives in [0, 1e6] ppm — a value past 1 would mean the
+    cross-multiplied identity broke somewhere."""
+    from mapreduceece563_spark.operators import mining as mn
+
+    g = mn.cramers_v_assoc(spark, SF_DIR).collect()[0]
+    assert 0 <= g["v2_ppm"] <= 1_000_000
+    assert 0 <= g["v_milli"] <= 1_000
+
+
+# --- hill_tail_index (batch 2) ---------------------------------------------
+
+
+def test_hill_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.hill_tail_index(spark, SF_DIR),
+        duck.execute(an.HILL_TAIL_SQL),
+        ctx="hill_tail_index",
+    )
+
+
+def test_hill_python_model(spark):
+    """Recompute from the raw order statistics: top-k positive cents
+    per type, micro-nat terms against the k-th value, half-up mean,
+    reciprocal alpha."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import analytics as an
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type, CAST(round(value * 100, 0) AS BIGINT)
+            FROM '{SF_DIR}/events.parquet'
+            WHERE CAST(round(value * 100, 0) AS BIGINT) > 0"""
+    ).fetchall()
+    by_type: dict[str, list[int]] = {}
+    for et, c in rows:
+        by_type.setdefault(et, []).append(c)
+    model = {}
+    for et, vals in by_type.items():
+        top = sorted(vals, reverse=True)[: an.HILL_K]
+        k = len(top)
+        x_tail = top[-1]
+        if k >= 2:
+            # rn < k_used excludes exactly one row; ties at the tail
+            # value contribute ln(1) = 0 either way, so summing over
+            # top[:-1] matches the implementation's rank cut exactly
+            s = sum(
+                round(math.log(x / x_tail) * 1_000_000) for x in top[:-1]
+            )
+            hill = (2 * s + (k - 1)) // (2 * (k - 1))
+            alpha = 1_000_000_000 // hill if hill > 0 else None
+        else:
+            hill, alpha = None, None
+        model[et] = (k, x_tail, hill, alpha)
+    got = {
+        r["event_type"]: (
+            r["k_used"],
+            r["x_tail_cents"],
+            r["hill_mean_micronats"],
+            r["alpha_milli"],
+        )
+        for r in an.hill_tail_index(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_hill_plan_uses_window_group_limit(spark):
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.plans import plan_string
+
+    p = plan_string(an.hill_tail_index(spark, SF_DIR), "simple")
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_hill_planted_pareto(spark, tmp_path):
+    """A planted exact Pareto(alpha=2) tail must read back alpha ~ 2:
+    with x_i = x_tail * (k/i)^(1/2) for i = 1..k the Hill mean is
+    (1/(k-1)) sum ln(x_i/x_k) = mean of ln(k/i)/2 — computable in
+    closed form, and the operator must land within quantization of
+    it."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import analytics as an
+
+    k = an.HILL_K
+    d = tmp_path / "hill_sf"
+    d.mkdir()
+    rows = []
+    for i in range(1, k + 1):
+        cents = round(10000.0 * (k / i) ** 0.5)
+        rows.append(
+            ("pareto", "2024-01-15 00:00:00", cents / 100.0, i, "u1")
+        )
+    spark.createDataFrame(
+        rows,
+        "event_type string, ts string, value double, event_id long, user_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = an.hill_tail_index(spark, str(d)).collect()[0]
+    assert got["k_used"] == k
+    expected = sum(
+        round(
+            math.log(round(10000.0 * (k / i) ** 0.5) / 10000.0) * 1_000_000
+        )
+        for i in range(1, k)
+    )
+    expected_mean = (2 * expected + (k - 1)) // (2 * (k - 1))
+    assert got["hill_mean_micronats"] == expected_mean
+    # alpha = 1/hill_mean ~ 2.0 up to the integer-rounding of the
+    # planted values
+    assert 1900 <= got["alpha_milli"] <= 2100
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    assert_frames_match(
+        an.hill_tail_index(spark, str(d)),
+        con.execute(an.HILL_TAIL_SQL),
+        ctx="hill_planted",
+    )
+
+
+# --- empty-table behavior, batch 2 ----------------------------------------
+
+
+def test_queue_r12b_batch2_on_empty_tables(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators import mining as mn
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    for name, fn, sql in [
+        ("t_closeness_audit", mn.t_closeness_audit, mn.T_CLOSENESS_SQL),
+        ("cramers_v_assoc", mn.cramers_v_assoc, mn.CRAMERS_V_SQL),
+        ("hill_tail_index", an.hill_tail_index, an.HILL_TAIL_SQL),
     ]:
         assert_frames_match(
             fn(spark, str(d)), con.execute(sql), ctx=f"empty:{name}"
