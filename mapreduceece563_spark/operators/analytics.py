@@ -3833,3 +3833,294 @@ SELECT event_type, k_used, x_tail_cents,
        END AS alpha_milli
 FROM rolled
 """
+
+
+# --- average precision / PR-AUC per language (r12 queue, batch 3) ---------
+
+
+def pr_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (step-interpolated PR-AUC), per language, of
+    the quality score as a curated-source classifier — the
+    class-imbalance-honest companion to roc_auc_by_lang: ROC AUC
+    barely moves when negatives flood in (it conditions on the
+    negative class), while precision collapses; AP is what a curation
+    gate actually experiences when curated docs are 1-in-100.
+
+    Tie-group step convention, INTEGER-exact at histogram
+    granularity: per (lang, ppm-quantized score) positive/negative
+    counts; walking thresholds DESCENDING, TP and PP are inclusive
+    cumulative sums over the value histogram; each tie group
+    contributes delta_TP * precision, quantized per term to
+    micro-units via term = (1e6 * _p * TP) div PP (identical floor
+    on both engines), and ap_ppm = sum(term) div n_pos. The random-
+    ranker baseline prevalence_ppm = (1e6 * n_pos) div n rides the
+    same rollup — AP is only meaningful against it. NULL when a
+    language has no positives.
+
+    Scale posture (100 TB): the roc_auc plan — one groupBy
+    (lang, q_ppm) collapses the corpus map-side to <= 1e6+1 distinct
+    values per language, one cumulative window over that histogram,
+    one rollup. Overflow: 1e6 * _p * TP <= 1e6 * n_pos^2 stays in
+    int64 to ~3e6 positives per language; lift to DECIMAL(38,0) past
+    that (the roc_auc wording).
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_pos"),
+    )
+    per_val = (
+        q.join(meta, "doc_id")
+        .groupBy("lang", "_qp")
+        .agg(
+            F.sum("_pos").alias("_p"),
+            F.sum(1 - F.col("_pos")).alias("_n"),
+        )
+    )
+    w_desc = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("_qp"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = per_val.select(
+        "lang",
+        "_p",
+        "_n",
+        F.sum("_p").over(w_desc).alias("_tp"),
+        F.sum(F.col("_p") + F.col("_n")).over(w_desc).alias("_pp"),
+    )
+    rolled = stepped.groupBy("lang").agg(
+        F.sum("_p").alias("n_pos"),
+        F.sum("_n").alias("n_neg"),
+        F.sum(F.expr("(1000000 * _p * _tp) div _pp")).alias("_ap_sum"),
+    )
+    return rolled.select(
+        "lang",
+        "n_pos",
+        "n_neg",
+        F.when(
+            F.col("n_pos") > 0,
+            F.expr("_ap_sum div n_pos"),
+        ).alias("ap_ppm"),
+        F.expr("(1000000 * n_pos) div (n_pos + n_neg)").alias(
+            "prevalence_ppm"
+        ),
+    )
+
+
+def _pr_auc_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    sources = ", ".join(f"'{s}'" for s in AUC_CURATED_SOURCES)
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+base AS (
+  SELECT d.lang,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         CASE WHEN d.source IN ({sources}) THEN 1 ELSE 0 END AS _pos
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+per_val AS (
+  SELECT lang, _qp,
+         CAST(sum(_pos) AS BIGINT) AS _p,
+         CAST(sum(1 - _pos) AS BIGINT) AS _n
+  FROM base GROUP BY lang, _qp
+),
+stepped AS (
+  SELECT lang, _p, _n,
+         CAST(sum(_p) OVER (PARTITION BY lang ORDER BY _qp DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS _tp,
+         CAST(sum(_p + _n) OVER (PARTITION BY lang ORDER BY _qp DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS _pp
+  FROM per_val
+),
+rolled AS (
+  SELECT lang,
+         CAST(sum(_p) AS BIGINT) AS n_pos,
+         CAST(sum(_n) AS BIGINT) AS n_neg,
+         CAST(sum((1000000 * _p * _tp) // _pp) AS BIGINT) AS _ap_sum
+  FROM stepped GROUP BY lang
+)
+SELECT lang, n_pos, n_neg,
+       CASE WHEN n_pos > 0 THEN _ap_sum // n_pos END AS ap_ppm,
+       (1000000 * n_pos) // (n_pos + n_neg) AS prevalence_ppm
+FROM rolled
+"""
+
+
+PR_AUC_SQL = _pr_auc_sql()
+
+
+# --- Brier decomposition per language (r12 queue, batch 3) -----------------
+
+
+def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score, per language, of the
+    quality score read as a curated-membership probability — the
+    diagnosis behind quality_calibration_ece's single number: Brier =
+    reliability - resolution + uncertainty separates "the score's
+    values are dishonest" (reliability, fixable by recalibration)
+    from "the score can't tell the classes apart" (low resolution,
+    NOT fixable by recalibration) from the data's intrinsic base-rate
+    noise (uncertainty). Two scorers with equal ECE can differ
+    entirely in resolution — this is the operator that shows it.
+
+    All four quantities in e-12 probability^2 units, INTEGER-exact
+    past the ppm score quantization: the Brier directly off the
+    (lang, q_ppm, label) cells (sum of cnt*(q - 1e6*y)^2 div N);
+    reliability/resolution off the ECE's 10-bin aggregates with
+    cross-multiplied integer identities — n_b*(conf_b - acc_b)^2 =
+    (s_b - 1e6*o_b)^2 / n_b and n_b*(acc_b - base)^2 =
+    (o_b*N - O*n_b)^2 / (n_b*N^2) — each term floor-divided
+    identically on both engines before the sum (DECIMAL(38,0)/
+    HUGEINT); uncertainty = (1e12*O*(N-O)) div N^2. The identity
+    holds up to the per-term floors AND the 10-bin coarsening (the
+    within-bin-variance residual every binned decomposition carries —
+    documented, not pinned).
+
+    Scale posture (100 TB): the ECE plan — one groupBy (lang, bin)
+    to <= 10 rows per language plus one (lang, q_ppm, label)
+    histogram groupBy; no window, no join wider than the doc_id
+    metadata join. Output is one row per language.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_pos"),
+    )
+    j = q.join(meta, "doc_id")
+    cells = j.groupBy("lang", "_qp", "_pos").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    brier = cells.groupBy("lang").agg(
+        F.sum("_c").alias("_n"),
+        F.sum(F.col("_c") * F.col("_pos")).alias("_o"),
+        F.sum(
+            F.expr(
+                "CAST(_c AS DECIMAL(38,0)) * (_qp - 1000000 * _pos)"
+                " * (_qp - 1000000 * _pos)"
+            )
+        ).alias("_bsum"),
+    )
+    bins = (
+        j.select(
+            "lang",
+            "_pos",
+            "_qp",
+            F.expr(f"least(_qp div 100000, {ECE_BINS - 1})").alias("_bin"),
+        )
+        .groupBy("lang", "_bin")
+        .agg(
+            F.count(F.lit(1)).alias("_nb"),
+            F.sum("_pos").alias("_ob"),
+            F.sum("_qp").alias("_sb"),
+        )
+    )
+    binrolled = bins.join(
+        brier.select("lang", "_n", "_o"), "lang"
+    ).groupBy("lang").agg(
+        F.sum(
+            F.expr(
+                "(CAST(_sb AS DECIMAL(38,0)) - 1000000 * _ob)"
+                " * (_sb - 1000000 * _ob) div _nb"
+            )
+        ).alias("_rel_sum"),
+        F.sum(
+            F.expr(
+                "(CAST(_ob AS DECIMAL(38,0)) * _n - CAST(_o AS"
+                " DECIMAL(38,0)) * _nb) * (CAST(_ob AS DECIMAL(38,0))"
+                " * _n - CAST(_o AS DECIMAL(38,0)) * _nb) div _nb"
+            )
+        ).alias("_res_sum"),
+    )
+    return brier.join(binrolled, "lang").select(
+        "lang",
+        F.col("_n").alias("n_docs"),
+        F.col("_o").alias("n_pos"),
+        F.expr("CAST(_bsum div _n AS BIGINT)").alias("brier_e12"),
+        F.expr("CAST(_rel_sum div _n AS BIGINT)").alias("reliability_e12"),
+        F.expr(
+            "CAST((1000000000000 * _res_sum)"
+            " div (CAST(_n AS DECIMAL(38,0)) * _n * _n) AS BIGINT)"
+        ).alias("resolution_e12"),
+        F.expr(
+            "CAST((1000000000000 * CAST(_o AS DECIMAL(38,0)) * (_n - _o))"
+            " div (CAST(_n AS DECIMAL(38,0)) * _n) AS BIGINT)"
+        ).alias("uncertainty_e12"),
+    )
+
+
+def _brier_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    sources = ", ".join(f"'{s}'" for s in AUC_CURATED_SOURCES)
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+base AS (
+  SELECT d.lang,
+         CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
+         CASE WHEN d.source IN ({sources}) THEN 1 ELSE 0 END AS _pos
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+cells AS (
+  SELECT lang, _qp, _pos, CAST(count(*) AS BIGINT) AS _c
+  FROM base GROUP BY lang, _qp, _pos
+),
+brier AS (
+  SELECT lang,
+         CAST(sum(_c) AS BIGINT) AS _n,
+         CAST(sum(_c * _pos) AS BIGINT) AS _o,
+         CAST(sum(CAST(_c AS HUGEINT) * (_qp - 1000000 * _pos)
+                  * (_qp - 1000000 * _pos)) AS HUGEINT) AS _bsum
+  FROM cells GROUP BY lang
+),
+bins AS (
+  SELECT lang, least(_qp // 100000, {ECE_BINS - 1}) AS _bin,
+         CAST(count(*) AS BIGINT) AS _nb,
+         CAST(sum(_pos) AS BIGINT) AS _ob,
+         CAST(sum(_qp) AS BIGINT) AS _sb
+  FROM base GROUP BY lang, least(_qp // 100000, {ECE_BINS - 1})
+),
+binrolled AS (
+  SELECT b.lang,
+         CAST(sum((CAST(b._sb AS HUGEINT) - 1000000 * b._ob)
+                  * (b._sb - 1000000 * b._ob) // b._nb) AS HUGEINT)
+           AS _rel_sum,
+         CAST(sum((CAST(b._ob AS HUGEINT) * r._n
+                   - CAST(r._o AS HUGEINT) * b._nb)
+                  * (CAST(b._ob AS HUGEINT) * r._n
+                     - CAST(r._o AS HUGEINT) * b._nb) // b._nb)
+              AS HUGEINT) AS _res_sum
+  FROM bins b JOIN brier r ON b.lang = r.lang
+  GROUP BY b.lang
+)
+SELECT r.lang,
+       r._n AS n_docs,
+       r._o AS n_pos,
+       CAST(r._bsum // r._n AS BIGINT) AS brier_e12,
+       CAST(br._rel_sum // r._n AS BIGINT) AS reliability_e12,
+       CAST((1000000000000 * br._res_sum)
+            // (CAST(r._n AS HUGEINT) * r._n * r._n) AS BIGINT)
+         AS resolution_e12,
+       CAST((1000000000000 * CAST(r._o AS HUGEINT) * (r._n - r._o))
+            // (CAST(r._n AS HUGEINT) * r._n) AS BIGINT)
+         AS uncertainty_e12
+FROM brier r JOIN binrolled br ON r.lang = br.lang
+"""
+
+
+BRIER_DECOMP_SQL = _brier_sql()

@@ -1189,3 +1189,175 @@ SELECT p.event_type, p.n_hours, p._s AS n_events,
        END AS eta2_ppm
 FROM per_type p JOIN qq q USING (event_type)
 """
+
+
+# --- Theil-Sen robust hourly trend (r12 queue, batch 3) --------------------
+
+
+def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen slope of the gap-filled hourly event-count series,
+    per event type — the robust member of the trend family: the OLS
+    slope (events_value_regression's machinery) moves arbitrarily far
+    under one corrupted hour (an outage backfill, a bot burst); the
+    median of all pairwise slopes has a 29% breakdown point and is
+    the estimator monitoring actually wants for "is traffic drifting
+    up or down".
+
+    Integer contract: the series rides the hourly_autocorrelation
+    gap-fill spine (skipping empty hours would fabricate slope);
+    each of the C(n,2) pairwise slopes (y_j - y_i)/(j - i) is floor-
+    quantized to MICRO-counts-per-hour — and because Spark's `div`
+    truncates toward zero while DuckDB's `//` floors, the quotient is
+    computed SHIFTED into nonnegative territory first (slope +
+    1e6*max_count, a broadcast data-derived offset both engines
+    compute identically; truncation == floor on nonnegative ints)
+    and unshifted after. The reported slope is the LOWER MEDIAN
+    (2*cum >= n, the quality_mad_outliers pick) over the slope
+    histogram — exact, no interpolation. Types with a single
+    observed hour export NULL.
+
+    Scale posture (100 TB): pair count is C(n_hours, 2) per type —
+    bounded by the TIME RANGE squared, corpus-size-free (the hourly
+    histogram groupBy collapses the events map-side first); ~677
+    observed hours/type here -> ~230k pairs/type. For a multi-year
+    horizon, bucket to days or subsample pairs — the estimator
+    degrades gracefully; the histogram + cumulative-window median
+    never ranks per pair twice.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
+        ).alias("_h"),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        "_h",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    off = filled.agg(
+        (F.coalesce(F.max("_y"), F.lit(0)) * 1_000_000).alias("_off")
+    )
+    a = filled.select(
+        "event_type", F.col("_h").alias("_h1c"), F.col("_y").alias("_y1")
+    )
+    b = filled.select(
+        "event_type", F.col("_h").alias("_h2c"), F.col("_y").alias("_y2")
+    )
+    pairs = (
+        a.join(b, "event_type")
+        .filter(F.col("_h2c") > F.col("_h1c"))
+        .crossJoin(F.broadcast(off))
+        .select(
+            "event_type",
+            F.expr(
+                "(1000000 * (_y2 - _y1) + _off * (_h2c - _h1c))"
+                " div (_h2c - _h1c) - _off"
+            ).alias("_slope"),
+        )
+    )
+    hist = pairs.groupBy("event_type", "_slope").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("_slope")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = hist.groupBy("event_type").agg(
+        F.sum("_c").alias("n_pairs")
+    )
+    med = (
+        hist.withColumn("_cum", F.sum("_c").over(w_cum))
+        .join(tot, "event_type")
+        .filter(2 * F.col("_cum") >= F.col("n_pairs"))
+        .groupBy("event_type")
+        .agg(F.min("_slope").alias("slope_micro_per_hour"))
+    )
+    per_type = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours")
+    )
+    return (
+        per_type.join(tot, "event_type", "left")
+        .join(med, "event_type", "left")
+        .select(
+            "event_type",
+            "n_hours",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            "slope_micro_per_hour",
+        )
+    )
+
+
+THEIL_SEN_SQL = """
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h, coalesce(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON c.event_type = s.event_type AND c._h = s._h
+),
+off AS (
+  SELECT CAST(coalesce(max(_y), 0) * 1000000 AS BIGINT) AS _off
+  FROM filled
+),
+pairs AS (
+  SELECT a.event_type,
+         (1000000 * (b._y - a._y) + o._off * (b._h - a._h))
+           // (b._h - a._h) - o._off AS _slope
+  FROM filled a
+  JOIN filled b ON a.event_type = b.event_type AND b._h > a._h
+  CROSS JOIN off o
+),
+hist AS (
+  SELECT event_type, _slope, CAST(count(*) AS BIGINT) AS _c
+  FROM pairs GROUP BY event_type, _slope
+),
+tot AS (
+  SELECT event_type, CAST(sum(_c) AS BIGINT) AS n_pairs
+  FROM hist GROUP BY event_type
+),
+med AS (
+  SELECT h.event_type, min(h._slope) AS slope_micro_per_hour
+  FROM (SELECT event_type, _slope,
+               CAST(sum(_c) OVER (PARTITION BY event_type ORDER BY _slope
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS _cum
+        FROM hist) h
+  JOIN tot t ON t.event_type = h.event_type
+  WHERE 2 * h._cum >= t.n_pairs
+  GROUP BY h.event_type
+),
+per_type AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours
+  FROM filled GROUP BY event_type
+)
+SELECT p.event_type, p.n_hours,
+       coalesce(t.n_pairs, 0) AS n_pairs,
+       m.slope_micro_per_hour
+FROM per_type p
+LEFT JOIN tot t ON t.event_type = p.event_type
+LEFT JOIN med m ON m.event_type = p.event_type
+"""

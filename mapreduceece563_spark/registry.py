@@ -1398,6 +1398,16 @@ register(
 #   hill_tail_index (analytics / HILL_TAIL_SQL) — power-law tail
 #   index from top-k order statistics; micro-nat terms, half-up
 #   mean, WindowGroupLimit top-k.
+#   pr_auc_by_lang (analytics / PR_AUC_SQL) — average precision of
+#   the quality score vs curated membership; tie-group step AP,
+#   per-term integer floors, prevalence baseline in the same row.
+#   brier_decomposition (analytics / BRIER_DECOMP_SQL) — Murphy
+#   reliability/resolution/uncertainty in e-12 prob^2 units off the
+#   ECE bin frame; identity-vs-binning residual test-pinned.
+#   theil_sen_hourly_trend (temporal / THEIL_SEN_SQL) — robust
+#   pairwise-slope median over the gap-filled hourly series; shifted
+#   nonneg quotient (Spark div truncates, DuckDB // floors),
+#   planted +/- ramp fixtures.
 
 
 # ======================================================================

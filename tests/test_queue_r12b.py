@@ -1,20 +1,24 @@
 """Round-12 registration queue, built and oracle-tested in round 11.
 
-Seven operators covering classes the registry lacked — multiple-
+Ten operators covering classes the registry lacked — multiple-
 testing control (Benjamini-Hochberg FDR over the drift family),
 survival analysis (Kaplan-Meier churn curves with right-censoring),
 graph core decomposition (iterative k-core peeling with the
 dedup_groups convergence contract), top-weighted rank agreement
 (truncated rank-biased overlap), the third privacy rung
 (t-closeness via the exact ordered EMD), categorical association
-effect size (Cramér's V on the densified contingency table), and
-heavy-tail risk (the Hill tail-index estimator). Each gets the
-driver's oracle compare, a pure-Python model for the math the hash
-cannot see, invariant plan pins, planted-fixture positive controls,
-and the empty-table pin.
+effect size (Cramér's V on the densified contingency table),
+heavy-tail risk (the Hill tail-index estimator), the imbalance-
+honest ranking audit (tie-group average precision with the
+prevalence baseline), calibration decomposition (Murphy reliability/
+resolution/uncertainty), and robust trend (Theil-Sen pairwise-slope
+median over the gap-filled hourly series). Each gets the driver's
+oracle compare, a pure-Python model for the math the hash cannot
+see, invariant plan pins, planted-fixture positive controls, and
+the empty-table pin.
 
 Registration plan (VERDICT r10 ask #6: growth stays below the
-29-entry registration throughput of round 11): these seven register
+29-entry registration throughput of round 11): these ten register
 in round 12, after CORRECTNESS_r11 certifies the round-11 tranche.
 """
 
@@ -859,6 +863,315 @@ def test_queue_r12b_batch2_on_empty_tables(spark, tmp_path):
         ("t_closeness_audit", mn.t_closeness_audit, mn.T_CLOSENESS_SQL),
         ("cramers_v_assoc", mn.cramers_v_assoc, mn.CRAMERS_V_SQL),
         ("hill_tail_index", an.hill_tail_index, an.HILL_TAIL_SQL),
+    ]:
+        assert_frames_match(
+            fn(spark, str(d)), con.execute(sql), ctx=f"empty:{name}"
+        )
+
+
+# --- pr_auc_by_lang (batch 3) ----------------------------------------------
+
+
+def test_pr_auc_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.pr_auc_by_lang(spark, SF_DIR),
+        duck.execute(an.PR_AUC_SQL),
+        ctx="pr_auc_by_lang",
+    )
+
+
+def test_pr_auc_python_model(spark):
+    """Recompute the tie-group step AP directly: sort distinct score
+    values descending, walk thresholds accumulating TP/PP, apply the
+    identical per-term floor."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    meta = [
+        (r["lang"], r["doc_id"], r["source"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("lang", "doc_id", "source")
+        .collect()
+    ]
+    curated = set(an.AUC_CURATED_SOURCES)
+    model = {}
+    for lang in sorted({m[0] for m in meta}):
+        hist: dict[int, list[int]] = {}
+        for lg, did, src in meta:
+            if lg != lang:
+                continue
+            cell = hist.setdefault(q[did], [0, 0])
+            cell[0 if src in curated else 1] += 1
+        n_pos = sum(p for p, _ in hist.values())
+        n_neg = sum(n for _, n in hist.values())
+        tp = pp = ap_sum = 0
+        for qp in sorted(hist, reverse=True):
+            p, n = hist[qp]
+            tp += p
+            pp += p + n
+            ap_sum += 1_000_000 * p * tp // pp
+        model[lang] = (
+            n_pos,
+            n_neg,
+            ap_sum // n_pos if n_pos else None,
+            1_000_000 * n_pos // (n_pos + n_neg),
+        )
+    got = {
+        r["lang"]: (r["n_pos"], r["n_neg"], r["ap_ppm"], r["prevalence_ppm"])
+        for r in an.pr_auc_by_lang(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_pr_auc_beats_prevalence_iff_score_ranks(spark):
+    """Sanity: AP is bounded by [~prevalence, 1e6]; a score with any
+    positive signal sits at or above the random baseline up to
+    quantization."""
+    from mapreduceece563_spark.operators import analytics as an
+
+    for r in an.pr_auc_by_lang(spark, SF_DIR).collect():
+        if r["ap_ppm"] is None:
+            continue
+        assert 0 < r["ap_ppm"] <= 1_000_000
+        # AP of a random ranker concentrates at prevalence; allow the
+        # tie-group floors a small slack below it
+        assert r["ap_ppm"] >= r["prevalence_ppm"] - 50_000
+
+
+# --- brier_decomposition (batch 3) ------------------------------------------
+
+
+def test_brier_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import analytics as an
+
+    assert_frames_match(
+        an.brier_decomposition(spark, SF_DIR),
+        duck.execute(an.BRIER_DECOMP_SQL),
+        ctx="brier_decomposition",
+    )
+
+
+def test_brier_python_model(spark):
+    """Recompute all four Murphy quantities with the identical
+    integer floors from the raw (score, label) pairs."""
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators.textstats import quality_score
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    q = {
+        r["doc_id"]: round(r["quality"] * 1_000_000)
+        for r in quality_score(spark, SF_DIR).collect()
+    }
+    meta = [
+        (r["lang"], r["doc_id"], r["source"])
+        for r in load_table(spark, SF_DIR, "documents")
+        .select("lang", "doc_id", "source")
+        .collect()
+    ]
+    curated = set(an.AUC_CURATED_SOURCES)
+    model = {}
+    for lang in sorted({m[0] for m in meta}):
+        pairs = [
+            (q[did], 1 if src in curated else 0)
+            for lg, did, src in meta
+            if lg == lang
+        ]
+        n = len(pairs)
+        o = sum(y for _, y in pairs)
+        bsum = sum((qp - 1_000_000 * y) ** 2 for qp, y in pairs)
+        bins: dict[int, list[int]] = {}
+        for qp, y in pairs:
+            b = min(qp // 100_000, an.ECE_BINS - 1)
+            cell = bins.setdefault(b, [0, 0, 0])
+            cell[0] += 1
+            cell[1] += y
+            cell[2] += qp
+        rel = sum(
+            (sb - 1_000_000 * ob) ** 2 // nb for nb, ob, sb in bins.values()
+        )
+        res = sum(
+            (ob * n - o * nb) ** 2 // nb for nb, ob, sb in bins.values()
+        )
+        model[lang] = (
+            n,
+            o,
+            bsum // n,
+            rel // n,
+            10**12 * res // (n**3),
+            10**12 * o * (n - o) // (n**2),
+        )
+    got = {
+        r["lang"]: (
+            r["n_docs"],
+            r["n_pos"],
+            r["brier_e12"],
+            r["reliability_e12"],
+            r["resolution_e12"],
+            r["uncertainty_e12"],
+        )
+        for r in an.brier_decomposition(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_brier_identity_within_binning_residual(spark):
+    """Murphy identity sanity: brier ~ reliability - resolution +
+    uncertainty, with the gap bounded by the within-bin variance the
+    10-bin coarsening leaves behind (loose 10% of uncertainty here —
+    a sign error or unit mixup would blow far past it)."""
+    from mapreduceece563_spark.operators import analytics as an
+
+    for r in an.brier_decomposition(spark, SF_DIR).collect():
+        lhs = r["brier_e12"]
+        rhs = (
+            r["reliability_e12"]
+            - r["resolution_e12"]
+            + r["uncertainty_e12"]
+        )
+        assert abs(lhs - rhs) <= max(r["uncertainty_e12"] // 10, 10**10)
+
+
+# --- theil_sen_hourly_trend (batch 3) ---------------------------------------
+
+
+def test_theil_sen_matches_oracle(spark, duck):
+    from mapreduceece563_spark.operators import temporal as tp
+
+    assert_frames_match(
+        tp.theil_sen_hourly_trend(spark, SF_DIR),
+        duck.execute(tp.THEIL_SEN_SQL),
+        ctx="theil_sen_hourly_trend",
+    )
+
+
+def test_theil_sen_python_model(spark):
+    """Recompute the pairwise-slope lower median from the gap-filled
+    series with pure-Python floor division (matching the shifted
+    quotient exactly)."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import temporal as tp
+
+    rows = duckdb.connect().execute(
+        f"""SELECT event_type, epoch_us(ts) // 3600000000 AS h
+            FROM '{SF_DIR}/events.parquet'"""
+    ).fetchall()
+    counts: dict[str, dict[int, int]] = {}
+    for et, h in rows:
+        counts.setdefault(et, {}).setdefault(h, 0)
+        counts[et][h] += 1
+    series = {
+        et: [
+            hist.get(h, 0)
+            for h in range(min(hist), max(hist) + 1)
+        ]
+        for et, hist in counts.items()
+    }
+    model = {}
+    for et, ys in series.items():
+        n = len(ys)
+        slopes = []
+        for i in range(n):
+            for j in range(i + 1, n):
+                # python // floors, matching the shifted div exactly
+                slopes.append(1_000_000 * (ys[j] - ys[i]) // (j - i))
+        slopes.sort()
+        n_pairs = len(slopes)
+        med = None
+        if n_pairs:
+            med = slopes[(n_pairs - 1) // 2]  # lower median (2*cum>=n)
+        model[et] = (n, n_pairs, med)
+    got = {
+        r["event_type"]: (
+            r["n_hours"],
+            r["n_pairs"],
+            r["slope_micro_per_hour"],
+        )
+        for r in tp.theil_sen_hourly_trend(spark, SF_DIR).collect()
+    }
+    assert got == model
+
+
+def test_theil_sen_planted_trend_is_robust(spark, tmp_path):
+    """A clean +2/hour ramp with a single massive outlier hour must
+    still read ~2e6 micro/hour (OLS would be dragged far off) — the
+    robustness that justifies the estimator; negative-trend fixture
+    pins the floor-division sign handling."""
+    import duckdb
+
+    from mapreduceece563_spark.operators import temporal as tp
+
+    d = tmp_path / "ts_sf"
+    d.mkdir()
+    rows = []
+    eid = 0
+    for h in range(48):
+        n_up = 10 + 2 * h + (5000 if h == 24 else 0)
+        for _ in range(n_up):
+            eid += 1
+            rows.append(
+                ("ramp_up", f"2024-01-0{1 + h // 24} {h % 24:02d}:30:00", 1.0, eid, "u1")
+            )
+        n_dn = 150 - 3 * h
+        for _ in range(n_dn):
+            eid += 1
+            rows.append(
+                ("ramp_dn", f"2024-01-0{1 + h // 24} {h % 24:02d}:30:00", 1.0, eid, "u1")
+            )
+    spark.createDataFrame(
+        rows,
+        "event_type string, ts string, value double, event_id long, user_id string",
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(
+        str(d / "events.parquet")
+    )
+    got = {
+        r["event_type"]: r["slope_micro_per_hour"]
+        for r in tp.theil_sen_hourly_trend(spark, str(d)).collect()
+    }
+    assert got["ramp_up"] == 2_000_000, got
+    assert got["ramp_dn"] == -3_000_000, got
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+    )
+    assert_frames_match(
+        tp.theil_sen_hourly_trend(spark, str(d)),
+        con.execute(tp.THEIL_SEN_SQL),
+        ctx="theil_sen_planted",
+    )
+
+
+# --- empty-table behavior, batch 3 ------------------------------------------
+
+
+def test_queue_r12b_batch3_on_empty_tables(spark, tmp_path):
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from mapreduceece563_spark.operators import analytics as an
+    from mapreduceece563_spark.operators import temporal as tp
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "empty_sf"
+    d.mkdir()
+    for t in TABLES:
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    for name, fn, sql in [
+        ("pr_auc_by_lang", an.pr_auc_by_lang, an.PR_AUC_SQL),
+        ("brier_decomposition", an.brier_decomposition, an.BRIER_DECOMP_SQL),
+        ("theil_sen_hourly_trend", tp.theil_sen_hourly_trend, tp.THEIL_SEN_SQL),
     ]:
         assert_frames_match(
             fn(spark, str(d)), con.execute(sql), ctx=f"empty:{name}"
