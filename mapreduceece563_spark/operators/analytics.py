@@ -3343,7 +3343,11 @@ CONFORMAL_SWEEP_ORACLE = _conformal_sweep_sql()
 # 128-bit integer comparison 2000*z2_num >= t_num*z2_den, the
 # ks_drift/mann_whitney alpha-decision idiom generalized to a grid.
 BH_FDR_Q = 0.05
-BH_FDR_MAX_M = 16
+# Grid headroom: far above any realistic event-type domain (5 here).
+# Families LARGER than this have no grid rows at all, so every rank's
+# t_num is NULL and the operator exports zero discoveries — loud in
+# any downstream consumer, conservative for FDR, and documented below.
+BH_FDR_MAX_M = 64
 
 
 def _bh_grid() -> list[tuple[int, int, int]]:
@@ -3383,11 +3387,12 @@ def bh_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exactness bound: 2000*z2_num <= 375*n^6 needs n <= ~7e5 rows per
     event type inside DECIMAL(38,0) — the documented mann_whitney
     bound; past that, pre-aggregate to a coarser value grid. The
-    precomputed grid covers family sizes m <= BH_FDR_MAX_M (16); a
-    family larger than the grid leaves t_num NULL for the excess
-    ranks, which makes those ranks non-passing (conservative — BH
-    can only UNDER-discover, never inflate FDR); widen BH_FDR_MAX_M
-    if the event-type domain grows past it.
+    precomputed grid covers family sizes m <= BH_FDR_MAX_M (64); a
+    LARGER family matches no grid row at any rank (the join keys on
+    m_tests), so t_num is NULL everywhere and the operator exports
+    ZERO discoveries — conservative (BH can only under-discover,
+    never inflate FDR) but blunt: widen BH_FDR_MAX_M if the
+    event-type domain ever approaches it.
 
     Scale posture (100 TB): everything up to the per-type rollup is
     the mann_whitney plan (histogram groupBy + cumulative window over
@@ -4016,18 +4021,21 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("_bsum"),
     )
+    # the bin frame rolls up from the value-cell histogram already
+    # built for the Brier — the corpus scoring pass runs ONCE
     bins = (
-        j.select(
+        cells.select(
             "lang",
+            "_c",
             "_pos",
             "_qp",
             F.expr(f"least(_qp div 100000, {ECE_BINS - 1})").alias("_bin"),
         )
         .groupBy("lang", "_bin")
         .agg(
-            F.count(F.lit(1)).alias("_nb"),
-            F.sum("_pos").alias("_ob"),
-            F.sum("_qp").alias("_sb"),
+            F.sum("_c").alias("_nb"),
+            F.sum(F.col("_c") * F.col("_pos")).alias("_ob"),
+            F.sum(F.col("_c") * F.col("_qp")).alias("_sb"),
         )
     )
     binrolled = bins.join(
@@ -4090,10 +4098,10 @@ brier AS (
 ),
 bins AS (
   SELECT lang, least(_qp // 100000, {ECE_BINS - 1}) AS _bin,
-         CAST(count(*) AS BIGINT) AS _nb,
-         CAST(sum(_pos) AS BIGINT) AS _ob,
-         CAST(sum(_qp) AS BIGINT) AS _sb
-  FROM base GROUP BY lang, least(_qp // 100000, {ECE_BINS - 1})
+         CAST(sum(_c) AS BIGINT) AS _nb,
+         CAST(sum(_c * _pos) AS BIGINT) AS _ob,
+         CAST(sum(_c * _qp) AS BIGINT) AS _sb
+  FROM cells GROUP BY lang, least(_qp // 100000, {ECE_BINS - 1})
 ),
 binrolled AS (
   SELECT b.lang,

@@ -998,46 +998,54 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges0 = _cooc_edges(spark, sf_dir).persist()
     per_k = []
     edges = edges0
-    for k in KCORE_KS:
-        converged = False
-        for _ in range(KCORE_MAX_ROUNDS):
-            deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-            keep = deg.filter(F.col("deg") >= k).select("src")
-            new_edges = (
-                edges.join(keep, "src", "left_semi")
-                .join(
-                    keep.withColumnRenamed("src", "dst"), "dst", "left_semi"
+    try:
+        for k in KCORE_KS:
+            converged = False
+            for _ in range(KCORE_MAX_ROUNDS):
+                deg = edges.groupBy("src").agg(
+                    F.count(F.lit(1)).alias("deg")
                 )
-                .localCheckpoint(eager=True)
+                keep = deg.filter(F.col("deg") >= k).select("src")
+                new_edges = (
+                    edges.join(keep, "src", "left_semi")
+                    .join(
+                        keep.withColumnRenamed("src", "dst"),
+                        "dst",
+                        "left_semi",
+                    )
+                    .localCheckpoint(eager=True)
+                )
+                # the only values the driver ever sees: two counts
+                n_nodes = deg.count()
+                n_keep = keep.count()
+                edges = new_edges
+                if n_keep == n_nodes:
+                    converged = True
+                    break
+            if not converged:
+                raise RuntimeError(
+                    f"k-core peel for k={k} did not stabilize within "
+                    f"{KCORE_MAX_ROUNDS} rounds — raise KCORE_MAX_ROUNDS "
+                    f"(and the oracle unroll) rather than truncating"
+                )
+            per_k.append(
+                edges.groupBy("src")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .agg(
+                    F.lit(k).cast("long").alias("k"),
+                    F.count(F.lit(1)).alias("core_nodes"),
+                    F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias(
+                        "core_edges"
+                    ),
+                    F.coalesce(F.max("deg"), F.lit(0)).alias(
+                        "max_core_degree"
+                    ),
+                )
             )
-            # the only values the driver ever sees: two counts
-            n_nodes = deg.count()
-            n_keep = keep.count()
-            edges = new_edges
-            if n_keep == n_nodes:
-                converged = True
-                break
-        if not converged:
-            raise RuntimeError(
-                f"k-core peel for k={k} did not stabilize within "
-                f"{KCORE_MAX_ROUNDS} rounds — raise KCORE_MAX_ROUNDS "
-                f"(and the oracle unroll) rather than truncating"
-            )
-        per_k.append(
-            edges.groupBy("src")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .agg(
-                F.lit(k).cast("long").alias("k"),
-                F.count(F.lit(1)).alias("core_nodes"),
-                F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias(
-                    "core_edges"
-                ),
-                F.coalesce(F.max("deg"), F.lit(0)).alias(
-                    "max_core_degree"
-                ),
-            )
-        )
-    edges0.unpersist()
+    finally:
+        # the raise path must not leak the persisted edge frame in a
+        # long-lived session (the peels themselves ride checkpoints)
+        edges0.unpersist()
     out = per_k[0]
     for fr in per_k[1:]:
         out = out.unionByName(fr)

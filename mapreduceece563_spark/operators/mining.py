@@ -1372,9 +1372,12 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     For ordered numeric attributes the EMD has the closed cumulative
     form D(P,Q) = sum_i |cumP_i - cumQ_i| / (m-1) over the m global
     distinct values — and with cumP_i/n and cumQ_i/N cross-multiplied
-    onto the common denominator n*N, every |term| is the exact int64
-    |cumP_i*N - cumQ_i*n|; one DECIMAL(38,0) division at the end
-    yields emd_ppm. Rolled up per event type: classes, worst EMD,
+    onto the common denominator n*N, every |term| is the exact
+    128-bit |cumP_i*N - cumQ_i*n| (DECIMAL(38,0)/HUGEINT: n*N alone
+    passes int64 once a 1e7-row class meets a 1e12-row table, i.e.
+    exactly the scale this is for; the 38-digit bound m*n*N <= 1e38
+    holds to ~1e30 row-pairs); one DECIMAL division at the end yields
+    emd_ppm. Rolled up per event type: classes, worst EMD,
     violations of the conventional t = 0.2, rows in violating
     classes.
 
@@ -1429,8 +1432,10 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "_term",
             F.abs(
-                F.col("cum_p") * F.col("n_total")
-                - F.col("cum_q") * F.col("n")
+                F.expr(
+                    "CAST(cum_p AS DECIMAL(38,0)) * n_total"
+                    " - CAST(cum_q AS DECIMAL(38,0)) * n"
+                )
             ),
         )
     )
@@ -1503,7 +1508,8 @@ cum AS (
          abs(CAST(sum(coalesce(cc.n_v, 0)) OVER (
                PARTITION BY g.event_type, g.hour_of_day ORDER BY g.units
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS BIGINT) * g.n_total - g.cum_q * g.n) AS _term
+             AS HUGEINT) * g.n_total
+             - CAST(g.cum_q AS HUGEINT) * g.n) AS _term
   FROM grid g
   LEFT JOIN cls_cells cc
     ON cc.event_type = g.event_type
@@ -1513,7 +1519,7 @@ cum AS (
 per_class AS (
   SELECT event_type, hour_of_day,
          max(n) AS n, max(n_total) AS n_total, max(m_vals) AS m_vals,
-         CAST(sum(_term) AS BIGINT) AS _emd_sum
+         CAST(sum(_term) AS HUGEINT) AS _emd_sum
   FROM cum GROUP BY event_type, hour_of_day
 ),
 scored AS (

@@ -40,11 +40,18 @@ def test_post_drain_members_within_budgets():
     (a sink read-back growing a shuffle, a layout rebuilt per call).
     bench.py re-times every streaming member against warm sinks and
     records post_drain_violations; this test makes any such violation
-    fail CI."""
+    fail CI. POST_DRAIN_BUDGETS are calibrated at sf0.1, so (like the
+    sweep-budget gate above) the check applies only to sf0.1 detail
+    files."""
     if not os.path.exists(DETAIL):
         pytest.skip("no BENCH_DETAIL.json committed yet")
     with open(DETAIL) as fh:
         detail = json.load(fh)
+    if detail.get("sf") != 0.1:
+        pytest.skip(
+            f"post-drain budgets are calibrated for sf0.1, "
+            f"detail is sf={detail.get('sf')}"
+        )
     if "post_drain" not in detail:
         pytest.skip("detail predates the post-drain gate (round <= 10)")
     assert detail["post_drain_violations"] == {}, (
@@ -54,19 +61,28 @@ def test_post_drain_members_within_budgets():
 
 
 def test_every_streaming_member_has_post_drain_budget():
-    """A new streaming entry must get an explicit post-drain budget
-    when it is probed; until then the default applies, but the bench
-    must at least have MEASURED it (a member missing from post_drain
-    means the gate never saw it)."""
+    """Every registered streaming entry must carry an EXPLICIT
+    post-drain budget in bench.py (the default is a stopgap for the
+    commit that registers a new stream, not a steady state: an
+    unprobed member creeping toward the loose default would pass the
+    gate indefinitely), and — once an sf0.1 detail file exists — the
+    bench must actually have measured it."""
+    import bench
+
+    from mapreduceece563_spark.registry import queries
+
+    streaming = {n for n in queries() if n.startswith("streaming_")}
+    unbudgeted = sorted(streaming - set(bench.POST_DRAIN_BUDGETS))
+    assert not unbudgeted, (
+        f"streaming members without an explicit POST_DRAIN_BUDGETS "
+        f"entry (probe them and add one): {unbudgeted}"
+    )
     if not os.path.exists(DETAIL):
         pytest.skip("no BENCH_DETAIL.json committed yet")
     with open(DETAIL) as fh:
         detail = json.load(fh)
-    if "post_drain" not in detail:
-        pytest.skip("detail predates the post-drain gate (round <= 10)")
-    from mapreduceece563_spark.registry import queries
-
-    streaming = {n for n in queries() if n.startswith("streaming_")}
+    if detail.get("sf") != 0.1 or "post_drain" not in detail:
+        pytest.skip("no sf0.1 post-drain measurements committed yet")
     missing = sorted(streaming - set(detail["post_drain"]))
     assert not missing, (
         f"streaming members never measured post-drain: {missing}"
