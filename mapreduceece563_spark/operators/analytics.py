@@ -3995,6 +3995,15 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     to <= 10 rows per language plus one (lang, q_ppm, label)
     histogram groupBy; no window, no join wider than the doc_id
     metadata join. Output is one row per language.
+
+    Exactness bound (ADVICE r11, matching the MWU/PR-AUC sibling
+    convention): the resolution term computes `1e12 * _res_sum div
+    N^3` in DECIMAL(38,0), and _res_sum = sum((o_b*N - O*n_b)^2 /
+    n_b) grows like N^3 — the product stays under 38 digits only
+    while N <= ~3e8 docs per language (Spark would null, DuckDB
+    error, past it). At that volume, pre-divide by N per bin (one
+    extra floor, documented residual) or widen to a two-step
+    HUGEINT-style split.
     """
     from .textstats import quality_score
 

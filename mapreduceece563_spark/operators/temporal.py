@@ -1223,6 +1223,14 @@ def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, bucket to days or subsample pairs — the estimator
     degrades gracefully; the histogram + cumulative-window median
     never ranks per pair twice.
+
+    Exactness bound (ADVICE r11): the shifted numerator
+    `1e6*(y2-y1) + off*(h2-h1)` is int64, with off = 1e6 *
+    max_hourly_count — exact only while max_hourly_count *
+    span_hours <= ~9.2e12 (e.g. ~1e9 events/hour over a year, or
+    ~1e8 over a decade). Past that, compute the shifted quotient in
+    DECIMAL(38,0)/HUGEINT like the drift family, or bucket to days
+    first (which also tames the pair count).
     """
     ev = load_table(spark, sf_dir, "events").select(
         "event_type",

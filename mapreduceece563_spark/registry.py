@@ -1369,9 +1369,9 @@ register(
     an.CONFORMAL_SWEEP_ORACLE,
 )
 # ROUND-12 QUEUE (tests/test_queue_r12b.py) — implemented and
-# oracle-tested in round 11, registration held until CORRECTNESS_r11
-# certifies the 29-entry tranche above (VERDICT r10 ask #6: queue
-# growth stays below registration throughput). Each is two-scale
+# oracle-tested in round 11; CORRECTNESS_r11 certified the 29-entry
+# round-11 tranche 50/50 green, so per VERDICT r11 ask #1 these ten
+# register now and lead the round-12 window. Each is two-scale
 # probed (SCALE.md "Round-12 queue probes (round 11)"), Python-model
 # fuzzed, plan/empty-pinned:
 #   bh_fdr_drift_control (analytics / BH_FDR_SQL) — Benjamini-
@@ -1408,6 +1408,16 @@ register(
 #   pairwise-slope median over the gap-filled hourly series; shifted
 #   nonneg quotient (Spark div truncates, DuckDB // floors),
 #   planted +/- ramp fixtures.
+register("bh_fdr_drift_control", an.bh_fdr_drift_control, an.BH_FDR_SQL)
+register("rbo_quality_length", an.rbo_quality_length, an.RBO_QUALITY_LENGTH_SQL)
+register("hill_tail_index", an.hill_tail_index, an.HILL_TAIL_SQL)
+register("pr_auc_by_lang", an.pr_auc_by_lang, an.PR_AUC_SQL)
+register("brier_decomposition", an.brier_decomposition, an.BRIER_DECOMP_SQL)
+register("kcore_decomposition", gph.kcore_decomposition, gph.KCORE_SQL)
+register("km_survival_by_segment", lc.km_survival_by_segment, lc.KM_SURVIVAL_SQL)
+register("t_closeness_audit", mn.t_closeness_audit, mn.T_CLOSENESS_SQL)
+register("cramers_v_assoc", mn.cramers_v_assoc, mn.CRAMERS_V_SQL)
+register("theil_sen_hourly_trend", tp.theil_sen_hourly_trend, tp.THEIL_SEN_SQL)
 
 
 # ======================================================================
@@ -1446,71 +1456,33 @@ register(
 # 29 + 21 = 50. The post-window block leads with the remaining
 # r4-vintage rows (_R11_NEXT) so the round-12 rotation picks them
 # first.
+#
+# ROUND-12 WINDOW ROTATION: CORRECTNESS_r11 landed 50/50 green
+# (eleven consecutive green windows; carried debt 0), so per VERDICT
+# r11 asks #1/#2 this round's window is (a) the 10 round-12-queue
+# registrations above (tests/test_queue_r12b.py), followed by (b) 40
+# recertification slots filled oldest-green-first from COVERAGE.json:
+# all 34 remaining r4-vintage entries (leading with the ten _R11_NEXT
+# rows the round-11 rotation queued) plus the first 6 r5-vintage rows
+# in registry order. 10 + 34 + 6 = 50. The post-window block leads
+# with the next-stalest r5 rows (_R12_NEXT) so the round-13 rotation
+# picks them first.
 # ======================================================================
 
-_R11_WINDOW = [
-    # never-green: the rounds-11..17 queue registered this round
-    "lsh_band_plan",
-    "psi_drift_by_type",
-    "dedup_canonical_pick",
-    "contamination_overlap_fraction",
-    "dim_truncation_recall",
-    "pq_codebook_stats",
-    "trimmed_mean_by_segment",
-    "zipf_slope_by_source",
-    "pack_len_sensitivity",
-    "quantization_bits_sweep",
-    "silhouette_by_cell",
-    "heaps_law_fit",
-    "cross_source_duplicate_matrix",
-    "burstiness_by_type",
-    "streaming_psi_monitor",
-    "mrr_at_k",
-    "event_entropy_rate",
-    "customer_value_gini",
-    "attribution_model_compare",
-    "seasonality_strength_by_type",
-    "embedding_anisotropy",
-    "dedup_cluster_size_histogram",
-    "global_clustering_coefficient",
-    "changepoint_binary_split",
-    "surprisal_filter_curve",
-    "minhash_perm_sensitivity",
-    "split_leakage_audit",
-    "chunk_dedup_stats",
-    "conformal_alpha_sweep",
-    # stalest certifications (r4 vintage), registry order
-    "wordcount",
-    "region_nations_agg",
-    "boilerplate_fraction",
-    "source_blocklist_survivors",
-    "stratified_sample",
-    "char_class_stats",
-    "funnel_conversion",
-    "cohort_retention",
-    "events_daily_pivot",
-    "inverted_index",
-    "bm25_search",
-    # r4 vintage AND its implementation changed in round 10 (the
-    # shared oriented-wedge refactor) — recertify before the round
-    # ends
-    "triangle_count",
-    "pagerank_2iter",
-    "passage_dedup",
-    "bucketed_join_revenue",
-    "partition_pruned_purchases",
-    # wordcount-family anchors (VERDICT r10 ask #5) + r5 stragglers
-    # the verdict named in ask #2
-    "wordcount_sink_roundtrip",
-    "wordcount_via_datasource",
-    "bpe_merge_candidates",
-    "wordcount_by_lang",
-    "topk_words",
-]
-
-# stalest remaining certifications (latest green = round 4), registry
-# order: first in line for the round-12 window
-_R11_NEXT = [
+_R12_WINDOW = [
+    # never-green: the round-12 queue registered this round
+    "bh_fdr_drift_control",
+    "rbo_quality_length",
+    "hill_tail_index",
+    "pr_auc_by_lang",
+    "brier_decomposition",
+    "kcore_decomposition",
+    "km_survival_by_segment",
+    "t_closeness_audit",
+    "cramers_v_assoc",
+    "theil_sen_hourly_trend",
+    # stalest certifications (latest green = round 4), oldest-first
+    # in registry order; the first ten are the _R11_NEXT deferral
     "event_transition_matrix",
     "user_latest_state",
     "events_value_histogram",
@@ -1521,6 +1493,52 @@ _R11_NEXT = [
     "oov_rate",
     "word_freq_spectrum",
     "bigram_pmi_top",
+    "embedding_covariance",
+    "quality_percentile_by_source",
+    "per_source_holdout",
+    "table_checksum",
+    "fk_integrity_audit",
+    "events_profile",
+    "events_hourly_incremental",
+    "lang_confusion_matrix",
+    "part_price_size_skyline",
+    "purchase_attribution",
+    "lsh_precision",
+    "events_value_outliers",
+    "events_heavy_hitters",
+    "rolling_7d_revenue",
+    "daily_gap_fill",
+    "global_doc_ids",
+    "sentence_stats",
+    "lsh_recall",
+    "streaming_dedup",
+    "order_lineitem_reconciliation",
+    "zorder_bucket_stats",
+    "token_balanced_mixture",
+    "user_reach_curve",
+    "basket_brand_lift",
+    # first r5-vintage rows, registry order
+    "streaming_purchase_view_join",
+    "doc_length_deciles_by_lang",
+    "doc_lang_entropy_by_source",
+    "dedup_rate_by_source",
+    "bpe_second_merge",
+    "collation_distinct_profile",
+]
+
+# next-stalest certifications (latest green = round 5), registry
+# order: first in line for the round-13 window
+_R12_NEXT = [
+    "ship_rate_try_divide",
+    "cogroup_bucket_reconciliation",
+    "events_hourly_local_tz",
+    "table_expectations_audit",
+    "copurchase_degree_distribution",
+    "embedding_linear_scores",
+    "customer_order_window_profile",
+    "js_divergence_langs",
+    "source_overlap_jaccard",
+    "embedding_drift_l2",
 ]
 
 
@@ -1532,5 +1550,5 @@ def _rotate(head: list[str]) -> None:
     _REGISTRY = {n: _REGISTRY[n] for n in [*head, *rest]}
 
 
-_rotate(_R11_WINDOW + _R11_NEXT)
-assert len(_R11_WINDOW) == 50, len(_R11_WINDOW)
+_rotate(_R12_WINDOW + _R12_NEXT)
+assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)

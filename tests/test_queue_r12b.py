@@ -170,7 +170,8 @@ def test_bh_fdr_positive_control(spark, tmp_path):
 
 def test_bh_fdr_plan_invariants(spark):
     """Invariant pin: the probit grid attaches by broadcast (never a
-    shuffled join against a 136-row literal), the family size rides a
+    shuffled join against the ~2k-row literal — _bh_grid() emits
+    sum(1..BH_FDR_MAX_M=64) = 2080 rows), the family size rides a
     broadcast 1-row frame, and nothing cartesian-products. The heavy
     part of the plan is the mann_whitney histogram scaffold, pinned
     by that entry's own tests."""
