@@ -889,20 +889,29 @@ series AS (
 folded AS (
   SELECT event_type, len(_ys) AS n_hours,
          list_reduce(
-           list_prepend({{'s': CAST(-1 AS BIGINT),
-                          'alarms': CAST(0 AS BIGINT)}},
+           -- FIELD ORDER IS LOAD-BEARING: DuckDB v1.0's struct-lambda
+           -- fold lets a field that references an EARLIER-declared
+           -- field observe its already-updated value from the second
+           -- step on (fuzz-verified: 591/2000 random series flipped
+           -- the alarm count with 's' declared first). 'alarms' reads
+           -- acc.s and must therefore be declared BEFORE 's' — under
+           -- sequential-update semantics it then sees the old value,
+           -- and under correct (simultaneous) semantics nothing
+           -- changes, so this ordering is right either way.
+           list_prepend({{'alarms': CAST(0 AS BIGINT),
+                          's': CAST(-1 AS BIGINT)}},
              list_transform(_ys,
-               y -> {{'s': CAST(y AS BIGINT), 'alarms': CAST(0 AS BIGINT)}})),
+               y -> {{'alarms': CAST(0 AS BIGINT), 's': CAST(y AS BIGINT)}})),
            (acc, e) -> {{
-             's': CASE WHEN acc.s < 0 THEN e.s * 1000
-                       ELSE ({EWMA_NUM} * e.s * 1000
-                             + {EWMA_DEN - EWMA_NUM} * acc.s)
-                            // {EWMA_DEN} END,
              'alarms': acc.alarms
                        + CASE WHEN acc.s >= 0
                                AND e.s * 1000 > {EWMA_K_NUM} * acc.s
                                                 + {EWMA_FLOOR}
-                              THEN 1 ELSE 0 END}}) AS st
+                              THEN 1 ELSE 0 END,
+             's': CASE WHEN acc.s < 0 THEN e.s * 1000
+                       ELSE ({EWMA_NUM} * e.s * 1000
+                             + {EWMA_DEN - EWMA_NUM} * acc.s)
+                            // {EWMA_DEN} END}}) AS st
   FROM series
 )
 SELECT event_type,
@@ -1368,4 +1377,162 @@ SELECT p.event_type, p.n_hours,
 FROM per_type p
 LEFT JOIN tot t ON t.event_type = p.event_type
 LEFT JOIN med m ON m.event_type = p.event_type
+"""
+
+
+# --- Page-Hinkley sequential drift detection ----------------------------
+
+PH_DELTA_MILLI = 500  # tolerated drift per step: 0.5 counts/hour
+PH_LAMBDA_MILLI = 20_000  # alarm threshold: 20 counts of accumulated excess
+
+
+def page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley upward-drift detector over the gap-filled hourly
+    count series, per event type — the sequential member of the drift
+    family tuned for SLOW ramps: CUSUM (cusum_drift_scan) restarts at
+    zero and flags step changes; EWMA (ewma_control_chart) smooths
+    and flags spikes; Page-Hinkley accumulates every hour's excess
+    over the RUNNING mean and alarms when the gap to the historical
+    minimum exceeds lambda — the classical test for "traffic has been
+    creeping up for days".
+
+    Although PH is usually WRITTEN as a recursion, its state is
+    prefix-summable: m_t = sum_i(1000*y_i - (1000*S_i div i) - delta)
+    with S_i the prefix sum — so unlike ewma_control_chart (a true
+    multiplicative recurrence that needs the ordered-array fold), PH
+    runs entirely on CUMULATIVE WINDOWS: row_number, prefix sum,
+    per-row integer term, cumulative m, prefix min — every step an
+    exact int64 on both engines, no float and no fold. (Deliberate:
+    DuckDB v1.0's list_reduce struct-lambda lets later struct fields
+    observe EARLIER fields' already-updated values from the second
+    step on — a cross-field fold like PH's would silently diverge;
+    windows sidestep the hazard entirely.) The running-mean division
+    (1000*S_i) div i is nonnegative, so Spark's truncation equals
+    DuckDB's floor; 1000*S_i stays in int64 to ~9e15 cumulative
+    events per type within the window.
+
+    Scale posture (100 TB): the corpus-sized work is the one
+    map-side-partial hourly groupBy the temporal family shares; all
+    windows slide over the per-type HOUR series (~720 rows/month),
+    and the rollup is one tiny groupBy. Output: one row per type.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
+        ).alias("_h"),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        "_h",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    stepped = filled.select(
+        "event_type",
+        "_h",
+        "_y",
+        F.row_number()
+        .over(Window.partitionBy("event_type").orderBy("_h"))
+        .cast("long")
+        .alias("_i"),
+        F.sum("_y").over(w_cum).alias("_s"),
+    ).select(
+        "event_type",
+        "_h",
+        F.expr(
+            f"1000 * _y - (1000 * _s) div _i - {PH_DELTA_MILLI}"
+        ).alias("_term"),
+    )
+    walked = stepped.select(
+        "event_type",
+        "_h",
+        F.sum("_term").over(w_cum).alias("_m"),
+    ).select(
+        "event_type",
+        "_h",
+        "_m",
+        F.least(F.lit(0).cast("long"), F.min("_m").over(w_cum)).alias("_mn"),
+    )
+    return walked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.max_by(F.col("_m") - F.col("_mn"), F.col("_h")).alias("_drop"),
+        F.sum(
+            F.when(
+                F.col("_m") - F.col("_mn") > PH_LAMBDA_MILLI, 1
+            ).otherwise(0)
+        ).alias("n_alarm_hours"),
+    ).select(
+        "event_type",
+        "n_hours",
+        F.col("_drop").alias("ph_final_milli"),
+        "n_alarm_hours",
+    )
+
+
+PAGE_HINKLEY_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h, coalesce(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s._h = c._h
+),
+stepped AS (
+  SELECT event_type, _h,
+         1000 * _y
+         - (1000 * CAST(sum(_y) OVER w AS BIGINT))
+           // CAST(row_number() OVER (PARTITION BY event_type ORDER BY _h)
+                   AS BIGINT)
+         - {PH_DELTA_MILLI} AS _term
+  FROM filled
+  WINDOW w AS (PARTITION BY event_type ORDER BY _h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cum_m AS (
+  SELECT event_type, _h,
+         CAST(sum(_term) OVER w AS BIGINT) AS _m
+  FROM stepped
+  WINDOW w AS (PARTITION BY event_type ORDER BY _h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+walked AS (
+  SELECT event_type, _h, _m,
+         least(CAST(0 AS BIGINT), CAST(min(_m) OVER w AS BIGINT)) AS _mn
+  FROM cum_m
+  WINDOW w AS (PARTITION BY event_type ORDER BY _h
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_hours,
+       CAST(arg_max(_m - _mn, _h) AS BIGINT) AS ph_final_milli,
+       CAST(sum(CASE WHEN _m - _mn > {PH_LAMBDA_MILLI} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarm_hours
+FROM walked GROUP BY event_type
 """
