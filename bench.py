@@ -336,6 +336,13 @@ POST_DRAIN_BUDGETS = {
 }
 POST_DRAIN_DEFAULT = 2.0  # a new streaming entry gets this until probed
 
+# Budget for the synthetic "__drain__" line (VERDICT r11 ask #4): the
+# explicit concurrent drain of BOTH shared pools (event-stream trio +
+# round-7 five). Historical carrier costs: 10.8 s (r10), 11.8 s (r11)
+# — same work, now timed on its own instead of landing on whichever
+# member ran first in registry order.
+DRAIN_BUDGET = 16.0
+
 # Steady-state measurement: each timed pass runs the whole registry in
 # fixed (registry) order; per-query time is the MIN across passes. The
 # first sf0.1 pass is 2-3x slower than steady state (AQE replans at the
@@ -452,16 +459,32 @@ def main() -> None:
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             passes[name].append(round(time.perf_counter() - t0, 3))
+    # Synthetic __drain__ line (VERDICT r11 ask #4): the shared-pool
+    # drain cost used to land on whichever streaming entry ran FIRST
+    # in registry order, so every window rotation moved a ~10 s
+    # accounting artifact between innocent members
+    # (streaming_static_enrichment 10.8 s in r10 -> streaming_psi_
+    # monitor 11.8 s in r11) and polluted round-over-round per-query
+    # comparison. Each pass now times the two concurrent pool drains
+    # EXPLICITLY as "__drain__" — still a real end-to-end drain, same
+    # operator graphs, same memo/reset discipline — and the member
+    # timings that follow are each member's own cost (pool members
+    # become sink read-backs + their own post-source work; non-pool
+    # members still pay their own solo drains, which genuinely ARE
+    # their cost).
+    drain_passes: list[float] = []
     for _ in range(N_PASSES):
-        # every pass re-measures a REAL concurrent event-stream drain
-        # (the first streaming entry of the pass pays max(drain), the
-        # siblings read the shared sinks) instead of a sink read-back
         shared_drain.reset()
+        t0 = time.perf_counter()
+        shared_drain.drain_event_streams(spark, SF_DIR)
+        shared_drain.drain_round7_streams(spark, SF_DIR)
+        drain_passes.append(round(time.perf_counter() - t0, 3))
         for name, fn in stream_qs.items():
             t0 = time.perf_counter()
             materialize(fn(spark, SF_DIR))
             passes[name].append(round(time.perf_counter() - t0, 3))
     timings = {n: min(ts) for n, ts in passes.items()}
+    drain_sec = min(drain_passes) if drain_passes else 0.0
 
     # Per-member post-drain gate (VERDICT r10 ask #3): with the sinks
     # still warm from the last pass, time each streaming member's own
@@ -518,8 +541,13 @@ def main() -> None:
             attempts.append(round(time.perf_counter() - t0, 3))
         reruns[name] = attempts
         timings[name] = min(timings[name], *attempts)
-    total = round(sum(timings.values()), 3)
+    # registry_total_wall stays comparable across rounds: the pool
+    # drain used to be inside the carrier member's time, now it is
+    # its own line — include it in the total either way.
+    total = round(sum(timings.values()) + drain_sec, 3)
     violations = _violations()
+    if drain_sec > DRAIN_BUDGET:
+        violations["__drain__"] = {"sec": drain_sec, "budget": DRAIN_BUDGET}
     # Rescue accounting (round-9 ADVICE): an entry that blew its
     # budget in the phased sweep but was saved by the standalone
     # re-run is recorded as "rescued" — still green for the gate, but
@@ -570,6 +598,8 @@ def main() -> None:
         "n_queries": len(timings),
         "passes": N_PASSES,
         "queries": timings,
+        "drain_sec": drain_sec,
+        "drain_passes": drain_passes,
         "query_passes": passes,
         "standalone_reruns": reruns,
         "budget_violations": violations,
@@ -607,6 +637,7 @@ def main() -> None:
             "sf": sf_val,
             "n_queries": len(timings),
             "passes": N_PASSES,
+            "drain_sec": drain_sec,
             "budget_violations": sorted(violations),
             "rescued": sorted(rescued),
             "post_drain_violations": sorted(post_drain_violations),

@@ -4141,3 +4141,387 @@ FROM brier r JOIN binrolled br ON r.lang = br.lang
 
 
 BRIER_DECOMP_SQL = _brier_sql()
+
+
+# --- Cliff's delta of quality, each source vs the rest ----------------------
+
+
+def cliffs_delta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cliff's delta of the quality score, each source against the
+    rest of the corpus — the ORDINAL effect size the drift family
+    reports nowhere: MWU's CLES answers the paired question between
+    two fixed epochs, trimmed/winsorized means still live on the
+    value scale; Cliff's delta = P(x > y) - P(x < y) is the
+    scale-free "does this source's quality dominate the rest" number
+    a mix designer reads before weighting a source up or down, robust
+    to any monotone rescoring of quality.
+
+    INTEGER-exact at permille granularity: quality quantized to
+    permille (domain-BOUNDED spine <= 1001 values — the t-closeness
+    lesson: quantization choice IS the scale posture), per-(source,
+    value) histogram densified against the global value spine, and
+    the pair counts from cumulative windows over the histogram:
+    greater = sum_v c_s(v) * rest(<v), less = n_s*n_rest -
+    sum_v c_s(v) * rest(<=v) — never a doc-level pair join. The
+    quotient delta_ppm = 1e6*(greater-less)/(n_s*n_rest) can be
+    NEGATIVE, and Spark's `div` truncates toward zero while DuckDB's
+    `//` floors — so it runs through the shifted nonnegative quotient
+    (+1e6*den before the div, -1e6 after; the theil_sen idiom), all
+    in DECIMAL(38,0)/HUGEINT (1e6 * n_s * n_rest clears int64 only
+    to ~3e6 docs per side). NULL delta when a source IS the corpus
+    (no rest) — undefined, not zero.
+
+    Scale posture (100 TB): one (source, permille) groupBy collapses
+    the corpus map-side to <= |sources| x 1001 cells; the dense
+    spine is a |sources| x |values| cross join of two tiny distinct
+    frames; two cumulative windows slide per source over <= 1001
+    rows. Output is one row per source.
+    """
+    from .textstats import quality_score
+
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1000, 0).cast("long").alias("_qm"),
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = q.join(src, "doc_id")
+    hist = base.groupBy("source", "_qm").agg(F.count(F.lit(1)).alias("_c"))
+    ghist = hist.groupBy("_qm").agg(F.sum("_c").alias("_g"))
+    srcs = hist.select("source").distinct()
+    dense = (
+        # both sides are tiny (|sources| x <= 1001 permille values);
+        # broadcasting the value spine keeps the densify off the
+        # CartesianProduct path at any corpus size
+        srcs.crossJoin(F.broadcast(ghist))
+        .join(hist, ["source", "_qm"], "left")
+        .select(
+            "source",
+            "_qm",
+            "_g",
+            F.coalesce("_c", F.lit(0).cast("long")).alias("_c"),
+        )
+    )
+    w_lt = (
+        Window.partitionBy("source")
+        .orderBy("_qm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stepped = dense.select(
+        "source",
+        "_c",
+        "_g",
+        (
+            F.coalesce(F.sum("_g").over(w_lt), F.lit(0))
+            - F.coalesce(F.sum("_c").over(w_lt), F.lit(0))
+        ).alias("_rest_lt"),
+    ).select(
+        "source",
+        "_c",
+        "_g",
+        "_rest_lt",
+        (F.col("_rest_lt") + F.col("_g") - F.col("_c")).alias("_rest_le"),
+    )
+    rolled = stepped.groupBy("source").agg(
+        F.sum("_c").alias("_ns"),
+        F.sum("_g").alias("_n"),
+        F.sum(F.col("_c") * F.col("_rest_lt")).alias("_gt"),
+        F.sum(F.col("_c") * F.col("_rest_le")).alias("_sle"),
+    )
+    return rolled.select(
+        "source",
+        F.col("_ns").alias("n_source"),
+        (F.col("_n") - F.col("_ns")).alias("n_rest"),
+        F.col("_gt").alias("greater_pairs"),
+        ((F.col("_n") - F.col("_ns")) * F.col("_ns") - F.col("_sle")).alias(
+            "less_pairs"
+        ),
+        F.expr(
+            "CAST(CASE WHEN _ns * (_n - _ns) > 0 THEN"
+            " CAST((1000000 * (CAST(_gt AS DECIMAL(38,0))"
+            " - ((_n - _ns) * _ns - _sle))"
+            " + 1000000 * CAST(_ns AS DECIMAL(38,0)) * (_n - _ns))"
+            " div (CAST(_ns AS DECIMAL(38,0)) * (_n - _ns)) AS BIGINT)"
+            " - 1000000 END AS BIGINT)"
+        ).alias("cliffs_delta_ppm"),
+    )
+
+
+def _cliffs_delta_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+base AS (
+  SELECT d.source, CAST(round(q.quality * 1000, 0) AS BIGINT) AS _qm
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+hist AS (
+  SELECT source, _qm, CAST(count(*) AS BIGINT) AS _c
+  FROM base GROUP BY source, _qm
+),
+ghist AS (SELECT _qm, CAST(sum(_c) AS BIGINT) AS _g FROM hist GROUP BY _qm),
+srcs AS (SELECT DISTINCT source FROM hist),
+dense AS (
+  SELECT s.source, g._qm, g._g, coalesce(h._c, 0) AS _c
+  FROM srcs s CROSS JOIN ghist g
+  LEFT JOIN hist h ON h.source = s.source AND h._qm = g._qm
+),
+stepped AS (
+  SELECT source, _c, _g,
+         CAST(coalesce(sum(_g) OVER w, 0) - coalesce(sum(_c) OVER w, 0)
+              AS BIGINT) AS _rest_lt
+  FROM dense
+  WINDOW w AS (PARTITION BY source ORDER BY _qm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+rolled AS (
+  SELECT source,
+         CAST(sum(_c) AS BIGINT) AS _ns,
+         CAST(sum(_g) AS BIGINT) AS _n,
+         CAST(sum(_c * _rest_lt) AS BIGINT) AS _gt,
+         CAST(sum(_c * (_rest_lt + _g - _c)) AS BIGINT) AS _sle
+  FROM stepped GROUP BY source
+)
+SELECT source,
+       _ns AS n_source,
+       _n - _ns AS n_rest,
+       _gt AS greater_pairs,
+       (_n - _ns) * _ns - _sle AS less_pairs,
+       CAST(CASE WHEN _ns * (_n - _ns) > 0 THEN
+         CAST((1000000 * (CAST(_gt AS HUGEINT) - ((_n - _ns) * _ns - _sle))
+               + 1000000 * CAST(_ns AS HUGEINT) * (_n - _ns))
+              // (CAST(_ns AS HUGEINT) * (_n - _ns)) AS BIGINT)
+         - 1000000 END AS BIGINT) AS cliffs_delta_ppm
+FROM rolled
+"""
+
+
+CLIFFS_DELTA_SQL = _cliffs_delta_sql()
+
+
+# --- Kendall tau-b between quality and length, per language -----------------
+
+KENDALL_BUCKETS = 10
+
+
+def kendall_tau_quality_length(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kendall tau-b rank correlation between the quality score and
+    document length, per language — the concordance twin of
+    spearman_quality_length: Spearman squares rank gaps (one wild
+    pair moves it a lot), tau counts pair ORDER AGREEMENTS (every
+    pair votes once), so the two disagreeing is itself a signal that
+    a few extreme documents, not a monotone trend, drive the
+    correlation. Computed on the decile-bucketed contingency table
+    with the tie-corrected tau-b, the right form when bucketing
+    creates heavy ties by construction.
+
+    INTEGER-exact: both axes quantized to at most 10 equal-width
+    buckets (quality permille and n_chars against their per-lang
+    min/max via the domain-bounded integer formula (v - lo) * B div
+    (hi - lo + 1)), the contingency cells counted in one groupBy,
+    and concordant/discordant/tie pair counts from the CELL-PAIR
+    join (<= C(B^2, 2) ~ 5k cell pairs per lang — bounded by the
+    grid, never by the corpus): C = sum n1*n2 over cell pairs with
+    both axes strictly greater, D = both axes opposed. tau_b =
+    (C - D)/sqrt((T0 - Tx)(T0 - Ty)) reports as tau_b_milli via one
+    floor(sqrt()) on an identical DECIMAL product (the cramers_v
+    sqrt contract) with the sign carried separately (sqrt eats it),
+    via the shifted-quotient floor-division idiom for the signed
+    numerator. NULL when either axis is constant.
+
+    Scale posture (100 TB): one (lang, qb, lb) groupBy collapses the
+    corpus map-side to <= |langs| x 100 cells; the pair join runs on
+    that cell frame (self-join bounded by the grid); marginal tie
+    sums are two tiny rollups. Output is one row per language.
+    """
+    from .textstats import quality_score
+
+    B = KENDALL_BUCKETS
+    q = quality_score(spark, sf_dir).select(
+        "doc_id",
+        F.round(F.col("quality") * 1000, 0).cast("long").alias("_qm"),
+    )
+    meta = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    base = q.join(meta, "doc_id")
+    lims = base.groupBy("lang").agg(
+        F.min("_qm").alias("_qlo"),
+        F.max("_qm").alias("_qhi"),
+        F.min("n_chars").alias("_llo"),
+        F.max("n_chars").alias("_lhi"),
+    )
+    bucketed = base.join(F.broadcast(lims), "lang").select(
+        "lang",
+        F.expr(
+            f"((_qm - _qlo) * {B}) div (_qhi - _qlo + 1)"
+        ).alias("_qb"),
+        F.expr(
+            f"((n_chars - _llo) * {B}) div (_lhi - _llo + 1)"
+        ).alias("_lb"),
+    )
+    cells = bucketed.groupBy("lang", "_qb", "_lb").agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (
+                (F.col("a._qb") < F.col("b._qb"))
+                | (
+                    (F.col("a._qb") == F.col("b._qb"))
+                    & (F.col("a._lb") < F.col("b._lb"))
+                )
+            ),
+        )
+        .groupBy(F.col("a.lang").alias("lang"))
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("a._qb") < F.col("b._qb"))
+                    & (F.col("a._lb") < F.col("b._lb")),
+                    F.col("a._n") * F.col("b._n"),
+                ).otherwise(F.lit(0))
+            ).alias("_conc"),
+            F.sum(
+                F.when(
+                    (F.col("a._qb") < F.col("b._qb"))
+                    & (F.col("a._lb") > F.col("b._lb")),
+                    F.col("a._n") * F.col("b._n"),
+                ).otherwise(F.lit(0))
+            ).alias("_disc"),
+        )
+    )
+    marg = cells.groupBy("lang").agg(F.sum("_n").alias("_nn"))
+    tx = (
+        cells.groupBy("lang", "_qb")
+        .agg(F.sum("_n").alias("_m"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr("CAST(_m AS DECIMAL(38,0)) * (_m - 1)")).alias(
+                "_tx"
+            )
+        )
+    )
+    ty = (
+        cells.groupBy("lang", "_lb")
+        .agg(F.sum("_n").alias("_m"))
+        .groupBy("lang")
+        .agg(
+            F.sum(F.expr("CAST(_m AS DECIMAL(38,0)) * (_m - 1)")).alias(
+                "_ty"
+            )
+        )
+    )
+    joined = (
+        marg.join(pair_counts, "lang", "left")
+        .join(tx, "lang")
+        .join(ty, "lang")
+        .select(
+            "lang",
+            F.col("_nn").alias("n_docs"),
+            F.coalesce("_conc", F.lit(0).cast("long")).alias("concordant"),
+            F.coalesce("_disc", F.lit(0).cast("long")).alias("discordant"),
+            "_tx",
+            "_ty",
+        )
+    )
+    # tau_b = (C - D) / sqrt((T0 - Tx) * (T0 - Ty)), T0 = n(n-1)/2 and
+    # Tx/Ty the per-axis tie pair sums (both doubled here — the /2
+    # cancels). Signed milli quantization: |C-D| through the floored
+    # sqrt of the exact DECIMAL denominator product, sign re-applied.
+    return joined.select(
+        "lang",
+        "n_docs",
+        "concordant",
+        "discordant",
+        F.expr(
+            "CAST(CASE WHEN"
+            " (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) - _tx) > 0"
+            " AND (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) - _ty) > 0"
+            " THEN CASE WHEN concordant >= discordant THEN 1 ELSE -1 END"
+            " * CAST(floor(2000 * (concordant - discordant)"
+            " * CASE WHEN concordant >= discordant THEN 1 ELSE -1 END"
+            " / sqrt(CAST((CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1)"
+            " - _tx) * (CAST(n_docs AS DECIMAL(38,0)) * (n_docs - 1) - _ty)"
+            " AS DOUBLE))) AS BIGINT) END AS BIGINT)"
+        ).alias("tau_b_milli"),
+    )
+
+
+def _kendall_sql() -> str:
+    from .textstats import QUALITY_SQL
+
+    B = KENDALL_BUCKETS
+    return f"""
+WITH q AS ({QUALITY_SQL}),
+base AS (
+  SELECT d.lang, CAST(round(q.quality * 1000, 0) AS BIGINT) AS _qm,
+         d.n_chars
+  FROM q JOIN documents d ON q.doc_id = d.doc_id
+),
+lims AS (
+  SELECT lang, min(_qm) AS _qlo, max(_qm) AS _qhi,
+         min(n_chars) AS _llo, max(n_chars) AS _lhi
+  FROM base GROUP BY lang
+),
+bucketed AS (
+  SELECT b.lang,
+         ((b._qm - l._qlo) * {B}) // (l._qhi - l._qlo + 1) AS _qb,
+         ((b.n_chars - l._llo) * {B}) // (l._lhi - l._llo + 1) AS _lb
+  FROM base b JOIN lims l ON b.lang = l.lang
+),
+cells AS (
+  SELECT lang, _qb, _lb, CAST(count(*) AS BIGINT) AS _n
+  FROM bucketed GROUP BY lang, _qb, _lb
+),
+pair_counts AS (
+  SELECT a.lang,
+         CAST(sum(CASE WHEN a._qb < b._qb AND a._lb < b._lb
+                  THEN a._n * b._n ELSE 0 END) AS BIGINT) AS _conc,
+         CAST(sum(CASE WHEN a._qb < b._qb AND a._lb > b._lb
+                  THEN a._n * b._n ELSE 0 END) AS BIGINT) AS _disc
+  FROM cells a JOIN cells b
+    ON a.lang = b.lang
+   AND (a._qb < b._qb OR (a._qb = b._qb AND a._lb < b._lb))
+  GROUP BY a.lang
+),
+marg AS (
+  SELECT lang, CAST(sum(_n) AS BIGINT) AS _nn
+  FROM cells GROUP BY lang
+),
+tx AS (
+  SELECT lang, CAST(sum(CAST(_m AS HUGEINT) * (_m - 1)) AS HUGEINT) AS _tx
+  FROM (SELECT lang, _qb, CAST(sum(_n) AS BIGINT) AS _m
+        FROM cells GROUP BY lang, _qb) GROUP BY lang
+),
+ty AS (
+  SELECT lang, CAST(sum(CAST(_m AS HUGEINT) * (_m - 1)) AS HUGEINT) AS _ty
+  FROM (SELECT lang, _lb, CAST(sum(_n) AS BIGINT) AS _m
+        FROM cells GROUP BY lang, _lb) GROUP BY lang
+)
+SELECT m.lang, m._nn AS n_docs,
+       CAST(coalesce(p._conc, 0) AS BIGINT) AS concordant,
+       CAST(coalesce(p._disc, 0) AS BIGINT) AS discordant,
+       CAST(CASE WHEN (CAST(m._nn AS HUGEINT) * (m._nn - 1) - t1._tx) > 0
+                  AND (CAST(m._nn AS HUGEINT) * (m._nn - 1) - t2._ty) > 0
+         THEN CASE WHEN coalesce(p._conc, 0) >= coalesce(p._disc, 0)
+                   THEN 1 ELSE -1 END
+           * CAST(floor(2000 * (coalesce(p._conc, 0) - coalesce(p._disc, 0))
+             * CASE WHEN coalesce(p._conc, 0) >= coalesce(p._disc, 0)
+                    THEN 1 ELSE -1 END
+             / sqrt(CAST((CAST(m._nn AS HUGEINT) * (m._nn - 1) - t1._tx)
+               * (CAST(m._nn AS HUGEINT) * (m._nn - 1) - t2._ty)
+               AS DOUBLE))) AS BIGINT) END AS BIGINT) AS tau_b_milli
+FROM marg m
+LEFT JOIN pair_counts p ON m.lang = p.lang
+JOIN tx t1 ON m.lang = t1.lang
+JOIN ty t2 ON m.lang = t2.lang
+"""
+
+
+KENDALL_TAU_SQL = _kendall_sql()

@@ -604,3 +604,151 @@ SELECT cluster_id,
        CAST(min(_s) AS BIGINT) AS min_silhouette_ppm
 FROM sil GROUP BY cluster_id
 """
+
+
+# --- grid-bucketed DBSCAN core-point census ------------------------------
+
+DBSCAN_EPS_MICRO = 150_000  # L-inf radius, micro units (0.15)
+DBSCAN_MIN_PTS = 4  # neighbors within eps (self included) to be core
+
+
+def dbscan_core_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point census over the first two embedding
+    dimensions, per label — the density diagnostic the clustering
+    tier was missing: k-means (kmeans_2iter) fits spherical cells
+    around means whether or not the data has density structure;
+    counting DBSCAN CORE points (>= minPts neighbors within eps)
+    answers "does this label's slice actually form dense clumps, and
+    what fraction of it is noise" before anyone trusts a clustering.
+
+    Exactness contract: coordinates are micro-quantized int64 once
+    (round(x*1e6) — the embedding_quantize convention); the
+    neighborhood is the L-INFINITY ball (|dx|<=eps AND |dy|<=eps),
+    which needs no sqrt and keeps every comparison pure-integer.
+    Candidate pairs come from the standard grid trick: bucket by
+    eps-sized cells, explode each point to its 3x3 neighbor cells on
+    the probe side, join on the cell key, then apply the exact ball
+    test — exhaustive (every true neighbor lies in an adjacent cell)
+    and never all-pairs. Self counts as its own neighbor; core iff
+    n_neighbors >= 4.
+
+    Scale posture (100 TB): the join fans out 9x on the probe side
+    and is keyed on grid cells, so the exchange is (cell)-hashed and
+    the quadratic term is fenced inside each 3x3 neighborhood (the
+    semdedup cell-fencing posture — eps choice bounds occupancy;
+    shrink eps or add a per-cell cap for pathological densities).
+    Per-point neighbor counts ride one groupBy on vec_id; the rollup
+    is one row per label.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "CAST(round(embedding[0] * 1000000, 0) AS BIGINT)"
+        ).alias("_x"),
+        F.expr(
+            "CAST(round(embedding[1] * 1000000, 0) AS BIGINT)"
+        ).alias("_y"),
+    )
+    eps = DBSCAN_EPS_MICRO
+    pts = emb.select(
+        "vec_id",
+        "label",
+        "_x",
+        "_y",
+        # plain truncating division on BOTH engines (Spark div and
+        # DuckDB BIGINT // both truncate toward zero — verified, the
+        # "DuckDB floors" rule is about float/HUGEINT paths): the
+        # origin cell is double-wide, which keeps exhaustiveness
+        # (index steps sit at multiples of eps, >= eps apart, so an
+        # eps-ball spans at most adjacent indices) and costs only a
+        # slightly denser center cell.
+        F.expr(f"_x div {eps}").alias("_cx"),
+        F.expr(f"_y div {eps}").alias("_cy"),
+    )
+    probe = pts.select(
+        F.col("vec_id").alias("_qid"),
+        F.col("_x").alias("_qx"),
+        F.col("_y").alias("_qy"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx ->"
+                " transform(sequence(-1, 1), dy ->"
+                " struct(_cx + dx AS cx, _cy + dy AS cy))))"
+            )
+        ).alias("_c"),
+    ).select(
+        "_qid",
+        "_qx",
+        "_qy",
+        F.col("_c.cx").alias("_cx"),
+        F.col("_c.cy").alias("_cy"),
+    )
+    hits = (
+        probe.join(
+            pts.select("_cx", "_cy", "_x", "_y"), ["_cx", "_cy"]
+        )
+        .filter(
+            (F.abs(F.col("_qx") - F.col("_x")) <= eps)
+            & (F.abs(F.col("_qy") - F.col("_y")) <= eps)
+        )
+        .groupBy("_qid")
+        .agg(F.count(F.lit(1)).alias("_nn"))
+    )
+    per_point = pts.join(
+        hits, pts["vec_id"] == hits["_qid"], "left"
+    ).select(
+        "label",
+        F.coalesce("_nn", F.lit(0).cast("long")).alias("_nn"),
+    )
+    return per_point.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(
+            F.when(F.col("_nn") >= DBSCAN_MIN_PTS, 1).otherwise(0)
+        ).alias("n_core"),
+        F.expr(
+            f"CAST((1000000 * sum(CASE WHEN _nn >= {DBSCAN_MIN_PTS}"
+            " THEN 1 ELSE 0 END)) div count(*) AS BIGINT)"
+        ).alias("core_ppm"),
+    )
+
+
+DBSCAN_CORE_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, label,
+         CAST(round(embedding[1] * 1000000, 0) AS BIGINT) AS _x,
+         CAST(round(embedding[2] * 1000000, 0) AS BIGINT) AS _y
+  FROM embeddings
+),
+pts AS (
+  SELECT vec_id, label, _x, _y,
+         _x // {DBSCAN_EPS_MICRO} AS _cx,
+         _y // {DBSCAN_EPS_MICRO} AS _cy
+  FROM emb
+),
+probe AS (
+  SELECT vec_id AS _qid, _x AS _qx, _y AS _qy,
+         _cx + dx.dx AS _cx, _cy + dy.dy AS _cy
+  FROM pts,
+       (SELECT unnest([-1, 0, 1]) AS dx) dx,
+       (SELECT unnest([-1, 0, 1]) AS dy) dy
+),
+hits AS (
+  SELECT p._qid, CAST(count(*) AS BIGINT) AS _nn
+  FROM probe p JOIN pts t ON p._cx = t._cx AND p._cy = t._cy
+  WHERE abs(p._qx - t._x) <= {DBSCAN_EPS_MICRO}
+    AND abs(p._qy - t._y) <= {DBSCAN_EPS_MICRO}
+  GROUP BY p._qid
+),
+per_point AS (
+  SELECT pts.label, coalesce(h._nn, 0) AS _nn
+  FROM pts LEFT JOIN hits h ON pts.vec_id = h._qid
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN _nn >= {DBSCAN_MIN_PTS} THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_core,
+       CAST((1000000 * sum(CASE WHEN _nn >= {DBSCAN_MIN_PTS}
+             THEN 1 ELSE 0 END)) // count(*) AS BIGINT) AS core_ppm
+FROM per_point GROUP BY label
+"""

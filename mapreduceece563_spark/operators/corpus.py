@@ -1547,3 +1547,87 @@ FROM fams
 
 
 CHUNK_DEDUP_ORACLE = _chunk_dedup_sql()
+
+
+# --- Chao1 / Good-Turing vocabulary richness ---------------------------
+
+
+def chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chao1 estimate of each source's TRUE vocabulary size plus the
+    Good-Turing unseen-probability mass — the "how much vocabulary
+    haven't we crawled yet" audit that heaps_law_fit (growth-curve
+    extrapolation) and simpson_vocab_diversity (concentration) both
+    stop short of: Chao1 is the nonparametric lower bound on the
+    species count from just the singleton/doubleton frequencies, and
+    f1/N is the Good-Turing estimate of the probability the NEXT
+    token is a never-seen word — the single number that says whether
+    a source is vocabulary-saturated (crawl more adds no new words)
+    or still surprising.
+
+    PURE-integer algebra: per-(source, word) counts from the
+    wordcount shuffle, then V (distinct), f1 (hapaxes), f2
+    (doubletons), N (tokens) per source; the bias-corrected Chao1
+    V + f1*(f1-1)/(2*(f2+1)) is an exact int64 floor division (the
+    +1 in the denominator makes the f2=0 case well-defined — Chao's
+    own correction, not a fudge), and unseen_mass_ppm = 1e6*f1 div N.
+    f1 <= N keeps every product under int64 until N ~ 3e9 tokens per
+    source; past that lift the chao1 numerator to DECIMAL(38,0).
+
+    Scale posture (100 TB): one (source, word) groupBy with map-side
+    partials (bounded by vocabulary x sources, not corpus size),
+    then a per-source rollup of four int64 aggregates. No window, no
+    join. Output is one row per source.
+    """
+    tok = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source",
+        F.explode(words_array(F.col("text"))).alias("_w"),
+    )
+    per_word = tok.groupBy("source", "_w").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return (
+        per_word.groupBy("source")
+        .agg(
+            F.sum("_c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("_c") == 1, 1).otherwise(0)).alias("f1"),
+            F.sum(F.when(F.col("_c") == 2, 1).otherwise(0)).alias("f2"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "vocab",
+            "f1",
+            "f2",
+            F.expr(
+                "CAST(vocab + (f1 * (f1 - 1)) div (2 * (f2 + 1))"
+                " AS BIGINT)"
+            ).alias("chao1_est"),
+            F.expr(
+                "CAST((1000000 * f1) div n_tokens AS BIGINT)"
+            ).alias("unseen_mass_ppm"),
+        )
+    )
+
+
+CHAO1_VOCAB_SQL = f"""
+WITH w AS (SELECT source, {_words_sql()} AS words FROM documents),
+tok AS (SELECT source, unnest(words) AS _w FROM w),
+per_word AS (
+  SELECT source, _w, CAST(count(*) AS BIGINT) AS _c
+  FROM tok GROUP BY source, _w
+),
+rolled AS (
+  SELECT source,
+         CAST(sum(_c) AS BIGINT) AS n_tokens,
+         CAST(count(*) AS BIGINT) AS vocab,
+         CAST(sum(CASE WHEN _c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(sum(CASE WHEN _c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM per_word GROUP BY source
+)
+SELECT source, n_tokens, vocab, f1, f2,
+       CAST(vocab + (f1 * (f1 - 1)) // (2 * (f2 + 1)) AS BIGINT)
+         AS chao1_est,
+       CAST((1000000 * f1) // n_tokens AS BIGINT) AS unseen_mass_ppm
+FROM rolled
+"""

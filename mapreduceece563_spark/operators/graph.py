@@ -1114,3 +1114,139 @@ FROM {cur}"""
 
 
 KCORE_SQL = _kcore_sql()
+
+
+# --- degree assortativity of the co-purchase graph ----------------------
+
+
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity coefficient of the co-purchase graph —
+    the one-number summary of its mixing pattern that the degree
+    distribution alone can't give: do hub parts co-purchase with
+    other hubs (r > 0, social-network-like) or with leaves (r < 0,
+    hub-and-spoke catalogs)? Negative assortativity is what makes
+    the salted-join/hub handling in pagerank/triangle_count
+    necessary, so this is the diagnostic that justifies them.
+
+    PURE-integer algebra: degrees from one explode of the distinct
+    a<b edge list (the copurchase_degree_distribution scaffold);
+    every edge contributes BOTH orientations (x,y) and (y,x), which
+    makes the two Pearson marginals identical — the denominator
+    collapses to M*Sxx - Sx*Sx with no sqrt, so
+    r = (M*Sxy - Sx*Sy) / (M*Sxx - Sx*Sx) is a RATIO OF EXACT
+    INTEGERS, evaluated in DECIMAL(38,0)/HUGEINT (M*Sxy ~ E^2*deg^2
+    wraps int64 at ~1e6 edges x 1e3 degree). r is signed and |r|<=1,
+    so the milli quantization runs through the shifted nonnegative
+    quotient (+1000*den before the div, -1000 after — Spark div
+    truncates, DuckDB // floors; the theil_sen idiom). NULL when the
+    graph is degree-regular (den = 0).
+
+    Scale posture (100 TB): the basket self-join is bounded by
+    basket width squared (the copurchase family contract); degrees
+    ride one groupBy; the per-edge degree attach is two joins ON THE
+    PART KEY (hash exchanges on graph keys, never a broadcast of the
+    corpus); the rollup is five int sums to ONE row.
+    """
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .distinct()
+    )
+    degrees = (
+        edges.select(
+            F.explode(F.array(F.col("pa"), F.col("pb"))).alias("part")
+        )
+        .groupBy("part")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = degrees.select(
+        F.col("part").alias("pa"), F.col("deg").alias("_dx")
+    )
+    db = degrees.select(
+        F.col("part").alias("pb"), F.col("deg").alias("_dy")
+    )
+    both = (
+        edges.join(da, "pa")
+        .join(db, "pb")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("_dx").alias("x"), F.col("_dy").alias("y")
+                    ),
+                    F.struct(
+                        F.col("_dy").alias("x"), F.col("_dx").alias("y")
+                    ),
+                )
+            ).alias("_e")
+        )
+        .select(F.col("_e.x").alias("x"), F.col("_e.y").alias("y"))
+    )
+    rolled = both.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("x").alias("_sx"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * y")).alias("_sxy"),
+        F.sum(F.expr("CAST(x AS DECIMAL(38,0)) * x")).alias("_sxx"),
+    )
+    return rolled.select(
+        (F.col("_m") / 2).cast("long").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN _m * _sxx - CAST(_sx AS DECIMAL(38,0)) * _sx"
+            " > 0 THEN CAST((1000 * (_m * _sxy - CAST(_sx AS"
+            " DECIMAL(38,0)) * _sx) + 1000 * (_m * _sxx - CAST(_sx AS"
+            " DECIMAL(38,0)) * _sx)) div (_m * _sxx - CAST(_sx AS"
+            " DECIMAL(38,0)) * _sx) AS BIGINT) - 1000 END AS BIGINT)"
+        ).alias("assortativity_milli"),
+    )
+
+
+DEGREE_ASSORT_SQL = """
+WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+ends AS (
+  SELECT pa AS part FROM edges UNION ALL SELECT pb AS part FROM edges
+),
+degrees AS (
+  SELECT part, CAST(count(*) AS BIGINT) AS deg FROM ends GROUP BY part
+),
+oriented AS (
+  SELECT da.deg AS x, db.deg AS y
+  FROM edges e JOIN degrees da ON e.pa = da.part
+               JOIN degrees db ON e.pb = db.part
+  UNION ALL
+  SELECT db.deg AS x, da.deg AS y
+  FROM edges e JOIN degrees da ON e.pa = da.part
+               JOIN degrees db ON e.pb = db.part
+),
+rolled AS (
+  SELECT CAST(count(*) AS BIGINT) AS _m,
+         CAST(sum(x) AS BIGINT) AS _sx,
+         CAST(sum(CAST(x AS HUGEINT) * y) AS HUGEINT) AS _sxy,
+         CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS _sxx
+  FROM oriented
+)
+SELECT CAST(_m // 2 AS BIGINT) AS n_edges,
+       CAST(CASE WHEN _m * _sxx - CAST(_sx AS HUGEINT) * _sx > 0 THEN
+         CAST((1000 * (_m * _sxy - CAST(_sx AS HUGEINT) * _sx)
+               + 1000 * (_m * _sxx - CAST(_sx AS HUGEINT) * _sx))
+              // (_m * _sxx - CAST(_sx AS HUGEINT) * _sx) AS BIGINT)
+         - 1000 END AS BIGINT) AS assortativity_milli
+FROM rolled
+"""

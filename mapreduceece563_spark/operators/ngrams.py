@@ -1607,3 +1607,126 @@ def _surprisal_curve_sql() -> str:
 
 
 SURPRISAL_CURVE_ORACLE = _surprisal_curve_sql()
+
+
+# --- Dunning log-likelihood (G2) keyness -------------------------------
+
+G2_MIN_GLOBAL = 5  # frequency floor: rarer words are noise, not keyness
+G2_TOP_TERMS = 5
+
+
+def g2_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G^2) keyness: the top-5 words most
+    OVER-represented in each source relative to the rest of the
+    corpus — the corpus-linguistics standard for "what is this slice
+    about", and the statistic that, unlike tfidf_top_terms (per-doc
+    salience) or js_divergence_langs (one corpus-distance number),
+    directly ranks the words responsible for a source's divergence.
+    Dunning's G^2 = 2*(a*ln(a/E_a) + b*ln(b/E_b)) over the word's
+    in-source/rest-of-corpus contingency keeps its calibration on
+    the rare-word counts where the chi-square approximation breaks.
+
+    Exactness contract (the js_divergence idiom): a, b and all four
+    marginals are exact int64; each ln() takes only double RATIOS of
+    int64 counts ((a/Na)/(g/N) — identical IEEE division sequences
+    on both engines, no cross product that could overflow), is
+    quantized to int64 micro-nats, and multiplied by the int count —
+    so the G^2 score is an integer and the (score desc, word asc)
+    top-5 order is engine-exact. Zero cells contribute zero (their
+    x*ln(x) limit); only over-represented words qualify, decided by
+    the exact DECIMAL(38,0) cross-multiply a*N > g*Na, never a float
+    ratio. Words with global count < {G2_MIN_GLOBAL} are excluded —
+    a frequency floor, not a top-k cap, so it drops no candidate a
+    larger corpus would score.
+
+    Scale posture (100 TB): two vocabulary-granular groupBys (the
+    wordcount shuffle + a word rollup), a 1-row and a |sources|-row
+    broadcast, and a per-source top-5 window that Spark plans as
+    WindowGroupLimit (rank pushed below the sort — never a full
+    per-source sort of the vocabulary). Output: 5 rows per source.
+    """
+    tok = load_table(spark, sf_dir, "documents", spread=True).select(
+        "source",
+        F.explode(words_array(F.col("text"))).alias("word"),
+    )
+    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("a"))
+    gw = sw.groupBy("word").agg(F.sum("a").alias("g"))
+    na = sw.groupBy("source").agg(F.sum("a").alias("na"))
+    n = gw.agg(F.sum("g").alias("n"))
+    scored = (
+        sw.join(gw.filter(F.col("g") >= G2_MIN_GLOBAL), "word")
+        .join(F.broadcast(na), "source")
+        .crossJoin(F.broadcast(n))
+        .filter(
+            F.expr(
+                "CAST(a AS DECIMAL(38,0)) * n > CAST(g AS DECIMAL(38,0)) * na"
+            )
+        )
+        .select(
+            "source",
+            "word",
+            F.col("a").alias("n_source"),
+            (F.col("g") - F.col("a")).alias("n_rest"),
+            F.expr(
+                "2 * (a * CAST(round(ln((a / CAST(na AS DOUBLE))"
+                " / (g / CAST(n AS DOUBLE))) * 1000000, 0) AS BIGINT)"
+                " + CASE WHEN g - a > 0 AND n - na > 0 THEN (g - a)"
+                " * CAST(round(ln(((g - a) / CAST(n - na AS DOUBLE))"
+                " / (g / CAST(n AS DOUBLE))) * 1000000, 0) AS BIGINT)"
+                " ELSE 0 END)"
+            ).alias("g2_micro"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("g2_micro"), F.asc("word")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= G2_TOP_TERMS)
+        .select("source", "word", "n_source", "n_rest", "g2_micro", "rank")
+    )
+
+
+G2_KEYNESS_SQL = f"""
+WITH w AS (SELECT source, {{words}} AS words FROM documents),
+tok AS (SELECT source, unnest(words) AS word FROM w),
+sw AS (
+  SELECT source, word, CAST(count(*) AS BIGINT) AS a
+  FROM tok GROUP BY source, word
+),
+gw AS (SELECT word, CAST(sum(a) AS BIGINT) AS g FROM sw GROUP BY word),
+na AS (SELECT source, CAST(sum(a) AS BIGINT) AS na FROM sw GROUP BY source),
+n AS (SELECT CAST(sum(g) AS BIGINT) AS n FROM gw),
+scored AS (
+  SELECT sw.source, sw.word, sw.a AS n_source, gw.g - sw.a AS n_rest,
+         2 * (sw.a * CAST(round(ln((sw.a / CAST(na.na AS DOUBLE))
+                / (gw.g / CAST(n.n AS DOUBLE))) * 1000000, 0) AS BIGINT)
+           + CASE WHEN gw.g - sw.a > 0 AND n.n - na.na > 0 THEN
+               (gw.g - sw.a)
+               * CAST(round(ln(((gw.g - sw.a) / CAST(n.n - na.na AS DOUBLE))
+                 / (gw.g / CAST(n.n AS DOUBLE))) * 1000000, 0) AS BIGINT)
+             ELSE 0 END)
+           AS g2_micro
+  FROM sw JOIN gw USING (word) JOIN na USING (source) CROSS JOIN n
+  WHERE gw.g >= {G2_MIN_GLOBAL}
+    AND CAST(sw.a AS HUGEINT) * n.n > CAST(gw.g AS HUGEINT) * na.na
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+           ORDER BY g2_micro DESC, word ASC) AS rank
+  FROM scored
+)
+SELECT source, word, n_source, n_rest, g2_micro, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {G2_TOP_TERMS}
+"""
+
+
+def _g2_words_sql() -> str:
+    norm = NORMALIZE_SQL.format(t="t")
+    return (
+        f"list_filter(list_transform(string_split(text, ' '), t -> {norm}),"
+        f" w -> w <> '' AND length(w) <= {MAX_WORD_LEN})"
+    )
+
+
+G2_KEYNESS_ORACLE = G2_KEYNESS_SQL.format(words=_g2_words_sql())

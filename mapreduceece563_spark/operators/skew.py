@@ -1081,3 +1081,171 @@ SELECT event_type, freq,
        CAST(salts_needed - 1 AS BIGINT) AS dim_replication_extra
 FROM plan
 """
+
+
+# --- Bloom-filter plan advisor -------------------------------------------
+
+# (m_bits, k_hashes) candidate configurations; the measured-FPP grid.
+BLOOM_GRID = ((16384, 2), (16384, 4), (65536, 2), (65536, 4), (65536, 6))
+# position hash: ((key % P1) * KNUTH + seed * STEP) % P2 % m — the
+# train_test_split overflow discipline (inner mod keeps every product
+# far under 2^63 for any int64 key; both engines evaluate identically)
+BLOOM_P1 = 100_003
+BLOOM_KNUTH = 2_654_435_761
+BLOOM_STEP = 40_503
+BLOOM_P2 = 999_999_937
+BLOOM_PROBE_OFFSET = 1_000_000_007  # shifts probes outside the id domain
+
+
+def bloom_filter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing advisor for the events user-id set — the
+    engineering-plan member next to salt_plan_advisor and
+    lsh_band_plan: before shipping a Bloom filter to prune a
+    semi-join (the bloom_join_prune pattern) you pick (bits, hashes)
+    from a table like this one, and the honest way to pick is to
+    MEASURE the false-positive rate of each candidate against a
+    disjoint probe set rather than trust the asymptotic formula
+    (which assumes independent ideal hashes that a real double-hash
+    scheme only approximates).
+
+    Fully deterministic and engine-exact: member keys are the
+    distinct user_ids; for each grid config every key sets k
+    positions via the pure-integer double-hash ((key % P1) * KNUTH +
+    seed * STEP) % P2 % m (the train_test_split overflow discipline —
+    no product can leave int64, DuckDB would raise rather than wrap);
+    probe keys are the same ids shifted by 1e9+7 (guaranteed disjoint
+    from the member set, same distribution class). A probe false-
+    positives iff ALL k of its positions are occupied — counted by
+    joining probe positions against the distinct set-bit frame and
+    requiring k hits. occupancy_ppm and measured_fpp_ppm are exact
+    int64 floor divisions.
+
+    Scale posture (100 TB): the corpus collapses to the distinct-key
+    frame first (one groupBy); everything after is keys x k x |grid|
+    rows — key-granular, never corpus-granular. The positions join
+    is hashed on (config, position); set-bit frames are at most
+    m bits per config. Output is one row per grid config.
+    """
+    keys = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+    )
+    grid = spark.createDataFrame(
+        [(m, k) for m, k in BLOOM_GRID], "m_bits BIGINT, k_hashes BIGINT"
+    )
+    seeds = F.explode(
+        F.sequence(F.lit(0), F.col("k_hashes") - 1)
+    ).alias("_j")
+
+    def positions(df: DataFrame, key_expr: str) -> DataFrame:
+        return (
+            df.crossJoin(F.broadcast(grid))
+            .select(
+                "m_bits",
+                "k_hashes",
+                F.col("user_id").alias("_key"),
+                seeds,
+            )
+            .select(
+                "m_bits",
+                "k_hashes",
+                "_key",
+                F.expr(
+                    f"((({key_expr} % {BLOOM_P1}) * {BLOOM_KNUTH}"
+                    f" + _j * {BLOOM_STEP}) % {BLOOM_P2}) % m_bits"
+                ).alias("_pos"),
+            )
+        )
+
+    member_pos = positions(keys, "_key")
+    bits = member_pos.select("m_bits", "k_hashes", "_pos").distinct()
+    probe_pos = positions(keys, f"(_key + {BLOOM_PROBE_OFFSET})")
+    probe_hits = (
+        probe_pos.join(bits, ["m_bits", "k_hashes", "_pos"], "left_semi")
+        .groupBy("m_bits", "k_hashes", "_key")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    fp = probe_hits.groupBy("m_bits", "k_hashes").agg(
+        F.sum(
+            F.when(F.col("_hits") == F.col("k_hashes"), 1).otherwise(0)
+        ).alias("_fp")
+    )
+    occ = bits.groupBy("m_bits", "k_hashes").agg(
+        F.count(F.lit(1)).alias("_set")
+    )
+    n = keys.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        occ.join(fp, ["m_bits", "k_hashes"], "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "m_bits",
+            "k_hashes",
+            F.col("_n").alias("n_keys"),
+            F.col("_set").alias("bits_set"),
+            F.expr("CAST((1000000 * _set) div m_bits AS BIGINT)").alias(
+                "occupancy_ppm"
+            ),
+            F.expr(
+                "CAST((1000000 * coalesce(_fp, 0)) div _n AS BIGINT)"
+            ).alias("measured_fpp_ppm"),
+        )
+    )
+
+
+def _bloom_grid_sql() -> str:
+    rows = ", ".join(f"({m}, {k})" for m, k in BLOOM_GRID)
+    return f"(VALUES {rows}) AS grid(m_bits, k_hashes)"
+
+
+BLOOM_PLAN_SQL = f"""
+WITH keys AS (SELECT DISTINCT user_id AS _key FROM events),
+grid AS (SELECT CAST(m_bits AS BIGINT) AS m_bits,
+                CAST(k_hashes AS BIGINT) AS k_hashes
+         FROM {_bloom_grid_sql()}),
+member_pos AS (
+  SELECT g.m_bits, g.k_hashes, k._key,
+         (((k._key % {BLOOM_P1}) * {BLOOM_KNUTH} + j._j * {BLOOM_STEP})
+          % {BLOOM_P2}) % g.m_bits AS _pos
+  FROM keys k CROSS JOIN grid g
+  JOIN (SELECT unnest(range(0, 6)) AS _j) j ON j._j < g.k_hashes
+),
+bits AS (
+  SELECT DISTINCT m_bits, k_hashes, _pos FROM member_pos
+),
+probe_pos AS (
+  SELECT g.m_bits, g.k_hashes, k._key,
+         ((((k._key + {BLOOM_PROBE_OFFSET}) % {BLOOM_P1}) * {BLOOM_KNUTH}
+           + j._j * {BLOOM_STEP}) % {BLOOM_P2}) % g.m_bits AS _pos
+  FROM keys k CROSS JOIN grid g
+  JOIN (SELECT unnest(range(0, 6)) AS _j) j ON j._j < g.k_hashes
+),
+probe_hits AS (
+  SELECT p.m_bits, p.k_hashes, p._key, CAST(count(*) AS BIGINT) AS _hits
+  FROM probe_pos p
+  WHERE EXISTS (SELECT 1 FROM bits b
+                WHERE b.m_bits = p.m_bits AND b.k_hashes = p.k_hashes
+                  AND b._pos = p._pos)
+  GROUP BY p.m_bits, p.k_hashes, p._key
+),
+fp AS (
+  SELECT m_bits, k_hashes,
+         CAST(sum(CASE WHEN _hits = k_hashes THEN 1 ELSE 0 END) AS BIGINT)
+           AS _fp
+  FROM probe_hits GROUP BY m_bits, k_hashes
+),
+occ AS (
+  SELECT m_bits, k_hashes, CAST(count(*) AS BIGINT) AS _set
+  FROM bits GROUP BY m_bits, k_hashes
+),
+n AS (SELECT CAST(count(*) AS BIGINT) AS _n FROM keys)
+SELECT o.m_bits, o.k_hashes,
+       n._n AS n_keys,
+       o._set AS bits_set,
+       CAST((1000000 * o._set) // o.m_bits AS BIGINT) AS occupancy_ppm,
+       CAST((1000000 * coalesce(f._fp, 0)) // n._n AS BIGINT)
+         AS measured_fpp_ppm
+FROM occ o LEFT JOIN fp f
+  ON o.m_bits = f.m_bits AND o.k_hashes = f.k_hashes
+CROSS JOIN n
+"""

@@ -1536,3 +1536,163 @@ SELECT event_type,
             AS BIGINT) AS n_alarm_hours
 FROM walked GROUP BY event_type
 """
+
+
+# --- SAX motif discovery over the hourly series --------------------------
+
+SAX_FRAME_HOURS = 6  # PAA frame width
+SAX_ALPHABET = 4  # symbols per frame (equal-width bins)
+SAX_TOP_MOTIFS = 3  # motifs reported per type
+
+
+def sax_motif_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX motif discovery on the gap-filled hourly count series, per
+    event type: PAA-average 6-hour frames, discretize each frame into
+    a 4-symbol alphabet, and report the top-3 most frequent 3-frame
+    motifs — the "what shape does a typical day have" primitive
+    (recurring ramp-up/plateau/drop patterns) that the drift family
+    (point alarms) and seasonality_strength (one global number) both
+    miss. Repeated motifs are candidate habits/bot loops; a flat
+    motif table is a structureless series.
+
+    INTEGER-exact SAX: the PAA mean is milli-quantized via the
+    nonnegative floor division (1000*frame_sum) div frame_hours
+    (truncation == floor on nonnegative ints); symbols come from the
+    domain-bounded equal-width rule (v - lo) * 4 div (hi - lo + 1)
+    against the per-type PAA min/max (the kendall bucketing formula —
+    breakpoints from equal-FREQUENCY quartiles would need a rank pass
+    per type; equal-width keeps the whole pipeline histogram-shaped
+    and is the standard SAX variant for count series). A constant
+    series degenerates to symbol 0 everywhere by the +1 denominator.
+    Motifs are the base-4 integer s0*16 + s1*4 + s2 from two lead()
+    steps; ranking is (count desc, motif asc) — engine-total order.
+
+    Scale posture (100 TB): the corpus-sized work is the shared
+    hourly histogram groupBy; frames collapse it 6:1 map-side; the
+    lead windows and the motif rollup slide over the per-type FRAME
+    series (~120 rows/month/type). WindowGroupLimit bounds the final
+    top-3. Output: <= 3 rows per event type.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
+        ).alias("_h"),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        "_h",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    frames = (
+        filled.groupBy(
+            "event_type",
+            F.expr(f"_h div {SAX_FRAME_HOURS}").alias("_f"),
+        )
+        .agg(
+            F.expr("(1000 * sum(_y)) div count(*)").alias("_paa")
+        )
+    )
+    lims = frames.groupBy("event_type").agg(
+        F.min("_paa").alias("_lo"), F.max("_paa").alias("_hi")
+    )
+    syms = frames.join(F.broadcast(lims), "event_type").select(
+        "event_type",
+        "_f",
+        F.expr(
+            f"((_paa - _lo) * {SAX_ALPHABET}) div (_hi - _lo + 1)"
+        ).alias("_s"),
+    )
+    w_lead = Window.partitionBy("event_type").orderBy("_f")
+    grams = syms.select(
+        "event_type",
+        "_s",
+        F.lead("_s", 1).over(w_lead).alias("_s1"),
+        F.lead("_s", 2).over(w_lead).alias("_s2"),
+    ).filter(F.col("_s2").isNotNull())
+    motifs = grams.groupBy(
+        "event_type",
+        (
+            F.col("_s") * SAX_ALPHABET * SAX_ALPHABET
+            + F.col("_s1") * SAX_ALPHABET
+            + F.col("_s2")
+        ).alias("motif"),
+    ).agg(F.count(F.lit(1)).alias("n_occurrences"))
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.desc("n_occurrences"), F.asc("motif")
+    )
+    return (
+        motifs.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= SAX_TOP_MOTIFS)
+        .select("event_type", "rank", "motif", "n_occurrences")
+    )
+
+
+SAX_MOTIF_SQL = f"""
+WITH ev AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h FROM events
+),
+counts AS (
+  SELECT event_type, _h, CAST(count(*) AS BIGINT) AS _y
+  FROM ev GROUP BY event_type, _h
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY event_type
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, s._h, coalesce(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s._h = c._h
+),
+frames AS (
+  SELECT event_type, _h // {SAX_FRAME_HOURS} AS _f,
+         (1000 * CAST(sum(_y) AS BIGINT)) // CAST(count(*) AS BIGINT)
+           AS _paa
+  FROM filled GROUP BY event_type, _h // {SAX_FRAME_HOURS}
+),
+lims AS (
+  SELECT event_type, min(_paa) AS _lo, max(_paa) AS _hi
+  FROM frames GROUP BY event_type
+),
+syms AS (
+  SELECT f.event_type, f._f,
+         ((f._paa - l._lo) * {SAX_ALPHABET}) // (l._hi - l._lo + 1) AS _s
+  FROM frames f JOIN lims l ON f.event_type = l.event_type
+),
+grams AS (
+  SELECT event_type, _s,
+         lead(_s, 1) OVER w AS _s1,
+         lead(_s, 2) OVER w AS _s2
+  FROM syms
+  WINDOW w AS (PARTITION BY event_type ORDER BY _f)
+),
+motifs AS (
+  SELECT event_type,
+         CAST(_s * {SAX_ALPHABET * SAX_ALPHABET} + _s1 * {SAX_ALPHABET}
+              + _s2 AS BIGINT) AS motif,
+         CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM grams WHERE _s2 IS NOT NULL
+  GROUP BY event_type, _s, _s1, _s2
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY n_occurrences DESC, motif ASC) AS rank
+  FROM motifs
+)
+SELECT event_type, CAST(rank AS BIGINT) AS rank, motif, n_occurrences
+FROM ranked WHERE rank <= {SAX_TOP_MOTIFS}
+"""

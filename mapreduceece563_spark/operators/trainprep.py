@@ -1455,3 +1455,113 @@ SELECT
 
 
 SPLIT_LEAKAGE_ORACLE = _split_leakage_sql()
+
+
+# --- McNemar paired-filter comparison ----------------------------------
+
+# The two candidate keep-filters under comparison, chosen so both are
+# map-only and engine-exact: a raw-size gate and a whitespace-token
+# gate (the same _ws_tokens definition bpe_token_count exports). The
+# question McNemar answers is NOT "which keeps more docs" — it is
+# whether the two filters disagree ASYMMETRICALLY on the same
+# documents, i.e. whether switching filters would change the corpus
+# rather than just relabel it.
+MCNEMAR_CHARS_MIN = 500
+MCNEMAR_TOKENS_MIN = 80
+
+
+def mcnemar_filter_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two document keep-filters (raw
+    n_chars >= 500 vs whitespace tokens >= 80), per language — the
+    PAIRED comparison the filter family was missing: comparing two
+    filters by their marginal keep-rates (two independent proportions)
+    throws away that they score the SAME documents; McNemar looks
+    only at the discordant cells b (A keeps, B drops) and c (A drops,
+    B keeps) — the documents where the choice of filter actually
+    changes the corpus — and asks whether the asymmetry exceeds
+    coin-flip noise.
+
+    PURE-integer decision: the continuity-corrected statistic
+    (|b-c|-1)^2/(b+c) is exported milli-quantized as one int64 floor
+    division, and the alpha=0.05 decision against chi2_1(0.95) =
+    3.841459 runs as the cross-multiplied integer comparison
+    1000000*(|b-c|-1)^2 > 3841459*(b+c) — no float ever compares at
+    the boundary (the ks_drift alpha-decision idiom). Degenerate
+    b+c=0 (the filters never disagree) exports NULL chi2 and a FALSE
+    decision. Exactness: (|b-c|-1)^2 <= (b+c)^2 wraps int64 only past
+    ~3e9 discordant docs per language — documented headroom, not a
+    risk, and the e6 numerator still clears at ~9e13 discordants via
+    the DECIMAL evaluation on both engines.
+
+    Scale posture (100 TB): map-only flag computation (two cheap
+    expressions over text metadata), one (lang) groupBy of four
+    conditional int64 sums. No join, no window, no shuffle wider
+    than |langs| rows. Output is one row per language.
+    """
+    docs = load_table(spark, sf_dir, "documents", spread=True).select(
+        "lang",
+        (F.col("n_chars") >= MCNEMAR_CHARS_MIN).cast("long").alias("_a"),
+        (_ws_tokens(F.col("text")) >= MCNEMAR_TOKENS_MIN)
+        .cast("long")
+        .alias("_b"),
+    )
+    rolled = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.expr("_a * _b")).alias("both_keep"),
+        F.sum(F.expr("_a * (1 - _b)")).alias("only_size_keeps"),
+        F.sum(F.expr("(1 - _a) * _b")).alias("only_tokens_keeps"),
+    )
+    return rolled.select(
+        "lang",
+        "n_docs",
+        "both_keep",
+        "only_size_keeps",
+        "only_tokens_keeps",
+        F.expr(
+            "CAST(CASE WHEN only_size_keeps + only_tokens_keeps > 0 THEN"
+            " (1000 * (abs(only_size_keeps - only_tokens_keeps) - 1)"
+            " * (abs(only_size_keeps - only_tokens_keeps) - 1))"
+            " div (only_size_keeps + only_tokens_keeps) END AS BIGINT)"
+        ).alias("chi2_milli"),
+        F.expr(
+            "CAST(CASE WHEN only_size_keeps + only_tokens_keeps > 0 THEN"
+            " CAST(1000000 AS DECIMAL(38,0))"
+            " * (abs(only_size_keeps - only_tokens_keeps) - 1)"
+            " * (abs(only_size_keeps - only_tokens_keeps) - 1)"
+            " > CAST(3841459 AS DECIMAL(38,0))"
+            " * (only_size_keeps + only_tokens_keeps)"
+            " ELSE FALSE END AS BOOLEAN)"
+        ).alias("filters_differ_05"),
+    )
+
+
+MCNEMAR_FILTER_SQL = f"""
+WITH flags AS (
+  SELECT lang,
+         CAST(n_chars >= {MCNEMAR_CHARS_MIN} AS BIGINT) AS _a,
+         CAST({_WS_TOKENS_SQL} >= {MCNEMAR_TOKENS_MIN} AS BIGINT) AS _b
+  FROM documents
+),
+rolled AS (
+  SELECT lang,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(_a * _b) AS BIGINT) AS both_keep,
+         CAST(sum(_a * (1 - _b)) AS BIGINT) AS only_size_keeps,
+         CAST(sum((1 - _a) * _b) AS BIGINT) AS only_tokens_keeps
+  FROM flags GROUP BY lang
+)
+SELECT lang, n_docs, both_keep, only_size_keeps, only_tokens_keeps,
+       CAST(CASE WHEN only_size_keeps + only_tokens_keeps > 0 THEN
+         (1000 * (abs(only_size_keeps - only_tokens_keeps) - 1)
+          * (abs(only_size_keeps - only_tokens_keeps) - 1))
+         // (only_size_keeps + only_tokens_keeps) END AS BIGINT)
+         AS chi2_milli,
+       CASE WHEN only_size_keeps + only_tokens_keeps > 0 THEN
+         CAST(1000000 AS HUGEINT)
+         * (abs(only_size_keeps - only_tokens_keeps) - 1)
+         * (abs(only_size_keeps - only_tokens_keeps) - 1)
+         > CAST(3841459 AS HUGEINT)
+         * (only_size_keeps + only_tokens_keeps)
+       ELSE FALSE END AS filters_differ_05
+FROM rolled
+"""

@@ -1420,6 +1420,47 @@ register("cramers_v_assoc", mn.cramers_v_assoc, mn.CRAMERS_V_SQL)
 register("theil_sen_hourly_trend", tp.theil_sen_hourly_trend, tp.THEIL_SEN_SQL)
 
 
+# ROUND-13 QUEUE (tests/test_queue_r13b.py) — implemented and
+# oracle-tested in round 12, registration held until CORRECTNESS_r12
+# certifies the ten-entry round-12 queue above (VERDICT r11 ask #3:
+# queue growth stays at or below ~10/round). Each is two-scale
+# probed (SCALE.md "Round-13 queue probes (round 12)"), Python-model
+# checked, plan/empty-pinned:
+#   chao1_vocab_richness (corpus / CHAO1_VOCAB_SQL) — Chao1 species
+#   lower bound + Good-Turing unseen mass per source; pure-int off
+#   the wordcount shuffle's f1/f2/V/N.
+#   mcnemar_filter_compare (trainprep / MCNEMAR_FILTER_SQL) —
+#   McNemar paired test between two keep-filters per lang;
+#   continuity-corrected chi2 milli-floor, cross-multiplied alpha
+#   decision.
+#   g2_keyness_by_source (ngrams / G2_KEYNESS_ORACLE) — Dunning
+#   log-likelihood top-5 over-represented words per source vs rest;
+#   micro-nat quantized ln of pure double ratios, WindowGroupLimit.
+#   cliffs_delta_quality (analytics / CLIFFS_DELTA_SQL) — ordinal
+#   effect size of quality per source vs rest off the permille
+#   histogram; cumulative-window pair counts, shifted signed
+#   quotient in DECIMAL(38,0)/HUGEINT.
+#   kendall_tau_quality_length (analytics / KENDALL_TAU_SQL) —
+#   tau-b on the decile-bucketed contingency; cell-pair join bounded
+#   by the grid, signed floor(sqrt) with carried sign.
+#   page_hinkley_drift (temporal / PAGE_HINKLEY_SQL) — sequential
+#   slow-ramp detector; prefix-summable, so cumulative windows
+#   replace the fold (sidesteps the DuckDB struct-fold aliasing
+#   hazard found and fixed this round in ewma_control_chart).
+#   degree_assortativity (graph / DEGREE_ASSORT_SQL) — co-purchase
+#   mixing coefficient; orientation-symmetrized Pearson collapses
+#   the denominator sqrt into a pure integer rational.
+#   sax_motif_counts (temporal / SAX_MOTIF_SQL) — PAA + 4-symbol
+#   SAX trigram motifs, top-3 per type; all-integer equal-width
+#   binning.
+#   dbscan_core_cells (clustering / DBSCAN_CORE_SQL) — grid-bucketed
+#   DBSCAN core census over embedding dims 0/1 per label; L-inf
+#   eps-ball, 3x3 cell join, micro-quantized coordinates.
+#   bloom_filter_plan (skew / BLOOM_PLAN_SQL) — measured-FPP Bloom
+#   sizing grid over the distinct-key frame; pure-integer
+#   double-hash, key-granular exchanges.
+
+
 # ======================================================================
 # ======================================================================
 # ROUND-10 WINDOW ROTATION: rounds 1-9 are cumulatively green (nine
