@@ -233,13 +233,25 @@ def source_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = per.agg(
         F.count("*").alias("_ns"), F.sum("n_tokens").alias("_tot")
     )
+    # a ZERO-TOKEN source (every doc empty) has no defined mix weight
+    # and a zero-token CORPUS no shares at all — export NULL
+    # explicitly on both engines (adversarial-vintage audit, round
+    # 12: Spark's ANSI division raised here while DuckDB's float
+    # division returned NULL, a crash-vs-NULL divergence the green
+    # fixture never exercised)
     return (
         per.crossJoin(F.broadcast(total))
         .select(
             "source", "n_docs", "n_tokens",
-            F.round(F.col("n_tokens") / F.col("_tot"), 6).alias("tok_share"),
-            F.round(
-                F.col("_tot") / F.col("_ns") / F.col("n_tokens"), 6
+            F.when(
+                F.col("_tot") > 0,
+                F.round(F.col("n_tokens") / F.col("_tot"), 6),
+            ).alias("tok_share"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    F.col("_tot") / F.col("_ns") / F.col("n_tokens"), 6
+                ),
             ).alias("mix_weight"),
         )
     )
@@ -255,8 +267,11 @@ tot AS (
   SELECT count(*) AS _ns, CAST(sum(n_tokens) AS BIGINT) AS _tot FROM per
 )
 SELECT source, n_docs, n_tokens,
-       round(n_tokens / CAST(_tot AS DOUBLE), 6) AS tok_share,
-       round(CAST(_tot AS DOUBLE) / _ns / n_tokens, 6) AS mix_weight
+       CASE WHEN _tot > 0
+            THEN round(n_tokens / CAST(_tot AS DOUBLE), 6) END AS tok_share,
+       CASE WHEN n_tokens > 0
+            THEN round(CAST(_tot AS DOUBLE) / _ns / n_tokens, 6)
+       END AS mix_weight
 FROM per CROSS JOIN tot
 """.format(ws=_WS_TOKENS_SQL)
 
@@ -669,9 +684,13 @@ def mixture_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
+            # zero-token source: no defined repeat factor — NULL on
+            # both engines instead of a division-by-zero (Spark ANSI
+            # raised, DuckDB errored; adversarial-vintage audit r12)
             F.expr(
-                "(2 * 1000 * _tot + _ns * n_tokens)"
-                " div (2 * _ns * n_tokens)"
+                "CASE WHEN n_tokens > 0 THEN"
+                " (2 * 1000 * _tot + _ns * n_tokens)"
+                " div (2 * _ns * n_tokens) END"
             ).alias("repeat_milli"),
         )
         .select(
@@ -698,8 +717,9 @@ tot AS (
 ),
 sched AS (
   SELECT source, n_docs, n_tokens,
-         (2 * 1000 * _tot + _ns * n_tokens) // (2 * _ns * n_tokens)
-           AS repeat_milli
+         CASE WHEN n_tokens > 0 THEN
+           (2 * 1000 * _tot + _ns * n_tokens) // (2 * _ns * n_tokens)
+         END AS repeat_milli
   FROM per CROSS JOIN tot
 )
 SELECT source, n_docs, n_tokens, repeat_milli,

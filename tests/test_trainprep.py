@@ -187,3 +187,61 @@ def test_token_balanced_mixture_reports_zero_token_source(
     con.close()
     assert set(orows) == {"web", "ghost"}
     assert orows["ghost"][1] == 0 and orows["ghost"][2] == 0
+
+
+def test_mixture_ops_null_on_zero_token_source(spark, tmp_path):
+    """Adversarial-vintage regression (round 12): a source whose every
+    document is empty has no defined mix weight / repeat factor. The
+    Spark side used to raise DIVIDE_BY_ZERO under ANSI mode while the
+    DuckDB oracle returned NULL (float path) or errored (integer
+    path) — now BOTH engines export explicit NULLs and stay
+    hash-identical."""
+    from tests.conftest import SF_DIR, assert_frames_match
+    from mapreduceece563_spark.operators import trainprep as tr
+    from mapreduceece563_spark.sources.catalog import TABLES
+
+    d = tmp_path / "zt_sf"
+    d.mkdir()
+    for t in TABLES:
+        if t == "documents":
+            continue
+        schema = pq.read_schema(f"{SF_DIR}/{t}.parquet")
+        pq.write_table(schema.empty_table(), str(d / f"{t}.parquet"))
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["hello world", "", ""], pa.string()),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+            "source": pa.array(["full", "void", "void"], pa.string()),
+            "n_chars": pa.array([11, 0, 0], pa.int64()),
+        }
+    )
+    pq.write_table(docs, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{d}/{t}.parquet'")
+
+    assert_frames_match(
+        tr.source_mixture_weights(spark, str(d)),
+        con.execute(tr.SOURCE_MIXTURE_SQL),
+        ctx="zero-token:source_mixture_weights",
+    )
+    assert_frames_match(
+        tr.mixture_epoch_schedule(spark, str(d)),
+        con.execute(tr.MIXTURE_EPOCH_SQL),
+        ctx="zero-token:mixture_epoch_schedule",
+    )
+    rows = {
+        r["source"]: r.asDict()
+        for r in tr.source_mixture_weights(spark, str(d)).collect()
+    }
+    assert rows["void"]["mix_weight"] is None
+    assert rows["full"]["mix_weight"] is not None
+    sched = {
+        r["source"]: r.asDict()
+        for r in tr.mixture_epoch_schedule(spark, str(d)).collect()
+    }
+    assert sched["void"]["repeat_milli"] is None
+    assert sched["void"]["n_epochs"] is None
+    assert sched["void"]["tokens_weighted"] is None
+    assert sched["full"]["repeat_milli"] is not None

@@ -1,0 +1,191 @@
+"""Adversarial-vintage audit (round 12; run on demand, not in CI):
+perturb the sf0.001 tables in ways the committed fixtures never
+exercise (value ties at rounding boundaries, burst hours, rare
+languages, duplicate-heavy/empty/boundary-length text, duplicate and
+origin-piled embeddings) and run EVERY registry oracle pair — plus
+the unregistered queue — on the result. A divergence is a latent
+cross-engine bug of the EWMA class (data-dependent, green on the
+committed fixture); an engine exception is a crash-vs-NULL hazard of
+the mixture-weights class. Both finds from the first run (round 12)
+are fixed and regression-pinned in tests/.
+
+Usage: python tools/fuzz_vintage.py [/tmp/fuzz_sf] [skip,names]
+Runtime: ~3.5 min on local[8]. Streaming entries are out of scope
+(their drains need the replay fixtures)."""
+import sys
+import time
+from collections import Counter
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_sf"
+import os
+os.makedirs(DST, exist_ok=True)
+rng = np.random.RandomState(42)
+
+# --- documents: keep schema, perturb content ---------------------------
+docs = pq.read_table(f"{SRC}/documents.parquet").to_pandas()
+texts = docs["text"].tolist()
+langs = docs["lang"].tolist()
+srcs = docs["source"].tolist()
+n = len(docs)
+for i in range(n):
+    r = i % 10
+    if r == 0:
+        texts[i] = ""  # empty doc
+    elif r == 1:
+        texts[i] = "dup dup dup dup dup"  # heavy exact duplication
+    elif r == 2:
+        texts[i] = ("x" * 71) + " ok --- *** 123"  # >70-char token + punct
+    elif r == 3:
+        texts[i] = "tie tie tie one two three four five"
+    elif r == 4:
+        langs[i] = "zz"  # rare language (singleton-ish)
+        texts[i] = "lone wolf language document"
+    # else keep original
+docs["text"] = texts
+docs["lang"] = langs
+docs["source"] = srcs
+docs["n_chars"] = [len(t or "") for t in texts]
+docs.to_parquet(f"{DST}/documents.parquet")
+
+# --- events: ties at cent boundaries, bursty hours, value extremes ----
+ev = pq.read_table(f"{SRC}/events.parquet").to_pandas()
+m = len(ev)
+vals = ev["value"].to_numpy().copy()
+vals[: m // 4] = 1.005  # rounding-tie territory for *100 quantization
+vals[m // 4 : m // 2] = 0.0
+vals[m // 2 : m // 2 + m // 8] = 12345.675
+ev["value"] = vals
+# compress 1/3 of timestamps into one burst hour; leave big gaps
+ts = pd.to_datetime(ev["ts"])
+burst = ts.iloc[0].floor("h")
+idx = rng.choice(m, m // 3, replace=False)
+ts.iloc[idx] = burst + pd.to_timedelta(rng.randint(0, 3600, m // 3), unit="s")
+ev["ts"] = ts
+ev.to_parquet(f"{DST}/events.parquet")
+
+# --- embeddings: exact duplicates + axis-aligned points ---------------
+emb = pq.read_table(f"{SRC}/embeddings.parquet").to_pandas()
+vecs = list(emb["embedding"])
+for i in range(0, len(vecs), 7):
+    vecs[i] = vecs[0]  # many exact duplicates of vec 0
+for i in range(3, len(vecs), 11):
+    v = np.array(vecs[i], dtype=np.float32)
+    v[0] = 0.0
+    v[1] = 0.0  # pile-up at the origin cell
+    vecs[i] = v.tolist()
+emb["embedding"] = vecs
+emb.to_parquet(f"{DST}/embeddings.parquet")
+
+# --- relational tables: copy unchanged (schema-heavy perturbations
+# risk violating FK invariants some operators assert) ------------------
+for t in ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem"):
+    pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
+
+print("vintage written to", DST, flush=True)
+
+# --- run every oracle pair --------------------------------------------
+sys.path.insert(0, "/root/repo")
+from mapreduceece563_spark import registry  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+duck = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet'")
+
+
+def canon(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, Decimal):
+        return round(float(v), 9)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+qs = registry.queries()
+oracles = registry.oracle_sql()
+extra = {}
+# also audit the round-13 queue (not yet registered)
+from mapreduceece563_spark.operators import analytics as an, clustering as cl
+from mapreduceece563_spark.operators import corpus as cp, graph as gph
+from mapreduceece563_spark.operators import ngrams as ng, skew as sk
+from mapreduceece563_spark.operators import temporal as tp, trainprep as tr
+
+extra = {
+    "q13_chao1": (cp.chao1_vocab_richness, cp.CHAO1_VOCAB_SQL),
+    "q13_mcnemar": (tr.mcnemar_filter_compare, tr.MCNEMAR_FILTER_SQL),
+    "q13_g2": (ng.g2_keyness_by_source, ng.G2_KEYNESS_ORACLE),
+    "q13_cliffs": (an.cliffs_delta_quality, an.CLIFFS_DELTA_SQL),
+    "q13_kendall": (an.kendall_tau_quality_length, an.KENDALL_TAU_SQL),
+    "q13_ph": (tp.page_hinkley_drift, tp.PAGE_HINKLEY_SQL),
+    "q13_assort": (gph.degree_assortativity, gph.DEGREE_ASSORT_SQL),
+    "q13_sax": (tp.sax_motif_counts, tp.SAX_MOTIF_SQL),
+    "q13_dbscan": (cl.dbscan_core_cells, cl.DBSCAN_CORE_SQL),
+    "q13_bloom": (sk.bloom_filter_plan, sk.BLOOM_PLAN_SQL),
+}
+
+skip = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
+fails, errs = [], []
+t0 = time.time()
+items = [(name, fn, oracles.get(name)) for name, fn in qs.items()] + [
+    (name, fn, sql) for name, (fn, sql) in extra.items()
+]
+for i, (name, fn, sql) in enumerate(items):
+    if name in skip or name.startswith("streaming_"):
+        continue  # streaming drains need their fixtures; out of scope
+    try:
+        sdf = fn(spark, DST)
+        scols = sorted(sdf.columns)
+        srows = Counter(
+            tuple(canon(r[c]) for c in scols) for r in sdf.collect()
+        )
+        if sql is None:
+            continue
+        tbl = duck.execute(sql).fetch_arrow_table()
+        ocols = sorted(tbl.column_names)
+        orows = Counter(
+            tuple(canon(rec[c]) for c in ocols) for rec in tbl.to_pylist()
+        )
+        if not (scols == ocols and srows == orows):
+            fails.append(name)
+            so = list(srows - orows)[:2]
+            oo = list(orows - srows)[:2]
+            print(
+                f"DIVERGE {name}: cols={scols == ocols} "
+                f"rows {sum(srows.values())}/{sum(orows.values())} "
+                f"spark-only={so} oracle-only={oo}",
+                flush=True,
+            )
+    except Exception as e:  # noqa: BLE001
+        errs.append(name)
+        print(f"ERR {name}: {type(e).__name__}: {str(e)[:160]}", flush=True)
+    if i % 50 == 0:
+        print(f"  [{i}] {name} ({time.time()-t0:.0f}s)", flush=True)
+
+print(
+    f"done in {time.time()-t0:.0f}s; diverging={fails} errors={errs}",
+    flush=True,
+)
