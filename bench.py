@@ -435,9 +435,28 @@ def main() -> None:
     # Warm EVERY query once at the tiny sf: each query has its own
     # codegen/JIT paths, and we're measuring the engine's steady-state
     # throughput at SF_DIR, not JVM compilation.
+    # Warmup is UNTIMED, so batch entries warm CONCURRENTLY (6 threads
+    # — Spark schedules the jobs; py4j releases the GIL) to keep the
+    # whole bench inside the driver's wall-clock envelope as the
+    # registry grows. Streaming entries stay SEQUENTIAL: the shared
+    # drain memos are check-then-act caches, and two threads racing
+    # the same pool would double-write its fixtures.
+    import concurrent.futures as _cf
+
     qs_all = queries()
-    for fn in qs_all.values():
-        materialize(fn(spark, "/root/testdata/sf0.001"))
+    batch_warm = [
+        fn for n, fn in qs_all.items() if not n.startswith("streaming_")
+    ]
+    with _cf.ThreadPoolExecutor(max_workers=6) as pool:
+        futures = [
+            pool.submit(materialize, fn(spark, "/root/testdata/sf0.001"))
+            for fn in batch_warm
+        ]
+        for f in futures:
+            f.result()
+    for n, fn in qs_all.items():
+        if n.startswith("streaming_"):
+            materialize(fn(spark, "/root/testdata/sf0.001"))
     # Pre-warm the Python/Arrow worker pool a SECOND time (VERDICT r7
     # ask #1): the first call per entry above creates daemon workers
     # and JITs the codegen, but the driver's contended box showed the
