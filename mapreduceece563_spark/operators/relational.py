@@ -1478,9 +1478,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
-    unit_cents = F.round(
-        F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
-    ).cast("long")
+    # zero-quantity lines (possible in real feeds even though TPC-H
+    # generates qty >= 1) have no defined unit cost: NULL on both
+    # engines — DuckDB's float division already yields NULL at /0
+    # while Spark's ANSI division raises (adversarial-vintage audit
+    # #2, round 12); min() then skips the row identically
+    unit_cents = F.when(
+        F.col("l_quantity") != 0,
+        F.round(
+            F.col("l_extendedprice") / F.col("l_quantity") * 100, 0
+        ).cast("long"),
+    )
     part = load_table(spark, sf_dir, "part").select(
         "p_partkey", "p_size", "p_type"
     )
@@ -1541,8 +1549,9 @@ WITH sn AS (
 ),
 cost AS (
   SELECT l_partkey, l_suppkey,
-         min(CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT))
-           AS _cost
+         min(CASE WHEN l_quantity <> 0 THEN
+               CAST(round(l_extendedprice / l_quantity * 100, 0) AS BIGINT)
+             END) AS _cost
   FROM lineitem
   JOIN (SELECT p_partkey FROM part
         WHERE p_size BETWEEN 10 AND 20 AND p_type = 'STANDARD') p

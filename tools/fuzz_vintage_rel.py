@@ -1,0 +1,137 @@
+"""Adversarial-vintage #2: the RELATIONAL tier. Vintage #1 perturbed
+documents/events/embeddings but copied the TPC-H tables unchanged, so
+q1-q22 and the relational operators never saw adversarial input.
+This one perturbs orders/lineitem/customer values while keeping keys
+FK-valid: price/discount/tax boundary values and rounding-tie cents,
+duplicated (orderkey, linenumber) pairs (a known engine-tiebreak
+hazard), same-date order floods, zero-quantity lines, and customers
+with identical balances (rank-tie pressure)."""
+import os
+import sys
+import time
+from collections import Counter
+from datetime import datetime
+from decimal import Decimal
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_rel"
+os.makedirs(DST, exist_ok=True)
+rng = np.random.RandomState(7)
+
+li = pq.read_table(f"{SRC}/lineitem.parquet").to_pandas()
+n = len(li)
+# rounding-tie prices and zero/extreme discounts
+ep = li["l_extendedprice"].to_numpy().copy()
+ep[: n // 5] = 100.005
+ep[n // 5 : 2 * n // 5] = 0.01
+li["l_extendedprice"] = ep
+disc = li["l_discount"].to_numpy().copy()
+disc[: n // 4] = 0.0
+disc[n // 4 : n // 3] = 0.1
+li["l_discount"] = disc
+qty = li["l_quantity"].to_numpy().copy()
+qty[: n // 6] = 0
+li["l_quantity"] = qty
+# duplicate (orderkey, linenumber) pairs: clone 5% of rows verbatim
+dup = li.sample(frac=0.05, random_state=3)
+li = pd.concat([li, dup], ignore_index=True)
+li.to_parquet(f"{DST}/lineitem.parquet")
+
+od = pq.read_table(f"{SRC}/orders.parquet").to_pandas()
+m = len(od)
+# flood one date and tie many totalprices
+dates = od["o_orderdate"].copy()
+dates.iloc[: m // 3] = dates.iloc[0]
+od["o_orderdate"] = dates
+tp = od["o_totalprice"].to_numpy().copy()
+tp[: m // 4] = 50000.005
+od["o_totalprice"] = tp
+od.to_parquet(f"{DST}/orders.parquet")
+
+cu = pq.read_table(f"{SRC}/customer.parquet").to_pandas()
+k = len(cu)
+bal = cu["c_acctbal"].to_numpy().copy()
+bal[: k // 2] = 4321.105  # mass ties at a rounding boundary
+cu["c_acctbal"] = bal
+cu.to_parquet(f"{DST}/customer.parquet")
+
+for t in ("region", "nation", "supplier", "part", "documents", "events",
+          "embeddings"):
+    pq.write_table(pq.read_table(f"{SRC}/{t}.parquet"), f"{DST}/{t}.parquet")
+
+print("relational vintage written to", DST, flush=True)
+
+sys.path.insert(0, "/root/repo")
+from mapreduceece563_spark import registry  # noqa: E402
+from pyspark.sql import SparkSession  # noqa: E402
+
+spark = (
+    SparkSession.builder.master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+duck = duckdb.connect()
+for t in "region nation customer supplier part orders lineitem events documents embeddings".split():
+    duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{DST}/{t}.parquet'")
+
+
+def canon(v):
+    if isinstance(v, float):
+        return round(v, 9)
+    if isinstance(v, Decimal):
+        return round(float(v), 9)
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, canon(x)) for k, x in v.items()))
+    if isinstance(v, bytearray):
+        return bytes(v)
+    return v
+
+
+qs = registry.queries()
+oracles = registry.oracle_sql()
+fails, errs = [], []
+t0 = time.time()
+for i, (name, fn) in enumerate(qs.items()):
+    if name.startswith("streaming_"):
+        continue
+    try:
+        sdf = fn(spark, DST)
+        scols = sorted(sdf.columns)
+        srows = Counter(
+            tuple(canon(r[c]) for c in scols) for r in sdf.collect()
+        )
+        sql = oracles.get(name)
+        if sql is None:
+            continue
+        tbl = duck.execute(sql).fetch_arrow_table()
+        ocols = sorted(tbl.column_names)
+        orows = Counter(
+            tuple(canon(rec[c]) for c in ocols) for rec in tbl.to_pylist()
+        )
+        if not (scols == ocols and srows == orows):
+            fails.append(name)
+            print(
+                f"DIVERGE {name}: cols={scols == ocols} "
+                f"rows {sum(srows.values())}/{sum(orows.values())} "
+                f"spark-only={list(srows - orows)[:2]} "
+                f"oracle-only={list(orows - srows)[:2]}",
+                flush=True,
+            )
+    except Exception as e:  # noqa: BLE001
+        errs.append(name)
+        print(f"ERR {name}: {type(e).__name__}: {str(e)[:180]}", flush=True)
+    if i % 50 == 0:
+        print(f"  [{i}] {name} ({time.time()-t0:.0f}s)", flush=True)
+
+print(f"done in {time.time()-t0:.0f}s; diverging={fails} errors={errs}")
