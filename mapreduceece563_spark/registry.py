@@ -1459,6 +1459,20 @@ register("theil_sen_hourly_trend", tp.theil_sen_hourly_trend, tp.THEIL_SEN_SQL)
 #   bloom_filter_plan (skew / BLOOM_PLAN_SQL) — measured-FPP Bloom
 #   sizing grid over the distinct-key frame; pure-integer
 #   double-hash, key-granular exchanges.
+# Registered in round 13 (VERDICT r12 ask #1) after CORRECTNESS_r12
+# certified the round-12 queue 50/50 green; each was re-verified this
+# session with the driver-identical compare at sf0.01 before this
+# commit.
+register("chao1_vocab_richness", cp.chao1_vocab_richness, cp.CHAO1_VOCAB_SQL)
+register("mcnemar_filter_compare", tr.mcnemar_filter_compare, tr.MCNEMAR_FILTER_SQL)
+register("g2_keyness_by_source", ng.g2_keyness_by_source, ng.G2_KEYNESS_ORACLE)
+register("cliffs_delta_quality", an.cliffs_delta_quality, an.CLIFFS_DELTA_SQL)
+register("kendall_tau_quality_length", an.kendall_tau_quality_length, an.KENDALL_TAU_SQL)
+register("page_hinkley_drift", tp.page_hinkley_drift, tp.PAGE_HINKLEY_SQL)
+register("degree_assortativity", gph.degree_assortativity, gph.DEGREE_ASSORT_SQL)
+register("sax_motif_counts", tp.sax_motif_counts, tp.SAX_MOTIF_SQL)
+register("dbscan_core_cells", cl.dbscan_core_cells, cl.DBSCAN_CORE_SQL)
+register("bloom_filter_plan", sk.bloom_filter_plan, sk.BLOOM_PLAN_SQL)
 
 
 # ======================================================================
@@ -1508,6 +1522,18 @@ register("theil_sen_hourly_trend", tp.theil_sen_hourly_trend, tp.THEIL_SEN_SQL)
 # in registry order. 10 + 34 + 6 = 50. The post-window block leads
 # with the next-stalest r5 rows (_R12_NEXT) so the round-13 rotation
 # picks them first.
+#
+# ROUND-13 WINDOW ROTATION: CORRECTNESS_r12 landed 50/50 green
+# (twelve consecutive green windows; carried debt 0), so per VERDICT
+# r12 asks #1/#2 this round's window is (a) the 10 round-13-queue
+# registrations above (tests/test_queue_r13b.py), followed by (b) 40
+# recertification slots filled oldest-green-first from COVERAGE.json:
+# all 17 remaining r5-vintage entries (leading with the ten _R12_NEXT
+# rows the round-12 rotation queued) plus the first 23 r6-vintage
+# rows in registry order. 10 + 17 + 23 = 50. The one r6 row that
+# doesn't fit (streaming_session_windows, last r6 row in registry
+# order) leads the post-window block (_R13_NEXT) with the first nine
+# r7-vintage rows so the round-14 rotation picks them first.
 # ======================================================================
 
 _R12_WINDOW = [
@@ -1582,6 +1608,69 @@ _R12_NEXT = [
     "embedding_drift_l2",
 ]
 
+_R13_WINDOW = [
+    # never-green: the round-13 queue registered this round
+    "chao1_vocab_richness",
+    "mcnemar_filter_compare",
+    "g2_keyness_by_source",
+    "cliffs_delta_quality",
+    "kendall_tau_quality_length",
+    "page_hinkley_drift",
+    "degree_assortativity",
+    "sax_motif_counts",
+    "dbscan_core_cells",
+    "bloom_filter_plan",
+    # all 17 r5-vintage rows (latest green = round 5), leading with
+    # the ten _R12_NEXT deferrals, then registry order
+    *_R12_NEXT,
+    "csv_roundtrip_stats",
+    "jsonl_roundtrip_stats",
+    "schema_evolution_read",
+    "events_variant_stats",
+    "orc_roundtrip_stats",
+    "chunktext_pruned_count",
+    "streaming_wordcount_via_datasource",
+    # first 23 r6-vintage rows (latest green = round 6), registry order
+    "audio_decode_energy",
+    "video_frame_decode",
+    "rfm_segments",
+    "churn_by_segment",
+    "quarter_revenue_overlap",
+    "readability_by_source",
+    "vocab_growth_curve",
+    "ngram_containment_pairs",
+    "embedding_power_iteration",
+    "compaction_plan",
+    "copurchase_pairs",
+    "decayed_engagement",
+    "event_drift_chisq",
+    "scd2_event_state",
+    "k_anonymity_audit",
+    "session_event_trigrams",
+    "vocab_overlap_setops",
+    "orders_status_unpivot",
+    "bucket_prefilter_revenue",
+    "shingle_novelty_rate",
+    "winsorized_revenue_stats",
+    "pq_codebook_assign",
+    "pseudonymized_export_audit",
+]
+
+# next-stalest certifications (the one r6 row that didn't fit, then
+# the first r7 rows in registry order): first in line for round 14
+_R13_NEXT = [
+    "streaming_session_windows",
+    "cmsketch_heavy_hitters",
+    "bloom_join_prune",
+    "ivm_incremental_agg",
+    "session_concurrency_peak",
+    "pps_systematic_sample",
+    "allpairs_prefix_filter",
+    "bfs_hop_distance",
+    "phrase_search",
+    "weighted_median_by_segment",
+]
+
 
 def _rotate(head: list[str]) -> None:
     global _REGISTRY
@@ -1591,5 +1680,5 @@ def _rotate(head: list[str]) -> None:
     _REGISTRY = {n: _REGISTRY[n] for n in [*head, *rest]}
 
 
-_rotate(_R12_WINDOW + _R12_NEXT)
-assert len(_R12_WINDOW) == 50, len(_R12_WINDOW)
+_rotate(_R13_WINDOW + _R13_NEXT)
+assert len(_R13_WINDOW) == 50, len(_R13_WINDOW)
