@@ -523,11 +523,10 @@ def main() -> None:
             except BaseException as e:  # noqa: BLE001
                 errs.append(e)
 
-        # each drain helper save/sets/restores shuffle.partitions=8
-        # around its starts; with two threads the restores can
-        # interleave so the LAST restore writes the other thread's
-        # captured "8" — re-assert the session value once both join
-        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        # hold ONE shuffle.partitions pin around the whole two-thread
+        # block (ADVICE r12): the helpers see the pin and skip their
+        # own save/set/restore, so no thread can capture the other's
+        # transient "8" as prev or flip the conf mid-start
         threads = [
             threading.Thread(target=_run, args=(f,))
             for f in (
@@ -535,11 +534,11 @@ def main() -> None:
                 shared_drain.drain_round7_streams,
             )
         ]
-        for th in threads:
-            th.start()
-        for th in threads:
-            th.join()
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        with shared_drain.pin_shuffle_partitions(spark):
+            for th in threads:
+                th.start()
+            for th in threads:
+                th.join()
         if errs:
             raise errs[0]
         drain_passes.append(round(time.perf_counter() - t0, 3))

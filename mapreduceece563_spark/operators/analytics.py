@@ -3072,8 +3072,8 @@ def changepoint_binary_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 # div (integer division), never decimal '/' + cast:
                 # Spark's decimal divide ROUNDS at the result scale
-                # while DuckDB's // floors — a boundary quotient
-                # could straddle engines
+                # while DuckDB's integer // truncates — a boundary
+                # quotient could straddle engines
                 "CAST((1000000 * (CAST(n_hours AS DECIMAL(38,0)) * _b.nm"
                 " - CAST(-_b.nk AS DECIMAL(38,0)) * (n_hours + _b.nk)"
                 " * CAST(n_events AS DECIMAL(38,0)) * n_events))"
@@ -4164,9 +4164,12 @@ def cliffs_delta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     greater = sum_v c_s(v) * rest(<v), less = n_s*n_rest -
     sum_v c_s(v) * rest(<=v) — never a doc-level pair join. The
     quotient delta_ppm = 1e6*(greater-less)/(n_s*n_rest) can be
-    NEGATIVE, and Spark's `div` truncates toward zero while DuckDB's
-    `//` floors — so it runs through the shifted nonnegative quotient
-    (+1e6*den before the div, -1e6 after; the theil_sen idiom), all
+    NEGATIVE, so it runs through the shifted nonnegative quotient
+    (+1e6*den before the div, -1e6 after; the theil_sen idiom) — a
+    CONVENTION pinning floor semantics for signed quotients on two
+    truncate-toward-zero engines (Spark div and DuckDB BIGINT/
+    HUGEINT `//` both truncate; verified, see the dbscan_core_cells
+    note in clustering.py), all
     in DECIMAL(38,0)/HUGEINT (1e6 * n_s * n_rest clears int64 only
     to ~3e6 docs per side). NULL delta when a source IS the corpus
     (no rest) — undefined, not zero.

@@ -1137,8 +1137,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     INTEGERS, evaluated in DECIMAL(38,0)/HUGEINT (M*Sxy ~ E^2*deg^2
     wraps int64 at ~1e6 edges x 1e3 degree). r is signed and |r|<=1,
     so the milli quantization runs through the shifted nonnegative
-    quotient (+1000*den before the div, -1000 after — Spark div
-    truncates, DuckDB // floors; the theil_sen idiom). NULL when the
+    quotient (+1000*den before the div, -1000 after — the theil_sen
+    idiom). The shift is a CONVENTION pinning floor semantics for
+    signed quotients: both engines actually truncate toward zero on
+    integer division (Spark div and DuckDB BIGINT/HUGEINT `//` alike
+    — verified, see the dbscan_core_cells note in clustering.py;
+    "DuckDB floors" applies to float paths), and on the shifted
+    nonnegative operands truncation == floor. NULL when the
     graph is degree-regular (den = 0).
 
     Scale posture (100 TB): the basket self-join is bounded by

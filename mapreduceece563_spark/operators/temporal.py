@@ -1215,12 +1215,14 @@ def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer contract: the series rides the hourly_autocorrelation
     gap-fill spine (skipping empty hours would fabricate slope);
     each of the C(n,2) pairwise slopes (y_j - y_i)/(j - i) is floor-
-    quantized to MICRO-counts-per-hour — and because Spark's `div`
-    truncates toward zero while DuckDB's `//` floors, the quotient is
-    computed SHIFTED into nonnegative territory first (slope +
-    1e6*max_count, a broadcast data-derived offset both engines
-    compute identically; truncation == floor on nonnegative ints)
-    and unshifted after. The reported slope is the LOWER MEDIAN
+    quantized to MICRO-counts-per-hour, computed SHIFTED into
+    nonnegative territory first (slope + 1e6*max_count, a broadcast
+    data-derived offset both engines compute identically) and
+    unshifted after. The shift is a CONVENTION pinning floor
+    semantics for signed quotients: both engines truncate toward
+    zero on integer division (Spark div and DuckDB BIGINT/HUGEINT
+    `//` alike — verified, see the dbscan_core_cells note in
+    clustering.py), and truncation == floor on nonnegative ints. The reported slope is the LOWER MEDIAN
     (2*cum >= n, the quality_mad_outliers pick) over the slope
     histogram — exact, no interpolation. Types with a single
     observed hour export NULL.

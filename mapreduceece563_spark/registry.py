@@ -1406,8 +1406,8 @@ register(
 #   ECE bin frame; identity-vs-binning residual test-pinned.
 #   theil_sen_hourly_trend (temporal / THEIL_SEN_SQL) — robust
 #   pairwise-slope median over the gap-filled hourly series; shifted
-#   nonneg quotient (Spark div truncates, DuckDB // floors),
-#   planted +/- ramp fixtures.
+#   nonneg quotient (floor-semantics convention on two truncating
+#   engines), planted +/- ramp fixtures.
 register("bh_fdr_drift_control", an.bh_fdr_drift_control, an.BH_FDR_SQL)
 register("rbo_quality_length", an.rbo_quality_length, an.RBO_QUALITY_LENGTH_SQL)
 register("hill_tail_index", an.hill_tail_index, an.HILL_TAIL_SQL)

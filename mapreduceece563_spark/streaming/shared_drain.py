@@ -20,6 +20,7 @@ between passes so every pass re-measures a real drain.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 
@@ -33,6 +34,32 @@ from .wordcount_stream import _fresh_workdir, spill_chunks
 
 # (appId, sf_dir) -> {"profile": dir, "hourly": dir, "dedup": dir}
 _DRAIN_CACHE: dict[tuple[str, str], dict[str, str]] = {}
+
+# True while pin_shuffle_partitions() holds the session conf. The two
+# pool-drain helpers each save/set/restore shuffle.partitions around
+# their query starts; when bench.py runs both helpers in concurrent
+# threads, one helper's finally-restore could flip the conf while the
+# other was still starting queries, and a helper could capture the
+# other's transient "8" as its prev (ADVICE r12). With the pin held
+# the helpers skip their own conf mutation entirely, so there is one
+# save/set/restore for the whole block, on one thread.
+_PARTS_PINNED = False
+
+
+@contextlib.contextmanager
+def pin_shuffle_partitions(spark: SparkSession, n: str = "8"):
+    """Pin spark.sql.shuffle.partitions for the duration of the block
+    and mark the pin so nested drain helpers — possibly running on
+    other threads — skip their own save/set/restore."""
+    global _PARTS_PINNED
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    _PARTS_PINNED = True
+    try:
+        yield
+    finally:
+        _PARTS_PINNED = False
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def reset() -> None:
@@ -106,9 +133,14 @@ def drain_round7_streams(spark: SparkSession, sf_dir: str) -> None:
 
     # Same state-partitioning note as drain_event_streams: pin 8
     # around the starts (a query captures its state partitioning when
-    # it starts), restore only after every drain finished.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # it starts), restore only after every drain finished. Skipped
+    # when bench.py already holds pin_shuffle_partitions() around the
+    # whole concurrent-drain block (see _PARTS_PINNED).
+    pinned = _PARTS_PINNED
+    prev_parts = None
+    if not pinned:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     started = []
     try:
         for start, cache in starters:
@@ -116,7 +148,8 @@ def drain_round7_streams(spark: SparkSession, sf_dir: str) -> None:
         for (q, _work, _sink), _cache in started:
             q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not pinned:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     for (q, work, sink), cache in started:
         shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
         cache[key] = sink
@@ -142,8 +175,11 @@ def drain_event_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
     # micro-batch — 8 quarters the per-batch checkpoint+commit I/O the
     # three concurrent queries contend on. Restored right after start;
     # a real deployment sizes this to key cardinality instead.
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    pinned = _PARTS_PINNED
+    prev_parts = None
+    if not pinned:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     ev = load_table(spark, sf_dir, "events").select(
         "ts", "event_type", "user_id", "value"
@@ -252,7 +288,8 @@ def drain_event_streams(spark: SparkSession, sf_dir: str) -> dict[str, str]:
         # restore only after the drain: a query plans its first
         # micro-batch lazily, so flipping the conf back any earlier
         # could race the state-partitioning capture
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not pinned:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     for name in ("profile", "hourly", "dedup"):
         shutil.rmtree(os.path.join(work, f"ckpt_{name}"), ignore_errors=True)
 
