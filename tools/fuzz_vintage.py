@@ -10,8 +10,11 @@ the mixture-weights class. Both finds from the first run (round 12)
 are fixed and regression-pinned in tests/.
 
 Usage: python tools/fuzz_vintage.py [/tmp/fuzz_sf] [skip,names]
-Runtime: ~3.5 min on local[8]. Streaming entries are out of scope
-(their drains need the replay fixtures)."""
+Runtime: ~3.5 min on local[8] batch-only; the 13 streaming members
+run as a second phase (their replay fixtures + checkpoints key per
+(app, sf_dir), so the vintage dir gets fresh fixtures spilled from
+the perturbed events/documents). Pass a skip list containing
+"streaming" to run batch-only."""
 import sys
 import time
 from collections import Counter
@@ -127,35 +130,31 @@ def canon(v):
 
 qs = registry.queries()
 oracles = registry.oracle_sql()
-extra = {}
-# also audit the round-13 queue (not yet registered)
-from mapreduceece563_spark.operators import analytics as an, clustering as cl
-from mapreduceece563_spark.operators import corpus as cp, graph as gph
-from mapreduceece563_spark.operators import ngrams as ng, skew as sk
-from mapreduceece563_spark.operators import temporal as tp, trainprep as tr
-
-extra = {
-    "q13_chao1": (cp.chao1_vocab_richness, cp.CHAO1_VOCAB_SQL),
-    "q13_mcnemar": (tr.mcnemar_filter_compare, tr.MCNEMAR_FILTER_SQL),
-    "q13_g2": (ng.g2_keyness_by_source, ng.G2_KEYNESS_ORACLE),
-    "q13_cliffs": (an.cliffs_delta_quality, an.CLIFFS_DELTA_SQL),
-    "q13_kendall": (an.kendall_tau_quality_length, an.KENDALL_TAU_SQL),
-    "q13_ph": (tp.page_hinkley_drift, tp.PAGE_HINKLEY_SQL),
-    "q13_assort": (gph.degree_assortativity, gph.DEGREE_ASSORT_SQL),
-    "q13_sax": (tp.sax_motif_counts, tp.SAX_MOTIF_SQL),
-    "q13_dbscan": (cl.dbscan_core_cells, cl.DBSCAN_CORE_SQL),
-    "q13_bloom": (sk.bloom_filter_plan, sk.BLOOM_PLAN_SQL),
-}
+# also audit the implemented-but-unregistered queue of the current
+# round (the round-13 queue audited here in round 12 is registered
+# now and rides the registry loop; add the round-14 queue below as
+# it lands)
+extra: dict = {}
 
 skip = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
 fails, errs = [], []
 t0 = time.time()
-items = [(name, fn, oracles.get(name)) for name, fn in qs.items()] + [
-    (name, fn, sql) for name, (fn, sql) in extra.items()
-]
+# batch tier (+ queue) first, then the streaming tier (whose first
+# member pays the concurrent pool drain at the vintage dir)
+items = [
+    (name, fn, oracles.get(name))
+    for name, fn in qs.items()
+    if not name.startswith("streaming_")
+] + [(name, fn, sql) for name, (fn, sql) in extra.items()]
+if "streaming" not in skip:
+    items += [
+        (name, fn, oracles.get(name))
+        for name, fn in qs.items()
+        if name.startswith("streaming_")
+    ]
 for i, (name, fn, sql) in enumerate(items):
-    if name in skip or name.startswith("streaming_"):
-        continue  # streaming drains need their fixtures; out of scope
+    if name in skip:
+        continue
     try:
         sdf = fn(spark, DST)
         scols = sorted(sdf.columns)

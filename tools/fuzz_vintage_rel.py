@@ -5,7 +5,14 @@ This one perturbs orders/lineitem/customer values while keeping keys
 FK-valid: price/discount/tax boundary values and rounding-tie cents,
 duplicated (orderkey, linenumber) pairs (a known engine-tiebreak
 hazard), same-date order floods, zero-quantity lines, and customers
-with identical balances (rank-tie pressure)."""
+with identical balances (rank-tie pressure).
+
+The 13 streaming members run as a SECOND phase (VERDICT r12 ask #3):
+calling each registry entry at the vintage dir spins up its real
+drain (replay fixtures + checkpoints are keyed per (app, sf_dir), so
+a fresh vintage dir gets fresh fixtures), then compares the sink
+read-back to the same DuckDB oracle as the batch tier. Pass a skip
+list containing "streaming" to run batch-only."""
 import os
 import sys
 import time
@@ -100,10 +107,16 @@ def canon(v):
 
 qs = registry.queries()
 oracles = registry.oracle_sql()
+skip = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
 fails, errs = [], []
 t0 = time.time()
-for i, (name, fn) in enumerate(qs.items()):
-    if name.startswith("streaming_"):
+# batch tier first, then the streaming tier (whose first member pays
+# the concurrent pool drain at the vintage dir)
+ordered = [kv for kv in qs.items() if not kv[0].startswith("streaming_")]
+if "streaming" not in skip:
+    ordered += [kv for kv in qs.items() if kv[0].startswith("streaming_")]
+for i, (name, fn) in enumerate(ordered):
+    if name in skip:
         continue
     try:
         sdf = fn(spark, DST)
