@@ -1,0 +1,173 @@
+"""Micro-vintage smoke tier (VERDICT r12 ask #7).
+
+The full adversarial-vintage audits (tools/fuzz_vintage.py,
+tools/fuzz_vintage_rel.py) rebuild every table with degenerate shapes
+and re-run ALL oracle pairs — ~3-5 min each, on demand. This module
+is the commit-time subset: ONE degenerate shape per family, checked
+through the handful of oracle pairs whose round-12 bug classes those
+shapes caught (data-dependent cross-engine divergence like the EWMA
+struct-fold aliasing; crash-vs-NULL like the zero-token mixture
+weights and the q2 zero-quantity unit cost), plus one representative
+per remaining family. Budget: the whole module under ~60 s on a warm
+session.
+
+Shapes (all derived from the sf0.001 tables, written once per
+session into a tmp dir):
+- documents: empty docs, heavy exact dups, >70-char + punct-only
+  tokens, a rare singleton language, and one source whose docs are
+  ALL empty (zero tokens — the mixture-weights crash class);
+- events: rounding-tie values (x.xx5), zero values, one burst hour
+  holding a third of all rows (gap pressure for hourly spines);
+- lineitem: zero quantities, rounding-tie prices, duplicated
+  (l_orderkey, l_linenumber) pairs (engine-tiebreak hazard);
+- orders: one flooded o_orderdate, mass-tied o_totalprice;
+- customer: mass-tied c_acctbal at a rounding boundary;
+- embeddings: exact-duplicate vectors + an origin pile-up cell.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from mapreduceece563_spark import registry
+from tests.conftest import SF_DIR, assert_frames_match
+
+# entry -> the degenerate family it certifies (one per family; keep
+# this list tight — the full sweep lives in tools/)
+SMOKE_ENTRIES = [
+    # events value ties + burst hour: the EWMA struct-fold aliasing
+    # class (round-12 find #1) and the hourly-spine family
+    "ewma_control_chart",
+    "page_hinkley_drift",
+    # zero-token source: the mixture crash-vs-NULL class (find #2)
+    "source_mixture_weights",
+    "mixture_epoch_schedule",
+    # zero-quantity lines: the q2 DIVIDE_BY_ZERO class (find #3)
+    "q2_min_cost_supplier",
+    # duplicated (orderkey, linenumber) + tie prices through the
+    # flagship aggregate
+    "q1_pricing_summary",
+    # empty/dup/punct/boundary documents through normalizeWord
+    "wordcount",
+    "dedup_exact_stats",
+    # flooded dates + tied balances through a per-customer window
+    "customer_order_window_profile",
+    # duplicate + origin-piled embeddings through the grid census
+    "dbscan_core_cells",
+]
+
+
+@pytest.fixture(scope="module")
+def micro_vintage(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("micro_vintage")
+    rng = np.random.RandomState(13)
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    texts = docs["text"].tolist()
+    langs = docs["lang"].tolist()
+    n = len(docs)
+    for i in range(n):
+        r = i % 10
+        if r == 0:
+            texts[i] = ""
+        elif r == 1:
+            texts[i] = "dup dup dup dup dup"
+        elif r == 2:
+            texts[i] = ("x" * 71) + " ok --- *** 123"
+        elif r == 3:
+            langs[i] = "zz"
+    # one whole source becomes zero-token (all-empty docs)
+    first_src = docs["source"].iloc[0]
+    zero_mask = docs["source"] == first_src
+    for i in np.flatnonzero(zero_mask.to_numpy()):
+        texts[i] = ""
+    docs["text"] = texts
+    docs["lang"] = langs
+    docs["n_chars"] = [len(t or "") for t in texts]
+    docs.to_parquet(dst / "documents.parquet")
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    m = len(ev)
+    vals = ev["value"].to_numpy().copy()
+    vals[: m // 4] = 1.005
+    vals[m // 4 : m // 2] = 0.0
+    ev["value"] = vals
+    ts = pd.to_datetime(ev["ts"])
+    burst = ts.iloc[0].floor("h")
+    idx = rng.choice(m, m // 3, replace=False)
+    ts.iloc[idx] = burst + pd.to_timedelta(
+        rng.randint(0, 3600, m // 3), unit="s"
+    )
+    ev["ts"] = ts
+    ev.to_parquet(dst / "events.parquet")
+
+    li = pq.read_table(f"{SF_DIR}/lineitem.parquet").to_pandas()
+    k = len(li)
+    qty = li["l_quantity"].to_numpy().copy()
+    qty[: k // 6] = 0
+    li["l_quantity"] = qty
+    ep = li["l_extendedprice"].to_numpy().copy()
+    ep[: k // 5] = 100.005
+    li["l_extendedprice"] = ep
+    li = pd.concat(
+        [li, li.sample(frac=0.05, random_state=3)], ignore_index=True
+    )
+    li.to_parquet(dst / "lineitem.parquet")
+
+    od = pq.read_table(f"{SF_DIR}/orders.parquet").to_pandas()
+    mm = len(od)
+    dates = od["o_orderdate"].copy()
+    dates.iloc[: mm // 3] = dates.iloc[0]
+    od["o_orderdate"] = dates
+    tp = od["o_totalprice"].to_numpy().copy()
+    tp[: mm // 4] = 50000.005
+    od["o_totalprice"] = tp
+    od.to_parquet(dst / "orders.parquet")
+
+    cu = pq.read_table(f"{SF_DIR}/customer.parquet").to_pandas()
+    bal = cu["c_acctbal"].to_numpy().copy()
+    bal[: len(cu) // 2] = 4321.105
+    cu["c_acctbal"] = bal
+    cu.to_parquet(dst / "customer.parquet")
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    vecs = list(emb["embedding"])
+    for i in range(0, len(vecs), 7):
+        vecs[i] = vecs[0]
+    for i in range(3, len(vecs), 11):
+        v = np.array(vecs[i], dtype=np.float32)
+        v[0] = 0.0
+        v[1] = 0.0
+        vecs[i] = v.tolist()
+    emb["embedding"] = vecs
+    emb.to_parquet(dst / "embeddings.parquet")
+
+    for t in ("region", "nation", "supplier", "part"):
+        pq.write_table(
+            pq.read_table(f"{SF_DIR}/{t}.parquet"), dst / f"{t}.parquet"
+        )
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'"
+        )
+    yield str(dst), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SMOKE_ENTRIES)
+def test_micro_vintage_parity(name, spark, micro_vintage):
+    dst, con = micro_vintage
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    sdf = fn(spark, dst)
+    rel = con.execute(sql)
+    assert_frames_match(sdf, rel, ctx=f"micro_vintage:{name}")
