@@ -1249,3 +1249,113 @@ FROM occ o LEFT JOIN fp f
   ON o.m_bits = f.m_bits AND o.k_hashes = f.k_hashes
 CROSS JOIN n
 """
+
+
+# --- broadcast-threshold join advisor (round-14 queue) ------------------
+
+# Serialized-size threshold below which a join side should broadcast.
+# Spark's spark.sql.autoBroadcastJoinThreshold defaults to 10 MB; the
+# advisor reports against that number directly — at test SF most dims
+# come out broadcastable, at 100 TB customer/part stop fitting, which
+# is exactly the decision the plan surfaces.
+BROADCAST_THRESHOLD_BYTES = 10 * 1024 * 1024
+# charged per row on top of measured string bytes: numeric columns
+# (8 B each, counted per table below) + tungsten row header/offsets
+BROADCAST_ROW_OVERHEAD = 16
+
+
+def broadcast_threshold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy advisor over the five dimension tables: measured
+    in-memory size estimate per table (string payload bytes + fixed
+    per-row numeric/header overhead), rows, and the resulting
+    strategy call — 'broadcast' when the estimate fits
+    {BROADCAST_THRESHOLD_BYTES} (Spark's autoBroadcastJoinThreshold
+    default), else 'shuffle'. The hint every fact-dim join in this
+    package hard-codes (F.broadcast(nation), ...) is this decision
+    made by eye; the advisor computes it from the data so a 100 TB
+    deployment can re-make it per scale instead of trusting test-SF
+    intuition.
+
+    Size model: per-row bytes = sum(strlen of the VARCHAR columns) +
+    8 B per numeric column + {BROADCAST_ROW_OVERHEAD} B row overhead —
+    both engines compute the identical integer. (Tungsten's actual
+    UnsafeRow layout pads strings to 8 B words; the model
+    under-counts by a bounded constant factor that never flips a
+    decision at the 10 MB cliff's usual orders of magnitude.)
+
+    Scale posture (100 TB): five map-side-partial single-row
+    aggregates UNION'd — no join, no window, output five rows. Each
+    scan reads only the string columns it measures (column pruning
+    does the rest).
+    """
+    specs = [
+        ("region", ["r_name"], 1),        # r_regionkey
+        ("nation", ["n_name"], 2),        # n_nationkey, n_regionkey
+        ("supplier", ["s_name"], 3),      # s_suppkey, s_nationkey, s_acctbal
+        ("customer", ["c_name", "c_mktsegment"], 3),
+        ("part", ["p_name", "p_brand", "p_type"], 3),
+    ]
+    frames = []
+    for name, str_cols, n_numeric in specs:
+        t = load_table(spark, sf_dir, name)
+        row_bytes = sum(
+            (F.octet_length(c) for c in str_cols),
+            F.lit(8 * n_numeric + BROADCAST_ROW_OVERHEAD),
+        ).cast("long")
+        frames.append(
+            t.select(row_bytes.alias("_b")).agg(
+                F.lit(name).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("_b").alias("est_bytes"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.select(
+        "table_name",
+        "n_rows",
+        "est_bytes",
+        (F.col("est_bytes") <= BROADCAST_THRESHOLD_BYTES).alias(
+            "broadcastable"
+        ),
+        F.when(
+            F.col("est_bytes") <= BROADCAST_THRESHOLD_BYTES,
+            F.lit("broadcast"),
+        )
+        .otherwise(F.lit("shuffle"))
+        .alias("strategy"),
+    )
+
+
+def _broadcast_plan_sql() -> str:
+    specs = [
+        ("region", ["r_name"], 1),
+        ("nation", ["n_name"], 2),
+        ("supplier", ["s_name"], 3),
+        ("customer", ["c_name", "c_mktsegment"], 3),
+        ("part", ["p_name", "p_brand", "p_type"], 3),
+    ]
+    parts = []
+    for name, str_cols, n_numeric in specs:
+        b = " + ".join([f"strlen({c})" for c in str_cols])
+        fixed = 8 * n_numeric + BROADCAST_ROW_OVERHEAD
+        parts.append(
+            f"SELECT '{name}' AS table_name, count(*) AS n_rows,\n"
+            f"       CAST(sum({b} + {fixed}) AS BIGINT) AS est_bytes\n"
+            f"FROM {name}"
+        )
+    union = "\nUNION ALL\n".join(parts)
+    return f"""
+WITH sizes AS (
+{union}
+)
+SELECT table_name, n_rows, est_bytes,
+       est_bytes <= {BROADCAST_THRESHOLD_BYTES} AS broadcastable,
+       CASE WHEN est_bytes <= {BROADCAST_THRESHOLD_BYTES}
+            THEN 'broadcast' ELSE 'shuffle' END AS strategy
+FROM sizes
+"""
+
+
+BROADCAST_PLAN_SQL = _broadcast_plan_sql()

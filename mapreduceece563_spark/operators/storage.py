@@ -1209,3 +1209,132 @@ SELECT CAST(gen1.n_files + gen2.n_files AS BIGINT) AS n_files_listed,
        CAST(gen1.n_rows AS BIGINT) AS n_orphan_rows
 FROM gen1, gen2
 """
+
+
+# --- parquet row-group sizing advisor (round-14 queue) ------------------
+
+# Candidate row-group byte targets. Scaled to the test corpus the same
+# way COMPACT_TARGET_BYTES is: the real knob is 16-128 MB
+# (spark.sql.files.maxPartitionBytes / parquet.block.size); the
+# advisor's ALGEBRA — int-exact average row width, rows per group,
+# group census, oversize outliers — is target-size-free.
+ROWGROUP_TARGETS = (4096, 16384, 65536)
+# fixed per-row overhead charged for the non-text columns: doc_id +
+# n_chars (8 bytes each) and ~8 bytes of offset/definition-level
+# bookkeeping per row
+ROWGROUP_FIXED_ROW_BYTES = 24
+
+
+def rowgroup_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group sizing advisor for a documents-shaped table: for each
+    candidate row-group byte target, how many rows fit an average
+    group, how many groups the table splits into (= the scan
+    parallelism a reader gets without sub-group splitting), and how
+    pathological the width distribution is (max/avg skew, rows wider
+    than a whole target group).
+
+    The genre of compaction_plan / bloom_filter_plan / lsh_band_plan:
+    a PLANNING query whose output is the config decision, computed
+    from the data instead of guessed. Row width is modeled from the
+    payload actually stored (octet_length of the string columns +
+    {ROWGROUP_FIXED_ROW_BYTES}B fixed) — a proxy for on-disk size
+    that both engines compute identically; compression ratio is a
+    constant factor that cancels out of the rows-per-group choice.
+
+    Everything is int64-exact: avg_row_bytes = tot div n (floor),
+    rows_per_group = greatest(1, target div avg), n_groups =
+    ceil-div. The target grid is a literal array exploded AFTER the
+    one-row census, so the scan happens once regardless of grid size.
+
+    Scale posture (100 TB): one map-side-partial aggregate over the
+    table (sums + max + conditional counts), one broadcast-size row,
+    |targets| output rows. The per-row byte model is a projection —
+    no shuffle keyed on anything data-dependent.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        (
+            F.octet_length("text")
+            + F.octet_length("lang")
+            + F.octet_length("source")
+            + F.lit(ROWGROUP_FIXED_ROW_BYTES)
+        ).cast("long").alias("_b")
+    )
+    census = docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("_b").alias("tot_bytes"),
+        F.max("_b").alias("max_row_bytes"),
+        *[
+            F.sum(F.when(F.col("_b") > t, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_over_{t}")
+            for t in ROWGROUP_TARGETS
+        ],
+    )
+    grid = census.select(
+        "*",
+        F.explode(
+            F.array(*[F.lit(t).cast("long") for t in ROWGROUP_TARGETS])
+        ).alias("target_bytes"),
+    )
+    over = F.coalesce(
+        *[
+            F.when(F.col("target_bytes") == t, F.col(f"_over_{t}"))
+            for t in ROWGROUP_TARGETS
+        ]
+    )
+    return grid.select(
+        "target_bytes",
+        "n_rows",
+        "tot_bytes",
+        F.expr("tot_bytes div n_rows").alias("avg_row_bytes"),
+        F.expr(
+            "greatest(1, target_bytes div (tot_bytes div n_rows))"
+        ).alias("rows_per_group"),
+        F.expr(
+            "(n_rows + greatest(1, target_bytes div (tot_bytes div n_rows))"
+            " - 1) div greatest(1, target_bytes div (tot_bytes div n_rows))"
+        ).alias("n_groups"),
+        over.alias("oversize_rows"),
+        F.expr("1000 * max_row_bytes div (tot_bytes div n_rows)").alias(
+            "width_skew_milli"
+        ),
+    )
+
+
+def _rowgroup_sql() -> str:
+    targets = ", ".join(str(t) for t in ROWGROUP_TARGETS)
+    overs = ", ".join(
+        f"CAST(count(*) FILTER (WHERE _b > {t}) AS BIGINT) AS _over_{t}"
+        for t in ROWGROUP_TARGETS
+    )
+    over_case = " ".join(
+        f"WHEN g.target_bytes = {t} THEN _over_{t}"
+        for t in ROWGROUP_TARGETS
+    )
+    return f"""
+WITH widths AS (
+  SELECT CAST(strlen(text) + strlen(lang) + strlen(source)
+              + {ROWGROUP_FIXED_ROW_BYTES} AS BIGINT) AS _b
+  FROM documents
+),
+census AS (
+  SELECT count(*) AS n_rows, CAST(sum(_b) AS BIGINT) AS tot_bytes,
+         max(_b) AS max_row_bytes, {overs}
+  FROM widths
+),
+grid AS (SELECT unnest(ARRAY[{targets}]) AS target_bytes)
+SELECT CAST(g.target_bytes AS BIGINT) AS target_bytes, n_rows, tot_bytes,
+       tot_bytes // n_rows AS avg_row_bytes,
+       greatest(1, g.target_bytes // (tot_bytes // n_rows))
+         AS rows_per_group,
+       (n_rows + greatest(1, g.target_bytes // (tot_bytes // n_rows)) - 1)
+         // greatest(1, g.target_bytes // (tot_bytes // n_rows))
+         AS n_groups,
+       CAST(CASE {over_case} END AS BIGINT) AS oversize_rows,
+       1000 * max_row_bytes // (tot_bytes // n_rows)
+         AS width_skew_milli
+FROM census, grid g
+"""
+
+
+ROWGROUP_SIZE_SQL = _rowgroup_sql()

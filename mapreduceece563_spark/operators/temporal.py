@@ -1698,3 +1698,260 @@ ranked AS (
 SELECT event_type, CAST(rank AS BIGINT) AS rank, motif, n_occurrences
 FROM ranked WHERE rank <= {SAX_TOP_MOTIFS}
 """
+
+
+# --- hourly burstiness (Fano factor) (round-14 queue) -------------------
+
+def hourly_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic-shape audit per event type: the Fano factor
+    (variance-to-mean ratio) of the gap-filled hourly count series —
+    the one-number answer to "is this stream Poisson-like (~1),
+    clocked (<1), or bursty (>1)". The sibling of
+    hourly_autocorrelation on the same spine: ACF measures WHEN
+    counts co-move, Fano measures HOW spiky they are; capacity
+    planning and anomaly thresholds want both.
+
+    PURE-integer algebra: with n hours, S = sum(y), Q = sum(y^2)
+    (exact int64 off the same gap-filled spine as the ACF — skipping
+    empty hours would hide exactly the gaps that make a stream
+    bursty), population variance * n^2 = n*Q - S^2 and mean * n = S,
+    so fano_milli = 1000 * (n*Q - S^2) div (n*S) — one floor
+    division in DECIMAL(38,0)/HUGEINT (n*Q ~ hours * events^2/hour
+    wraps int64 at ~1e6 events/hour-scale); the operands are
+    nonnegative (Cauchy-Schwarz: n*Q >= S^2), so floor == truncate on
+    both engines with no shift needed. NULL when the type has no
+    events (S = 0).
+
+    Scale posture (100 TB): identical to hourly_autocorrelation —
+    ONE map-side-partial groupBy collapses the corpus to (type,
+    hour), the spine is generated from a broadcast bounds row,
+    the rollup is one row per type. Nothing downstream of the first
+    aggregate is corpus-granular.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(ts) div 3600000000").alias("_h"),
+    )
+    counts = ev.groupBy("event_type", "_h").agg(
+        F.count(F.lit(1)).alias("_y")
+    )
+    bounds = counts.groupBy("event_type").agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
+        ).alias("_h"),
+    )
+    filled = spine.join(counts, ["event_type", "_h"], "left").select(
+        "event_type",
+        F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
+    )
+    rolled = filled.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("_y").alias("_s"),
+        F.sum(F.expr("_y * _y")).alias("_q"),
+    )
+    return rolled.select(
+        "event_type",
+        "n_hours",
+        F.col("_s").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN _s > 0 THEN"
+            " (CAST(n_hours AS DECIMAL(38,0)) * _q"
+            "  - CAST(_s AS DECIMAL(38,0)) * _s) * 1000"
+            " div (CAST(n_hours AS DECIMAL(38,0)) * _s)"
+            " END AS BIGINT)"
+        ).alias("fano_milli"),
+        F.expr("1000 * _s div n_hours").alias("mean_milli"),
+    )
+
+
+FANO_SQL = """
+WITH counts AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS _h,
+         count(*) AS _y
+  FROM events GROUP BY 1, 2
+),
+bounds AS (
+  SELECT event_type, min(_h) AS _h0, max(_h) AS _h1
+  FROM counts GROUP BY 1
+),
+spine AS (
+  SELECT event_type, unnest(range(_h0, _h1 + 1)) AS _h FROM bounds
+),
+filled AS (
+  SELECT s.event_type, coalesce(c._y, 0) AS _y
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s._h = c._h
+),
+rolled AS (
+  SELECT event_type, count(*) AS n_hours,
+         CAST(sum(_y) AS BIGINT) AS _s,
+         CAST(sum(_y * _y) AS BIGINT) AS _q
+  FROM filled GROUP BY 1
+)
+SELECT event_type, n_hours, _s AS n_events,
+       CAST(CASE WHEN _s > 0 THEN
+         (CAST(n_hours AS HUGEINT) * _q - CAST(_s AS HUGEINT) * _s) * 1000
+         // (CAST(n_hours AS HUGEINT) * _s)
+       END AS BIGINT) AS fano_milli,
+       1000 * _s // n_hours AS mean_milli
+FROM rolled
+"""
+
+
+# --- classical seasonal decomposition, monthly (round-14 queue) ---------
+
+# Shift for the floor-mean of SIGNED detrended values (the theil_sen
+# floor-semantics convention: both engines truncate toward zero on
+# integer division, so shift the operand nonnegative, floor == trunc,
+# unshift). 1e16 cents*24 ~ $4e12/month of detrended revenue — far
+# above any per-month residual this side of a planetary economy;
+# DECIMAL(38,0)/HUGEINT gives 21 spare digits over the shift.
+SEASONAL_SHIFT = 10_000_000_000_000_000
+
+
+def seasonal_decomposition_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of the monthly order-revenue
+    series: observed = trend + seasonal + residual — the structure
+    check behind every "revenue is down this month" conversation
+    (is it trend, or is it just August?).
+
+    Textbook construction, made engine-exact by scaling instead of
+    dividing: on the gap-filled month spine (months with no orders
+    count 0 — the ~80-month range is data-derived),
+    * trend_x24  = y[-6] + 2*sum(y[-5..+5]) + y[+6] — the centered
+      12-month moving average times 24 (half-weight endpoints make an
+      even window symmetric), NULL at the 6-month edges;
+    * detrended_x24 = 24*y - trend_x24 (exact int, NULL at edges);
+    * seasonal_x24 = floor-mean of detrended_x24 over the month-of-
+      year group (shifted-nonnegative quotient in DECIMAL(38,0),
+      {SEASONAL_SHIFT:.0e} shift — see the module division note);
+    * residual_x24 = detrended_x24 - seasonal_x24.
+    Everything is cents*24 int64s; no float enters the pipeline, so
+    both engines agree bit for bit.
+
+    Scale posture (100 TB): the corpus collapses to one (month) row
+    set in the first map-side-partial groupBy (~12 rows/year —
+    TIME-range bounded, corpus-size-free); the single-partition
+    windows that follow ride a series whose length a century caps at
+    1,200 rows. The one full scan is the pre-aggregation.
+    """
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    od = load_table(spark, sf_dir, "orders").select(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias(
+            "_m"
+        ),
+        cents.alias("_c"),
+    )
+    monthly = od.groupBy("_m").agg(F.sum("_c").alias("_y"))
+    bounds = monthly.agg(
+        F.min("_m").alias("_m0"), F.max("_m").alias("_m1")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("_m0"), F.col("_m1"), F.lit(1))
+        ).alias("_m")
+    )
+    filled = spine.join(monthly, "_m", "left").select(
+        "_m", F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y")
+    )
+    w = Window.orderBy("_m")
+    mid = w.rowsBetween(-5, 5)
+    full = w.rowsBetween(-6, 6)
+    with_trend = filled.select(
+        "_m",
+        "_y",
+        F.when(
+            F.count(F.lit(1)).over(full) == 13,
+            2 * F.sum("_y").over(mid)
+            + F.lag("_y", 6).over(w)
+            + F.lead("_y", 6).over(w),
+        ).alias("_t24"),
+    ).select(
+        "_m",
+        "_y",
+        "_t24",
+        (24 * F.col("_y") - F.col("_t24")).alias("_d24"),
+        (F.col("_m") % 12 + 1).alias("month_of_year"),
+    )
+    seas = Window.partitionBy("month_of_year")
+    return (
+        with_trend.select(
+            "_m",
+            "_y",
+            "_t24",
+            "_d24",
+            "month_of_year",
+            F.expr(
+                f"CAST(CASE WHEN count(_d24) OVER"
+                f" (PARTITION BY month_of_year) > 0 THEN"
+                f" (sum(CAST(_d24 AS DECIMAL(38,0))) OVER"
+                f"   (PARTITION BY month_of_year)"
+                f"  + CAST({SEASONAL_SHIFT} AS DECIMAL(38,0))"
+                f"    * count(_d24) OVER (PARTITION BY month_of_year))"
+                f" div count(_d24) OVER (PARTITION BY month_of_year)"
+                f" - {SEASONAL_SHIFT} END AS BIGINT)"
+            ).alias("seasonal_x24"),
+        )
+        .select(
+            F.col("_m").alias("month_idx"),
+            "month_of_year",
+            F.col("_y").alias("revenue_cents"),
+            F.col("_t24").alias("trend_x24"),
+            F.col("_d24").alias("detrended_x24"),
+            "seasonal_x24",
+            (F.col("_d24") - F.col("seasonal_x24")).alias("residual_x24"),
+        )
+    )
+
+
+SEASONAL_DECOMP_SQL = f"""
+WITH monthly AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS _m,
+         CAST(sum(CAST(round(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+           AS _y0
+  FROM orders GROUP BY 1
+),
+bounds AS (SELECT min(_m) AS _m0, max(_m) AS _m1 FROM monthly),
+spine AS (SELECT unnest(range(_m0, _m1 + 1)) AS _m FROM bounds),
+filled AS (
+  SELECT s._m, coalesce(m._y0, 0) AS _y
+  FROM spine s LEFT JOIN monthly m ON s._m = m._m
+),
+with_trend AS (
+  SELECT _m, _y,
+         CAST(CASE WHEN count(*) OVER
+                (ORDER BY _m ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) = 13
+         THEN 2 * sum(_y) OVER
+                (ORDER BY _m ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+              + lag(_y, 6) OVER (ORDER BY _m)
+              + lead(_y, 6) OVER (ORDER BY _m)
+         END AS BIGINT) AS _t24
+  FROM filled
+),
+with_det AS (
+  SELECT _m, _y, _t24, CAST(24 * _y - _t24 AS BIGINT) AS _d24,
+         _m % 12 + 1 AS month_of_year
+  FROM with_trend
+)
+SELECT _m AS month_idx, month_of_year,
+       _y AS revenue_cents, _t24 AS trend_x24, _d24 AS detrended_x24,
+       CAST(CASE WHEN count(_d24) OVER (PARTITION BY month_of_year) > 0
+       THEN (sum(CAST(_d24 AS HUGEINT)) OVER (PARTITION BY month_of_year)
+             + CAST({SEASONAL_SHIFT} AS HUGEINT)
+               * count(_d24) OVER (PARTITION BY month_of_year))
+            // count(_d24) OVER (PARTITION BY month_of_year)
+            - {SEASONAL_SHIFT} END AS BIGINT) AS seasonal_x24,
+       CAST(_d24 - (CASE WHEN count(_d24) OVER (PARTITION BY month_of_year) > 0
+       THEN (sum(CAST(_d24 AS HUGEINT)) OVER (PARTITION BY month_of_year)
+             + CAST({SEASONAL_SHIFT} AS HUGEINT)
+               * count(_d24) OVER (PARTITION BY month_of_year))
+            // count(_d24) OVER (PARTITION BY month_of_year)
+            - {SEASONAL_SHIFT} END) AS BIGINT) AS residual_x24
+FROM with_det
+"""
