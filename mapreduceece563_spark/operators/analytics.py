@@ -4528,3 +4528,140 @@ JOIN ty t2 ON m.lang = t2.lang
 
 
 KENDALL_TAU_SQL = _kendall_sql()
+
+
+# --- multi-touch purchase attribution (round-14 queue) ------------------
+
+# Touch types credited by the attribution models. 'error' events are
+# diagnostics, not marketing touches; 'purchase' rows are the
+# conversions being attributed.
+ATTRIB_TOUCH_TYPES = ("view", "click", "signup")
+
+
+def multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch conversion attribution: split each purchase's value
+    across the user's preceding touch events (views/clicks/signups
+    since their previous purchase) under the three standard credit
+    models, rolled up per touch type — first-touch, last-touch, and
+    linear. purchase_attribution (relational.py) answers "what was
+    the last purchase before this event"; this answers the reverse
+    marketing question, "which events get credit FOR the purchase".
+
+    Attribution windows without a doubled scan: one pass assigns
+    every event its running purchase count (cum_p); a touch with
+    cum_p = k belongs to the window of the (k+1)-th purchase, and the
+    purchase row itself closes window cum_p - 1 — so windows fall out
+    of ONE cumulative window function, no self-join on time ranges.
+    First/last per window via row_number over (ts, event_id)
+    (event_id breaks timestamp ties — the lineitem tiebreak lesson).
+    Linear credit is floor(cents * 1000 / n_touches) MILLI-cents per
+    touch (remainder < n milli-cents per purchase stays unassigned —
+    exact, associative, engine-identical); purchases with no touches
+    in window earn no credit rows (reported by the models as the
+    direct-conversion gap between credited and total cents).
+
+    Scale posture (100 TB): two exchanges on user_id (the cumulative
+    window, then the per-window rollup via groupBy) and a final
+    |touch types|-row aggregate. Window state is per-user event
+    history — the sessionize partition discipline; nothing joins on
+    time ranges or explodes pairs.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cum_p = F.sum(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    ).over(w)
+    tagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        (
+            cum_p
+            - F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("win"),
+    )
+    purchases = tagged.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "win",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    touches = tagged.filter(
+        F.col("event_type").isin(*ATTRIB_TOUCH_TYPES)
+    ).select("user_id", "win", "ts", "event_id", "event_type")
+    tw = Window.partitionBy("user_id", "win")
+    ranked = touches.select(
+        "user_id",
+        "win",
+        "event_type",
+        F.row_number()
+        .over(tw.orderBy("ts", "event_id"))
+        .alias("_rn_first"),
+        F.row_number()
+        .over(tw.orderBy(F.desc("ts"), F.desc("event_id")))
+        .alias("_rn_last"),
+        F.count(F.lit(1)).over(tw).alias("_n"),
+    )
+    credited = ranked.join(purchases, ["user_id", "win"]).select(
+        "event_type",
+        F.when(F.col("_rn_first") == 1, F.col("cents"))
+        .otherwise(0)
+        .alias("_first"),
+        F.when(F.col("_rn_last") == 1, F.col("cents"))
+        .otherwise(0)
+        .alias("_last"),
+        F.expr("cents * 1000 div _n").alias("_linear_milli"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_touches_credited"),
+        F.sum("_first").alias("first_touch_cents"),
+        F.sum("_last").alias("last_touch_cents"),
+        F.sum("_linear_milli").alias("linear_milli_cents"),
+    )
+
+
+MULTITOUCH_SQL = f"""
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         - CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS win
+  FROM events
+),
+purchases AS (
+  SELECT user_id, win,
+         CAST(round(value * 100, 0) AS BIGINT) AS cents
+  FROM tagged WHERE event_type = 'purchase'
+),
+touches AS (
+  SELECT user_id, win, ts, event_id, event_type
+  FROM tagged
+  WHERE event_type IN {tuple(ATTRIB_TOUCH_TYPES)!r}
+),
+ranked AS (
+  SELECT user_id, win, event_type,
+         row_number() OVER (PARTITION BY user_id, win
+                            ORDER BY ts, event_id) AS _rn_first,
+         row_number() OVER (PARTITION BY user_id, win
+                            ORDER BY ts DESC, event_id DESC) AS _rn_last,
+         count(*) OVER (PARTITION BY user_id, win) AS _n
+  FROM touches
+),
+credited AS (
+  SELECT r.event_type,
+         CASE WHEN r._rn_first = 1 THEN p.cents ELSE 0 END AS _first,
+         CASE WHEN r._rn_last = 1 THEN p.cents ELSE 0 END AS _last,
+         p.cents * 1000 // r._n AS _linear_milli
+  FROM ranked r JOIN purchases p
+    ON r.user_id = p.user_id AND r.win = p.win
+)
+SELECT event_type,
+       count(*) AS n_touches_credited,
+       CAST(sum(_first) AS BIGINT) AS first_touch_cents,
+       CAST(sum(_last) AS BIGINT) AS last_touch_cents,
+       CAST(sum(_linear_milli) AS BIGINT) AS linear_milli_cents
+FROM credited GROUP BY event_type
+"""

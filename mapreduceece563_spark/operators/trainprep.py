@@ -1585,3 +1585,108 @@ SELECT lang, n_docs, both_keep, only_size_keeps, only_tokens_keeps,
        ELSE FALSE END AS filters_differ_05
 FROM rolled
 """
+
+
+# --- batch-padding waste curve (round-14 queue) -------------------------
+
+# Candidate length-bucket schemes for padded batching. Each is an
+# ascending capacity ladder: a doc pads to the smallest capacity that
+# fits; docs longer than the top rung split into full top-rung chunks
+# plus a padded remainder. Rungs are sized to the test corpus's
+# 10-99-token docs the way PACK_BUDGET_TOKENS is; the algebra is
+# ladder-free.
+PADDING_SCHEMES = (
+    ("pow2", (16, 32, 64, 128)),
+    ("linear32", (32, 64, 96, 128)),
+    ("single128", (128,)),
+)
+
+
+def padding_waste_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many pad tokens does each length-bucketing scheme burn —
+    the PADDED-batching counterpart of pack_len_sensitivity's PACKED
+    accounting. Packing concatenates docs into full windows (waste =
+    tail fragmentation); padded batching rounds every doc up to its
+    bucket's capacity (waste = per-doc padding), and the bucket
+    ladder is the knob: one giant bucket wastes ~half the batch on
+    short docs, too many buckets fragments the batching. This sweep
+    prices each ladder in one pass.
+
+    Per doc with t whitespace tokens (token_pack's count; zero-token
+    docs contribute nothing): full_chunks = t div max_rung each at
+    max_rung tokens, remainder r = t mod max_rung pads to the
+    smallest rung >= r (r = 0 pads nothing) — so
+    padded(t) = (t div max)*max + coalesce(min rung >= r, 0).
+    All int64; waste_ppm = 1e6 * (padded - t_total) div padded.
+
+    Scale posture (100 TB): the token count is the one text scan
+    (map-only); each scheme is a derived column off t (the
+    pack_len_sensitivity sweep discipline — |schemes| columns, not
+    |schemes| passes), and the rollup is |schemes| rows of int sums.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        _ws_tokens(F.col("text")).alias("_t")
+    ).filter(F.col("_t") > 0)
+    schemes = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(name).alias("scheme"),
+                    F.array(*[F.lit(c) for c in caps]).alias("caps"),
+                )
+                for name, caps in PADDING_SCHEMES
+            ]
+        )
+    ).alias("_s")
+    graded = docs.select("_t", schemes).select(
+        F.col("_s.scheme").alias("scheme"),
+        "_t",
+        F.expr(
+            "(_t div element_at(_s.caps, -1))"
+            " * element_at(_s.caps, -1)"
+            " + coalesce(element_at(filter(_s.caps,"
+            "     c -> c >= _t % element_at(_s.caps, -1)), 1),"
+            "   0) * CASE WHEN _t % element_at(_s.caps, -1) = 0"
+            "         THEN 0 ELSE 1 END"
+        ).cast("long").alias("_padded"),
+    )
+    return graded.groupBy("scheme").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_t").alias("total_tokens"),
+        F.sum("_padded").alias("padded_tokens"),
+        F.expr(
+            "CAST(1000000 * (sum(_padded) - sum(_t)) div sum(_padded)"
+            " AS BIGINT)"
+        ).alias("waste_ppm"),
+    )
+
+
+def _padding_sql() -> str:
+    rows = ", ".join(
+        f"('{name}', ARRAY{list(caps)})" for name, caps in PADDING_SCHEMES
+    )
+    return f"""
+WITH t AS (
+  SELECT {_WS_TOKENS_SQL} AS _t FROM documents
+  WHERE {_WS_TOKENS_SQL} > 0
+),
+schemes(scheme, caps) AS (VALUES {rows}),
+graded AS (
+  SELECT s.scheme, t._t,
+         CAST((t._t // caps[-1]) * caps[-1]
+          + coalesce(list_filter(caps,
+                c -> c >= t._t % caps[-1])[1], 0)
+            * CASE WHEN t._t % caps[-1] = 0 THEN 0 ELSE 1 END
+           AS BIGINT) AS _padded
+  FROM t CROSS JOIN schemes s
+)
+SELECT scheme, count(*) AS n_docs,
+       CAST(sum(_t) AS BIGINT) AS total_tokens,
+       CAST(sum(_padded) AS BIGINT) AS padded_tokens,
+       CAST(1000000 * (sum(_padded) - sum(_t)) // sum(_padded) AS BIGINT)
+         AS waste_ppm
+FROM graded GROUP BY scheme
+"""
+
+
+PADDING_WASTE_SQL = _padding_sql()
