@@ -2482,3 +2482,617 @@ SELECT nn.n_vectors,
        CAST(agg._mx.a AS BIGINT) AS dominant_abs_sum
 FROM agg, nn
 """
+
+
+# --- label-centroid margin audit (round-14 queue) -----------------------
+
+# Micro-quantization scale for coordinates and the signed-division
+# shift for the floored integer centroid (coords are in [-1, 1], so
+# 2e6 micro clears any |sum/n|; the shifted nonnegative quotient pins
+# floor semantics on two truncate-toward-zero engines — see the
+# clustering.py dbscan_core_cells note).
+MARGIN_MICRO = 1_000_000
+MARGIN_SHIFT = 2_000_000
+
+
+def label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-vector audit: for every embedding, the squared-L2
+    margin between its own label's centroid and the NEAREST other
+    label's centroid — negative margin means the vector sits closer
+    to another class, the classic relabel/review candidate (the
+    nearest-centroid flavor of confident-learning style label
+    auditing). Per label: population, misfit count (+ ppm) and the
+    worst margin.
+
+    Engine-exact INTEGER pipeline: coordinates quantize to micro ints
+    (round(x * 1e6) — the dbscan_core_cells discipline); per-label
+    centroids are FLOORED micro ints via the shifted nonnegative
+    quotient ((sum + {MARGIN_SHIFT}*n) div n - {MARGIN_SHIFT}), so
+    the at-most-1-micro-per-dim quantization is identical on both
+    engines; distances are int64 sums of squared micro deltas
+    (64 dims x (4e6)^2 ~ 1e15 worst case — 3 spare decimal orders in
+    int64). No float enters, no sqrt is needed (squared-L2 preserves
+    the argmin), ties on the other-centroid argmin can't occur in the
+    margin (min distance is a scalar).
+
+    Scale posture (100 TB): centroids are one groupBy over the
+    exploded (label, dim) frame (map-side partials, 640 cells); the
+    per-vector scoring joins each vector against the BROADCAST
+    10-row centroid table — one scan, no vector-vector pairs
+    anywhere; the rollup is one row per label.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", "embedding"
+    )
+    micro = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * MARGIN_MICRO, 0).cast(
+                "long"
+            ),
+        ).alias("mv"),
+    )
+    cent = (
+        micro.select(
+            "label", F.posexplode("mv").alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "label",
+            "pos",
+            F.expr(
+                f"(_s + CAST({MARGIN_SHIFT} AS BIGINT) * _n) div _n"
+                f" - {MARGIN_SHIFT}"
+            ).alias("_c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("cv")
+        )
+    )
+    dists = micro.join(
+        F.broadcast(cent.select(F.col("label").alias("clabel"), "cv")),
+        F.lit(True),
+    ).select(
+        "vec_id",
+        "label",
+        "clabel",
+        F.aggregate(
+            F.zip_with("mv", "cv", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_d2"),
+    )
+    per_vec = dists.groupBy("vec_id", "label").agg(
+        F.max(
+            F.when(F.col("clabel") == F.col("label"), F.col("_d2"))
+        ).alias("_own"),
+        F.min(
+            F.when(F.col("clabel") != F.col("label"), F.col("_d2"))
+        ).alias("_other"),
+    )
+    margined = per_vec.select(
+        "label", (F.col("_other") - F.col("_own")).alias("_margin")
+    )
+    return margined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.when(F.col("_margin") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_misfit"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN _margin < 0 THEN 1 ELSE 0 END)"
+            " div count(*) AS BIGINT)"
+        ).alias("misfit_ppm"),
+        F.min("_margin").alias("worst_margin"),
+    )
+
+
+LABEL_CENTROID_MARGIN_SQL = f"""
+WITH micro AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {MARGIN_MICRO}, 0)
+                     AS BIGINT)) AS mv
+  FROM embeddings
+),
+expl AS (
+  SELECT label, d.pos AS pos, mv[d.pos] AS x
+  FROM micro
+  CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+),
+cent_dims AS (
+  SELECT label, pos,
+         (CAST(sum(x) AS BIGINT)
+          + CAST({MARGIN_SHIFT} AS BIGINT) * count(*)) // count(*)
+         - {MARGIN_SHIFT} AS _c
+  FROM expl GROUP BY label, pos
+),
+cent AS (
+  SELECT label AS clabel,
+         list(_c ORDER BY pos) AS cv
+  FROM cent_dims GROUP BY label
+),
+dists AS (
+  SELECT m.vec_id, m.label, c.clabel,
+         list_reduce(list_prepend(CAST(0 AS BIGINT),
+           list_transform(list_zip(m.mv, c.cv),
+             p -> (p[1] - p[2]) * (p[1] - p[2]))),
+           (acc, x) -> acc + x) AS _d2
+  FROM micro m CROSS JOIN cent c
+),
+per_vec AS (
+  SELECT vec_id, label,
+         max(CASE WHEN clabel = label THEN _d2 END) AS _own,
+         min(CASE WHEN clabel <> label THEN _d2 END) AS _other
+  FROM dists GROUP BY vec_id, label
+),
+margined AS (
+  SELECT label, _other - _own AS _margin FROM per_vec
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(count(*) FILTER (WHERE _margin < 0) AS BIGINT) AS n_misfit,
+       CAST(1000000 * count(*) FILTER (WHERE _margin < 0) // count(*)
+            AS BIGINT) AS misfit_ppm,
+       CAST(min(_margin) AS BIGINT) AS worst_margin
+FROM margined GROUP BY label
+"""
+
+
+# --- 2-D projection neighborhood-preservation audit (round-14 queue) ----
+
+PRESERVE_QUERIES = 50   # vec_id < 50 form the audit panel
+PRESERVE_K = 10         # neighborhood size compared between spaces
+PRESERVE_DIMS = (1, 2)  # 1-based dims of the "projection" under audit
+
+
+def projection_neighborhood_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Does a low-dimensional projection preserve neighborhoods — the
+    sanity number behind every 2-D embedding scatter plot, computed
+    WITHOUT t-SNE/UMAP: treat dims {PRESERVE_DIMS} as the projection
+    (the same stand-in dbscan_core_cells uses for its grid), find
+    each panel query's top-{PRESERVE_K} neighbors in the FULL 64-dim
+    cosine space and in the projected space, and report the overlap —
+    overlap@k is the trustworthiness-style retention score, per
+    query with its label so per-class retention rolls up downstream.
+
+    Determinism: the full-space ranking is the knn_brute_force
+    contract exactly (explicit-fold double cosine — bit-identical
+    across engines — with neighbor_id tiebreak); the projected-space
+    ranking never touches floats at all (squared L2 on micro-
+    quantized ints, neighbor_id tiebreak). The overlap count is a
+    join of two deterministic top-k sets.
+
+    Scale posture (100 TB): a FIXED {PRESERVE_QUERIES}-query panel
+    against the corpus — the scan is linear in candidates and the
+    panel side broadcasts, the per-query top-k is a WindowGroupLimit
+    (never a global sort); the overlap join moves
+    {PRESERVE_QUERIES} x {PRESERVE_K} rows. The documented scale
+    path for the candidate scan itself is the IVF/LSH bucket route
+    the ann entries ship; the audit's job is the comparison, which
+    is panel-sized.
+    """
+    n = _norms(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", "embedding"
+    )
+    proj = emb.select(
+        "vec_id",
+        *[
+            F.round(
+                F.element_at("embedding", d).cast("double") * 1_000_000, 0
+            )
+            .cast("long")
+            .alias(f"_p{i}")
+            for i, d in enumerate(PRESERVE_DIMS)
+        ],
+    )
+
+    q_full = n.filter(F.col("vec_id") < PRESERVE_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    full_pairs = n.join(
+        F.broadcast(q_full), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+            "_cos"
+        ),
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    full_top = (
+        full_pairs.withColumn("_r", F.row_number().over(wf))
+        .filter(F.col("_r") <= PRESERVE_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    q_proj = proj.filter(F.col("vec_id") < PRESERVE_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        *[F.col(f"_p{i}").alias(f"_q{i}") for i in range(len(PRESERVE_DIMS))],
+    )
+    proj_pairs = proj.join(
+        F.broadcast(q_proj), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        sum(
+            (
+                (F.col(f"_p{i}") - F.col(f"_q{i}"))
+                * (F.col(f"_p{i}") - F.col(f"_q{i}"))
+                for i in range(1, len(PRESERVE_DIMS))
+            ),
+            (F.col("_p0") - F.col("_q0")) * (F.col("_p0") - F.col("_q0")),
+        ).alias("_d2"),
+    )
+    wp = Window.partitionBy("query_id").orderBy(
+        F.asc("_d2"), F.asc("neighbor_id")
+    )
+    proj_top = (
+        proj_pairs.withColumn("_r", F.row_number().over(wp))
+        .filter(F.col("_r") <= PRESERVE_K)
+        .select("query_id", F.col("neighbor_id").alias("pneighbor_id"))
+    )
+
+    overlap = (
+        full_top.join(
+            proj_top,
+            (full_top["query_id"] == proj_top["query_id"])
+            & (full_top["neighbor_id"] == proj_top["pneighbor_id"]),
+        )
+        .groupBy(full_top["query_id"].alias("query_id"))
+        .agg(F.count(F.lit(1)).alias("_hits"))
+    )
+    panel = emb.filter(F.col("vec_id") < PRESERVE_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "label"
+    )
+    return panel.join(overlap, "query_id", "left").select(
+        "query_id",
+        "label",
+        F.coalesce(F.col("_hits"), F.lit(0).cast("long")).alias(
+            "overlap_at_k"
+        ),
+    )
+
+
+def _preserve_sql() -> str:
+    p_exprs = ", ".join(
+        f"CAST(round(CAST(embedding[{d}] AS DOUBLE) * 1000000, 0)"
+        f" AS BIGINT) AS _p{i}"
+        for i, d in enumerate(PRESERVE_DIMS)
+    )
+    d2 = " + ".join(
+        f"(c._p{i} - q._p{i}) * (c._p{i} - q._p{i})"
+        for i in range(len(PRESERVE_DIMS))
+    )
+    return f"""
+WITH {_NORMS_SQL.lstrip()},
+full_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS _cos
+  FROM n q JOIN n c
+    ON q.vec_id < {PRESERVE_QUERIES} AND c.vec_id <> q.vec_id
+),
+full_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY _cos DESC, neighbor_id ASC) AS _r
+    FROM full_pairs
+  ) WHERE _r <= {PRESERVE_K}
+),
+proj AS (SELECT vec_id, {p_exprs} FROM embeddings),
+proj_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {d2} AS _d2
+  FROM proj q JOIN proj c
+    ON q.vec_id < {PRESERVE_QUERIES} AND c.vec_id <> q.vec_id
+),
+proj_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY _d2 ASC, neighbor_id ASC) AS _r
+    FROM proj_pairs
+  ) WHERE _r <= {PRESERVE_K}
+),
+overlap AS (
+  SELECT f.query_id, count(*) AS _hits
+  FROM full_top f JOIN proj_top p
+    ON f.query_id = p.query_id AND f.neighbor_id = p.neighbor_id
+  GROUP BY f.query_id
+)
+SELECT e.vec_id AS query_id, e.label,
+       CAST(coalesce(o._hits, 0) AS BIGINT) AS overlap_at_k
+FROM embeddings e LEFT JOIN overlap o ON e.vec_id = o.query_id
+WHERE e.vec_id < {PRESERVE_QUERIES}
+"""
+
+
+PROJECTION_NEIGHBORHOOD_SQL = _preserve_sql()
+
+
+# --- two-stage rerank retrieval (round-14 queue) ------------------------
+
+RERANK_NPROBE = 2    # IVF cells probed per query
+RERANK_CAND_K = 20   # stage-1 (int8) candidates kept per query
+RERANK_K = 5         # final reranked neighbors exported
+# int8 quantization: a CONSTANT scale (not per-vector max-abs) keeps
+# the quantizer a pure per-element function both engines compute
+# identically; coords live in [-0.5, 0.5] so round(x*127) uses the
+# full signed-byte range without clamping.
+RERANK_Q = 127
+# shifted-quotient offset for the floored int8 centroid means
+RERANK_SHIFT = 256
+
+
+def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-encoder-style two-stage retrieval over the IVF layout:
+    a CHEAP stage scans int8-quantized vectors inside the probed
+    cells and keeps {RERANK_CAND_K} candidates; an EXPENSIVE stage
+    rescores only those candidates at full precision and exports the
+    top {RERANK_K} — the standard serving architecture (bi-encoder
+    recall stage -> cross-encoder precision stage, here simulated by
+    the int8/fp64 cost split). Each exported row carries its
+    stage-1 rank (the displacement the rerank corrected) and whether
+    the exact full-scan top-{RERANK_K} would have contained it (the
+    recall the two-stage funnel achieved).
+
+    Engine-exactness by stage: quantization round(x * {RERANK_Q}) and
+    every stage-0/1 score are pure int64 (squared-L2 cell probe
+    against FLOORED int8 centroids — shifted nonnegative quotient —
+    and an integer dot for candidate ranking, vec_id tiebreaks); only
+    stage 2 touches floats, with the explicit-fold double cosine that
+    is bit-identical across engines (the knn_brute_force contract).
+
+    Scale posture (100 TB): the probe touches |cells| centroid rows;
+    stage 1 scans only the probed cells' vectors (the IVF contract —
+    nprobe/ncells of the corpus) with a WindowGroupLimit top-k;
+    stage 2 rescores {RERANK_CAND_K} rows per query. The exact-scan
+    reference column is panel-sized ({N_QUERIES} queries) — it IS
+    the audit, not the serving path.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
+        "vec_id", "label", "embedding"
+    )
+    q8all = emb.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * RERANK_Q, 0).cast("long"),
+        ).alias("v8"),
+    )
+    cent8 = (
+        q8all.select("label", F.posexplode("v8").alias("pos", "x"))
+        .groupBy("label", "pos")
+        .agg(F.sum("x").alias("_s"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            "label",
+            "pos",
+            F.expr(
+                f"(_s + CAST({RERANK_SHIFT} AS BIGINT) * _n) div _n"
+                f" - {RERANK_SHIFT}"
+            ).alias("_c"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_c"))),
+                lambda s: s["_c"],
+            ).alias("c8")
+        )
+    )
+    q8 = q8all.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v8").alias("q8")
+    )
+    probe_d2 = q8.join(
+        F.broadcast(cent8.select(F.col("label").alias("cell"), "c8")),
+        F.lit(True),
+    ).select(
+        "query_id",
+        "cell",
+        "q8",
+        F.aggregate(
+            F.zip_with("q8", "c8", lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_d2"),
+    )
+    wprobe = Window.partitionBy("query_id").orderBy(
+        F.asc("_d2"), F.asc("cell")
+    )
+    probed = (
+        probe_d2.withColumn("_r", F.row_number().over(wprobe))
+        .filter(F.col("_r") <= RERANK_NPROBE)
+        .select("query_id", "cell", "q8")
+    )
+    cand = q8all.join(
+        F.broadcast(probed),
+        (F.col("label") == F.col("cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("q8", "v8", lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("_dot8"),
+    )
+    wcand = Window.partitionBy("query_id").orderBy(
+        F.desc("_dot8"), F.asc("neighbor_id")
+    )
+    stage1 = (
+        cand.withColumn("stage1_rank", F.row_number().over(wcand))
+        .filter(F.col("stage1_rank") <= RERANK_CAND_K)
+        .select("query_id", "neighbor_id", "stage1_rank")
+    )
+    n = _norms(spark, sf_dir)
+    qn = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    rescored = (
+        stage1.join(
+            n.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("v").alias("cv"),
+                F.col("nrm").alias("cn"),
+            ),
+            "neighbor_id",
+        )
+        .join(F.broadcast(qn), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            "stage1_rank",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (F.col("qn") * F.col("cn"))
+            ).alias("_cos"),
+        )
+    )
+    wfinal = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    final = (
+        rescored.withColumn("final_rank", F.row_number().over(wfinal))
+        .filter(F.col("final_rank") <= RERANK_K)
+    )
+    exact_pairs = n.join(
+        F.broadcast(qn), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias(
+            "_cos"
+        ),
+    )
+    wexact = Window.partitionBy("query_id").orderBy(
+        F.desc("_cos"), F.asc("neighbor_id")
+    )
+    exact_top = (
+        exact_pairs.withColumn("_r", F.row_number().over(wexact))
+        .filter(F.col("_r") <= RERANK_K)
+        .select("query_id", "neighbor_id", F.lit(True).alias("_hit"))
+    )
+    return final.join(
+        exact_top, ["query_id", "neighbor_id"], "left"
+    ).select(
+        "query_id",
+        "final_rank",
+        "neighbor_id",
+        F.round(F.col("_cos"), 6).alias("cosine"),
+        "stage1_rank",
+        F.coalesce(F.col("_hit"), F.lit(False)).alias("in_exact_topk"),
+    )
+
+
+_INT_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+    "(acc, x) -> acc + x)"
+)
+
+RERANK_TWO_STAGE_SQL = f"""
+WITH {_NORMS_SQL.lstrip()},
+q8all AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * {RERANK_Q}, 0) AS BIGINT))
+           AS v8
+  FROM embeddings
+),
+cent_dims AS (
+  SELECT label, d.pos AS pos,
+         (CAST(sum(v8[d.pos]) AS BIGINT)
+          + CAST({RERANK_SHIFT} AS BIGINT) * count(*)) // count(*)
+         - {RERANK_SHIFT} AS _c
+  FROM q8all CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) d
+  GROUP BY label, d.pos
+),
+cent8 AS (
+  SELECT label AS cell, list(_c ORDER BY pos) AS c8
+  FROM cent_dims GROUP BY label
+),
+q8 AS (
+  SELECT vec_id AS query_id, v8 AS q8 FROM q8all
+  WHERE vec_id < {N_QUERIES}
+),
+probe_d2 AS (
+  SELECT q.query_id, c.cell, q.q8,
+         {_INT_DOT_SQL.format(a='list_transform(list_zip(q.q8, c.c8), p -> p[1] - p[2])',
+                              b='list_transform(list_zip(q.q8, c.c8), p -> p[1] - p[2])')}
+           AS _d2
+  FROM q8 q CROSS JOIN cent8 c
+),
+probed AS (
+  SELECT query_id, cell, q8 FROM (
+    SELECT query_id, cell, q8,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY _d2 ASC, cell ASC) AS _r
+    FROM probe_d2
+  ) WHERE _r <= {RERANK_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         {_INT_DOT_SQL.format(a='p.q8', b='a.v8')} AS _dot8
+  FROM q8all a JOIN probed p
+    ON a.label = p.cell AND a.vec_id <> p.query_id
+),
+stage1 AS (
+  SELECT query_id, neighbor_id, stage1_rank FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY _dot8 DESC, neighbor_id ASC)
+             AS stage1_rank
+    FROM cand
+  ) WHERE stage1_rank <= {RERANK_CAND_K}
+),
+rescored AS (
+  SELECT s.query_id, s.neighbor_id, s.stage1_rank,
+         {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS _cos
+  FROM stage1 s
+  JOIN n c ON c.vec_id = s.neighbor_id
+  JOIN n q ON q.vec_id = s.query_id
+),
+final AS (
+  SELECT query_id, neighbor_id, stage1_rank, _cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY _cos DESC, neighbor_id ASC)
+           AS final_rank
+  FROM rescored
+),
+exact_pairs AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_DOT_SQL.format(a='q.v', b='c.v')} / (q.nrm * c.nrm) AS _cos
+  FROM n q JOIN n c
+    ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+),
+exact_top AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY _cos DESC, neighbor_id ASC) AS _r
+    FROM exact_pairs
+  ) WHERE _r <= {RERANK_K}
+)
+SELECT f.query_id, f.final_rank, f.neighbor_id,
+       round(f._cos, 6) AS cosine, f.stage1_rank,
+       e.query_id IS NOT NULL AS in_exact_topk
+FROM final f LEFT JOIN exact_top e
+  ON f.query_id = e.query_id AND f.neighbor_id = e.neighbor_id
+WHERE f.final_rank <= {RERANK_K}
+"""
