@@ -1306,7 +1306,9 @@ def broadcast_threshold_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             t.select(row_bytes.alias("_b")).agg(
                 F.lit(name).alias("table_name"),
                 F.count(F.lit(1)).alias("n_rows"),
-                F.sum("_b").alias("est_bytes"),
+                F.coalesce(F.sum("_b"), F.lit(0).cast("long")).alias(
+                    "est_bytes"
+                ),
             )
         )
     out = frames[0]
@@ -1342,7 +1344,8 @@ def _broadcast_plan_sql() -> str:
         fixed = 8 * n_numeric + BROADCAST_ROW_OVERHEAD
         parts.append(
             f"SELECT '{name}' AS table_name, count(*) AS n_rows,\n"
-            f"       CAST(sum({b} + {fixed}) AS BIGINT) AS est_bytes\n"
+            f"       CAST(coalesce(sum({b} + {fixed}), 0) AS BIGINT)"
+            f" AS est_bytes\n"
             f"FROM {name}"
         )
     union = "\nUNION ALL\n".join(parts)

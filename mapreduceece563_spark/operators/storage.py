@@ -1270,7 +1270,9 @@ def rowgroup_size_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in ROWGROUP_TARGETS
         ],
     )
-    grid = census.select(
+    # empty table: no census row -> no grid rows (never a div-by-zero
+    # on n_rows = 0 — the q2 zero-quantity crash class)
+    grid = census.filter(F.col("n_rows") > 0).select(
         "*",
         F.explode(
             F.array(*[F.lit(t).cast("long") for t in ROWGROUP_TARGETS])
@@ -1321,6 +1323,7 @@ census AS (
   SELECT count(*) AS n_rows, CAST(sum(_b) AS BIGINT) AS tot_bytes,
          max(_b) AS max_row_bytes, {overs}
   FROM widths
+  HAVING count(*) > 0
 ),
 grid AS (SELECT unnest(ARRAY[{targets}]) AS target_bytes)
 SELECT CAST(g.target_bytes AS BIGINT) AS target_bytes, n_rows, tot_bytes,

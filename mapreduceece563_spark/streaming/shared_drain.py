@@ -81,6 +81,9 @@ def reset() -> None:
     from . import psi_stream
 
     psi_stream.reset_psi_stream()
+    from . import late_stream
+
+    late_stream.reset_late_stream()
     from ..sources import chunktext
 
     chunktext.reset_stream_wc()
