@@ -1463,6 +1463,41 @@ register("theil_sen_hourly_trend", tp.theil_sen_hourly_trend, tp.THEIL_SEN_SQL)
 # certified the round-12 queue 50/50 green; each was re-verified this
 # session with the driver-identical compare at sf0.01 before this
 # commit.
+# ROUND-14 QUEUE (tests/test_queue_r14b.py, 27 tests) — implemented
+# and oracle-tested in round 13, registration held until
+# CORRECTNESS_r13 certifies the ten-entry round-13 queue below (queue
+# growth stays at or below ~10/round). Each is two-scale probed
+# (SCALE.md "Round-14 queue probes (round 13)"), model-checked,
+# plan/empty-pinned, and swept on both adversarial vintages:
+#   rerank_two_stage (similarity / RERANK_TWO_STAGE_SQL) — cross-
+#   encoder-style serving funnel: IVF cell probe on floored int8
+#   centroids -> int8-dot stage-1 top-20 -> fp64 fold-cosine rerank
+#   top-5, with stage-1 displacement + exact-topk recall markers.
+#   projection_neighborhood_audit (similarity /
+#   PROJECTION_NEIGHBORHOOD_SQL) — overlap@10 of full-cosine kNN vs
+#   dims-(1,2) projected kNN over a fixed 50-query panel.
+#   label_centroid_margin (similarity / LABEL_CENTROID_MARGIN_SQL) —
+#   mislabel audit: squared-L2 margin to nearest-other-label
+#   centroid, all-int micro pipeline, broadcast centroid join.
+#   streaming_late_data_audit (streaming/late_stream /
+#   LATE_DATA_AUDIT_SQL) — out-of-order watermark stress; oracle
+#   reproduces the EMPIRICALLY pinned drop rule (window-end <=
+#   watermark, one-extra-batch watermark lag).
+#   padding_waste_curve (trainprep / PADDING_WASTE_SQL) — padded-
+#   batching ladder pricing, the pack_len_sensitivity complement.
+#   hourly_burstiness_fano (temporal / FANO_SQL) — variance-to-mean
+#   of the gap-filled hourly series, pure-int 128-bit algebra.
+#   seasonal_decomposition_monthly (temporal / SEASONAL_DECOMP_SQL) —
+#   additive trend/seasonal/residual on monthly revenue, x24-scaled
+#   exact ints, shifted seasonal floor-mean.
+#   rowgroup_size_plan (storage / ROWGROUP_SIZE_SQL) — parquet
+#   row-group sizing advisor off measured row widths.
+#   multitouch_attribution (analytics / MULTITOUCH_SQL) — first/
+#   last/linear purchase credit via one cumulative purchase-count
+#   window, floor milli-cent linear credit.
+#   broadcast_threshold_plan (skew / BROADCAST_PLAN_SQL) — join-
+#   strategy advisor vs the 10 MB autoBroadcastJoinThreshold.
+
 register("chao1_vocab_richness", cp.chao1_vocab_richness, cp.CHAO1_VOCAB_SQL)
 register("mcnemar_filter_compare", tr.mcnemar_filter_compare, tr.MCNEMAR_FILTER_SQL)
 register("g2_keyness_by_source", ng.g2_keyness_by_source, ng.G2_KEYNESS_ORACLE)

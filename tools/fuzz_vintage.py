@@ -132,9 +132,33 @@ qs = registry.queries()
 oracles = registry.oracle_sql()
 # also audit the implemented-but-unregistered queue of the current
 # round (the round-13 queue audited here in round 12 is registered
-# now and rides the registry loop; add the round-14 queue below as
-# it lands)
-extra: dict = {}
+# now and rides the registry loop)
+from mapreduceece563_spark.operators import analytics as an
+from mapreduceece563_spark.operators import skew as sk
+from mapreduceece563_spark.operators import similarity as sim
+from mapreduceece563_spark.operators import storage as stg
+from mapreduceece563_spark.operators import temporal as tp
+from mapreduceece563_spark.operators import trainprep as tr
+from mapreduceece563_spark.streaming import late_stream as lls
+
+extra: dict = {
+    "q14_rerank": (sim.rerank_two_stage, sim.RERANK_TWO_STAGE_SQL),
+    "q14_projection": (
+        sim.projection_neighborhood_audit,
+        sim.PROJECTION_NEIGHBORHOOD_SQL,
+    ),
+    "q14_margin": (sim.label_centroid_margin, sim.LABEL_CENTROID_MARGIN_SQL),
+    "q14_late": (lls.streaming_late_data_audit, lls.LATE_DATA_AUDIT_SQL),
+    "q14_padding": (tr.padding_waste_curve, tr.PADDING_WASTE_SQL),
+    "q14_fano": (tp.hourly_burstiness_fano, tp.FANO_SQL),
+    "q14_seasonal": (
+        tp.seasonal_decomposition_monthly,
+        tp.SEASONAL_DECOMP_SQL,
+    ),
+    "q14_rowgroup": (stg.rowgroup_size_plan, stg.ROWGROUP_SIZE_SQL),
+    "q14_multitouch": (an.multitouch_attribution, an.MULTITOUCH_SQL),
+    "q14_broadcast": (sk.broadcast_threshold_plan, sk.BROADCAST_PLAN_SQL),
+}
 
 skip = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
 fails, errs = [], []

@@ -107,6 +107,37 @@ def canon(v):
 
 qs = registry.queries()
 oracles = registry.oracle_sql()
+# the implemented-but-unregistered round-14 queue rides the audit too
+# (the relational perturbations hit its orders/events/embeddings
+# consumers: seasonal decomposition, attribution, the advisors)
+from mapreduceece563_spark.operators import analytics as an
+from mapreduceece563_spark.operators import skew as sk
+from mapreduceece563_spark.operators import similarity as sim
+from mapreduceece563_spark.operators import storage as stg
+from mapreduceece563_spark.operators import temporal as tp
+from mapreduceece563_spark.operators import trainprep as tr
+from mapreduceece563_spark.streaming import late_stream as lls
+
+for _qname, (_qfn, _qsql) in {
+    "q14_rerank": (sim.rerank_two_stage, sim.RERANK_TWO_STAGE_SQL),
+    "q14_projection": (
+        sim.projection_neighborhood_audit,
+        sim.PROJECTION_NEIGHBORHOOD_SQL,
+    ),
+    "q14_margin": (sim.label_centroid_margin, sim.LABEL_CENTROID_MARGIN_SQL),
+    "q14_late": (lls.streaming_late_data_audit, lls.LATE_DATA_AUDIT_SQL),
+    "q14_padding": (tr.padding_waste_curve, tr.PADDING_WASTE_SQL),
+    "q14_fano": (tp.hourly_burstiness_fano, tp.FANO_SQL),
+    "q14_seasonal": (
+        tp.seasonal_decomposition_monthly,
+        tp.SEASONAL_DECOMP_SQL,
+    ),
+    "q14_rowgroup": (stg.rowgroup_size_plan, stg.ROWGROUP_SIZE_SQL),
+    "q14_multitouch": (an.multitouch_attribution, an.MULTITOUCH_SQL),
+    "q14_broadcast": (sk.broadcast_threshold_plan, sk.BROADCAST_PLAN_SQL),
+}.items():
+    qs[_qname] = _qfn
+    oracles[_qname] = _qsql
 skip = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else set()
 fails, errs = [], []
 t0 = time.time()
