@@ -65,6 +65,14 @@ HEADLINE = (
 # drain cost lands on whichever sibling runs first in registry order.
 BUDGET_DEFAULT = 2.0
 BUDGETS = {
+    # round-13 registrations: budgets from SCALE.md "Round-13 queue
+    # probes (round 12)" (~2.5x the worst two-scale steady reading);
+    # entries probing at/below the 2.0 default carry no explicit row
+    "g2_keyness_by_source": 2.5,
+    "cliffs_delta_quality": 4.0,
+    "kendall_tau_quality_length": 3.5,
+    "degree_assortativity": 5.5,  # basket self-join + degree attach
+    "bloom_filter_plan": 3.5,
     # round-12 registrations: in-sweep steady readings from the first
     # registered-context bench (BENCH_r12) run ~2x the isolated
     # two-scale probes (registry cache churn + heap pressure), so the

@@ -2745,9 +2745,10 @@ def projection_neighborhood_audit(
         .select("query_id", F.col("neighbor_id").alias("pneighbor_id"))
     )
 
+    # both top-k sets are panel-bounded (PRESERVE_QUERIES * K rows)
     overlap = (
         full_top.join(
-            proj_top,
+            F.broadcast(proj_top),
             (full_top["query_id"] == proj_top["query_id"])
             & (full_top["neighbor_id"] == proj_top["pneighbor_id"]),
         )
@@ -2757,7 +2758,7 @@ def projection_neighborhood_audit(
     panel = emb.filter(F.col("vec_id") < PRESERVE_QUERIES).select(
         F.col("vec_id").alias("query_id"), "label"
     )
-    return panel.join(overlap, "query_id", "left").select(
+    return panel.join(F.broadcast(overlap), "query_id", "left").select(
         "query_id",
         "label",
         F.coalesce(F.col("_hits"), F.lit(0).cast("long")).alias(
@@ -2944,8 +2945,11 @@ def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("qv"),
         F.col("nrm").alias("qn"),
     )
+    # stage1 is bounded by N_QUERIES * RERANK_CAND_K rows (constants)
+    # — always the broadcast side, never a sort-merge against the
+    # corpus-sized norms frame
     rescored = (
-        stage1.join(
+        F.broadcast(stage1).join(
             n.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.col("v").alias("cv"),
@@ -2989,7 +2993,7 @@ def rerank_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", F.lit(True).alias("_hit"))
     )
     return final.join(
-        exact_top, ["query_id", "neighbor_id"], "left"
+        F.broadcast(exact_top), ["query_id", "neighbor_id"], "left"
     ).select(
         "query_id",
         "final_rank",
