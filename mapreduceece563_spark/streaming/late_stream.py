@@ -52,6 +52,12 @@ LATE_PERM = (0, 3, 1, 4, 2, 5)
 LATE_DELAY_MS = 2 * 3600 * 1000  # withWatermark("ts", "2 hours")
 HOUR_US = 3600 * 1_000_000
 
+# Pool membership switch: False until the entry REGISTERS (flip in
+# the registration commit) so the shared __drain__ line never pays
+# for a drain no registered entry consumes. The solo _late_drain
+# path works either way.
+POOL_ENABLED = False
+
 # (appId, sf_dir) -> updates dir of the finished drain
 _LATE_CACHE: dict[tuple[str, str], str] = {}
 # (appId, sf_dir) -> src chunk dir; deterministic input layout, kept
@@ -63,13 +69,13 @@ def reset_late_stream() -> None:
     _LATE_CACHE.clear()
 
 
-def _late_drain(spark: SparkSession, sf_dir: str) -> str:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _LATE_CACHE.get(key)
-    if hit is not None:
-        return hit
+def _start_late(spark: SparkSession, sf_dir: str):
+    """Fixture + START (no await): the shared_drain.
+    drain_round7_streams pool-member contract. Returns
+    (query, work dir, sink dir)."""
     from .wordcount_stream import ReplayOrder, _fresh_workdir
 
+    key = (spark.sparkContext.applicationId, sf_dir)
     work = _fresh_workdir("late_audit", sf_dir)
     sink = os.path.join(work, "updates")
     os.makedirs(sink, exist_ok=True)
@@ -100,39 +106,54 @@ def _late_drain(spark: SparkSession, sf_dir: str) -> str:
                 order.mark(src)
         _LATE_SRC_CACHE[key] = src
 
-    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    stream = (
+        spark.readStream.schema("ts TIMESTAMP, event_type STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+    def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.select(
+            F.col("window.start").alias("hour"),
+            "event_type",
+            "n_events",
+        ).write.mode("overwrite").parquet(
+            os.path.join(sink, f"batch_id={batch_id}")
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(sink_fn)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q, work, sink
+
+
+def _late_drain(spark: SparkSession, sf_dir: str) -> str:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LATE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    from .shared_drain import _PARTS_PINNED
+
+    pinned = _PARTS_PINNED
+    prev_parts = None
+    if not pinned:
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:
-        stream = (
-            spark.readStream.schema("ts TIMESTAMP, event_type STRING")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(src)
-        )
-        agg = (
-            stream.withWatermark("ts", "2 hours")
-            .groupBy(F.window("ts", "1 hour"), "event_type")
-            .agg(F.count("*").alias("n_events"))
-        )
-
-        def sink_fn(batch_df: DataFrame, batch_id: int) -> None:
-            batch_df.select(
-                F.col("window.start").alias("hour"),
-                "event_type",
-                "n_events",
-            ).write.mode("overwrite").parquet(
-                os.path.join(sink, f"batch_id={batch_id}")
-            )
-
-        q = (
-            agg.writeStream.foreachBatch(sink_fn)
-            .outputMode("update")
-            .option("checkpointLocation", os.path.join(work, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
+        q, work, sink = _start_late(spark, sf_dir)
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        if not pinned:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     shutil.rmtree(os.path.join(work, "ckpt"), ignore_errors=True)
     _LATE_CACHE[key] = sink
     return sink
@@ -145,8 +166,10 @@ def streaming_late_data_audit(
     what survives the watermark. The oracle recomputes the engine's
     pinned drop rule (module docstring) arithmetically, so a
     mismatch means the engine's late-data semantics moved."""
+    from .shared_drain import drain_round7_streams
     from .wordcount_stream import _partial_files
 
+    drain_round7_streams(spark, sf_dir)
     sink = _late_drain(spark, sf_dir)
     if not _partial_files(sink):
         return spark.createDataFrame(

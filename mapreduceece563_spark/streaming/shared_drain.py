@@ -131,6 +131,14 @@ def drain_round7_streams(spark: SparkSession, sf_dir: str) -> None:
         starters.append(
             (outer_join_stream._start_outer_join, outer_join_stream._OUTER_CACHE)
         )
+    # the round-14 late-data audit joins the pool (round 13): its
+    # ~5 s 6-micro-batch drain overlaps the siblings instead of
+    # paying a solo line — gated off until the entry registers so
+    # the __drain__ line never pays for an unconsumed drain
+    from . import late_stream
+
+    if late_stream.POOL_ENABLED and key not in late_stream._LATE_CACHE:
+        starters.append((late_stream._start_late, late_stream._LATE_CACHE))
     if not starters:
         return
 
