@@ -171,3 +171,78 @@ def test_micro_vintage_parity(name, spark, micro_vintage):
     sdf = fn(spark, dst)
     rel = con.execute(sql)
     assert_frames_match(sdf, rel, ctx=f"micro_vintage:{name}")
+
+
+# --- micro KEY-SKEW vintage (round 13) ---------------------------------------
+#
+# The commit-time subset of tools/fuzz_vintage_skew.py: giant-group
+# key distributions (half the events on one user, 60% of docs on one
+# source, 70% of vectors in one label cell) through the entries whose
+# plans have per-key windows, heavy-hitter thresholds, source-vs-rest
+# rollups, and label-cell probes. FK-valid; values/times untouched.
+
+SKEW_ENTRIES = [
+    # giant user partition: per-user ordered windows + gap logic
+    "sessionize",
+    "user_gap_stats",
+    # heavy-hitter threshold crossing
+    "events_heavy_hitters",
+    # one source owns the corpus: "vs rest" with a thin rest
+    "doc_lang_entropy_by_source",
+    "cliffs_delta_quality",
+    # one IVF cell owns 70% of vectors: probe + centroid dominance
+    "ivf_ann",
+]
+
+
+@pytest.fixture(scope="module")
+def micro_skew(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("micro_skew")
+    rng = np.random.RandomState(21)
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    m = len(ev)
+    uid = ev["user_id"].to_numpy().copy()
+    uid[rng.choice(m, m // 2, replace=False)] = uid[0]
+    ev["user_id"] = uid
+    ev.to_parquet(dst / "events.parquet")
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    n = len(docs)
+    src = docs["source"].to_numpy().copy()
+    src[rng.choice(n, (n * 6) // 10, replace=False)] = src[0]
+    docs["source"] = src
+    docs.to_parquet(dst / "documents.parquet")
+
+    emb = pq.read_table(f"{SF_DIR}/embeddings.parquet").to_pandas()
+    lab = emb["label"].to_numpy().copy()
+    lab[rng.choice(len(emb), (len(emb) * 7) // 10, replace=False)] = 0
+    emb["label"] = pd.array(lab, dtype="int32")
+    emb.to_parquet(dst / "embeddings.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem"):
+        pq.write_table(
+            pq.read_table(f"{SF_DIR}/{t}.parquet"), dst / f"{t}.parquet"
+        )
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'"
+        )
+    yield str(dst), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", SKEW_ENTRIES)
+def test_micro_skew_parity(name, spark, micro_skew):
+    dst, con = micro_skew
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_frames_match(
+        fn(spark, dst), con.execute(sql), ctx=f"micro_skew:{name}"
+    )
