@@ -741,10 +741,23 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-level similarity; edit distance catches near-identical
     prefixes). Bounded to the first 80 chars because Levenshtein is
     O(len^2) per pair: candidates only, prefixes only — never the
-    corpus cross product, never full documents."""
+    corpus cross product, never full documents.
+
+    Unit contract: the distance is measured in UTF-8 BYTES, not
+    codepoints — DuckDB's levenshtein is byte-based (lev('é','e')=2)
+    while Spark's is codepoint-based, a divergence the round-13
+    unicode vintage caught on accented prefixes. The Spark side
+    transposes each prefix's UTF-8 bytes into an ISO-8859-1 string
+    (chars == bytes) before scoring, so both engines count the same
+    edits; on ASCII text the two units coincide, so every prior
+    result is unchanged."""
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    byte_str = F.decode(
+        F.encode(F.substring("text", 1, EDIT_PREFIX_LEN), "UTF-8"),
+        "ISO-8859-1",
+    )
     docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.substring("text", 1, EDIT_PREFIX_LEN).alias("prefix")
+        "doc_id", byte_str.alias("prefix")
     )
     a = docs.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("_pa"))
     b = docs.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("_pb"))

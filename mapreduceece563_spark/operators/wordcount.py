@@ -77,6 +77,22 @@ WITH {words_cte_sql()}
 SELECT word, count(*) AS cnt FROM words_f GROUP BY word
 """
 
+# Oracle for the CHUNKED-TEXT-layout entries (wordcount_via_datasource
+# and friends): the chunk corpus is line-oriented — one doc per line,
+# the reference's generate_files.py contract — so the corpus writer
+# normalizes any embedded '\n' in a doc to a space at ingest (a doc
+# with interior newlines is otherwise unrepresentable in the layout).
+# This oracle applies the same normalization before tokenizing; on
+# newline-free text (every committed fixture) it is byte-identical to
+# WORDCOUNT_SQL. Found by the round-13 unicode vintage.
+WORDCOUNT_DS_SQL = f"""
+WITH ds_docs AS (
+  SELECT replace(text, chr(10), ' ') AS text FROM documents
+),
+{words_cte_sql(table="ds_docs").lstrip()}
+SELECT word, count(*) AS cnt FROM words_f GROUP BY word
+"""
+
 WORDCOUNT_BY_LANG_SQL = f"""
 WITH {words_cte_sql(extra_cols="lang")}
 SELECT lang, word, count(*) AS cnt FROM words_f GROUP BY lang, word

@@ -533,7 +533,7 @@ register(
 register(
     "wordcount_via_datasource_packed",
     ct.wordcount_via_datasource_packed,
-    wc.WORDCOUNT_SQL,
+    wc.WORDCOUNT_DS_SQL,
 )
 register(
     "dedup_cascade_accounting",
@@ -750,7 +750,7 @@ register(
     fmt.orc_roundtrip_stats,
     fmt.ORC_ROUNDTRIP_SQL,
 )
-register("wordcount_via_datasource", ct.wordcount_via_datasource, wc.WORDCOUNT_SQL)
+register("wordcount_via_datasource", ct.wordcount_via_datasource, wc.WORDCOUNT_DS_SQL)
 register(
     "chunktext_pruned_count",
     ct.chunktext_pruned_count,
@@ -759,12 +759,12 @@ register(
 register(
     "wordcount_sink_roundtrip",
     ct.wordcount_sink_roundtrip,
-    wc.WORDCOUNT_SQL,
+    wc.WORDCOUNT_DS_SQL,
 )
 register(
     "streaming_wordcount_via_datasource",
     ct.streaming_wordcount_via_datasource,
-    wc.WORDCOUNT_SQL,
+    wc.WORDCOUNT_DS_SQL,
 )
 
 # ======================================================================

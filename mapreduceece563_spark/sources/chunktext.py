@@ -71,7 +71,12 @@ def _read_chunk_batches(partition):
     import pyarrow as pa
 
     schema = _arrow_schema()
-    with open(partition.path, encoding="utf-8") as fh:
+    # newline="\n": lines terminate ONLY at '\n' (the reference's
+    # fgets contract and the writer's inverse). Python's default
+    # universal-newlines mode also splits at bare '\r' — the round-13
+    # unicode vintage caught it fabricating extra lines (and tearing
+    # "word cnt" sink lines apart) for text containing \r.
+    with open(partition.path, encoding="utf-8", newline="\n") as fh:
         base = 0
         while True:
             lines = list(itertools.islice(fh, ARROW_BATCH_LINES))
@@ -284,7 +289,14 @@ def chunked_corpus_dir(sf_dir: str) -> str:
                 batch.column("doc_id").to_pylist(),
                 batch.column("text").to_pylist(),
             ):
-                handles[doc_id % N_CHUNKS].write((text or "") + "\n")
+                # one doc = ONE line (the generate_files.py layout
+                # contract): embedded '\n' normalizes to a space at
+                # ingest — a doc with interior newlines is otherwise
+                # unrepresentable in a line-oriented corpus. The
+                # WORDCOUNT_DS_SQL oracle applies the same replace.
+                handles[doc_id % N_CHUNKS].write(
+                    (text or "").replace("\n", " ") + "\n"
+                )
     finally:
         for h in handles:
             h.close()
@@ -353,7 +365,9 @@ def chunktext_pruned_sql() -> str:
 
     return f"""
 WITH sel AS (
-  SELECT text FROM documents WHERE doc_id % {N_CHUNKS} = {PRUNED_CHUNK}
+  -- same embedded-newline normalization as the corpus writer
+  SELECT replace(text, chr(10), ' ') AS text
+  FROM documents WHERE doc_id % {N_CHUNKS} = {PRUNED_CHUNK}
 )
 SELECT CAST({PRUNED_CHUNK} AS BIGINT) AS chunk_id,
        count(*) AS n_lines,
@@ -454,15 +468,20 @@ def wordcount_sink_roundtrip(spark, sf_dir: str):
     word-count result is written as space-separated chunk files by
     ChunkTextWriter (task-temp + driver-commit protocol), read back
     through the chunktext reader, parsed, and re-aggregated — the
-    result must hash-equal the plain WORDCOUNT_SQL oracle, so a
+    result must hash-equal the WORDCOUNT_DS_SQL oracle, so a
     serialization or commit defect (lost partition, torn line,
-    double-committed attempt) breaks the value hash."""
+    double-committed attempt) breaks the value hash.
+
+    The counts come from the chunked-corpus READ path (not the
+    parquet wordcount): the "word cnt\\n" sink line format cannot
+    represent a token containing '\\n', and only the line-oriented
+    corpus guarantees no token ever does (its ingest normalizes
+    embedded newlines — see chunked_corpus_dir). The round-13
+    unicode vintage caught the parquet-sourced variant writing torn
+    lines for newline-bearing tokens."""
     import tempfile
 
     from pyspark.sql import functions as F
-
-    from ..functions.text import tokenize_lines  # noqa: F401 (parity import)
-    from ..operators.wordcount import wordcount
 
     register_chunktext(spark)
     out = os.path.join(
@@ -471,7 +490,7 @@ def wordcount_sink_roundtrip(spark, sf_dir: str):
         spark.sparkContext.applicationId,
         os.path.basename(sf_dir.rstrip("/")),
     )
-    counts = wordcount(spark, sf_dir)
+    counts = wordcount_via_datasource(spark, sf_dir)
     (
         counts.write.format("chunktext")
         .option("path", out)
@@ -602,9 +621,15 @@ class ChunkTextSimpleStreamReader(SimpleDataSourceStreamReader):
             path = os.path.join(
                 self.dir, f"{CHUNK_PREFIX}{cid}{CHUNK_SUFFIX}"
             )
-            with open(path, encoding="utf-8") as fh:
+            # newline="\n" + strip-one-terminator: the exact inverse
+            # of the writer's `text + "\n"` (see _read_chunk_batches)
+            with open(path, encoding="utf-8", newline="\n") as fh:
                 for line_no, line in enumerate(fh):
-                    out.append((cid, line_no, line.rstrip("\n")))
+                    out.append((
+                        cid,
+                        line_no,
+                        line[:-1] if line.endswith("\n") else line,
+                    ))
         return out
 
     def initialOffset(self) -> dict:

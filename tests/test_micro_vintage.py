@@ -246,3 +246,104 @@ def test_micro_skew_parity(name, spark, micro_skew):
     assert_frames_match(
         fn(spark, dst), con.execute(sql), ctx=f"micro_skew:{name}"
     )
+
+
+# --- micro UNICODE vintage (round 13) ----------------------------------------
+#
+# The commit-time subset of tools/fuzz_vintage_unicode.py, pinning the
+# round-13 unicode harvest: (1) the chunk-file reader splits lines
+# ONLY at '\n' (Python universal-newlines mode also split at bare \r,
+# fabricating lines and tearing sink records); (2) the corpus writer
+# normalizes embedded '\n' to a space (one doc = one line) with the
+# WORDCOUNT_DS_SQL oracle applying the same replace; (3) edit
+# distance counts UTF-8 BYTES on both engines (DuckDB levenshtein is
+# byte-based; Spark's codepoint counts diverged on accents).
+
+UNICODE_ENTRIES = [
+    "wordcount",
+    "wordcount_via_datasource",
+    "wordcount_via_datasource_packed",
+    "wordcount_sink_roundtrip",
+    "chunktext_pruned_count",
+    "dedup_edit_distance",
+]
+
+_UNI_SHAPES = [
+    "café naïve résumé",       # NFC accents
+    "café naïve",                      # NFD combining marks
+    "中文文本没有空格",  # CJK no spaces
+    "crlf\r\nline and\rlone cr",                   # \r\n, bare \r
+    "nbsp inside one thin token",        # non-ascii ws in tokens
+    "zero‌width‍joined words",           # ZWNJ/ZWJ
+    "mixed ascii café \U0001f600 end",        # astral emoji
+]
+
+
+@pytest.fixture(scope="module")
+def micro_unicode(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("micro_unicode")
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    texts = docs["text"].tolist()
+    for i in range(len(docs)):
+        if i % 3 == 0:
+            texts[i] = _UNI_SHAPES[i % len(_UNI_SHAPES)]
+        elif i % 3 == 1:
+            texts[i] = texts[i] + " " + _UNI_SHAPES[(i // 3) % len(_UNI_SHAPES)]
+    docs["text"] = texts
+    docs["n_chars"] = [len(t or "") for t in texts]
+    docs.to_parquet(dst / "documents.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        pq.write_table(
+            pq.read_table(f"{SF_DIR}/{t}.parquet"), dst / f"{t}.parquet"
+        )
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'"
+        )
+    yield str(dst), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", UNICODE_ENTRIES)
+def test_micro_unicode_parity(name, spark, micro_unicode):
+    dst, con = micro_unicode
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_frames_match(
+        fn(spark, dst), con.execute(sql), ctx=f"micro_unicode:{name}"
+    )
+
+
+def test_levenshtein_is_byte_based(spark):
+    """The unit contract both engines now share: edits counted in
+    UTF-8 bytes (e is 1 edit from nothing; é is 2; a CJK char
+    is 3)."""
+    import duckdb as _dd
+
+    from pyspark.sql import functions as F
+
+    con = _dd.connect()
+    for a, b, want in [("é", "e", 2), ("café", "cafe", 2),
+                       ("中", "x", 3)]:
+        duck = con.execute(
+            "SELECT levenshtein(?, ?)", [a, b]
+        ).fetchone()[0]
+        spark_d = (
+            spark.range(1)
+            .select(
+                F.levenshtein(
+                    F.decode(F.encode(F.lit(a), "UTF-8"), "ISO-8859-1"),
+                    F.decode(F.encode(F.lit(b), "UTF-8"), "ISO-8859-1"),
+                ).alias("d")
+            )
+            .collect()[0]["d"]
+        )
+        assert duck == spark_d == want, (a, b, duck, spark_d)
