@@ -578,10 +578,18 @@ def events_value_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pandas as pd
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.hour("ts").cast("long").alias("h"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.hour("ts").cast("long").alias("h"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("vc"),
+        )
+        # a regression observation needs BOTH coordinates: NULL-value
+        # rows are not observations (NULL-vintage policy — without
+        # the filter a NULL becomes NaN in the grouped map and the
+        # oracle's count(*)/sum() split asymmetrically)
+        .filter(F.col("vc").isNotNull())
     )
 
     def _ols(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -620,6 +628,7 @@ WITH per AS (
          CAST(extract(hour FROM ts) AS BIGINT) AS h,
          CAST(round(value * 100, 0) AS BIGINT) AS vc
   FROM events
+  WHERE value IS NOT NULL
 ),
 sums AS (
   SELECT event_type, count(*) AS n,
@@ -900,6 +909,11 @@ def ks_drift_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         (F.col("ts") >= mid).cast("long").alias("is_b"),
     )
+    # NULL value is not a measurement (NULL-vintage policy): without
+    # the filter the NULL-cents histogram row rides the cumulative
+    # window, whose NULL ordering differs across engines (Spark
+    # NULLS FIRST, DuckDB NULLS LAST)
+    ev = ev.filter(F.col("cents").isNotNull())
     per_val = ev.groupBy("event_type", "cents").agg(
         F.sum(1 - F.col("is_b")).alias("da"),
         F.sum("is_b").alias("db"),
@@ -952,6 +966,7 @@ WITH ev AS (
          CAST(round(value * 100, 0) AS BIGINT) AS cents,
          CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_b
   FROM events
+  WHERE value IS NOT NULL
 ),
 per_val AS (
   SELECT event_type, cents,
@@ -1026,11 +1041,16 @@ def roc_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_score(spark, sf_dir).select(
         "doc_id",
         F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
-    )
+    ).filter(F.col("_qp").isNotNull())
     meta = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_pos"),
+    ).filter(
+        # scorer-audit membership needs lang AND source defined, and
+        # the Spark isin(NULL) -> NULL vs SQL CASE-ELSE-0 asymmetry
+        # never fires (NULL-vintage policy)
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
     )
     per_val = (
         q.join(meta, "doc_id")
@@ -1083,6 +1103,8 @@ qm AS (
          CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
          CASE WHEN d.source IN ({curated}) THEN 1 ELSE 0 END AS _pos
   FROM q JOIN documents d ON q.doc_id = d.doc_id
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+    AND q.quality IS NOT NULL
 ),
 per_val AS (
   SELECT lang, _qp, sum(_pos) AS _p, sum(1 - _pos) AS _n
@@ -1494,6 +1516,11 @@ def _mwu_rolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
         (F.col("ts") >= mid).cast("long").alias("is_b"),
     )
+    # NULL value is not a measurement (NULL-vintage policy): without
+    # the filter the NULL-cents histogram row rides the cumulative
+    # window, whose NULL ordering differs across engines (Spark
+    # NULLS FIRST, DuckDB NULLS LAST)
+    ev = ev.filter(F.col("cents").isNotNull())
     per_val = ev.groupBy("event_type", "cents").agg(
         F.sum(1 - F.col("is_b")).alias("da"),
         F.sum("is_b").alias("db"),
@@ -1585,6 +1612,7 @@ WITH ev AS (
          CAST(round(value * 100, 0) AS BIGINT) AS cents,
          CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_b
   FROM events
+  WHERE value IS NOT NULL
 ),
 per_val AS (
   SELECT event_type, cents,
@@ -2265,6 +2293,8 @@ def conformal_event_value_interval(
             f" % {HASH_MOD}) % 4"
         ).alias("_h"),
     )
+    # NULL value is not a measurement (NULL-vintage policy)
+    ev = ev.filter(F.col("_c").isNotNull())
     fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
         F.expr("sum(_c) div count(1)").alias("_pred"),
         F.count(F.lit(1)).alias("n_fit"),
@@ -2341,6 +2371,7 @@ WITH ev AS (
          CAST(round(value * 100, 0) AS BIGINT) AS _c,
          (({CONF_A} * (user_id % {MOD}) + {CONF_B}) % {MOD}) % 4 AS _h
   FROM events
+  WHERE value IS NOT NULL
 ),
 fit AS (
   SELECT event_type, sum(_c) // count(*) AS _pred,
@@ -2432,6 +2463,8 @@ def aa_test_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" % {HASH_MOD}) % 2"
         ).alias("is_b"),
     )
+    # NULL value is not a measurement (NULL-vintage policy)
+    ev = ev.filter(F.col("cents").isNotNull())
     per_val = ev.groupBy("event_type", "cents").agg(
         F.sum(1 - F.col("is_b")).alias("da"),
         F.sum("is_b").alias("db"),
@@ -2503,6 +2536,7 @@ WITH ev AS (
          CAST(round(value * 100, 0) AS BIGINT) AS cents,
          (({AA_A} * (event_id % {MOD}) + {AA_B}) % {MOD}) % 2 AS is_b
   FROM events
+  WHERE value IS NOT NULL
 ),
 per_val AS (
   SELECT event_type, cents,
@@ -3196,6 +3230,8 @@ def conformal_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" % {HASH_MOD}) % 4"
         ).alias("_h"),
     )
+    # NULL value is not a measurement (NULL-vintage policy)
+    ev = ev.filter(F.col("_c").isNotNull())
     fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
         F.expr("sum(_c) div count(1)").alias("_pred"),
         F.count(F.lit(1)).alias("n_fit"),
@@ -3277,6 +3313,7 @@ WITH ev AS (
          CAST(round(value * 100, 0) AS BIGINT) AS _c,
          (({CONF_A} * (user_id % {MOD}) + {CONF_B}) % {MOD}) % 4 AS _h
   FROM events
+  WHERE value IS NOT NULL
 ),
 fit AS (
   SELECT event_type, CAST(sum(_c) // count(*) AS BIGINT) AS _pred,
@@ -3478,6 +3515,7 @@ WITH ev AS (
          CAST(round(value * 100, 0) AS BIGINT) AS cents,
          CASE WHEN ts >= TIMESTAMP '{KS_SPLIT}' THEN 1 ELSE 0 END AS is_b
   FROM events
+  WHERE value IS NOT NULL
 ),
 per_val AS (
   SELECT event_type, cents,
@@ -3874,11 +3912,16 @@ def pr_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_score(spark, sf_dir).select(
         "doc_id",
         F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
-    )
+    ).filter(F.col("_qp").isNotNull())
     meta = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_pos"),
+    ).filter(
+        # scorer-audit membership needs lang AND source defined, and
+        # the Spark isin(NULL) -> NULL vs SQL CASE-ELSE-0 asymmetry
+        # never fires (NULL-vintage policy)
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
     )
     per_val = (
         q.join(meta, "doc_id")
@@ -3930,6 +3973,8 @@ base AS (
          CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
          CASE WHEN d.source IN ({sources}) THEN 1 ELSE 0 END AS _pos
   FROM q JOIN documents d ON q.doc_id = d.doc_id
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+    AND q.quality IS NOT NULL
 ),
 per_val AS (
   SELECT lang, _qp,
@@ -4010,11 +4055,16 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = quality_score(spark, sf_dir).select(
         "doc_id",
         F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
-    )
+    ).filter(F.col("_qp").isNotNull())
     meta = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "lang",
         F.col("source").isin(*AUC_CURATED_SOURCES).cast("long").alias("_pos"),
+    ).filter(
+        # scorer-audit membership needs lang AND source defined, and
+        # the Spark isin(NULL) -> NULL vs SQL CASE-ELSE-0 asymmetry
+        # never fires (NULL-vintage policy)
+        F.col("lang").isNotNull() & F.col("source").isNotNull()
     )
     j = q.join(meta, "doc_id")
     cells = j.groupBy("lang", "_qp", "_pos").agg(
@@ -4092,6 +4142,8 @@ base AS (
          CAST(round(q.quality * 1000000, 0) AS BIGINT) AS _qp,
          CASE WHEN d.source IN ({sources}) THEN 1 ELSE 0 END AS _pos
   FROM q JOIN documents d ON q.doc_id = d.doc_id
+  WHERE d.lang IS NOT NULL AND d.source IS NOT NULL
+    AND q.quality IS NOT NULL
 ),
 cells AS (
   SELECT lang, _qp, _pos, CAST(count(*) AS BIGINT) AS _c

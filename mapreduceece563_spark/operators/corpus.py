@@ -179,11 +179,16 @@ def source_blocklist_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BLK_IN = ", ".join(f"'{s}'" for s in BLOCKLIST)
+# "source IS NULL OR" pins the LEFT ANTI semantics the Spark side
+# has: a NULL source matches no blocklist entry and SURVIVES. Bare
+# NOT IN would return NULL for a NULL source and silently drop the
+# row — the NOT-IN-vs-anti-join NULL divergence the round-13 NULL
+# vintage caught.
 SOURCE_BLOCKLIST_SQL = f"""
 SELECT source, count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
-WHERE source NOT IN ({_BLK_IN})
+WHERE source IS NULL OR source NOT IN ({_BLK_IN})
 GROUP BY source
 """
 
@@ -531,8 +536,14 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     form from the generating columns. Map-only until a single
     domain-keyed exchange; the distinct count shuffles (domain,
     canonical-hash), never the document payload."""
-    docs = load_table(spark, sf_dir, "documents", spread=True).select(
-        "doc_id", "source", "lang"
+    # a URL exists only when every generating part does: with a NULL
+    # lang, Spark's concat NULLs the whole URL (NULL domain group)
+    # while the oracle's domain-from-source stays non-null — the
+    # asymmetric-construction divergence the NULL vintage caught
+    docs = (
+        load_table(spark, sf_dir, "documents", spread=True)
+        .select("doc_id", "source", "lang")
+        .filter(F.col("source").isNotNull() & F.col("lang").isNotNull())
     )
     url = _doc_url()
     host = F.parse_url(url, F.lit("HOST"))
@@ -560,6 +571,7 @@ WITH per AS (
          'https://' || source || '.example.com/' || lang || '/p'
            || CAST(doc_id % {URL_PATH_BUCKETS} AS VARCHAR) AS canonical
   FROM documents
+  WHERE source IS NOT NULL AND lang IS NOT NULL
 )
 SELECT domain,
        count(*) AS n_urls,
@@ -1035,9 +1047,15 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window
 
+    # NULL text carries zero token mass, exactly like an empty doc
+    # (NULL-vintage policy: a NULL _tok histogram row would otherwise
+    # ride the cumulative window, whose NULL ordering differs across
+    # engines)
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "source",
-        F.size(words_array(F.col("text"))).cast("long").alias("_tok"),
+        F.size(words_array(F.coalesce(F.col("text"), F.lit(""))))
+        .cast("long")
+        .alias("_tok"),
     )
     per_val = docs.groupBy("source", "_tok").agg(
         F.count(F.lit(1)).alias("_c")
@@ -1080,7 +1098,11 @@ def token_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TOKEN_GINI_SQL = f"""
-WITH w AS (SELECT source, {_words_sql()} AS words FROM documents),
+WITH docs0 AS (
+  -- NULL text = zero token mass (matches the Spark coalesce)
+  SELECT source, coalesce(text, '') AS text FROM documents
+),
+w AS (SELECT source, {_words_sql()} AS words FROM docs0),
 toks AS (SELECT source, CAST(len(words) AS BIGINT) AS _tok FROM w),
 per_val AS (
   SELECT source, _tok, CAST(count(*) AS BIGINT) AS _c

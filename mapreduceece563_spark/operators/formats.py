@@ -332,7 +332,14 @@ def _binary_dir(spark: SparkSession, sf_dir: str) -> str:
     path = _scratch(spark, sf_dir, "binfiles")
     (
         load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < BINARYFILE_MAX_DOC)
+        # a NULL-text doc has no payload, hence no landing-zone
+        # object (the documents_as_images media policy); the text
+        # writer would otherwise emit a bare-newline file the oracle
+        # can't derive from NULL
+        .filter(
+            (F.col("doc_id") < BINARYFILE_MAX_DOC)
+            & F.col("text").isNotNull()
+        )
         .select("doc_id", "text")
         .repartition("doc_id")
         .write.mode("overwrite")
@@ -385,7 +392,8 @@ def _binaryfile_sql() -> str:
 SELECT doc_id,
        CAST(octet_length(encode(text)) + 1 AS BIGINT) AS n_bytes,
        {poly_hash_sql("(text || chr(10))")} AS digest
-FROM documents WHERE doc_id < {BINARYFILE_MAX_DOC}
+FROM documents
+WHERE doc_id < {BINARYFILE_MAX_DOC} AND text IS NOT NULL
 """
 
 

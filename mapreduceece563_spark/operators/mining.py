@@ -1397,6 +1397,8 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hour("ts").alias("hour_of_day"),
         F.round(F.col("value"), 0).cast("long").alias("units"),
     )
+    # NULL value is not a measurement (NULL-vintage policy)
+    ev = ev.filter(F.col("units").isNotNull())
     cls_cells = ev.groupBy("event_type", "hour_of_day", "units").agg(
         F.count(F.lit(1)).alias("n_v")
     )
@@ -1473,6 +1475,7 @@ WITH ev AS (
   SELECT event_type, hour(ts) AS hour_of_day,
          CAST(round(value, 0) AS BIGINT) AS units
   FROM events
+  WHERE value IS NOT NULL
 ),
 cls_cells AS (
   SELECT event_type, hour_of_day, units,

@@ -236,10 +236,12 @@ def resize_media(media: DataFrame) -> DataFrame:
 
 def documents_as_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake image table: deterministic dimensions derived from doc
-    length so the resize math is oracle-checkable."""
+    length so the resize math is oracle-checkable. A NULL-text doc
+    has no payload to decode and is excluded (NULL-vintage policy:
+    no media row, not a NULL payload into the resize UDF)."""
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text", "n_chars"
-    )
+    ).filter(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("image/fake").alias("media_type"),
@@ -266,6 +268,7 @@ WITH img AS (
          64 + n_chars % 512 AS w,
          64 + (n_chars * 7) % 512 AS h
   FROM documents
+  WHERE text IS NOT NULL
 ),
 sized AS (
   SELECT doc_id, text, w, h,
@@ -504,10 +507,11 @@ def sample_frames(media: DataFrame) -> DataFrame:
 
 def documents_as_clips(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fake clip table: duration derived from doc length (bounded so
-    frame counts stay sane)."""
+    frame counts stay sane). NULL-text docs carry no payload and are
+    excluded (same policy as documents_as_images)."""
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text", "n_chars"
-    )
+    ).filter(F.col("text").isNotNull())
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video/fake").alias("media_type"),
@@ -529,7 +533,8 @@ def frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FRAME_SAMPLE_SQL = f"""
 WITH clips AS (
-  SELECT doc_id, text, 500 + n_chars % 1500 AS duration_ms FROM documents
+  SELECT doc_id, text, 500 + n_chars % 1500 AS duration_ms
+  FROM documents WHERE text IS NOT NULL
 )
 SELECT doc_id, CAST(t.t_ms AS BIGINT) AS t_ms,
        md5(text || '@' || CAST(t.t_ms AS VARCHAR)) AS frame_md5

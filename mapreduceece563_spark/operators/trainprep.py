@@ -286,7 +286,12 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle of corpus shingles. Counts are distinct-aggregated
     1-row output."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    is_eval = F.col("source").isin(*EVAL_SOURCES)
+    # coalesce: a NULL source is NOT a benchmark doc — it counts as
+    # training data (conservative for decontamination; mirrors the
+    # oracle's coalesce(..., FALSE))
+    is_eval = F.coalesce(
+        F.col("source").isin(*EVAL_SOURCES), F.lit(False)
+    )
     marks = docs.select("doc_id", is_eval.alias("_eval"))
     sh = doc_shingle_hashes(spark, sf_dir).join(marks, "doc_id")
     eval_sh = (
@@ -329,7 +334,11 @@ _EVAL_IN = ", ".join(f"'{s}'" for s in EVAL_SOURCES)
 CONTAMINATION_SQL = f"""
 WITH {shingle_hashes_cte_sql().lstrip()},
 marks AS (
-  SELECT doc_id, source IN ({_EVAL_IN}) AS _eval FROM documents
+  -- coalesce pins "not known-eval => training data": a NULL source
+  -- lands on the TRAIN side (matching the Spark coalesce), instead
+  -- of vanishing from both sides via NOT NULL = NULL
+  SELECT doc_id, coalesce(source IN ({_EVAL_IN}), FALSE) AS _eval
+  FROM documents
 ),
 msh AS (SELECT s.doc_id, h0, _eval FROM sh s JOIN marks USING (doc_id)),
 eval_sh AS (SELECT DISTINCT h0 FROM msh WHERE _eval),
@@ -1030,7 +1039,10 @@ def contamination_overlap_fraction(
         "doc_id", "source"
     )
     marks = docs.select(
-        "doc_id", F.col("source").isin(*EVAL_SOURCES).alias("_eval")
+        "doc_id",
+        F.coalesce(
+            F.col("source").isin(*EVAL_SOURCES), F.lit(False)
+        ).alias("_eval"),
     )
     sh = doc_shingle_hashes(spark, sf_dir).join(marks, "doc_id")
     eval_sh = sh.filter(F.col("_eval")).select("h0").distinct()
@@ -1068,7 +1080,11 @@ def _overlap_sql() -> str:
     return f"""
 WITH {shingle_hashes_cte_sql().lstrip()},
 marks AS (
-  SELECT doc_id, source IN ({_EVAL_IN}) AS _eval FROM documents
+  -- coalesce pins "not known-eval => training data": a NULL source
+  -- lands on the TRAIN side (matching the Spark coalesce), instead
+  -- of vanishing from both sides via NOT NULL = NULL
+  SELECT doc_id, coalesce(source IN ({_EVAL_IN}), FALSE) AS _eval
+  FROM documents
 ),
 msh AS (SELECT s.doc_id, h0, _eval FROM sh s JOIN marks USING (doc_id)),
 eval_sh AS (SELECT DISTINCT h0 FROM msh WHERE _eval),

@@ -30,7 +30,10 @@ OUTPUT_SCHEMA = T.StructType(
     [
         T.StructField("user_id", T.LongType(), False),
         T.StructField("n_events", T.LongType(), False),
-        T.StructField("value_sum", T.DoubleType(), False),
+        # nullable: a user whose every event has a NULL value has no
+        # value_sum, exactly like the oracle's sum() over no non-null
+        # rows (NULL-vintage policy)
+        T.StructField("value_sum", T.DoubleType(), True),
     ]
 )
 
@@ -38,6 +41,9 @@ STATE_SCHEMA = T.StructType(
     [
         T.StructField("n", T.LongType(), False),
         T.StructField("vc", T.LongType(), False),
+        # 1 once any non-null value was seen — distinguishes an exact
+        # zero sum from "no measurements yet" (SQL sum semantics)
+        T.StructField("has", T.LongType(), False),
     ]
 )
 
@@ -47,14 +53,23 @@ def _update_user_profile(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    n, vc = state.get if state.exists else (0, 0)
+    n, vc, has = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
+        # n counts EVENTS (count(*)); the cent sum skips NULL values
+        # (SQL sum semantics — and a NaN would crash the int64 cast)
         n += len(pdf)
-        # exact cents: round each double once, sum as int64
-        vc += int(pdf["value"].mul(100).round(0).astype("int64").sum())
-    state.update((n, vc))
+        vals = pdf["value"].dropna()
+        if len(vals):
+            has = 1
+            # exact cents: round each double once, sum as int64
+            vc += int(vals.mul(100).round(0).astype("int64").sum())
+    state.update((n, vc, has))
     yield pd.DataFrame(
-        {"user_id": [key[0]], "n_events": [n], "value_sum": [vc / 100.0]}
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "value_sum": [vc / 100.0 if has else None],
+        }
     )
 
 

@@ -38,15 +38,26 @@ class TwsUserProfile(StatefulProcessor):
     store; value math stays in int64 cents until the final emit."""
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._agg = handle.getValueState("agg", "n BIGINT, vc BIGINT")
+        self._agg = handle.getValueState(
+            "agg", "n BIGINT, vc BIGINT, has BIGINT"
+        )
         self._types = handle.getMapState("types", "t STRING", "c BIGINT")
 
     def handleInputRows(self, key, rows, timerValues):
-        n, vc = self._agg.get() if self._agg.exists() else (0, 0)
+        n, vc, has = (
+            self._agg.get() if self._agg.exists() else (0, 0, 0)
+        )
         fresh: dict = {}
         for pdf in rows:
+            # count(*) semantics for n; the cent sum skips NULL
+            # values like SQL sum (a NaN would crash the int64 cast);
+            # `has` marks whether any measurement was ever seen so
+            # the emit can report NULL instead of a fake 0.0
             n += len(pdf)
-            vc += int(pdf["value"].mul(100).round(0).astype("int64").sum())
+            vals = pdf["value"].dropna()
+            if len(vals):
+                has = 1
+                vc += int(vals.mul(100).round(0).astype("int64").sum())
             for t, c in pdf["event_type"].value_counts().items():
                 fresh[t] = fresh.get(t, 0) + int(c)
         # State-server chattiness, not row volume, dominates this
@@ -57,13 +68,13 @@ class TwsUserProfile(StatefulProcessor):
         existing = {t: c for (t,), (c,) in self._types.iterator()}
         for t, c in fresh.items():
             self._types.updateValue((t,), (existing.get(t, 0) + c,))
-        self._agg.update((n, vc))
+        self._agg.update((n, vc, has))
         n_types = len(existing.keys() | fresh.keys())
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "value_sum": [vc / 100.0],
+                "value_sum": [vc / 100.0 if has else None],
                 "n_types": [n_types],
             }
         )

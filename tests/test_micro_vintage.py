@@ -347,3 +347,87 @@ def test_levenshtein_is_byte_based(spark):
             .collect()[0]["d"]
         )
         assert duck == spark_d == want, (a, b, duck, spark_d)
+
+
+# --- micro NULL vintage (round 13) -------------------------------------------
+#
+# The commit-time subset of tools/fuzz_vintage_null.py, pinning the
+# round-13 NULL-policy harvest: NULL value is not a measurement
+# (drift/regression families), NULL-text docs carry no media payload
+# or landing-zone object, scorer audits need lang+source+quality
+# defined, a NULL source survives a blocklist (anti-join semantics,
+# not NOT-IN's NULL swallow), "not known-eval => train", and NULL
+# text = zero token mass.
+
+NULL_ENTRIES = [
+    # NULL-value measurement policy + the engine NULL-ordering hazard
+    "ks_drift_by_event_type",
+    "mann_whitney_drift",
+    "conformal_alpha_sweep",
+    # the NaN-into-pandas crash class
+    "events_value_regression",
+    # NULL-text media policy (payload crash class)
+    "image_resize_plan",
+    "binaryfile_manifest",
+    # scorer-audit membership policy
+    "roc_auc_by_lang",
+    # NOT IN vs anti-join and eval-membership three-valued logic
+    "source_blocklist_survivors",
+    "contamination_check",
+    # NULL text = zero token mass
+    "token_gini_by_source",
+]
+
+
+@pytest.fixture(scope="module")
+def micro_null(tmp_path_factory):
+    dst = tmp_path_factory.mktemp("micro_null")
+    rng = np.random.RandomState(33)
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").to_pandas()
+    n = len(docs)
+    for col, frac in (("text", 0.05), ("lang", 0.10), ("source", 0.05)):
+        vals = docs[col].to_numpy(dtype=object)
+        vals[rng.choice(n, int(n * frac), replace=False)] = None
+        docs[col] = vals
+    docs["n_chars"] = [
+        len(t) if isinstance(t, str) else 0 for t in docs["text"]
+    ]
+    docs.to_parquet(dst / "documents.parquet")
+
+    ev = pq.read_table(f"{SF_DIR}/events.parquet").to_pandas()
+    m = len(ev)
+    vals = ev["value"].to_numpy(dtype=object)
+    vals[rng.choice(m, m // 10, replace=False)] = None
+    ev["value"] = pd.array(
+        [float(v) if v is not None else None for v in vals],
+        dtype="float64",
+    )
+    ev.to_parquet(dst / "events.parquet")
+
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "embeddings"):
+        pq.write_table(
+            pq.read_table(f"{SF_DIR}/{t}.parquet"), dst / f"{t}.parquet"
+        )
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{dst}/{t}.parquet'"
+        )
+    yield str(dst), con
+    con.close()
+
+
+@pytest.mark.parametrize("name", NULL_ENTRIES)
+def test_micro_null_parity(name, spark, micro_null):
+    dst, con = micro_null
+    fn = registry.queries()[name]
+    sql = registry.oracle_sql()[name]
+    assert_frames_match(
+        fn(spark, dst), con.execute(sql), ctx=f"micro_null:{name}"
+    )
