@@ -1499,12 +1499,17 @@ def surprisal_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-keyed shuffle; the curve adds a value-histogram
     groupBy, a distinct-value window, and a 9-row spine join.
     """
+    # eagerly materialized once (r13): the per-doc score frame feeds
+    # the value histogram AND the totals aggregate; uncached, the
+    # whole doc_lm_surprisal scoring pipeline (tokenize + bigram LM +
+    # score-back joins) re-ran twice (6 parquet scans in the
+    # before-plan). One row per doc, two ints.
     s = doc_lm_surprisal(spark, sf_dir).select(
         F.round(F.col("avg_surprisal") * 1_000_000, 0)
         .cast("long")
         .alias("v"),
         "n_bigrams",
-    )
+    ).localCheckpoint(eager=True)
     hist = s.groupBy("v").agg(
         F.count(F.lit(1)).alias("_d"), F.sum("n_bigrams").alias("_m")
     )

@@ -488,6 +488,106 @@ COV_SCALE = 1000000  # fixed-point quantization per coordinate
 EMB_DIM = 64
 
 
+# --- shared masked-numpy gram pass (r13 optimization) -----------------
+#
+# The covariance / power-iteration gram used to run as a d^2 struct
+# explode per row (2,145 structs each) through a hash aggregate —
+# ~4.3M generated rows at sf0.1 for 2,000 vectors, pure map-side CPU.
+# Guide §4.2: hand whole Arrow batches to numpy instead. Each task
+# emits ONE d(d+1)/2 + d + 1 partial-sum batch (gram upper triangle,
+# per-dim sums as j = -1 marker cells, row count as the (-1, -1)
+# cell), so the shuffle is O(batches * d^2) — identical to the
+# explode plan's partial-aggregate shuffle — and the per-row work is
+# a BLAS int64 matmul. NULL semantics replicate the explode exactly:
+# NULL elements are masked to 0 and a cell whose (i, j) pair had no
+# non-NULL contribution in the batch emits a NULL partial, so
+# Spark's NULL-skipping sum yields NULL iff the explode's sum did;
+# the count cell counts every row including NULL/empty arrays
+# (matching rows.agg(count(*))); ragged arrays contribute exactly
+# the cells their length covers. Integer sums are order-free, so
+# results are bit-identical to the explode plan and the oracle.
+
+_GRAM_SCHEMA = "i long, j long, p long"
+
+
+def _gram_partial_batches(it):
+    import numpy as np
+    import pyarrow as pa
+
+    for batch in it:
+        col = batch.column(0)
+        n = len(col)
+        if n == 0:
+            continue
+        valid = col.is_valid().to_numpy(zero_copy_only=False)
+        offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = (offs[1:] - offs[:-1]) * valid
+        d = int(lens.max()) if n else 0
+        flat = col.flatten()
+        if (
+            d > 0
+            and bool(valid.all())
+            and bool((lens == d).all())
+            and flat.null_count == 0
+            and len(flat) == n * d
+        ):
+            X0 = (
+                flat.to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+                .reshape(n, d)
+            )
+            M = np.ones((n, d), np.int64)
+        else:
+            rows_py = col.to_pylist()
+            d = max(
+                (len(r) for r in rows_py if r is not None), default=0
+            )
+            X0 = np.zeros((n, d), np.int64)
+            M = np.zeros((n, d), np.int64)
+            for r, lst in enumerate(rows_py):
+                if lst is None:
+                    continue
+                for c_, v in enumerate(lst):
+                    if v is not None:
+                        X0[r, c_] = v
+                        M[r, c_] = 1
+        if d > 0:
+            G = X0.T @ X0
+            C = M.T @ M
+            S = X0.sum(axis=0)
+            SC = M.sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            i_out = np.concatenate([iu, np.arange(d), [-1]]).astype(np.int64)
+            j_out = np.concatenate(
+                [ju, np.full(d, -1), [-1]]
+            ).astype(np.int64)
+            p_out = np.concatenate([G[iu, ju], S, [n]]).astype(np.int64)
+            nulls = ~np.concatenate(
+                [C[iu, ju] > 0, SC > 0, [True]]
+            )
+        else:
+            i_out = np.array([-1], np.int64)
+            j_out = np.array([-1], np.int64)
+            p_out = np.array([n], np.int64)
+            nulls = np.array([False])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(i_out, pa.int64()),
+                pa.array(j_out, pa.int64()),
+                pa.array(p_out, pa.int64(), mask=nulls),
+            ],
+            names=["i", "j", "p"],
+        )
+
+
+def gram_marker_sums(rows: DataFrame) -> DataFrame:
+    """Totals over the marker partials of ``rows`` (one ``q``
+    array<long> column): gram cells (i <= j), per-dim sums (j = -1),
+    and the row count ((-1, -1))."""
+    part = rows.select("q").mapInArrow(_gram_partial_batches, _GRAM_SCHEMA)
+    return part.groupBy("i", "j").agg(F.sum("p").alias("s_ij"))
+
+
 def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upper-triangle empirical covariance matrix of the embedding
     coordinates — the gram-matrix pass under PCA/whitening.
@@ -501,41 +601,22 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(tasks · d²), independent of row count. At much larger d, swap
     the explode for a per-partition numpy gram in mapInPandas; the
     partial-sum-then-merge shape is unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
-        "embedding"
-    )
+    # spread=False (r13): the heavy per-row work now happens in the
+    # numpy gram pass, so the pre-repartition bought nothing and cost
+    # a keyless shuffle (guide §2.4); at scale the scan has natural
+    # parallelism.
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     quant = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * COV_SCALE, 0).cast("long"),
     )
     rows = emb.select(quant.alias("q"))
-    cells = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("q"),
-                lambda qi, i: F.transform(
-                    F.col("q"),
-                    lambda qj, j: F.struct(
-                        i.cast("long").alias("i"),
-                        j.cast("long").alias("j"),
-                        (qi * qj).alias("p"),
-                    ),
-                ),
-            )
-        ),
-        lambda c: c["i"] <= c["j"],
+    g = gram_marker_sums(rows)
+    s_ij = g.filter(F.col("j") >= 0)
+    means = g.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        "i", F.col("s_ij").alias("s")
     )
-    s_ij = (
-        rows.select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("s_ij"))
-    )
-    means = (
-        rows.select(F.posexplode("q").alias("i", "qi"))
-        .groupBy(F.col("i").cast("long").alias("i"))
-        .agg(F.sum("qi").alias("s"))
-    )
-    nn = rows.agg(F.count("*").alias("n"))
+    nn = g.filter(F.col("i") == -1).select(F.col("s_ij").alias("n"))
     a = means.select("i", F.col("s").alias("s_i"))
     b = means.select(F.col("i").alias("j"), F.col("s").alias("s_j"))
     scale2 = float(COV_SCALE) * float(COV_SCALE)
@@ -627,46 +708,37 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     and both matrix-vector products are a broadcast join on the tiny
     vector side + groupBy(i). No collect, no float until nothing is
     left to diverge (there is none: outputs are int64 milli-units)."""
-    emb = load_table(spark, sf_dir, "embeddings", spread=True).select(
-        "embedding"
-    )
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding")
     quant = F.transform(
         F.col("embedding"),
         lambda x: F.round(x.cast("double") * PCA_SCALE, 0).cast("long"),
     )
     rows = emb.select(quant.alias("q"))
-    cells = F.filter(
-        F.flatten(
-            F.transform(
-                F.col("q"),
-                lambda qi, i: F.transform(
-                    F.col("q"),
-                    lambda qj, j: F.struct(
-                        i.cast("long").alias("i"),
-                        j.cast("long").alias("j"),
-                        (qi * qj).alias("p"),
-                    ),
-                ),
-            )
-        ),
-        lambda c: c["i"] <= c["j"],
-    )
-    tri = (
-        rows.select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.i").alias("i"), F.col("c.j").alias("j"))
-        .agg(F.sum("c.p").alias("s_ij"))
-    )
+    # ONE masked-numpy Arrow gram pass (gram_marker_sums above)
+    # produces the gram triangle, the per-dim sums AND the row count
+    # in a single scan: the r13 before-plan re-ran the d^2 struct
+    # explode once per downstream reference (80 parquet scans), and
+    # because filters on the grouping keys pushed below the
+    # aggregate, the branch subtrees canonicalized differently and
+    # AQE could not reuse one exchange for them. The opaque Python
+    # node blocks that pushdown, so all marker branches reuse the
+    # same exchange (guide §2.4, §4.2).
+    # localCheckpoint: the d^2+d+1-row marker frame feeds SIX
+    # downstream references (two tri mirrors, means, count, and the
+    # whole m_ij subtree twice — once per mat-vec round); eagerly
+    # materializing it once turns those into block-manager reads of
+    # ~4K rows (the kcore_decomposition contract, guide §5).
+    g = gram_marker_sums(rows).localCheckpoint(eager=True)
+    tri = g.filter(F.col("j") >= 0)
     full = tri.unionByName(
         tri.filter(F.col("i") < F.col("j")).select(
             F.col("j").alias("i"), F.col("i").alias("j"), "s_ij"
         )
     )
-    means = (
-        rows.select(F.posexplode("q").alias("i", "qi"))
-        .groupBy(F.col("i").cast("long").alias("i"))
-        .agg(F.sum("qi").alias("s"))
+    means = g.filter((F.col("j") == -1) & (F.col("i") >= 0)).select(
+        "i", F.col("s_ij").alias("s")
     )
-    nn = rows.agg(F.count("*").alias("n"))
+    nn = g.filter(F.col("i") == -1).select(F.col("s_ij").alias("n"))
     m_ij = (
         full.join(
             F.broadcast(means.select("i", F.col("s").alias("s_i"))), "i"
@@ -682,10 +754,15 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "i", "j", (F.col("n") * F.col("s_ij") - F.col("s_i") * F.col("s_j")).alias("m")
         )
     )
+    # The +/-1000 normalizations run as unpartitioned window maxima
+    # over the d-row vectors instead of agg + crossJoin(broadcast):
+    # each broadcast was its own job (~0.1 s of fixed latency apiece
+    # at any scale); a single-partition window over 64 rows is one
+    # exchange of 64 rows (r13, guide §2.4).
+    wall = Window.partitionBy()
     u = m_ij.groupBy("i").agg(F.sum("m").alias("u"))
-    m1 = u.agg(F.max(F.abs(F.col("u"))).alias("m1"))
     w = (
-        u.crossJoin(F.broadcast(m1))
+        u.withColumn("m1", F.max(F.abs(F.col("u"))).over(wall))
         .select("i", F.expr(_ratio_milli("u", "m1", "div")).alias("w"))
     )
     v2 = (
@@ -695,10 +772,9 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.col("m") * F.col("w")).alias("v2"))
     )
-    m2 = v2.agg(F.max(F.abs(F.col("v2"))).alias("m2"))
     out = (
         w.join(v2, "i")
-        .crossJoin(F.broadcast(m2))
+        .withColumn("m2", F.max(F.abs(F.col("v2"))).over(wall))
         .select(
             "i",
             F.col("w").cast("long").alias("dir1"),
@@ -2399,36 +2475,45 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale posture (100 TB): map-only normalize + quantize, one
     posexplode into a d-row aggregate (map-side partials carry 64
     cells per task), a 1-row finish. No joins, no windows.
+
+    Plan notes (r13 optimization, guide §1.2/§2.3): the norm is
+    staged behind an explode-of-one-struct Generate barrier —
+    without it, CollapseProject + filter pushdown inline the
+    64-element dot-product fold into the quantize lambda AND the
+    filter, evaluating it ~66x per row instead of once (measured
+    2.3 s -> ~0.4 s at sf0.1). n_vectors rides the same per-dim
+    aggregate as a count (c is the number of vectors with >= d+1
+    components, so max(c) == the survivor count), removing the
+    second full scan and the crossJoin.
     """
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     nrm = F.sqrt(_dot(F.col("v"), F.col("v")))
-    units = (
-        emb.withColumn("_n", nrm)
-        .filter(F.col("_n") > 0)
-        .select(
-            F.transform(
-                F.col("v"),
-                lambda x: F.round(x / F.col("_n") * 1_000_000, 0).cast(
-                    "long"
-                ),
-            ).alias("u")
-        )
+    staged = emb.select(
+        F.explode(
+            F.array(F.struct(F.col("v").alias("v"), nrm.alias("n")))
+        ).alias("s")
+    )
+    units = staged.filter(F.col("s.n") > 0).select(
+        F.transform(
+            F.col("s.v"),
+            lambda x: F.round(x / F.col("s.n") * 1_000_000, 0).cast("long"),
+        ).alias("u")
     )
     sums = (
         units.select(F.posexplode("u").alias("d", "x"))
         .groupBy(F.col("d").cast("long").alias("d"))
-        .agg(F.sum("x").alias("s"))
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
     )
-    n_frame = units.agg(F.count(F.lit(1)).alias("n_vectors"))
     agg = sums.agg(
         F.sum(F.expr("CAST(s AS DECIMAL(38,0)) * s")).alias("_ss"),
         F.max(F.struct(F.abs("s").alias("a"), (-F.col("d")).alias("nd"))).alias(
             "_mx"
         ),
+        F.coalesce(F.max("c"), F.lit(0).cast("long")).alias("n_vectors"),
     )
-    return agg.crossJoin(F.broadcast(n_frame)).select(
+    return agg.select(
         "n_vectors",
         F.when(F.col("n_vectors") == 0, F.lit(None).cast("long"))
         .otherwise(

@@ -1259,11 +1259,16 @@ def theil_sen_hourly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.col("_h0"), F.col("_h1"), F.lit(1))
         ).alias("_h"),
     )
+    # eagerly materialized once (r13): the filled hourly histogram
+    # feeds the offset aggregate AND both sides of the pair self-join;
+    # uncached, the events scan + histogram + spine join re-ran per
+    # reference (19 parquet scans in the before-plan). The frame is
+    # time-range-bounded (hours x types), corpus-size-free.
     filled = spine.join(counts, ["event_type", "_h"], "left").select(
         "event_type",
         "_h",
         F.coalesce(F.col("_y"), F.lit(0).cast("long")).alias("_y"),
-    )
+    ).localCheckpoint(eager=True)
     off = filled.agg(
         (F.coalesce(F.max("_y"), F.lit(0)) * 1_000_000).alias("_off")
     )

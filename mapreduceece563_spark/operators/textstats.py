@@ -1288,7 +1288,13 @@ def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     confusion rollup is |langs|^2 rows and everything after it is
     arithmetic on a one-row frame.
     """
-    conf = lang_confusion_matrix(spark, sf_dir)
+    # cached: the |langs|^2-row confusion frame feeds THREE branches
+    # (marginals, row totals, col totals); without the cache each
+    # branch re-runs the full lang_id scoring scan — the plan showed
+    # lineitem-style triplicated subtrees (12 parquet scans). Guide
+    # §5: cache when reused and recompute is expensive; the frame is
+    # tiny (|langs|^2 rows).
+    conf = lang_confusion_matrix(spark, sf_dir).cache()
     marg = conf.groupBy().agg(
         F.sum("n_docs").alias("n"),
         F.sum(

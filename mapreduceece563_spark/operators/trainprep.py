@@ -1258,7 +1258,18 @@ def quantization_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
-    staged = emb.withColumn("_scale", scale).filter(F.col("_scale") > 0)
+    # _scale is staged behind an explode-of-one-struct Generate
+    # barrier (r13, the embedding_anisotropy fix): without it,
+    # CollapseProject + filter pushdown inline the array_max fold
+    # into the dequantize lambda — evaluated per element per bits row
+    # (~4 x 64 x the needed work).
+    staged = emb.select(
+        F.explode(
+            F.array(F.struct(F.col("v").alias("v"), scale.alias("sc")))
+        ).alias("s")
+    ).filter(F.col("s.sc") > 0).select(
+        F.col("s.v").alias("v"), F.col("s.sc").alias("_scale")
+    )
     bits = spark.createDataFrame(
         [(b, 2 ** (b - 1) - 1) for b in QUANT_SWEEP_BITS],
         "bits BIGINT, levels BIGINT",
