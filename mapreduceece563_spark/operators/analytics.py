@@ -470,6 +470,10 @@ FROM per_cell
 
 WINSOR_LO = 0.05
 WINSOR_HI = 0.95
+# Phase-1 bucket width for the exact order statistics (cents): $100
+# buckets bound the bucket spine by the price domain (~1e3 buckets),
+# independent of corpus size.
+WINSOR_BUCKET = 10_000
 
 
 def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -491,9 +495,118 @@ def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("_c"),
     )
-    bounds = li.groupBy("l_returnflag").agg(
-        F.floor(F.expr(f"percentile(_c, {WINSOR_LO})")).alias("_lo"),
-        F.floor(F.expr(f"percentile(_c, {WINSOR_HI})")).alias("_hi"),
+    # Exact percentiles via a two-phase bucket order-statistic
+    # instead of the percentile() aggregate (r13 optimization):
+    # percentile() buffers every value in a per-group map and ships
+    # those maps through partial aggregation — measured 1.7 s of
+    # this entry's 2.5 s at sf0.1 (and a per-cent histogram barely
+    # compresses: 594k distinct cents in 600k rows). Phase 1 buckets
+    # cents to a $100 spine — bounded by the PRICE DOMAIN, never the
+    # corpus (the t-closeness quantization lesson) — and a cumulative
+    # window over the tiny bucket histogram locates the bucket and
+    # rank-base of each of the four target order statistics. Phase 2
+    # rescans only the boundary-bucket rows (~n/buckets each) and a
+    # within-bucket row_number picks the exact values. The
+    # interpolation then reproduces Percentile.getPercentile
+    # BIT-EXACTLY: pos = p * (n-1) in double, lower/higher =
+    # floor/ceil(pos), (higher-pos)*lowerKey + (pos-lower)*higherKey
+    # in that operand order. NULL cents fall into a NULL bucket whose
+    # cum range is zero-width (index conditions can never match) and
+    # are excluded from n, matching percentile()'s NULL skipping; an
+    # all-NULL group keeps its flag with NULL bounds via the left
+    # join from the phase-1 frame. pmod keeps the bucket floor-div
+    # monotone for negative cents.
+    bkt = F.expr(
+        f"(_c - pmod(_c, {WINSOR_BUCKET})) div {WINSOR_BUCKET}"
+    )
+    bh = li.groupBy("l_returnflag", bkt.alias("_b")).agg(
+        F.count(F.lit(1)).alias("_k")
+    )
+    wf = Window.partitionBy("l_returnflag")
+    wo = wf.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    nn_k = F.when(F.col("_b").isNotNull(), F.col("_k")).otherwise(F.lit(0))
+    cum = bh.select(
+        "l_returnflag",
+        "_b",
+        nn_k.alias("_kn"),
+        F.sum(nn_k).over(wo).alias("_cum"),
+        F.sum(nn_k).over(wf).alias("_n"),
+    )
+
+    def _idx(p: float):
+        pos = F.lit(p) * (F.col("_n") - 1).cast("double")
+        return F.floor(pos), F.ceil(pos)
+
+    def _bpick(idx, out: str):
+        hit = (idx >= F.col("_cum") - F.col("_kn")) & (idx < F.col("_cum"))
+        return [
+            F.max(F.when(hit, F.col("_b"))).alias(f"_b{out}"),
+            F.max(F.when(hit, F.col("_cum") - F.col("_kn"))).alias(
+                f"_base{out}"
+            ),
+        ]
+
+    lo_l, lo_h = _idx(WINSOR_LO)
+    hi_l, hi_h = _idx(WINSOR_HI)
+    # cached: the 3-row bucket-selection frame feeds the phase-2 scan
+    # filter AND the final bounds join; uncached, phase 1 re-ran per
+    # reference.
+    sel = cum.groupBy("l_returnflag").agg(
+        *_bpick(lo_l, "ll"),
+        *_bpick(lo_h, "lh"),
+        *_bpick(hi_l, "hl"),
+        *_bpick(hi_h, "hh"),
+        F.max("_n").alias("_n"),
+    ).cache()
+    li2 = (
+        li.join(F.broadcast(sel), "l_returnflag")
+        .withColumn("_b", bkt)
+        .filter(
+            F.col("_b").isNotNull()
+            & (
+                (F.col("_b") == F.col("_bll"))
+                | (F.col("_b") == F.col("_blh"))
+                | (F.col("_b") == F.col("_bhl"))
+                | (F.col("_b") == F.col("_bhh"))
+            )
+        )
+    )
+    wrn = Window.partitionBy("l_returnflag", "_b").orderBy("_c")
+    rn = li2.withColumn("_rn", F.row_number().over(wrn))
+
+    def _vpick(idx, b: str, base: str, out: str):
+        hit = (F.col("_b") == F.col(b)) & (
+            F.col("_rn") == idx - F.col(base) + 1
+        )
+        return F.max(F.when(hit, F.col("_c"))).alias(out)
+
+    picked = rn.groupBy("l_returnflag").agg(
+        _vpick(lo_l, "_bll", "_basell", "_vll"),
+        _vpick(lo_h, "_blh", "_baselh", "_vlh"),
+        _vpick(hi_l, "_bhl", "_basehl", "_vhl"),
+        _vpick(hi_h, "_bhh", "_basehh", "_vhh"),
+    )
+
+    def _interp(p: float, vl: str, vh: str) -> Column:
+        pos = F.lit(p) * (F.col("_n") - 1).cast("double")
+        lower, higher = F.floor(pos), F.ceil(pos)
+        return F.when(
+            lower == higher, F.col(vl).cast("double")
+        ).otherwise(
+            (higher.cast("double") - pos) * F.col(vl).cast("double")
+            + (pos - lower.cast("double")) * F.col(vh).cast("double")
+        )
+
+    bounds = (
+        sel.select("l_returnflag", "_n")
+        .join(picked, "l_returnflag", "left")
+        .select(
+            "l_returnflag",
+            F.floor(_interp(WINSOR_LO, "_vll", "_vlh")).alias("_lo"),
+            F.floor(_interp(WINSOR_HI, "_vhl", "_vhh")).alias("_hi"),
+        )
     )
     clamped = li.join(F.broadcast(bounds), "l_returnflag").select(
         "l_returnflag",

