@@ -4180,9 +4180,14 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").isNotNull() & F.col("source").isNotNull()
     )
     j = q.join(meta, "doc_id")
+    # cached: the (lang, q_ppm, label) histogram feeds the Brier
+    # rollup AND the bin frame (and `brier` itself is referenced
+    # twice more); uncached, the quality-scoring scan re-ran per
+    # reference (12 parquet scans in the r13 before-plan, 1.22 s
+    # isolated). Guide §5.
     cells = j.groupBy("lang", "_qp", "_pos").agg(
         F.count(F.lit(1)).alias("_c")
-    )
+    ).cache()
     brier = cells.groupBy("lang").agg(
         F.sum("_c").alias("_n"),
         F.sum(F.col("_c") * F.col("_pos")).alias("_o"),
@@ -4353,7 +4358,13 @@ def cliffs_delta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     base = q.join(src, "doc_id")
-    hist = base.groupBy("source", "_qm").agg(F.count(F.lit(1)).alias("_c"))
+    # cached: the <= |sources| x 1001-row histogram feeds the global
+    # spine, the source list, AND the densify join; uncached, the
+    # quality-scoring scan re-ran per reference (12 parquet scans in
+    # the r13 before-plan, 1.40 s isolated). Guide §5.
+    hist = base.groupBy("source", "_qm").agg(
+        F.count(F.lit(1)).alias("_c")
+    ).cache()
     ghist = hist.groupBy("_qm").agg(F.sum("_c").alias("_g"))
     srcs = hist.select("source").distinct()
     dense = (
@@ -4530,9 +4541,14 @@ def kendall_tau_quality_length(
             f"((n_chars - _llo) * {B}) div (_lhi - _llo + 1)"
         ).alias("_lb"),
     )
+    # cached: the <= |langs| x B^2-row cell frame feeds FIVE branches
+    # (both sides of the pair join, the marginal rollup, and the two
+    # tie sums); uncached, the whole quality-scoring scan + bucketing
+    # re-ran per reference (40 parquet scans / 84 Exchanges in the
+    # r13 before-plan, 1.43 s isolated). Guide §5.
     cells = bucketed.groupBy("lang", "_qb", "_lb").agg(
         F.count(F.lit(1)).alias("_n")
-    )
+    ).cache()
     a, b = cells.alias("a"), cells.alias("b")
     pair_counts = (
         a.join(

@@ -113,10 +113,28 @@ FROM pairs GROUP BY word
 """
 
 
+# (app_id, sf_dir) -> persisted symmetric co-occurrence edge list.
+# FIVE entries (pagerank_2iter, triangle_count/global_clustering,
+# bfs_hop_distance, link_prediction_jaccard, kcore_decomposition)
+# build the identical tokenize -> adjacent-pair -> distinct graph;
+# each used to rebuild AND separately persist it per call (leaking
+# one persisted copy per entry per session). The _SHINGLE_CACHE
+# contract: an intermediate edge frame, persisted once per (session,
+# sf_dir), recomputed from parquet in every fresh process — the
+# in-session analogue of the materialized edge table every graph
+# consumer would read at cluster scale.
+_COOC_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct symmetric adjacent-word edges (src, dst), no
     self-loops. The undirected co-occurrence graph, materialized as
-    both directed arcs so out-degree == degree."""
+    both directed arcs so out-degree == degree; persisted once per
+    (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _COOC_EDGE_CACHE.get(key)
+    if cached is not None:
+        return cached
     arr = _doc_word_arrays(spark, sf_dir)
     n = F.size(F.col("ws"))
     pairs = F.when(
@@ -134,9 +152,11 @@ def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .filter(F.col("src") != F.col("dst"))
     )
-    return e.union(
+    out = e.union(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).distinct()
+    ).distinct().persist()
+    _COOC_EDGE_CACHE[key] = out
+    return out
 
 
 def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -148,7 +168,7 @@ def pagerank_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Symmetric edges mean every node has in-edges, so each iteration's
     groupBy(dst) covers the whole node set.
     """
-    edges = _cooc_edges(spark, sf_dir).persist()
+    edges = _cooc_edges(spark, sf_dir)  # persisted by the shared stage
     deg = (
         edges.groupBy("src")
         .agg(F.count("*").alias("deg"))
@@ -285,7 +305,7 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge-edge-edge join explodes exactly there). Wedges close against
     the canonical undirected edge set; each triangle is counted once.
     One bounded summary row: nodes, edges, triangles."""
-    sym = _cooc_edges(spark, sf_dir).persist()
+    sym = _cooc_edges(spark, sf_dir)  # persisted by the shared stage
     und, deg, tri = _oriented_triangle_frames(sym)
     n_edges = und.agg(F.count("*").alias("n_edges"))
     n_nodes = deg.agg(F.count("*").alias("n_nodes"))
@@ -355,26 +375,12 @@ def copurchase_degree_distribution(
     UNDIRECTED edge list by counting each a<b edge for both ends via
     a map-side Expand (explode of the two endpoints), never a second
     join; the spectrum is the tiny degree-keyed rollup. At any scale
-    the only wide exchanges are on edge keys and part ids."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-    )
+    the only wide exchanges are on edge keys and part ids. Rides the
+    shared persisted order_part_pair_counts stage (r13); its (pa, pb)
+    keys ARE the distinct edge list."""
+    from .mining import order_part_pair_counts
+
+    edges = order_part_pair_counts(spark, sf_dir).select("pa", "pb")
     ends = edges.select(
         F.explode(F.array(F.col("pa"), F.col("pb"))).alias("part")
     )
@@ -418,28 +424,16 @@ def label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on the node key plus a (node, label) count — no
     per-node driver state; the frequency window runs per node over
     its neighbor-label counts, bounded by degree."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
+    from .mining import order_part_pair_counts
+
     # support >= LPA_MIN_SUPPORT baskets: single-basket co-occurrence
     # is noise for community structure, and pruning it first shrinks
     # the propagation graph by an order of magnitude (the same
-    # min-support discipline as basket_brand_lift)
+    # min-support discipline as basket_brand_lift). Rides the shared
+    # persisted order_part_pair_counts stage (r13).
     half = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .agg(F.count("*").alias("_n"))
-        .filter(F.col("_n") >= LPA_MIN_SUPPORT)
+        order_part_pair_counts(spark, sf_dir)
+        .filter(F.col("n") >= LPA_MIN_SUPPORT)
         .select("pa", "pb")
     )
     # cached: the min-support edge list feeds the initial labels AND
@@ -867,7 +861,7 @@ def global_clustering_coefficient(
     sum(outdeg^2)-bounded even under stopword hubs; the wedge COUNT
     is a degree-frame aggregate, not a wedge materialization.
     """
-    sym = _cooc_edges(spark, sf_dir).persist()
+    sym = _cooc_edges(spark, sf_dir)  # persisted by the shared stage
     und, deg, tri = _oriented_triangle_frames(sym)
     wedges = deg.agg(
         F.expr(
@@ -1000,57 +994,65 @@ def kcore_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     in a handful of rounds because peeling cascades exhaust the
     low-degree fringe geometrically.
     """
-    edges0 = _cooc_edges(spark, sf_dir).persist()
+    # edges0 rides the SHARED persisted co-occurrence stage (never
+    # unpersisted here — other entries reuse it); the peels
+    # themselves ride checkpoints.
+    edges0 = _cooc_edges(spark, sf_dir)
     per_k = []
     edges = edges0
-    try:
-        for k in KCORE_KS:
-            converged = False
-            for _ in range(KCORE_MAX_ROUNDS):
-                deg = edges.groupBy("src").agg(
-                    F.count(F.lit(1)).alias("deg")
+    for k in KCORE_KS:
+        converged = False
+        for _ in range(KCORE_MAX_ROUNDS):
+            # cached per round: the degree frame feeds the semi-join
+            # prune AND the convergence stats — and both counts now
+            # ride ONE 1-row action instead of two jobs per round
+            # (r13; the frame is node-count-bounded and unpersisted
+            # before the next round).
+            deg = edges.groupBy("src").agg(
+                F.count(F.lit(1)).alias("deg")
+            ).cache()
+            keep = deg.filter(F.col("deg") >= k).select("src")
+            new_edges = (
+                edges.join(keep, "src", "left_semi")
+                .join(
+                    keep.withColumnRenamed("src", "dst"),
+                    "dst",
+                    "left_semi",
                 )
-                keep = deg.filter(F.col("deg") >= k).select("src")
-                new_edges = (
-                    edges.join(keep, "src", "left_semi")
-                    .join(
-                        keep.withColumnRenamed("src", "dst"),
-                        "dst",
-                        "left_semi",
-                    )
-                    .localCheckpoint(eager=True)
-                )
-                # the only values the driver ever sees: two counts
-                n_nodes = deg.count()
-                n_keep = keep.count()
-                edges = new_edges
-                if n_keep == n_nodes:
-                    converged = True
-                    break
-            if not converged:
-                raise RuntimeError(
-                    f"k-core peel for k={k} did not stabilize within "
-                    f"{KCORE_MAX_ROUNDS} rounds — raise KCORE_MAX_ROUNDS "
-                    f"(and the oracle unroll) rather than truncating"
-                )
-            per_k.append(
-                edges.groupBy("src")
-                .agg(F.count(F.lit(1)).alias("deg"))
-                .agg(
-                    F.lit(k).cast("long").alias("k"),
-                    F.count(F.lit(1)).alias("core_nodes"),
-                    F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias(
-                        "core_edges"
-                    ),
-                    F.coalesce(F.max("deg"), F.lit(0)).alias(
-                        "max_core_degree"
-                    ),
-                )
+                .localCheckpoint(eager=True)
             )
-    finally:
-        # the raise path must not leak the persisted edge frame in a
-        # long-lived session (the peels themselves ride checkpoints)
-        edges0.unpersist()
+            # the only values the driver ever sees: two counts
+            stats = deg.agg(
+                F.count(F.lit(1)).alias("n_nodes"),
+                F.sum(
+                    (F.col("deg") >= k).cast("long")
+                ).alias("n_keep"),
+            ).collect()[0]
+            deg.unpersist()
+            edges = new_edges
+            if (stats["n_keep"] or 0) == stats["n_nodes"]:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"k-core peel for k={k} did not stabilize within "
+                f"{KCORE_MAX_ROUNDS} rounds — raise KCORE_MAX_ROUNDS "
+                f"(and the oracle unroll) rather than truncating"
+            )
+        per_k.append(
+            edges.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .agg(
+                F.lit(k).cast("long").alias("k"),
+                F.count(F.lit(1)).alias("core_nodes"),
+                F.coalesce(F.expr("sum(deg) div 2"), F.lit(0)).alias(
+                    "core_edges"
+                ),
+                F.coalesce(F.max("deg"), F.lit(0)).alias(
+                    "max_core_degree"
+                ),
+            )
+        )
     out = per_k[0]
     for fr in per_k[1:]:
         out = out.unionByName(fr)
@@ -1157,29 +1159,13 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     PART KEY (hash exchanges on graph keys, never a broadcast of the
     corpus); the rollup is five int sums to ONE row.
     """
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a, b = li.alias("a"), li.alias("b")
-    # cached: the distinct edge list feeds the degree rollup AND both
-    # sides of the per-edge degree attach; uncached, the basket
-    # self-join + distinct re-ran once per consumer (12 parquet scans
-    # in the r13 before-plan). Guide §5.
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
-        .distinct()
-        .cache()
-    )
+    from .mining import order_part_pair_counts
+
+    # the distinct edge list feeds the degree rollup AND both sides
+    # of the per-edge degree attach; it now rides the shared
+    # persisted order_part_pair_counts stage (r13), whose (pa, pb)
+    # keys are exactly the distinct edges.
+    edges = order_part_pair_counts(spark, sf_dir).select("pa", "pb")
     degrees = (
         edges.select(
             F.explode(F.array(F.col("pa"), F.col("pb"))).alias("part")

@@ -429,6 +429,49 @@ LIMIT {BASKET_TOP_K}
 
 COPURCHASE_TOP = 20
 
+# (app_id, sf_dir) -> persisted (pa, pb, n) basket-pair counts. FOUR
+# entries (copurchase_pairs, copurchase_degree_distribution,
+# degree_assortativity, label_propagation_2iter) start from the
+# identical distinct-basket self-join over lineitem; each used to
+# rebuild it per call (~1.4 s at sf0.1). The _SHINGLE_CACHE
+# contract: an intermediate frame (pre-threshold, pre-top-k, pre-
+# degree — not any registered result), persisted once per (session,
+# sf_dir), recomputed from parquet in every fresh process. At
+# cluster scale the equivalent is the materialized co-purchase edge
+# table every graph consumer reads.
+_BASKET_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def order_part_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(pa, pb, n) with pa < pb: for every part pair, the number of
+    order baskets containing both (baskets deduplicated to distinct
+    part sets first); persisted once per (session, sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _BASKET_PAIR_CACHE.get(key)
+    if cached is not None:
+        return cached
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    out = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    _BASKET_PAIR_CACHE[key] = out
+    return out
+
 
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top part pairs co-occurring in order baskets — the co-view/
@@ -441,25 +484,12 @@ def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out is bounded by basket size squared (baskets here max out at
     13 lines; a production basket cap would filter the rare pathological
     basket first, same policy as the dedup df cap). Deterministic
-    top-k via (count desc, part ids) total order."""
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count("*").alias("n_baskets"))
+    top-k via (count desc, part ids) total order. Rides the shared
+    persisted order_part_pair_counts stage (r13)."""
+    pairs = order_part_pair_counts(spark, sf_dir).select(
+        F.col("pa").alias("part_a"),
+        F.col("pb").alias("part_b"),
+        F.col("n").alias("n_baskets"),
     )
     return pairs.orderBy(
         F.desc("n_baskets"), F.asc("part_a"), F.asc("part_b")

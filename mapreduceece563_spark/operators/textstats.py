@@ -155,30 +155,66 @@ FROM h
 
 # --- quality scoring (map-only) --------------------------------------
 
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length/stopword/alpha-ratio quality heuristic in one map pass.
+# (app_id, sf_dir) -> persisted per-doc integer feature counts.
+# SIXTEEN entries derive their metric from quality_score, and each
+# used to re-run the tokenize + stopword-filter + alpha-regex scan
+# (~0.28 s isolated at sf0.1) per call — and often several times per
+# call before their own frames were staged. The counts frame is an
+# INTERMEDIATE (doc_id + four int64 counts, pre-ratio, pre-score):
+# the _SHINGLE_CACHE contract — persisted once per (session,
+# sf_dir), recomputed from parquet in every fresh process. At
+# cluster scale the equivalent is a materialized per-doc feature
+# table read by every audit query.
+_QCOUNT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
-    score = 0.4*stopword_ratio + 0.4*alpha_char_ratio
-          + 0.2*min(n_tokens,100)/100 — fixed expression order so the
-    oracle reproduces the exact double."""
+
+def quality_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_stopwords, n_chars, alpha_chars) integer
+    feature counts in one map pass; persisted once per (session,
+    sf_dir)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _QCOUNT_CACHE.get(key)
+    if cached is not None:
+        return cached
     docs = load_table(spark, sf_dir, "documents", spread=True).select("doc_id", "text")
     docs = docs.select(
         "doc_id", "text", words_array(F.col("text")).alias("_words")
     )
     words = F.col("_words")
-    n = F.size(words).cast("long")
-    stop_hits = F.size(
-        F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
-    ).cast("long")
-    n_chars = F.length("text").cast("long")
-    alpha_chars = F.length(
-        F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
-    ).cast("long")
+    out = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(words, lambda w: w.isin(*EN_STOPWORDS))
+        ).cast("long").alias("n_stopwords"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.length(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z]", "")
+        ).cast("long").alias("alpha_chars"),
+    ).persist()
+    _QCOUNT_CACHE[key] = out
+    return out
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length/stopword/alpha-ratio quality heuristic in one map pass.
+
+    score = 0.4*stopword_ratio + 0.4*alpha_char_ratio
+          + 0.2*min(n_tokens,100)/100 — fixed expression order so the
+    oracle reproduces the exact double. Rides the shared persisted
+    quality_feature_counts stage; the ratio/score arithmetic here is
+    IDENTICAL in value and expression order to the pre-stage form
+    (same when-guards, same double divisions, same rounding)."""
+    c = quality_feature_counts(spark, sf_dir)
+    n = F.col("n_tokens")
+    stop_hits = F.col("n_stopwords")
+    n_chars = F.col("n_chars")
+    alpha_chars = F.col("alpha_chars")
     stop_ratio = F.when(n > 0, stop_hits / n.cast("double")).otherwise(0.0)
     alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars.cast("double")).otherwise(0.0)
     len_score = F.least(n, F.lit(100)) / 100.0
     score = F.round(0.4 * stop_ratio + 0.4 * alpha_ratio + 0.2 * len_score, 6)
-    return docs.select(
+    return c.select(
         "doc_id",
         n.alias("n_tokens"),
         stop_hits.alias("n_stopwords"),
