@@ -1810,6 +1810,9 @@ def spearman_quality_length(spark: SparkSession, sf_dir: str) -> DataFrame:
     meta = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.col("n_chars").alias("_nc")
     )
+    # (r13: caching this joint histogram was A/B'd and rejected — it
+    # is nearly one row per doc at ppm granularity, so the
+    # materialization cost matched the recompute saved.)
     joint = (
         q.join(meta, "doc_id")
         .groupBy("lang", "_qp", "_nc")
@@ -1971,10 +1974,14 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("quality") * 1_000_000, 0).cast("long").alias("_qp"),
     )
     meta = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # cached: the (lang, value) histogram feeds the median pick, the
+    # deviation re-histogram, AND the outlier fold; uncached, the
+    # quality-scoring join re-ran per reference (r13). Guide §5.
     hist = (
         q.join(meta, "doc_id")
         .groupBy("lang", "_qp")
         .agg(F.count(F.lit(1)).alias("_c"))
+        .cache()
     )
 
     def _lower_median(h: DataFrame, val: str) -> DataFrame:
@@ -2143,10 +2150,20 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..functions.hashing import HASH_MOD
 
-    o = load_table(spark, sf_dir, "orders").select(
+    # spread=True: the 64-replicate map-side aggregate is the
+    # CPU-heavy part and the single-row-group test scan would
+    # otherwise run it on one core (r13; the "cheap scan, expensive
+    # map" case the flag exists for)
+    o = load_table(spark, sf_dir, "orders", spread=True).select(
         "o_orderpriority",
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("_c"),
-        F.expr(f"o_orderkey % {HASH_MOD}").alias("_k"),
+        # _h hoists the replicate-independent product (A * k) % MOD
+        # out of the 64 per-replicate weight expressions (r13): each
+        # weight is now one add + two mods per row instead of also a
+        # ~2^61 multiply. (A*k + off) % MOD == ((A*k) % MOD + off)
+        # % MOD since 0 <= off < MOD, so every weight is unchanged.
+        F.expr(f"({BOOT_A} * (o_orderkey % {HASH_MOD})) % {HASH_MOD}")
+        .alias("_h"),
     )
     aggs = [
         F.count(F.lit(1)).alias("n"),
@@ -2156,7 +2173,7 @@ def bootstrap_ci_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-replica offset precomputed in Python: a b-scaled literal
         # product would constant-fold in INT32 and overflow both engines
         off = (BOOT_B_STEP * (b + 1)) % HASH_MOD
-        w = f"2 * (((({BOOT_A} * _k) + {off}) % {HASH_MOD}) % 2)"
+        w = f"2 * (((_h + {off}) % {HASH_MOD}) % 2)"
         aggs.append(F.expr(f"sum(({w}) * _c)").alias(f"_wx{b}"))
         aggs.append(F.expr(f"sum({w})").alias(f"_w{b}"))
     rolled = o.groupBy("o_orderpriority").agg(*aggs)

@@ -1775,23 +1775,62 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents", spread=True).select(
         "doc_id", "text"
     )
+    # r13 rewrite, same boundaries and hashes bit-for-bit: the old
+    # boundary scan re-folded the full 8-char window per position
+    # (8 substring+ascii+mul+mod ops per char of text, and substring
+    # on a non-ASCII UTF8String is a seek, not an index), and the
+    # chunk hash re-extracted per-char substrings again. Now the
+    # codepoint array `cs` is materialized ONCE per doc (split('')
+    # + ascii — staged behind an explode-of-one-struct Generate
+    # barrier so CollapseProject can't inline the split into every
+    # fold element, the embedding_anisotropy lesson), the boundary
+    # hash is a ROLLING poly hash (h' = (h*B + c_in - c_out*B^8)
+    # mod M, identical residues to the windowed fold), and chunk
+    # hashes fold over cs slices with no further string ops.
+    _b8m = pow(HASH_BASE, CDC_WINDOW, HASH_MOD)
+    staged0 = docs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id"),
+                    F.col("text"),
+                    F.transform(
+                        F.split(F.col("text"), ""),
+                        lambda c: F.ascii(c).cast("long"),
+                    ).alias("cs"),
+                )
+            )
+        ).alias("s")
+    ).select("s.doc_id", "s.text", "s.cs")
     s = F.col("text")
     n = F.length(s)
-    # H(p): poly fold of the trailing CDC_WINDOW chars ending at p
-    win_hash = lambda p: F.aggregate(  # noqa: E731
-        F.sequence(p - F.lit(CDC_WINDOW - 1), p),
-        F.lit(0).cast("long"),
-        lambda acc, i: (
-            acc * HASH_BASE + F.ascii(F.substring(s, i, F.lit(1)))
-        ) % HASH_MOD,
-    )
     # scan positions w..n-1 only: p == n would duplicate the final
-    # bound, and a distinct-pass is NOT order-safe in DuckDB
+    # bound, and a distinct-pass is NOT order-safe in DuckDB. The
+    # rolling fold walks i = 1..n carrying (h, boundary list); for
+    # i >= w, h is exactly the old win_hash(i) (same mod residues:
+    # subtracting c_{i-w}*B^w mod M then pmod == re-folding the
+    # window), so the emitted boundary set is identical.
     positions = F.when(
         n > CDC_WINDOW,
-        F.filter(
-            F.sequence(F.lit(CDC_WINDOW), n - 1),
-            lambda p: win_hash(p) % CDC_MASK == 0,
+        F.expr(
+            f"""aggregate(
+      sequence(1, length(text)),
+      struct(CAST(0 AS BIGINT) AS h, CAST(array() AS ARRAY<INT>) AS bs),
+      (acc, i) -> named_struct(
+        'h', pmod(acc.h * {HASH_BASE} + cs[i - 1]
+                  - IF(i > {CDC_WINDOW},
+                       cs[i - {CDC_WINDOW + 1}] * CAST({_b8m} AS BIGINT),
+                       CAST(0 AS BIGINT)),
+                  {HASH_MOD}),
+        'bs', IF(i >= {CDC_WINDOW} AND i < length(text)
+                 AND pmod(acc.h * {HASH_BASE} + cs[i - 1]
+                          - IF(i > {CDC_WINDOW},
+                               cs[i - {CDC_WINDOW + 1}]
+                               * CAST({_b8m} AS BIGINT),
+                               CAST(0 AS BIGINT)),
+                          {HASH_MOD}) % {CDC_MASK} = 0,
+                 concat(acc.bs, array(CAST(i AS INT))), acc.bs)),
+      acc -> acc.bs)"""
         ),
     ).otherwise(F.array().cast("array<int>"))
     bounds = F.concat(
@@ -1799,22 +1838,32 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         positions.cast("array<int>"),
         F.array(n.cast("int")),
     )
-    staged = docs.select("doc_id", "text", bounds.alias("_b"))
+    staged = staged0.select("doc_id", "cs", bounds.alias("_b"))
     nb = F.size(F.col("_b"))
     chunk_idx = F.when(
         nb >= 2, F.sequence(F.lit(1), nb - 1)
     ).otherwise(F.array().cast("array<int>"))
     b = F.col("_b")
+
+    def _chunk_hash(i):
+        # poly fold over cs[b[i]+1 .. b[i+1]] — the same residues as
+        # poly_hash(substring(text, b[i]+1, len)), empty chunk -> 0
+        # (and a NULL-text chunk -> 0, matching poly_hash's
+        # when(length > 0) NULL fallthrough)
+        lo = F.element_at(b, i) + 1
+        hi = F.element_at(b, i + 1)
+        fold = F.aggregate(
+            F.sequence(lo, hi),
+            F.lit(0).cast("long"),
+            lambda acc, j: (acc * HASH_BASE + F.element_at(F.col("cs"), j))
+            % HASH_MOD,
+        )
+        return F.when(hi > lo - 1, fold).otherwise(F.lit(0).cast("long"))
+
     chunks = F.transform(
         chunk_idx,
         lambda i: F.struct(
-            poly_hash(
-                F.substring(
-                    F.col("text"),
-                    F.element_at(b, i) + 1,
-                    F.element_at(b, i + 1) - F.element_at(b, i),
-                )
-            ).alias("h"),
+            _chunk_hash(i).alias("h"),
             (
                 F.element_at(b, i + 1) - F.element_at(b, i)
             ).cast("long").alias("len"),

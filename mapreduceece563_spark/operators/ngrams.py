@@ -1201,9 +1201,12 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cache()
     )
+    # cached: one row per doc; feeds the prefix flagging AND both
+    # final norm joins (r13 — the plan re-ran the rollup per
+    # reference; 137 scan/exchange nodes before staging)
     norms = weights.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("_n2")
-    )
+    ).cache()
     tail_w = (
         Window.partitionBy("doc_id")
         .orderBy(F.asc("df"), F.asc("word"))
@@ -1218,9 +1221,11 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= F.col("_n2") * ALLPAIRS_TAU_NUM,
         )
     )
+    # cached: the prefix postings feed BOTH sides of the candidate
+    # self-join; uncached, the tail window re-ran per side (r13)
     prefix_idx = flagged.filter("_in_prefix").select(
         "doc_id", "word", "_tail", "_n2"
-    )
+    ).cache()
     # PPJoin-style pairwise tail filter: for a QUALIFYING pair, its
     # first shared term (in canonical order) satisfies
     # tail_a * tail_b >= tau^2 * na2 * nb2 (Cauchy-Schwarz over the
@@ -1260,11 +1265,13 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate row count never inflates. At 100 TB the doc-map side
     # shards by doc_id range instead of broadcasting; the pair table
     # still never exceeds |candidates|.
+    # cached: one map row per doc, broadcast into BOTH verify joins;
+    # uncached, the map assembly re-ran per side (r13)
     doc_map = weights.groupBy("doc_id").agg(
         F.map_from_entries(
             F.collect_list(F.struct("wid", "w"))
         ).alias("_wmap")
-    )
+    ).cache()
     num = (
         cands.join(
             F.broadcast(doc_map).select(
@@ -1475,6 +1482,22 @@ ZIPF_SLOPE_ORACLE = _zipf_slope_sql()
 SURPRISAL_KEEP_PCTS = (10, 20, 30, 40, 50, 60, 70, 80, 90)
 
 
+# (app_id, sf_dir) -> eagerly materialized per-doc (v, n_bigrams)
+# surprisal score frame for the curve (one row per doc, two ints) —
+# the _SHINGLE_CACHE contract; doc_lm_surprisal itself stays
+# unmemoized and recomputes its scoring pass per call.
+_SURPRISAL_SCORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def _surprisal_score_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_lm_surprisal(spark, sf_dir).select(
+        F.round(F.col("avg_surprisal") * 1_000_000, 0)
+        .cast("long")
+        .alias("v"),
+        "n_bigrams",
+    ).localCheckpoint(eager=True)
+
+
 def surprisal_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet perplexity-filter TRADE made explicit: for each
     keep-the-best d% cut on the per-doc LM surprisal ranking, what
@@ -1499,17 +1522,19 @@ def surprisal_filter_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-keyed shuffle; the curve adds a value-histogram
     groupBy, a distinct-value window, and a 9-row spine join.
     """
-    # eagerly materialized once (r13): the per-doc score frame feeds
-    # the value histogram AND the totals aggregate; uncached, the
-    # whole doc_lm_surprisal scoring pipeline (tokenize + bigram LM +
-    # score-back joins) re-ran twice (6 parquet scans in the
-    # before-plan). One row per doc, two ints.
-    s = doc_lm_surprisal(spark, sf_dir).select(
-        F.round(F.col("avg_surprisal") * 1_000_000, 0)
-        .cast("long")
-        .alias("v"),
-        "n_bigrams",
-    ).localCheckpoint(eager=True)
+    # eagerly materialized once per session (r13): the per-doc score
+    # frame feeds the value histogram AND the totals aggregate;
+    # uncached, the whole doc_lm_surprisal scoring pipeline
+    # (tokenize + bigram LM + score-back joins) re-ran twice
+    # (6 parquet scans in the before-plan). One row per doc, two
+    # ints. The memo (keyed like _SHINGLE_CACHE) also spares the
+    # curve rebuilding the scoring pass on every call;
+    # doc_lm_surprisal itself stays unmemoized.
+    key = (spark.sparkContext.applicationId, sf_dir)
+    s = _SURPRISAL_SCORE_CACHE.get(key)
+    if s is None:
+        s = _surprisal_score_frame(spark, sf_dir)
+        _SURPRISAL_SCORE_CACHE[key] = s
     hist = s.groupBy("v").agg(
         F.count(F.lit(1)).alias("_d"), F.sum("n_bigrams").alias("_m")
     )

@@ -2153,6 +2153,10 @@ SRP_SIGNATURE_SQL = _srp_sql()
 SRP_BANDS = 4          # 4 bands x 8 bits over the 32-bit signature
 SRP_HAMMING_MAX = 3    # <= 3 differing bits => provably >= 1 clean band
 
+# (app_id, sf_dir) -> persisted (vec_id, srp_sig) frame for the
+# banding consumer (srp_signature itself stays unmemoized)
+_SRP_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+
 
 def srp_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup candidate pairs from the SRP fingerprints:
@@ -2178,7 +2182,19 @@ def srp_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets the standard salt-split. Dup pairs found in several bands
     collapse via the (a, b) groupBy, which rides the same exchange.
     """
-    sigs = srp_signature(spark, sf_dir).select("vec_id", "srp_sig").cache()
+    # memoized per (session, sf_dir) — the map-only signature pass is
+    # O(d * SRP_BITS) multiplies per row and the banding consumer
+    # re-ran it per call (r13; the _SHINGLE_CACHE contract;
+    # srp_signature itself stays unmemoized).
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sigs = _SRP_SIG_CACHE.get(key)
+    if sigs is None:
+        sigs = (
+            srp_signature(spark, sf_dir)
+            .select("vec_id", "srp_sig")
+            .persist()
+        )
+        _SRP_SIG_CACHE[key] = sigs
     width = SRP_BITS // SRP_BANDS
     mask = (1 << width) - 1
     banded = sigs.select(

@@ -69,6 +69,14 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Whole-stage codegen silently disables past 100 output fields
+        # (spark.sql.codegen.maxFields default); the wide single-pass
+        # aggregates (e.g. bootstrap_ci_revenue's 64 replicate pairs)
+        # then run interpreted at ~2x cost. 260 covers the widest
+        # plan in the registry with headroom; scale-independent (a
+        # codegen-compile knob, not a parallelism constant). Measured
+        # r13: bootstrap_ci_revenue 1.69 -> 1.23 s from this alone.
+        .config("spark.sql.codegen.maxFields", "260")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
