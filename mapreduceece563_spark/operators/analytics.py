@@ -815,12 +815,17 @@ def weighted_median_by_segment(
         .rangeBetween(Window.unboundedPreceding, Window.currentRow)
     )
     whole = Window.partitionBy("c_mktsegment")
+    # _n rides the SAME unordered whole-segment window as _tot, so
+    # the per-segment order count needs no second pass over the base
+    # join (r13 — the old plan re-ran the three-table join for a
+    # separate n_orders rollup: 12 parquet scans / 18 Exchanges)
     ranked = base.select(
         F.col("c_mktsegment").alias("segment"),
         "cents",
         "w",
         F.sum("w").over(cum_w).alias("_cumw"),
         F.sum("w").over(whole).alias("_tot"),
+        F.count(F.lit(1)).over(whole).alias("_n"),
     )
     return (
         ranked.filter(2 * F.col("_cumw") >= F.col("_tot"))
@@ -828,12 +833,7 @@ def weighted_median_by_segment(
         .agg(
             F.min("cents").alias("w_median_cents"),
             F.max("_tot").alias("total_weight"),
-        )
-        .join(
-            ranked.groupBy("segment").agg(
-                F.count("*").alias("n_orders")
-            ),
-            "segment",
+            F.max("_n").alias("n_orders"),
         )
         .select("segment", "n_orders", "total_weight", "w_median_cents")
     )
@@ -2425,10 +2425,13 @@ def conformal_event_value_interval(
     )
     # NULL value is not a measurement (NULL-vintage policy)
     ev = ev.filter(F.col("_c").isNotNull())
+    # cached: the tiny per-type prediction frame feeds the CAL
+    # residual join AND the TEST coverage join (r13, the
+    # conformal_alpha_sweep fix). Guide §5.
     fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
         F.expr("sum(_c) div count(1)").alias("_pred"),
         F.count(F.lit(1)).alias("n_fit"),
-    )
+    ).cache()
     cal = (
         ev.filter(F.col("_h") == 2)
         .join(fit.select("event_type", "_pred"), "event_type")
@@ -3362,10 +3365,14 @@ def conformal_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # NULL value is not a measurement (NULL-vintage policy)
     ev = ev.filter(F.col("_c").isNotNull())
+    # cached: the tiny per-type prediction frame feeds the CAL
+    # residual join AND the TEST coverage join; uncached, the events
+    # scan + fit aggregate re-ran per reference (12 parquet scans /
+    # 30 Exchanges in the r13 plan audit). Guide §5.
     fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
         F.expr("sum(_c) div count(1)").alias("_pred"),
         F.count(F.lit(1)).alias("n_fit"),
-    )
+    ).cache()
     cal = (
         ev.filter(F.col("_h") == 2)
         .join(fit.select("event_type", "_pred"), "event_type")
@@ -3583,6 +3590,10 @@ def bh_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
             "    * (n_a + n_b - 1) - _t)"
         ).alias("_z2den"),
     )
+    # cached: one row per event type; testable/rest/m_fr/ranked all
+    # re-ran the _mwu_rolled histogram scaffold per reference before
+    # (8 parquet scans / 28 Exchanges in the r13 plan audit)
+    base = base.cache()
     testable = base.filter(F.col("_z2den") > 0)
     rest = base.filter(
         (F.col("_z2den") <= 0) | F.col("_z2den").isNull()

@@ -66,15 +66,30 @@ _SQDIST_SQL = (
 
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector; ties break on cluster id."""
+    """Nearest centroid per vector; ties break on cluster id.
+
+    r13: the argmin is a map-side aggregate (min of the (dist, cid)
+    struct — lexicographic, so the pick is IDENTICAL to the old
+    row_number over (dist ASC, cid ASC)) instead of a window: the
+    K-fanned candidate rows now collapse in the partial aggregate
+    before the exchange, which then carries one row per vector with
+    no sort. v is constant within a group (it IS the vector), so
+    max(v) just carries it."""
     scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
         "dist", _sqdist(F.col("v"), F.col("c"))
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "dist", "v")
+        scored.groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("_b"),
+            F.max("v").alias("v"),
+        )
+        .select(
+            "vec_id",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.dist").alias("dist"),
+            "v",
+        )
     )
 
 
@@ -356,15 +371,25 @@ PQ_K = 4  # centroids per subspace codebook
 
 def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest codeword per (subspace, vector); ties break on code id
-    — the kmeans_2iter _assign with the subspace as an extra key."""
+    — the kmeans_2iter _assign with the subspace as an extra key.
+    Same r13 map-side argmin as _assign (min of the (dist, cid)
+    struct == the old row_number pick over (dist ASC, cid ASC))."""
     scored = sv.join(F.broadcast(cents), "sub").withColumn(
         "dist", _sqdist(F.col("v"), F.col("c"))
     )
-    w = Window.partitionBy("sub", "vec_id").orderBy("dist", "cid")
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("sub", "vec_id", "cid", "dist", "v")
+        scored.groupBy("sub", "vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("_b"),
+            F.max("v").alias("v"),
+        )
+        .select(
+            "sub",
+            "vec_id",
+            F.col("_b.cid").alias("cid"),
+            F.col("_b.dist").alias("dist"),
+            "v",
+        )
     )
 
 

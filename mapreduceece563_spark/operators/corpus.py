@@ -1398,8 +1398,15 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "k")
         .agg(F.count(F.lit(1)).alias("v"))
     )
-    doc_tokens = words.groupBy("source", "doc_id").agg(
-        F.count(F.lit(1)).alias("_t")
+    # per-doc token counts WITHOUT a second tokenize+explode+groupBy
+    # (r13): count of exploded tokens per doc == size of the word
+    # array. Empty/NULL-text docs yield _t = 0/NULL here where the
+    # explode yielded no group — both contribute nothing to the
+    # checkpoint sums, so n_k is unchanged.
+    doc_tokens = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(words_array(F.col("text"))).cast("long").alias("_t"),
     )
     tokens_k = (
         doc_tokens.join(cuts, "source")

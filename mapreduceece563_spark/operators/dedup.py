@@ -1955,7 +1955,12 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair graph is band-bounded, so degrees are LSH-bucket-bounded);
     output is one row.
     """
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # cached: the candidate-pair frame feeds the two wedge sides, the
+    # closure semi-join AND the edge count — uncached, the banding
+    # build re-ran per reference (21 parquet scans / 102 Exchanges in
+    # the r13 plan audit). wedges likewise feeds the census and the
+    # closure probe. Both frames are band-bounded. Guide §5.
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = pairs.unionAll(
         pairs.select(
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
@@ -1968,7 +1973,7 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wedges = left.join(right, "w").filter(F.col("a") < F.col("b")).select(
         "a", "b"
-    )
+    ).cache()
     closed = wedges.join(
         pairs.select(
             F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
@@ -2197,9 +2202,13 @@ def df_cap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the cap rides its own 1-row frame: max(cap) over the joined
     # histogram would be NULL on an empty corpus, while the oracle's
     # scalar subquery still evaluates the floor constant
+    # cached: ONE row, but the per-pct projection loop below
+    # references it |sweep| times and re-ran the whole histogram
+    # aggregate per reference (16 parquet scans / 40 Exchanges in
+    # the r13 plan audit)
     totals = joined.agg(*aggs).crossJoin(
         F.broadcast(cap.select(F.col("cap").alias("_cap")))
-    )
+    ).cache()
     rows = [
         totals.select(
             F.lit(pct).cast("long").alias("cap_pct"),

@@ -549,7 +549,11 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = w.select(F.explode(grams).alias("g")).select(
         F.col("g.w1").alias("w1"), F.col("g.w2").alias("w2")
     )
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    # cached: the bigram counts feed both margins, the total AND the
+    # scored join; uncached, the bigram explode + groupBy re-ran per
+    # reference (8 parquet scans / 28 Exchanges in the r13 plan
+    # audit). Bigram-vocabulary-bounded. Guide §5.
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12")).cache()
     m1 = c2.groupBy("w1").agg(F.sum("n12").alias("m1"))
     m2 = c2.groupBy("w2").agg(F.sum("n12").alias("m2"))
     total = c2.agg(F.sum("n12").alias("n_total"))
@@ -621,7 +625,9 @@ def bm25_scored_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     takes top-k here) and similarity.rrf_rank_fusion (which fuses the
     full lexical ranking with a vector ranking)."""
     tf = _tf_stage(spark, sf_dir)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # cached: one row per doc; feeds the avgdl rollup AND the scoring
+    # join (r13 — recomputed the full-TF groupBy per reference)
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).cache()
     n_docs = _n_docs(spark, sf_dir)
     # floor(1000 * total_tokens / n_docs) — both engines integer-exact
     avg = (
@@ -1679,7 +1685,13 @@ def g2_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(words_array(F.col("text"))).alias("word"),
     )
-    sw = tok.groupBy("source", "word").agg(F.count(F.lit(1)).alias("a"))
+    # cached: the (source, word) counts feed the global rollup, the
+    # source marginals AND the scoring join; uncached, the tokenize
+    # + groupBy re-ran per reference (8 parquet scans / 32 Exchanges
+    # in the r13 plan audit). Vocabulary-bounded. Guide §5.
+    sw = tok.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("a")
+    ).cache()
     gw = sw.groupBy("word").agg(F.sum("a").alias("g"))
     na = sw.groupBy("source").agg(F.sum("a").alias("na"))
     n = gw.agg(F.sum("g").alias("n"))

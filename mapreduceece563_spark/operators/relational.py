@@ -1825,7 +1825,10 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_shipdate"
     )
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # cached: the line-order join feeds the per-order profile AND the
+    # late-line probe; uncached it re-ran per reference (12 parquet
+    # scans / 16 Exchanges in the r13 plan audit)
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).cache()
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {Q21_LATE_DAYS} DAYS"
     )

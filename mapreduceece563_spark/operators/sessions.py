@@ -353,7 +353,11 @@ def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     peak = carry_in (gap rule means such a day always has events, so
     it is in the day dimension). Everything is int64 microseconds and
     counts — no floats to drift cross-engine."""
-    sessions = _sessions_frame(spark, sf_dir)
+    # cached: one row per session; feeds the carry-in join AND both
+    # endpoint-delta branches — uncached, the sessionize window over
+    # events re-ran per reference (10 parquet scans / 18 Exchanges
+    # in the r13 plan audit). Guide §5.
+    sessions = _sessions_frame(spark, sf_dir).cache()
 
     days = (
         load_table(spark, sf_dir, "events")

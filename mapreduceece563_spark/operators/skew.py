@@ -1126,10 +1126,14 @@ def bloom_filter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     is hashed on (config, position); set-bit frames are at most
     m bits per config. Output is one row per grid config.
     """
+    # cached: the distinct-key frame feeds BOTH the member and probe
+    # position builds (8 parquet scans / 30 Exchanges in the r13
+    # plan audit before staging)
     keys = (
         load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
+        .cache()
     )
     grid = spark.createDataFrame(
         [(m, k) for m, k in BLOOM_GRID], "m_bits BIGINT, k_hashes BIGINT"

@@ -562,6 +562,18 @@ def _count_parquet_files(root: str) -> int:
 # (appId, sf_dir) -> (base_dir, final_dir, n_base_files, n_final_files)
 _MERGE_CACHE: dict[tuple[str, str], tuple[str, str, int, int]] = {}
 
+# The layout writes are check-then-act memos, and bench.py warms the
+# batch registry from a 6-thread pool: two storage-family entries
+# racing the same (app, sf) key used to both start the overwrite,
+# one deleting bucket dirs the other was reading (observed r13:
+# FileNotFoundException on merge_base/bucket=22 under a concurrent
+# warmup). One lock serializes the builds; the double-check keeps
+# the warm path lock-free... (builders re-check under the lock).
+import threading as _threading
+
+_MERGE_LOCK = _threading.Lock()
+_VACUUM_LOCK = _threading.Lock()
+
 
 def reset_merge_tables() -> None:
     _MERGE_CACHE.clear()
@@ -609,6 +621,16 @@ def _merge_tables(
     cached = _MERGE_CACHE.get(key)
     if cached is not None and os.path.isdir(cached[0]):
         return cached
+    with _MERGE_LOCK:
+        cached = _MERGE_CACHE.get(key)
+        if cached is not None and os.path.isdir(cached[0]):
+            return cached
+        return _merge_tables_build(spark, sf_dir, key)
+
+
+def _merge_tables_build(
+    spark: SparkSession, sf_dir: str, key: tuple[str, str]
+) -> tuple[str, str, int, int]:
     base_dir = _scratch(spark, sf_dir, "merge_base")
     final_dir = _scratch(spark, sf_dir, "merge_final")
     cutoff = F.lit(MERGE_CUTOFF).cast("timestamp")
@@ -1085,21 +1107,28 @@ def _vacuum_manifest_dir(spark: SparkSession, sf_dir: str) -> str:
     if cached is not None and os.path.isdir(cached):
         return cached
     _, final_dir, _, _ = _merge_tables(spark, sf_dir)
-    # manifest keys are "<partition dir>/<file>" — basenames alone
-    # collide across partition directories (one write task serves
-    # several partition values and reuses its part-number prefix)
-    names = [
-        f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
-        for p in _glob.glob(
-            os.path.join(final_dir, "**", "*.parquet"), recursive=True
-        )
-    ]
-    manifest_dir = _scratch(spark, sf_dir, "vacuum_manifest")
-    spark.createDataFrame(
-        [(n,) for n in names], "file_name string"
-    ).coalesce(1).write.mode("overwrite").parquet(manifest_dir)
-    _VACUUM_CACHE[key] = manifest_dir
-    return manifest_dir
+    # serialize concurrent builders (the bench warmup pool — same
+    # overwrite race as _MERGE_LOCK, see there); taken AFTER the
+    # _merge_tables call so the two locks never nest
+    with _VACUUM_LOCK:
+        cached = _VACUUM_CACHE.get(key)
+        if cached is not None and os.path.isdir(cached):
+            return cached
+        # manifest keys are "<partition dir>/<file>" — basenames alone
+        # collide across partition directories (one write task serves
+        # several partition values and reuses its part-number prefix)
+        names = [
+            f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
+            for p in _glob.glob(
+                os.path.join(final_dir, "**", "*.parquet"), recursive=True
+            )
+        ]
+        manifest_dir = _scratch(spark, sf_dir, "vacuum_manifest")
+        spark.createDataFrame(
+            [(n,) for n in names], "file_name string"
+        ).coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+        _VACUUM_CACHE[key] = manifest_dir
+        return manifest_dir
 
 
 def vacuum_orphan_scan(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -134,8 +134,11 @@ def vocab_overlap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = tokens.select(
         "lang", normalize_word(F.col("token")).alias("word")
     ).filter((F.col("word") != "") & (F.length("word") <= MAX_WORD_LEN))
-    en = words.filter(F.col("lang") == "en").select("word").distinct()
-    de = words.filter(F.col("lang") == "de").select("word").distinct()
+    # cached: each vocab frame feeds the INTERSECT and both EXCEPTs;
+    # uncached, the tokenize scan re-ran per set operand (12 parquet
+    # scans / 30 Exchanges in the r13 plan audit). Zipf-bounded.
+    en = words.filter(F.col("lang") == "en").select("word").distinct().cache()
+    de = words.filter(F.col("lang") == "de").select("word").distinct().cache()
     return (
         en.intersect(de)
         .select("word", F.lit("both").alias("status"))
