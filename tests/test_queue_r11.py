@@ -466,16 +466,16 @@ def test_pq_python_model(spark):
 def test_pq_codebooks_are_broadcast(spark):
     """Invariant pins: assignment joins broadcast the (subs x K)-row
     codebook — the corpus never shuffles for an assignment — and the
-    only windows are the per-(sub, vec) argmin."""
+    per-(sub, vec) argmin is a map-side min-of-(dist, cid)-struct
+    aggregate (r13), so the plan carries NO window at all: the
+    K-fanned candidate rows collapse before any exchange."""
     from mapreduceece563_spark.operators import clustering as cl
     from mapreduceece563_spark.plans import plan_string
-    import re
 
     p = plan_string(cl.pq_codebook_stats(spark, SF_DIR), "simple")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p
-    wspecs = re.findall(r"windowspecdefinition\(([^,#]*)", p)
-    assert wspecs and all(k == "sub" for k in wspecs), wspecs
+    assert "windowspecdefinition" not in p, "argmin regressed to a window"
 
 
 # --- empty-table behavior, all six ------------------------------------
