@@ -65,25 +65,49 @@ _SQDIST_SQL = (
 )
 
 
+def _argmin_fold(cands_col: Column) -> Column:
+    """least-fold argmin over a collected codebook array: for each
+    candidate struct(cid, c) compute struct(dist, cid) and keep the
+    struct-ordering minimum. least() uses the SAME lexicographic
+    (dist ASC, cid ASC) comparator as min(struct(dist, cid)) —
+    including NaN-greatest and null-field ordering — so the pick is
+    IDENTICAL to the r13 map-side aggregate and to the original
+    row_number over (dist ASC, cid ASC). least is commutative, so
+    the collect_list order of the codebook never matters."""
+    scored = F.transform(
+        cands_col,
+        lambda cand: F.struct(
+            _sqdist(F.col("v"), cand["c"]).alias("dist"),
+            cand["cid"].alias("cid"),
+        ),
+    )
+    return F.aggregate(
+        scored,
+        F.lit(None).cast("struct<dist:double,cid:bigint>"),
+        lambda acc, x: F.least(acc, x),
+    )
+
+
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector; ties break on cluster id.
 
-    r13: the argmin is a map-side aggregate (min of the (dist, cid)
-    struct — lexicographic, so the pick is IDENTICAL to the old
-    row_number over (dist ASC, cid ASC)) instead of a window: the
-    K-fanned candidate rows now collapse in the partial aggregate
-    before the exchange, which then carries one row per vector with
-    no sort. v is constant within a group (it IS the vector), so
-    max(v) just carries it."""
-    scored = vecs.crossJoin(F.broadcast(cents)).withColumn(
-        "dist", _sqdist(F.col("v"), F.col("c"))
+    r13 (second pass): the argmin is now a MAP-SIDE FOLD over the
+    broadcast codebook collected into one array — no K-way row
+    fan-out, no aggregate, no exchange: the vector array never
+    leaves its scan task (the previous min-of-struct aggregate still
+    shuffled one (vec_id, struct, v[64]) row per vector through a
+    Sort+SortAggregate, struct/array buffers being ineligible for
+    hash aggregation). The size(_cands) > 0 filter reproduces the
+    old inner-join semantics when the codebook is empty, and keeps
+    the pushed-down predicate a cheap array-length check instead of
+    the fold itself."""
+    cands = cents.agg(
+        F.collect_list(F.struct("cid", "c")).alias("_cands")
     )
     return (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("_b"),
-            F.max("v").alias("v"),
-        )
+        vecs.crossJoin(F.broadcast(cands))
+        .filter(F.size("_cands") > 0)
+        .select("vec_id", "v", _argmin_fold(F.col("_cands")).alias("_b"))
         .select(
             "vec_id",
             F.col("_b.cid").alias("cid"),
@@ -372,16 +396,20 @@ PQ_K = 4  # centroids per subspace codebook
 def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest codeword per (subspace, vector); ties break on code id
     — the kmeans_2iter _assign with the subspace as an extra key.
-    Same r13 map-side argmin as _assign (min of the (dist, cid)
-    struct == the old row_number pick over (dist ASC, cid ASC))."""
-    scored = sv.join(F.broadcast(cents), "sub").withColumn(
-        "dist", _sqdist(F.col("v"), F.col("c"))
+    Same r13 map-side least-fold argmin as _assign: the per-sub
+    codebook is collected into one array and broadcast, so the
+    assignment is a broadcast-hash probe + per-row fold with no
+    fan-out and no aggregate exchange. The inner join on sub keeps
+    the old drop-when-no-codewords semantics; a grouped collect_list
+    is never empty, so no size guard is needed."""
+    cands = cents.groupBy("sub").agg(
+        F.collect_list(F.struct("cid", "c")).alias("_cands")
     )
     return (
-        scored.groupBy("sub", "vec_id")
-        .agg(
-            F.min(F.struct("dist", "cid")).alias("_b"),
-            F.max("v").alias("v"),
+        sv.join(F.broadcast(cands), "sub")
+        .select(
+            "sub", "vec_id", "v",
+            _argmin_fold(F.col("_cands")).alias("_b"),
         )
         .select(
             "sub",

@@ -1258,17 +1258,28 @@ def quantization_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform("embedding", lambda x: x.cast("double")).alias("v"),
     )
     scale = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
-    # _scale is staged behind an explode-of-one-struct Generate
-    # barrier (r13, the embedding_anisotropy fix): without it,
-    # CollapseProject + filter pushdown inline the array_max fold
-    # into the dequantize lambda — evaluated per element per bits row
-    # (~4 x 64 x the needed work).
+    # _scale AND the bits-invariant ||v||^2 fold are staged behind an
+    # explode-of-one-struct Generate barrier (r13, the
+    # embedding_anisotropy fix): without it, CollapseProject + filter
+    # pushdown inline the array_max fold into the dequantize lambda —
+    # evaluated per element per bits row (~4 x 64 x the needed work).
+    # ||v||^2 rides the same barrier so it folds once per VECTOR, not
+    # once per (vector, bits) — same left-fold text, same value.
+    nv2 = F.aggregate(
+        F.transform(F.col("v"), lambda a: a * a),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
     staged = emb.select(
         F.explode(
-            F.array(F.struct(F.col("v").alias("v"), scale.alias("sc")))
+            F.array(F.struct(
+                F.col("v").alias("v"), scale.alias("sc"), nv2.alias("nv2")
+            ))
         ).alias("s")
     ).filter(F.col("s.sc") > 0).select(
-        F.col("s.v").alias("v"), F.col("s.sc").alias("_scale")
+        F.col("s.v").alias("v"),
+        F.col("s.sc").alias("_scale"),
+        F.col("s.nv2").alias("_nv2"),
     )
     bits = spark.createDataFrame(
         [(b, 2 ** (b - 1) - 1) for b in QUANT_SWEEP_BITS],
@@ -1281,39 +1292,44 @@ def quantization_bits_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.col("levels")
         * F.col("_scale"),
     )
-    scored = crossed.withColumn("_d", deq).select(
-        "bits",
-        (
-            F.aggregate(
-                F.zip_with(
-                    F.col("v"), F.col("_d"), lambda a, b: a * b
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            )
-            / F.nullif(
-                F.sqrt(
-                    F.aggregate(
-                        F.transform(F.col("v"), lambda a: a * a),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
+    cos = (
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("_d"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        / F.nullif(
+            F.sqrt(F.col("_nv2"))
+            * F.sqrt(
+                F.aggregate(
+                    F.transform(F.col("_d"), lambda a: a * a),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
                 )
-                * F.sqrt(
-                    F.aggregate(
-                        F.transform(F.col("_d"), lambda a: a * a),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                ),
-                F.lit(0.0),
-            )
-        ).alias("_cos"),
+            ),
+            F.lit(0.0),
+        )
     )
-    q = scored.select(
-        "bits",
-        F.round(F.col("_cos") * 1_000_000, 0).cast("long").alias("_cp"),
-    ).filter(F.col("_cp").isNotNull())
+    # _cp is staged behind a second one-struct Generate barrier: the
+    # isNotNull filter below otherwise pushes into the cross join's
+    # condition, re-evaluating the WHOLE cosine fold once per row in
+    # the join and again in the projection (r13 plan audit: the join
+    # condition carried the full dot/norm expression tree).
+    q = (
+        crossed.withColumn("_d", deq)
+        .select(
+            F.explode(
+                F.array(F.struct(
+                    F.col("bits").alias("bits"),
+                    F.round(cos * 1_000_000, 0)
+                    .cast("long")
+                    .alias("_cp"),
+                ))
+            ).alias("r")
+        )
+        .filter(F.col("r._cp").isNotNull())
+        .select(F.col("r.bits").alias("bits"), F.col("r._cp").alias("_cp"))
+    )
     return q.groupBy("bits").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.expr(
