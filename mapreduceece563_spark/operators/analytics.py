@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage
 from ..sources.catalog import load_table
 
 # Ordered funnel definition: first view, then a click strictly after
@@ -559,7 +560,7 @@ def winsorized_revenue_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         *_bpick(hi_l, "hl"),
         *_bpick(hi_h, "hh"),
         F.max("_n").alias("_n"),
-    ).cache()
+    ).transform(stage)
     li2 = (
         li.join(F.broadcast(sel), "l_returnflag")
         .withColumn("_b", bkt)
@@ -1981,7 +1982,7 @@ def quality_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.join(meta, "doc_id")
         .groupBy("lang", "_qp")
         .agg(F.count(F.lit(1)).alias("_c"))
-        .cache()
+        .transform(stage)
     )
 
     def _lower_median(h: DataFrame, val: str) -> DataFrame:
@@ -2431,7 +2432,7 @@ def conformal_event_value_interval(
     fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
         F.expr("sum(_c) div count(1)").alias("_pred"),
         F.count(F.lit(1)).alias("n_fit"),
-    ).cache()
+    ).transform(stage)
     cal = (
         ev.filter(F.col("_h") == 2)
         .join(fit.select("event_type", "_pred"), "event_type")
@@ -3372,7 +3373,7 @@ def conformal_alpha_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     fit = ev.filter(F.col("_h") <= 1).groupBy("event_type").agg(
         F.expr("sum(_c) div count(1)").alias("_pred"),
         F.count(F.lit(1)).alias("n_fit"),
-    ).cache()
+    ).transform(stage)
     cal = (
         ev.filter(F.col("_h") == 2)
         .join(fit.select("event_type", "_pred"), "event_type")
@@ -3593,7 +3594,7 @@ def bh_fdr_drift_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: one row per event type; testable/rest/m_fr/ranked all
     # re-ran the _mwu_rolled histogram scaffold per reference before
     # (8 parquet scans / 28 Exchanges in the r13 plan audit)
-    base = base.cache()
+    base = base.transform(stage)
     testable = base.filter(F.col("_z2den") > 0)
     rest = base.filter(
         (F.col("_z2den") <= 0) | F.col("_z2den").isNull()
@@ -4215,7 +4216,7 @@ def brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     # isolated). Guide §5.
     cells = j.groupBy("lang", "_qp", "_pos").agg(
         F.count(F.lit(1)).alias("_c")
-    ).cache()
+    ).transform(stage)
     brier = cells.groupBy("lang").agg(
         F.sum("_c").alias("_n"),
         F.sum(F.col("_c") * F.col("_pos")).alias("_o"),
@@ -4392,7 +4393,7 @@ def cliffs_delta_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the r13 before-plan, 1.40 s isolated). Guide §5.
     hist = base.groupBy("source", "_qm").agg(
         F.count(F.lit(1)).alias("_c")
-    ).cache()
+    ).transform(stage)
     ghist = hist.groupBy("_qm").agg(F.sum("_c").alias("_g"))
     srcs = hist.select("source").distinct()
     dense = (
@@ -4576,7 +4577,7 @@ def kendall_tau_quality_length(
     # r13 before-plan, 1.43 s isolated). Guide §5.
     cells = bucketed.groupBy("lang", "_qb", "_lb").agg(
         F.count(F.lit(1)).alias("_n")
-    ).cache()
+    ).transform(stage)
     a, b = cells.alias("a"), cells.alias("b")
     pair_counts = (
         a.join(

@@ -13,16 +13,22 @@ Determinism across engines (the things that usually break float
 clustering):
 - Distances are an explicit left-fold of doubles (``F.aggregate`` /
   ``list_reduce``) — identical IEEE operation order in both engines.
-- Assignment ties break on (dist, cluster_id) via ROW_NUMBER in both
-  engines — a tie can't pick different clusters.
+- Assignment ties break on (dist, cluster_id): Spark picks the
+  lexicographic minimum struct(dist, cid) via a map-side least-fold
+  over the broadcast codebook (windowless, exchange-free — see
+  ``_argmin_fold``), the oracle via ROW_NUMBER ordered by
+  (dist, cid); both orders are the same total order, so a tie can't
+  pick different clusters.
 - Centroid updates sum SCALED INT64 (round(x*1e6)), divide once at
   the end — a distributed integer sum is exact and order-free, so
   iteration-2 centroids are bit-identical to the oracle's.
 - Inertia likewise sums int64-scaled per-vector distances.
 
 Scale posture (100 TB): centroids are a K-row broadcast; assignment
-is a broadcast nested-loop scan (map-side, no corpus shuffle) + a
-per-vector argmin window keyed on vec_id; the update shuffles
+is a broadcast of the collected codebook + a map-side least-fold
+argmin inside the corpus scan task (no corpus shuffle, no window,
+no argmin exchange — the vector array never leaves its scan task);
+the update shuffles
 (cluster, dim, int64) triples — 64 fixed-width rows per vector, with
 map-side partial sums. At billions of vectors you'd swap the explode
 for an Arrow ``applyInPandas`` per-partition partial-sum (the
@@ -36,6 +42,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage
 from ..sources.catalog import load_table
 
 K = 8
@@ -65,9 +72,11 @@ _SQDIST_SQL = (
 )
 
 
-def _argmin_fold(cands_col: Column) -> Column:
+def _argmin_fold(cands_col: Column, vec_col: Column) -> Column:
     """least-fold argmin over a collected codebook array: for each
-    candidate struct(cid, c) compute struct(dist, cid) and keep the
+    candidate struct(cid, c) compute struct(dist, cid) against
+    ``vec_col`` (the caller's vector column — an explicit parameter,
+    not an implicit F.col('v') scope capture) and keep the
     struct-ordering minimum. least() uses the SAME lexicographic
     (dist ASC, cid ASC) comparator as min(struct(dist, cid)) —
     including NaN-greatest and null-field ordering — so the pick is
@@ -77,7 +86,7 @@ def _argmin_fold(cands_col: Column) -> Column:
     scored = F.transform(
         cands_col,
         lambda cand: F.struct(
-            _sqdist(F.col("v"), cand["c"]).alias("dist"),
+            _sqdist(vec_col, cand["c"]).alias("dist"),
             cand["cid"].alias("cid"),
         ),
     )
@@ -90,6 +99,14 @@ def _argmin_fold(cands_col: Column) -> Column:
 
 def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     """Nearest centroid per vector; ties break on cluster id.
+
+    RELIES on vec_id being unique in the embeddings table (one row in
+    = one row out): the r13 rewrite emits one assignment per input
+    ROW, where the original ROW_NUMBER-over-vec_id (and the oracle's
+    _assign_sql, which still dedups) collapsed duplicate vec_ids. The
+    fixture guarantees uniqueness (tests/test_queue_r11.py::
+    test_embeddings_vec_id_unique pins it); a duplicated vec_id would
+    double-count in _update and diverge from the oracle.
 
     r13 (second pass): the argmin is now a MAP-SIDE FOLD over the
     broadcast codebook collected into one array — no K-way row
@@ -107,7 +124,7 @@ def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
     return (
         vecs.crossJoin(F.broadcast(cands))
         .filter(F.size("_cands") > 0)
-        .select("vec_id", "v", _argmin_fold(F.col("_cands")).alias("_b"))
+        .select("vec_id", "v", _argmin_fold(F.col("_cands"), F.col("v")).alias("_b"))
         .select(
             "vec_id",
             F.col("_b.cid").alias("cid"),
@@ -248,7 +265,7 @@ def _semdedup_members(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") * F.lit(_SALT_MIX)) % F.lit(_TWO32)
             % F.col("n_salts"),
         )
-        .cache()
+        .transform(stage)
     )
 
 
@@ -409,7 +426,7 @@ def _pq_assign(sv: DataFrame, cents: DataFrame) -> DataFrame:
         sv.join(F.broadcast(cands), "sub")
         .select(
             "sub", "vec_id", "v",
-            _argmin_fold(F.col("_cands")).alias("_b"),
+            _argmin_fold(F.col("_cands"), F.col("v")).alias("_b"),
         )
         .select(
             "sub",
@@ -454,7 +471,9 @@ def pq_codebook_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Determinism across engines is kmeans_2iter's contract, carried
     per subspace: fold-based squared distances (identical IEEE
-    order), ROW_NUMBER tie-breaks on (dist, code), centroid updates
+    order), (dist, code) tie-breaks — Spark's map-side least-fold
+    argmin and the oracle's ROW_NUMBER share the same total order —
+    and centroid updates
     from SCALED INT64 sums with one final division, distortions
     summed as int64 micro-units.
 
@@ -565,9 +584,11 @@ def silhouette_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coincident centroids) pins s = 0 on both engines.
 
     Scale posture (100 TB): the K-row codebook is broadcast; the
-    per-vector top-2 window partitions by vec_id (bounded frames);
-    the rollup is K rows. No shuffle carries a vector except the
-    one argmin exchange kmeans itself already pays.
+    per-vector top-2 is a map-side fold over the broadcast codebook
+    (bounded work per row); the rollup is K rows. No shuffle carries
+    a vector — the least-fold argmin is exchange-free, and the only
+    vector-width shuffle anywhere is the centroid update's int64
+    partial sums.
     """
     vecs = _vecs(spark, sf_dir)
     c0 = vecs.filter(F.col("vec_id") < K).select(

@@ -39,6 +39,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage, track_memo
 from ..functions.text import words_cte_sql
 from ..sources.catalog import load_table
 from .dedup import words_array
@@ -123,7 +124,7 @@ FROM pairs GROUP BY word
 # sf_dir), recomputed from parquet in every fresh process — the
 # in-session analogue of the materialized edge table every graph
 # consumer would read at cluster scale.
-_COOC_EDGE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_COOC_EDGE_CACHE: dict[tuple[str, str], DataFrame] = track_memo({})
 
 
 def _cooc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -443,7 +444,7 @@ def label_propagation_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # by construction (support pruning). Guide §5.
     edges = half.union(
         half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    ).cache()
+    ).transform(stage)
     nodes = edges.select(F.col("pa").alias("part")).distinct()
     labels = nodes.select("part", F.col("part").alias("lbl"))
 
@@ -550,14 +551,14 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     arcs = half.union(
         half.select(F.col("pb").alias("pa"), F.col("pa").alias("pb"))
-    ).persist()
+    ).transform(stage)
     deg = arcs.groupBy("pa").agg(F.count("*").alias("deg"))
     seed = (
         deg.orderBy(F.desc("deg"), F.asc("pa"))
         .limit(1)
         .select(F.col("pa").alias("part"))
     )
-    visited = seed.select("part", F.lit(0).cast("int").alias("dist")).persist()
+    visited = seed.select("part", F.lit(0).cast("int").alias("dist")).transform(stage)
     frontier = visited.select("part")
     for k in range(1, BFS_MAX_HOPS + 1):
         # frontier and visited are id sets bounded by the node count,
@@ -572,7 +573,7 @@ def bfs_hop_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = (
             nbrs.join(F.broadcast(visited), "part", "left_anti")
             .select("part", F.lit(k).cast("int").alias("dist"))
-            .persist()
+            .transform(stage)
         )
         # each level is persisted; the union of cached levels needs
         # no cache of its own (re-unioning cached frames is free).

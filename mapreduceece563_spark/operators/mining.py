@@ -40,6 +40,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage, track_memo
 from ..sources.catalog import load_table
 
 N_BINS = 20
@@ -345,7 +346,7 @@ def basket_brand_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .select("l_orderkey", F.col("p_brand").alias("brand"))
         .distinct()
-        .cache()
+        .transform(stage)
     )
     n_orders = items.select("l_orderkey").distinct().agg(
         F.count("*").alias("_n")
@@ -444,7 +445,7 @@ COPURCHASE_TOP = 20
 # sf_dir), recomputed from parquet in every fresh process. At
 # cluster scale the equivalent is the materialized co-purchase edge
 # table every graph consumer reads.
-_BASKET_PAIR_CACHE: dict[tuple[str, str], DataFrame] = {}
+_BASKET_PAIR_CACHE: dict[tuple[str, str], DataFrame] = track_memo({})
 
 
 def order_part_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

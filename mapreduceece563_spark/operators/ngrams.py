@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage, track_memo
 from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL
 from ..sources.catalog import load_table
 from .dedup import words_array
@@ -38,7 +39,7 @@ def _words_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # row per (doc, word)). Persisting it once per session mirrors the
 # shingle-stage cache in operators/dedup.py; the cluster equivalent is
 # a materialized term-frequency table.
-_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+_TF_CACHE: dict[tuple[str, str], DataFrame] = track_memo({})
 
 
 def _tf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -66,7 +67,7 @@ def _tf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ~27k dims with max df 25/5000 at sf0.1, restoring the
 # discrimination the pruning depends on — and w-shingles are the
 # standard document near-dup representation anyway.
-_SHINGLE_TF_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SHINGLE_TF_CACHE: dict[tuple[str, str], DataFrame] = track_memo({})
 
 
 def _shingle_tf_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,12 +370,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(df, "word")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "word", (F.col("tf") * idf3).alias("w"))
-        .cache()
+        .transform(stage)
     )
     norms = weights.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("_n2")
     )
-    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs = dedup_minhash(spark, sf_dir).select("doc_a", "doc_b").transform(stage)
     wa = weights.select(
         F.col("doc_id").alias("doc_a"), "word", F.col("w").alias("_wa")
     )
@@ -553,7 +554,7 @@ def bigram_pmi_top(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scored join; uncached, the bigram explode + groupBy re-ran per
     # reference (8 parquet scans / 28 Exchanges in the r13 plan
     # audit). Bigram-vocabulary-bounded. Guide §5.
-    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12")).cache()
+    c2 = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12")).transform(stage)
     m1 = c2.groupBy("w1").agg(F.sum("n12").alias("m1"))
     m2 = c2.groupBy("w2").agg(F.sum("n12").alias("m2"))
     total = c2.agg(F.sum("n12").alias("n_total"))
@@ -627,7 +628,7 @@ def bm25_scored_micro(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = _tf_stage(spark, sf_dir)
     # cached: one row per doc; feeds the avgdl rollup AND the scoring
     # join (r13 — recomputed the full-TF groupBy per reference)
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).cache()
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl")).transform(stage)
     n_docs = _n_docs(spark, sf_dir)
     # floor(1000 * total_tokens / n_docs) — both engines integer-exact
     avg = (
@@ -1205,14 +1206,14 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id", "word", "df", "wid", (F.col("tf") * idf3).alias("w")
         )
-        .cache()
+        .transform(stage)
     )
     # cached: one row per doc; feeds the prefix flagging AND both
     # final norm joins (r13 — the plan re-ran the rollup per
     # reference; 137 scan/exchange nodes before staging)
     norms = weights.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).alias("_n2")
-    ).cache()
+    ).transform(stage)
     tail_w = (
         Window.partitionBy("doc_id")
         .orderBy(F.asc("df"), F.asc("word"))
@@ -1231,7 +1232,7 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join; uncached, the tail window re-ran per side (r13)
     prefix_idx = flagged.filter("_in_prefix").select(
         "doc_id", "word", "_tail", "_n2"
-    ).cache()
+    ).transform(stage)
     # PPJoin-style pairwise tail filter: for a QUALIFYING pair, its
     # first shared term (in canonical order) satisfies
     # tail_a * tail_b >= tau^2 * na2 * nb2 (Cauchy-Schwarz over the
@@ -1277,7 +1278,7 @@ def allpairs_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.map_from_entries(
             F.collect_list(F.struct("wid", "w"))
         ).alias("_wmap")
-    ).cache()
+    ).transform(stage)
     num = (
         cands.join(
             F.broadcast(doc_map).select(
@@ -1492,7 +1493,7 @@ SURPRISAL_KEEP_PCTS = (10, 20, 30, 40, 50, 60, 70, 80, 90)
 # surprisal score frame for the curve (one row per doc, two ints) —
 # the _SHINGLE_CACHE contract; doc_lm_surprisal itself stays
 # unmemoized and recomputes its scoring pass per call.
-_SURPRISAL_SCORE_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SURPRISAL_SCORE_CACHE: dict[tuple[str, str], DataFrame] = track_memo({})
 
 
 def _surprisal_score_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1691,7 +1692,7 @@ def g2_keyness_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # in the r13 plan audit). Vocabulary-bounded. Guide §5.
     sw = tok.groupBy("source", "word").agg(
         F.count(F.lit(1)).alias("a")
-    ).cache()
+    ).transform(stage)
     gw = sw.groupBy("word").agg(F.sum("a").alias("g"))
     na = sw.groupBy("source").agg(F.sum("a").alias("na"))
     n = gw.agg(F.sum("g").alias("n"))

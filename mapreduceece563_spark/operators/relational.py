@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage
 from ..sources.catalog import load_table
 
 
@@ -1828,7 +1829,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: the line-order join feeds the per-order profile AND the
     # late-line probe; uncached it re-ran per reference (12 parquet
     # scans / 16 Exchanges in the r13 plan audit)
-    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).cache()
+    lo = li.join(orders, li.l_orderkey == orders.o_orderkey).transform(stage)
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
         f"INTERVAL {Q21_LATE_DAYS} DAYS"
     )

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage
 from ..sources.catalog import load_table
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes
@@ -357,7 +358,7 @@ def session_concurrency_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
     # endpoint-delta branches — uncached, the sessionize window over
     # events re-ran per reference (10 parquet scans / 18 Exchanges
     # in the r13 plan audit). Guide §5.
-    sessions = _sessions_frame(spark, sf_dir).cache()
+    sessions = _sessions_frame(spark, sf_dir).transform(stage)
 
     days = (
         load_table(spark, sf_dir, "events")

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage, track_memo
 from ..sources.catalog import load_table
 
 N_QUERIES = 10          # vec_id < 10 are the kNN query vectors
@@ -136,7 +137,7 @@ def embedding_similar_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     # cached: both sides of the bucket self-join reference this frame
-    nb = n.withColumn("bucket", bucket).cache()
+    nb = n.withColumn("bucket", bucket).transform(stage)
     a, b = nb.alias("a"), nb.alias("b")
     pairs = a.join(
         b,
@@ -1185,7 +1186,7 @@ RECALL_SCALE = 1_000_000
 # (pre-metric, per-(query, neighbor) rank rows — not any registered
 # result), persisted once per (session, sf_dir), recomputed from
 # parquet in every fresh process.
-_IVF_TUNING_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_IVF_TUNING_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = track_memo({})
 
 
 def _ivf_tuning_frames(
@@ -1786,7 +1787,7 @@ def ivf_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subtree recomputes once per consumer (plan audit: 30 exchanges
     # -> shared InMemory scan). In production the old/new split is a
     # partition column and this is partition pruning, not a cache.
-    tagged = nl.crossJoin(F.broadcast(bounds)).cache()
+    tagged = nl.crossJoin(F.broadcast(bounds)).transform(stage)
     old = tagged.filter(F.col("vec_id") < F.col("_cut"))
     new = tagged.filter(F.col("vec_id") >= F.col("_cut"))
 
@@ -2155,7 +2156,7 @@ SRP_HAMMING_MAX = 3    # <= 3 differing bits => provably >= 1 clean band
 
 # (app_id, sf_dir) -> persisted (vec_id, srp_sig) frame for the
 # banding consumer (srp_signature itself stays unmemoized)
-_SRP_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
+_SRP_SIG_CACHE: dict[tuple[str, str], DataFrame] = track_memo({})
 
 
 def srp_hamming_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2335,7 +2336,7 @@ def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= TOP_K)
         .select("dim", "query_id", "neighbor_id")
-    ).cache()
+    ).transform(stage)
     full = topk.filter(F.col("dim") == max(MATRYOSHKA_DIMS)).select(
         "query_id", "neighbor_id"
     )

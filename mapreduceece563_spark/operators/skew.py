@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage
 from ..sources.catalog import load_table
 
 
@@ -1133,7 +1134,7 @@ def bloom_filter_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "events")
         .select("user_id")
         .distinct()
-        .cache()
+        .transform(stage)
     )
     grid = spark.createDataFrame(
         [(m, k) for m, k in BLOOM_GRID], "m_bits BIGINT, k_hashes BIGINT"

@@ -471,45 +471,60 @@ def rle_compression_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").cast("string").alias("l_quantity"),
     )
     cols = ("l_returnflag", "l_linestatus", "l_quantity")
-    long = li.select(
-        "l_orderkey",
-        "l_linenumber",
-        F.expr(f"l_orderkey div {RLE_BLOCK}").alias("blk"),
+    from pyspark.sql import Window
+
+    # r14 (guide §2.3 shuffle fewer bytes / §2.4 share one exchange):
+    # the 3x unpivot-explode used to shuffle 3N (key, col_name, val)
+    # rows through ONE window partitioned by (col_name, blk); the
+    # three per-column windows below share ONE exchange of the N raw
+    # rows (same hashpartitioning(blk)) and differ only in their
+    # in-partition sort, so the shuffle carries a third of the rows
+    # and no col_name tag. Per column the ordered sequence inside a
+    # block — (l_orderkey, l_linenumber, val), val as final tiebreak
+    # because the fixture has duplicate (l_orderkey, l_linenumber)
+    # pairs — is IDENTICAL to the unpivoted window's, so every
+    # _new_run flag and therefore every count is unchanged.
+    base = li.withColumn("blk", F.expr(f"l_orderkey div {RLE_BLOCK}"))
+
+    def _new_run(c: str) -> F.Column:
+        w = Window.partitionBy("blk").orderBy(
+            "l_orderkey", "l_linenumber", c
+        )
+        prev = F.lag(c).over(w)
+        return F.when(prev.isNull() | (prev != F.col(c)), 1).otherwise(0)
+
+    flagged = base.select(
+        *[_new_run(c).alias(f"_r_{i}") for i, c in enumerate(cols)]
+    )
+    totals = flagged.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[F.sum(f"_r_{i}").alias(f"_s_{i}") for i in range(len(cols))],
+    )
+    # fan the 1-row totals out to one row per column; the integer
+    # half-up mean is computed per column with the exact pre-r14
+    # operand order
+    per_col = totals.select(
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(c).alias("col_name"), F.col(c).alias("val")
+                    F.lit(c).alias("col_name"),
+                    F.col("_n").alias("n_rows"),
+                    F.col(f"_s_{i}").alias("n_runs"),
                 )
-                for c in cols
+                for i, c in enumerate(cols)
             ])
-        ).alias("cv"),
-    ).select(
-        "l_orderkey", "l_linenumber", "blk",
-        F.col("cv.col_name").alias("col_name"),
-        F.col("cv.val").alias("val"),
-    )
-    from pyspark.sql import Window
-
-    # the fixture has duplicate (l_orderkey, l_linenumber) pairs, so
-    # val is the final tiebreak: rows equal on all three are
-    # interchangeable and the run count becomes order-independent
-    w = Window.partitionBy("col_name", "blk").orderBy(
-        "l_orderkey", "l_linenumber", "val"
-    )
-    runs = long.withColumn(
-        "_new_run",
-        F.when(
-            F.lag("val").over(w).isNull()
-            | (F.lag("val").over(w) != F.col("val")),
-            1,
-        ).otherwise(0),
-    )
-    return runs.groupBy("col_name").agg(
-        F.count("*").alias("n_rows"),
-        F.sum("_new_run").alias("n_runs"),
+        ).alias("cv")
+    ).select("cv.col_name", "cv.n_rows", "cv.n_runs")
+    # empty input: the pre-r14 groupBy emitted ZERO groups (and the
+    # oracle's GROUP BY col_name likewise); the 1-row totals frame
+    # would fan out three all-zero rows, so drop them explicitly
+    per_col = per_col.filter(F.col("n_rows") > 0)
+    return per_col.select(
+        "col_name",
+        "n_rows",
+        "n_runs",
         (
-            F.expr("(2 * 1000 * count(*) + sum(_new_run))"
-                   " div (2 * sum(_new_run))")
+            F.expr("(2 * 1000 * n_rows + n_runs) div (2 * n_runs)")
             / 1000.0
         ).alias("avg_run_len"),
     )
@@ -1099,9 +1114,17 @@ def _vacuum_manifest_dir(spark: SparkSession, sf_dir: str) -> str:
     of file names the compacted generation owns — exactly what a table
     format's metadata layer serves. Names come from the real directory
     at write time (they contain task UUIDs, so they cannot be
-    synthesized)."""
-    import glob as _glob
+    synthesized).
 
+    r14 (VERDICT r13 ask #6, guide §5 "the driver should do almost no
+    data work"): the listing is now DISTRIBUTED — a parquet scan of
+    the compacted generation projecting only _metadata.file_path
+    (zero data columns), aggregated to distinct names — instead of a
+    driver-side recursive glob over the table directory, which is a
+    single-process filesystem walk that stops scaling past local
+    disk. The merge write pins one file per occupied bucket and
+    parquet never writes a zero-row part file, so the distinct
+    file_path set IS the directory's file set."""
     key = (spark.sparkContext.applicationId, sf_dir)
     cached = _VACUUM_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
@@ -1117,16 +1140,20 @@ def _vacuum_manifest_dir(spark: SparkSession, sf_dir: str) -> str:
         # manifest keys are "<partition dir>/<file>" — basenames alone
         # collide across partition directories (one write task serves
         # several partition values and reuses its part-number prefix)
-        names = [
-            f"{os.path.basename(os.path.dirname(p))}/{os.path.basename(p)}"
-            for p in _glob.glob(
-                os.path.join(final_dir, "**", "*.parquet"), recursive=True
-            )
-        ]
         manifest_dir = _scratch(spark, sf_dir, "vacuum_manifest")
-        spark.createDataFrame(
-            [(n,) for n in names], "file_name string"
-        ).coalesce(1).write.mode("overwrite").parquet(manifest_dir)
+        (
+            spark.read.schema("k long, cents long, cbucket int")
+            .parquet(final_dir)
+            .select(
+                F.regexp_extract(
+                    F.col("_metadata.file_path"), r"([^/]+/[^/]+)$", 1
+                ).alias("file_name")
+            )
+            .distinct()
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(manifest_dir)
+        )
         _VACUUM_CACHE[key] = manifest_dir
         return manifest_dir
 

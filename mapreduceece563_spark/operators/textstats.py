@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage, track_memo
 from ..functions.hashing import poly_hash, poly_hash_sql
 from ..functions.text import MAX_WORD_LEN, NORMALIZE_SQL
 from ..sources.catalog import load_table
@@ -165,7 +166,7 @@ FROM h
 # sf_dir), recomputed from parquet in every fresh process. At
 # cluster scale the equivalent is a materialized per-doc feature
 # table read by every audit query.
-_QCOUNT_CACHE: dict[tuple[str, str], DataFrame] = {}
+_QCOUNT_CACHE: dict[tuple[str, str], DataFrame] = track_memo({})
 
 
 def quality_feature_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1330,7 +1331,7 @@ def lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lineitem-style triplicated subtrees (12 parquet scans). Guide
     # §5: cache when reused and recompute is expensive; the frame is
     # tiny (|langs|^2 rows).
-    conf = lang_confusion_matrix(spark, sf_dir).cache()
+    conf = lang_confusion_matrix(spark, sf_dir).transform(stage)
     marg = conf.groupBy().agg(
         F.sum("n_docs").alias("n"),
         F.sum(

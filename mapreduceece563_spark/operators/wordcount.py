@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..cachemgr import stage
 from ..functions.text import tokenize_lines, words_cte_sql
 from ..sources.catalog import load_table
 
@@ -137,8 +138,8 @@ def vocab_overlap_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached: each vocab frame feeds the INTERSECT and both EXCEPTs;
     # uncached, the tokenize scan re-ran per set operand (12 parquet
     # scans / 30 Exchanges in the r13 plan audit). Zipf-bounded.
-    en = words.filter(F.col("lang") == "en").select("word").distinct().cache()
-    de = words.filter(F.col("lang") == "de").select("word").distinct().cache()
+    en = words.filter(F.col("lang") == "en").select("word").distinct().transform(stage)
+    de = words.filter(F.col("lang") == "de").select("word").distinct().transform(stage)
     return (
         en.intersect(de)
         .select("word", F.lit("both").alias("status"))

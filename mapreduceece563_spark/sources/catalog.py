@@ -39,9 +39,10 @@ _SCHEMA_CACHE: dict[tuple[str, str, str], str] = {}
 
 
 def invalidate_table_cache() -> None:
-    """Drop every cached schema (call after rewriting a table's
-    parquet in place within one session)."""
+    """Drop every cached schema and narrowness verdict (call after
+    rewriting a table's parquet in place within one session)."""
     _SCHEMA_CACHE.clear()
+    _NARROW_CACHE.clear()
 
 
 def load_table(
@@ -50,15 +51,16 @@ def load_table(
     """Read one catalog table — a FRESH DataFrame per call (fresh
     attribute IDs, fresh file index) over a cached footer schema.
 
-    ``spread=True`` repartitions to the session's default parallelism
-    right after the scan. Use it for CPU-heavy downstream pipelines
-    (regex tokenization, per-row vector math) reading SMALL inputs:
-    the test parquet files are single row-group, so without it the
-    whole pipeline runs on one core. At real scale the scan has
-    thousands of row-groups and natural parallelism — callers there
-    should pass spread=False (the shuffle would be pure cost); the
-    flag exists precisely because "cheap scan, expensive map" is the
-    one case where an early repartition pays for itself.
+    ``spread=True`` is ADVISORY (r14, VERDICT r13 ask #3): it marks a
+    CPU-heavy downstream pipeline (regex tokenization, per-row vector
+    math) that would serialize on a scan with too few splits — the
+    test parquet files are single row-group, so without a spread the
+    whole pipeline runs on one core. The repartition actually fires
+    only when the scan genuinely lacks parallelism (estimated splits
+    below the session's default parallelism, _scan_is_narrow); at
+    real scale the same table has thousands of row-groups and the
+    round-robin shuffle would be pure cost, so the gate turns itself
+    off with no caller changes.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -72,9 +74,67 @@ def load_table(
         df = _load_events(spark, sf_dir)
     else:
         df = _read_with_cached_schema(spark, sf_dir, name)
-    if spread:
+    if spread and _scan_is_narrow(spark, sf_dir, name):
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
+
+
+# (appId, sf_dir, name) -> whether the table's scan needs the spread
+# (fewer estimated splits than cores). One os.stat pass per table per
+# session — the same metadata a real catalog serves without listing.
+_NARROW_CACHE: dict[tuple[str, str, str], bool] = {}
+
+
+def _bytes_conf(spark: SparkSession, key: str, default: int) -> int:
+    raw = str(spark.conf.get(key, str(default))).strip().lower()
+    mult = 1
+    for suffix, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
+                      ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                      ("b", 1)):
+        if raw.endswith(suffix):
+            raw = raw[: -len(suffix)]
+            mult = m
+            break
+    try:
+        return int(float(raw) * mult)
+    except ValueError:
+        return default
+
+
+def _scan_is_narrow(spark: SparkSession, sf_dir: str, name: str) -> bool:
+    """True when the parquet scan will plan FEWER splits than the
+    session's default parallelism, i.e. a downstream CPU-heavy map
+    would serialize without an explicit spread. Split estimation
+    mirrors Spark's packing rule: each file contributes
+    ceil(size / maxPartitionBytes) splits (openCostInBytes padding
+    only matters for many-tiny-file layouts, where the estimate is
+    already >= cores or the spread is moot)."""
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, name)
+    cached = _NARROW_CACHE.get(key)
+    if cached is not None:
+        return cached
+    import glob as _glob
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    files = (
+        [path]
+        if _os.path.isfile(path)
+        else _glob.glob(_os.path.join(path, "**", "*.parquet"), recursive=True)
+    )
+    max_bytes = _bytes_conf(
+        spark, "spark.sql.files.maxPartitionBytes", 128 * 1024 * 1024
+    )
+    splits = 0
+    for f in files:
+        try:
+            splits += max(1, -(-_os.path.getsize(f) // max_bytes))
+        except OSError:
+            splits += 1
+    narrow = splits < spark.sparkContext.defaultParallelism
+    _NARROW_CACHE[key] = narrow
+    return narrow
 
 
 def _read_with_cached_schema(

@@ -423,15 +423,21 @@ def test_wordcount_normalize_evaluates_once(spark):
 
 
 def test_rle_windows_are_block_parallel(spark):
-    """The run-length windows must partition on (col_name, blk) — a
-    window with an empty partition spec would funnel the whole table
-    through one task at any scale."""
+    """Every run-length window must partition on blk — a window with
+    an empty partition spec would funnel the whole table through one
+    task at any scale. r14: the 3x unpivot-explode was replaced by
+    three per-column windows sharing ONE blk-keyed exchange (guide
+    §2.3/§2.4 — a third of the shuffled rows, no col_name tag), so
+    the pin now asserts the blk partition key and exactly one
+    lineitem exchange instead of the old (col_name, blk) spec."""
     plan = plan_string(Q["rle_compression_estimate"](spark, SF_DIR), "simple")
-    assert "windowspecdefinition(col_name" in plan
-    assert "Exchange hashpartitioning(col_name" in plan
+    assert "windowspecdefinition(blk" in plan
+    assert "Exchange hashpartitioning(blk" in plan
     # an empty partition spec would read "windowspecdefinition(l_orderkey
     # ASC" (order columns only) — the block key must come first
     assert "windowspecdefinition(l_orderkey" not in plan
+    # the three windows must SHARE the blk exchange, not re-shuffle
+    assert plan.count("Exchange hashpartitioning(blk") == 1
 
 
 def test_semdedup_pairs_keyed_on_cluster_and_salt(spark):

@@ -463,12 +463,31 @@ def test_pq_python_model(spark):
         )
 
 
+def test_embeddings_vec_id_unique(spark):
+    """The r13 least-fold _assign emits one assignment per input ROW
+    (the pre-r13 ROW_NUMBER collapsed duplicate vec_ids; the DuckDB
+    oracle still does) — so the engines agree only while vec_id is
+    unique in the embeddings fixture. Pin that invariant here: if a
+    future vintage ships duplicate vec_ids, this fails before the
+    oracle hash does, pointing at the real cause."""
+    from mapreduceece563_spark.sources.catalog import load_table
+
+    dup = (
+        load_table(spark, SF_DIR, "embeddings")
+        .groupBy("vec_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup == 0, "embeddings.vec_id must be unique (see _assign)"
+
+
 def test_pq_codebooks_are_broadcast(spark):
     """Invariant pins: assignment joins broadcast the (subs x K)-row
     codebook — the corpus never shuffles for an assignment — and the
-    per-(sub, vec) argmin is a map-side min-of-(dist, cid)-struct
-    aggregate (r13), so the plan carries NO window at all: the
-    K-fanned candidate rows collapse before any exchange."""
+    per-(sub, vec) argmin is a map-side least-fold over the broadcast
+    codebook array (no window, no aggregate, no fan-out), so the plan
+    carries NO window at all."""
     from mapreduceece563_spark.operators import clustering as cl
     from mapreduceece563_spark.plans import plan_string
 
