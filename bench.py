@@ -27,7 +27,6 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from mapreduceece563_spark import cachemgr
 from mapreduceece563_spark.registry import queries
 from mapreduceece563_spark.session import get_spark
 from mapreduceece563_spark.streaming import shared_drain
@@ -475,14 +474,18 @@ def main() -> None:
     for name in PY_BOUNDARY:
         if name in qs_all:
             materialize(qs_all[name](spark, "/root/testdata/sf0.001"))
-    # Release every cache the warmup left behind (sf0.001 session
-    # memos + any staged frames from short-lived pool threads): the
-    # timed passes should start from a cache registry that holds ONLY
-    # what the sf-under-test builds itself, exactly as in r12 and
-    # earlier — this is UNTIMED cleanup, not a methodology change
-    # (pass 1 builds the SF_DIR memos either way; the sf0.001 keys
-    # were never consulted at SF_DIR).
-    cachemgr.release_session_caches()
+    # NOTE (r14, measured): a release_session_caches() here — dropping
+    # the sf0.001 warmup caches before the timed passes — was tried
+    # and REVERTED. The r13 pass-1 spikes it targeted (phrase_search
+    # 13.7 s, bfs 20.3 s) do not reproduce on a quiet box re-running
+    # the identical r13 code (1.11 / 5.39 s) — they were driver-box
+    # contention, not cache-registry structure — while the release's
+    # async uncache storm destabilized the first timed passes
+    # (allpairs_prefix_filter erratic 5.1/18.9/2.5 s with it,
+    # 6.6/2.1/1.6 s without). The warmup's sf0.001 cache entries are
+    # plan-keyed and never match an SF_DIR build, so leaving them is
+    # inert; cachemgr.release_session_caches() remains the tool for
+    # cold probes (tools/opt_probe.py --cold) and test teardown.
 
     # Baseline-comparable wordcount FIRST, right after warmup: the
     # registry passes that follow persist shingle/TF caches and churn

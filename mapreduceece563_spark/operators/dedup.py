@@ -692,7 +692,6 @@ def _propagate_cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"dedup_groups: label propagation did not converge within "
             f"{CC_MAX_ITERS} rounds (component diameter > cap)"
         )
-    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("label").alias("group_leader")
     )

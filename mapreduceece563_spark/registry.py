@@ -34,7 +34,6 @@ from .operators import temporal as tp
 from .operators import textstats as ts
 from .operators import trainprep as tr
 from .operators import wordcount as wc
-from . import cachemgr
 from .session import ship_package
 from .streaming import enrich_stream as es
 from .streaming import join_stream as js
@@ -63,14 +62,6 @@ def _shipped(fn: QueryFn) -> QueryFn:
     sys.path the driving process has."""
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        # Sweep the PREVIOUS entry's per-call staged frames out of the
-        # session's SQL-cache registry before building this one: by
-        # now the caller has materialized (or abandoned) that plan, so
-        # its stages are garbage, and leaving them accumulates
-        # InMemoryRelations that every later build pays a linear
-        # lookupCachedData scan over (guide §5 "unpersist when done";
-        # cachemgr.py has the measured numbers).
-        cachemgr.sweep_deferred()
         ship_package(spark)
         # Timestamp semantics contract: TIMESTAMP_NTZ test data is
         # reinterpreted as UTC instants (sources/catalog.py), and the
